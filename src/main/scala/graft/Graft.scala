@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+
+import graft.functions.CosineSimilarity
+
+/** Session bootstrap: registers graft's native Catalyst functions so they
+  * are usable both as Columns and from `spark.sql`. Idempotent and cheap —
+  * every public entry point calls it. */
+object Graft {
+  def init(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+  }
+
+  /** Whole-stage-codegen cosine similarity (see CosineSimilarityExpr.scala). */
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.column(CosineSimilarity(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -1,0 +1,22 @@
+/* Lives in org.apache.spark.sql because Spark 4.x marks the classic
+ * Expression<->Column conversions and the session FunctionRegistry
+ * private[sql]. This is the standard pattern Spark extension libraries use
+ * to expose a custom Catalyst Expression as a Column / SQL function; no
+ * Spark internals are modified. */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftSqlBridge {
+  /** Wrap a Catalyst Expression as a user-facing Column. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Extract the Catalyst Expression backing a Column. */
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register an Expression builder as a SQL-callable temp function. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
