@@ -6,31 +6,278 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Relational operator inventory over the star-schema fixtures
-  * (SURVEY §2.2–§2.8). Sums are computed in DECIMAL so Spark's
-  * partial-aggregation order and DuckDB's sequential order agree exactly;
-  * double averages are rounded to 4 places.
+  * (SURVEY §2.2–§2.8): projections/filters (P1-P9), joins (J1-J9),
+  * aggregations (A1-A11), windows (W1), sort/top-k (T1-T5), set ops
+  * (SET1-SET3), scalar functions (F1-F15).
+  *
+  * DuckDB-parity rules (see also scripts/check.py):
+  *  - money/quantity sums are cast to DECIMAL(18,2/4) per row first, so
+  *    both engines sum exactly regardless of partial-aggregation order;
+  *  - double averages are rounded (4 places), safe because the relative
+  *    cross-engine error is ~1e-12;
+  *  - timestamps are rendered with date_format, never emitted raw;
+  *  - every query ends in a total ORDER BY.
+  *
+  * Scale notes are on each query; the common ones: dimension joins are
+  * `broadcast()`, aggregations are partial+final (map-side combine free
+  * from Catalyst), filters/projections push down to the parquet scan.
   */
 object RelationalPack extends QueryPack {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val dec = DecimalType(18, 2)
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
     // A-series: grouped aggregation with decimal-exact sums (TPC-H Q1 shape).
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec)).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).as("sum_base_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // P4/P6 + pushdown: filter + projection + computed column. All three
+    // predicates reach the parquet scan (PushedFilters); only 6 of 11
+    // columns are read (ReadSchema pruning).
+    "q2_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" &&
+          col("l_discount") > 0.05 &&
+          col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          // decimal-exact revenue: cast each factor (tie-free, the columns
+          // are 2-decimal valued), multiply in decimal — never round the
+          // double product (DuckDB and Spark round midpoints differently).
+          (col("l_extendedprice").cast(dec2) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // J1 + A: 3-way equi-join then grouped decimal revenue. customer is
+    // small relative to lineitem — at 100TB this is two shuffle joins on
+    // the keys; AQE picks broadcast for the customer side when it fits.
+    "q3_join_agg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_mktsegment"), col("l_returnflag"))
+        .agg(
+          sum(col("l_extendedprice").cast(dec2) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("c_mktsegment"), col("l_returnflag"))
+    }),
+
+    // J2/J3 + P2/P3: left joins to broadcast dims, one with a literal
+    // term in the ON clause (reference's lookup join,
+    // /root/reference/camp_vec_save.py:14-19); IFNULL -> coalesce('없음').
+    "q4_dim_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
+        .join(broadcast(r),
+          n("n_regionkey") === r("r_regionkey") && r("r_name") =!= "EUROPE",
+          "left_outer")
+        .select(
+          coalesce(col("r_name"), lit("없음")).as("region_nm"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_bucket"))
+        .groupBy(col("region_nm"), col("bal_bucket"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("region_nm"), col("bal_bucket"))
+    }),
+
+    // W1/J5: greatest-per-group as a window (reference does a self-join,
+    // /root/reference/nl_targeting_save.py:22-34 — the window form avoids
+    // the second scan and the join shuffle entirely).
+    "q5_latest_order" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A3/A4: GROUP_CONCAT with deterministic ordering — the reference
+    // relies on `ORDER BY ... SEPARATOR` inside the aggregate
+    // (/root/reference/camp_vec_rcmn.py:79); we sort the collected array
+    // (SURVEY §7.4 hard-point 5).
+    "q6_group_concat" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("o_orderpriority")))).as("priorities"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // A5: dedup on a column subset = DISTINCT over the projected keys.
+    "q7_distinct_pairs" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_returnflag"))
+        .dropDuplicates("l_suppkey", "l_returnflag")
+        .orderBy(col("l_suppkey"), col("l_returnflag"))
+    }),
+
+    // SET1: UNION with distinct semantics (the reference joins audience
+    // SQL with ' UNION ', /root/reference/camp_vec_rcmn.py:284).
+    "q8_union_distinct" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val a = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = o.join(c.filter(col("c_mktsegment") === "BUILDING"),
+          o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+      a.union(b).dropDuplicates()
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).as("sum_price"))
+    }),
+
+    // J8/T1: semi-join against a top-k list (reference builds an IN-list
+    // string, /root/reference/camp_vec_rcmn.py:77-82 — left_semi is the
+    // relational form; the top-10 side is broadcast).
+    "q9_semijoin_topk" -> ((s, dir) => {
+      val top = t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(top), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast(dec2)).as("sum_qty"))
+    }),
+
+    // SET3 (relational form): anti-join — members with no matches
+    // (reference's negative-condition subtraction is the value-level
+    // analog, /root/reference/nl_targeting.py:112-122).
+    "q10_antijoin" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A8/P7: statistical threshold mean + 0.5·stddev_samp
+    // (/root/reference/camp_vec_rcmn.py:97 — pandas std is ddof=1). The
+    // scalar agg is a 1-row broadcast cross join, not a collect().
+    "q11_stat_threshold" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val thr = o.agg((avg(col("o_totalprice")) +
+        lit(0.5) * stddev_samp(col("o_totalprice"))).as("thr"))
+      o.crossJoin(broadcast(thr))
+        .filter(col("o_totalprice") > col("thr"))
+        .agg(count(lit(1)).as("n_above"),
+          sum(col("o_totalprice").cast(dec2)).as("sum_above"))
+    }),
+
+    // A9/SET1: the audience counter — COUNT(DISTINCT cust_id) over a
+    // UNION of targeting predicates (/root/reference/camp_vec_rcmn.py:285).
+    // At scale: countDistinct shuffles once on the key; the HLL variant
+    // (approx_count_distinct) is the 100TB fallback.
+    "q12_audience_count" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val seg1 = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("cust_id"))
+      val seg2 = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey").as("cust_id"))
+      seg1.union(seg2)
+        .agg(countDistinct(col("cust_id")).as("audience"))
+    }),
+
+    // T1/T2/T3: global top-k with the reference's percent normalization
+    // (round(score/5*100, 2), /root/reference/camp_vec_rcmn.py:71).
+    "q13_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") / 1000.0, 2).as("score_k"))
+    }),
+
+    // F2/F3: tokenization, array access, whitespace-normalizing regex
+    // (reference's split/strip/replace pipeline,
+    // /root/reference/camp_vec_rcmn.py:103-105,251-254).
+    "q14_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          split(col("p_name"), " ").as("tokens"),
+          size(split(col("p_name"), " ")).as("n_tokens"),
+          element_at(split(col("p_name"), " "), 1).as("first_token"),
+          regexp_replace(lower(col("p_name")), "\\s+", "_").as("norm_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // F13/F14: JSON field extraction (reference parses PRMP_JSON_INFO,
+    // /root/reference/nl_targeting_save.py:46-61).
+    "q15_json_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select((get_json_object(col("props"), "$.k").cast("int") % 10).as("bucket"),
+          col("value"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // F9 + streaming-batch equivalence: tumbling hourly window as a batch
+    // groupBy (the Structured Streaming twin lives in graft.streaming).
+    "q16_event_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec4)).as("sum_value"))
+        .orderBy(col("hour"))
+    }),
+
+    // W2-adjacent: running (prefix) sum per key — the windowed running
+    // weight the sweep-line consensus builds on (SURVEY W2).
+    "q17_running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec2)).over(w).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // S7/F16: vector text round-trip — str(embedding) -> VEC_FromText
+    // (/root/reference/nl_targeting_save.py:135,142). The oracle asserts
+    // every row survives the round-trip.
+    "q18_vec_roundtrip" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      e.select(
+          VectorFunctions.vecFromText(
+            VectorFunctions.vecToText(col("embedding"))).as("rt"),
+          col("embedding"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rt") === col("embedding"), 1)).as("n_ok"))
     })
   )
 
@@ -44,6 +291,140 @@ object RelationalPack extends QueryPack {
         |  count(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS revenue
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_discount > 0.05
+        |  AND l_shipdate >= TIMESTAMP '1995-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_mktsegment, l_returnflag
+        |ORDER BY c_mktsegment, l_returnflag""".stripMargin,
+
+    "q4_dim_broadcast" ->
+      """SELECT coalesce(r_name, '없음') AS region_nm,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_bucket,
+        |  count(*) AS n_cust
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey AND r_name <> 'EUROPE'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q5_latest_order" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q6_group_concat" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q7_distinct_pairs" ->
+      """SELECT DISTINCT l_suppkey, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_returnflag""".stripMargin,
+
+    "q8_union_distinct" ->
+      """SELECT count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+        |  UNION
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q9_semijoin_topk" ->
+      """SELECT count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)""".stripMargin,
+
+    "q10_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q11_stat_threshold" ->
+      """SELECT count(*) AS n_above,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_above
+        |FROM orders
+        |WHERE o_totalprice > (
+        |  SELECT avg(o_totalprice) + 0.5 * stddev_samp(o_totalprice) FROM orders)""".stripMargin,
+
+    "q12_audience_count" ->
+      """SELECT count(DISTINCT cust_id) AS audience
+        |FROM (
+        |  SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin,
+
+    "q13_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice / 1000.0, 2) AS score_k
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q14_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  string_split(p_name, ' ') AS tokens,
+        |  len(string_split(p_name, ' ')) AS n_tokens,
+        |  string_split(p_name, ' ')[1] AS first_token,
+        |  regexp_replace(lower(p_name), '\s+', '_', 'g') AS norm_name
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q15_json_events" ->
+      """SELECT (json_extract(props, '$.k')::INT % 10) AS bucket,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q16_event_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q17_running_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q18_vec_roundtrip" ->
+      """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin
   )
 }
