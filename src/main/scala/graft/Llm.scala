@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+
+/** The external-model boundary.
+  *
+  * The reference makes row-at-a-time network calls: five LLM chat sites and
+  * one embedding site (`sru.request_embedding`,
+  * `/root/reference/nl_targeting.py:33-41,54`,
+  * `/root/reference/camp_vec_rcmn.py:30-43`,
+  * `/root/reference/nl_targeting_save.py:122-132`,
+  * `/root/reference/camp_vec_save.py:56`). We re-express that as:
+  *
+  *  - [[Embeddings.embedCol]] — a deterministic, fully-distributed stub
+  *    embedder as a codegen'd column expression (xxhash64-seeded values in
+  *    [-1, 1]). This is what tests and fixtures use; it never leaves the JVM.
+  *  - [[Embeddings.embedPartitions]] — the production shape: batched
+  *    `mapPartitions` calls through an [[Embedder]] (HTTP in prod, stub in
+  *    tests). One connection per partition, vectorized batches — never the
+  *    reference's per-row driver loop (`/root/reference/camp_vec_save.py:49-56`).
+  *  - [[LlmClient]] — chat boundary; [[StubLlm]] gives deterministic
+  *    query expansion / paraphrase / triple extraction so pipeline parity
+  *    tests are stable across runs and partitions (SURVEY §7.4).
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+  /** Batch hook — a real HTTP embedder overrides this to amortize calls. */
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+}
+
+/** Deterministic hash-based embedder (JVM-side twin of
+  * [[Embeddings.embedCol]]'s semantics, same distribution, not bitwise
+  * identical — pipelines must pick one form and stick with it). */
+class StubEmbedder(val dim: Int = 64) extends Embedder {
+  def embed(text: String): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val h = scala.util.hashing.MurmurHash3.stringHash(text, i)
+      out(i) = ((h & 0x7fffffff) % 1000) / 500.0f - 1.0f
+      i += 1
+    }
+    out
+  }
+}
+
+trait LlmClient extends Serializable {
+  def complete(system: String, user: String): String
+}
+
+/** Deterministic stand-ins for the five chat call sites. Output grammar
+  * mirrors the reference contracts (`!!!!`-separated lists,
+  * `/root/reference/camp_vec_rcmn.py:17`, `/root/reference/nl_targeting_save.py:104`). */
+class StubLlm extends LlmClient {
+  def complete(system: String, user: String): String = system match {
+    case s if s.contains("expand") => // L5: 5 query expansions
+      (1 to 5).map(i => s"$user 확장$i").mkString("!!!!")
+    case s if s.contains("paraphrase") => // L4: 3 NL paraphrases
+      (1 to 3).map(i => s"$user 표현$i").mkString("!!!!")
+    case _ => user
+  }
+}
+
+object Embeddings {
+
+  /** Stub embedding as a native column expression: dim deterministic floats
+    * in [-1, 1) seeded by xxhash64(text, i). Distributed, codegen'd, no
+    * shuffle, no network — the fixture convention for index builds. */
+  def embedCol(text: Column, dim: Int = 64): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(text, i), lit(1000)).cast("double") / 500.0 - 1.0)
+        .cast("float"))
+
+  /** Production-shaped embedding: batched mapPartitions through an
+    * [[Embedder]]. Appends `outCol: array<float>` after `textCol`. */
+  def embedPartitions(df: DataFrame, embedder: Embedder,
+      textCol: String, outCol: String, batchSize: Int = 256): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.embedBatch(batch.map(_.getString(textIdx)))
+        batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -11,7 +11,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
-    VectorSearchPack
+    VectorSearchPack,
+    PipelinePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

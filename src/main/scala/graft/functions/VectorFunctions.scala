@@ -34,8 +34,14 @@ object VectorFunctions {
   /** Cosine similarity = 1 − VEC_DISTANCE_COSINE (reference semantics,
     * `/root/reference/camp_vec_rcmn.py:44`). Portable higher-order-function
     * form; see [[graft.functions.CosineSimilarity]] for the codegen form. */
-  def cosineSim(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosineSim(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    // zero-norm guard: ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO;
+    // match the native expression's 0.0-for-degenerate-input semantics.
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(dotProduct(a, b) / (na * nb))
+  }
 
   /** Parse the reference's textual vector form `'[f1,f2,…]'`
     * (`str(embedding)` → `VEC_FromText`, `/root/reference/nl_targeting_save.py:135`,

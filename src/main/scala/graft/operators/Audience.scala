@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audience counting (E1 tail, `/root/reference/camp_vec_rcmn.py:284-293`):
+  * the union of per-campaign audience queries, then
+  * `COUNT(DISTINCT cust_id)`.
+  *
+  * Scale notes: the interval side is a range join of orders against a
+  * handful of consensus intervals — the interval side is broadcast, so the
+  * "range join" is a map-side `BETWEEN` filter, not a shuffle. countDistinct
+  * shuffles once on cust_id; [[countApprox]] is the 100TB variant (HLL,
+  * no exact-distinct shuffle).
+  */
+object Audience {
+
+  /** Members matching any kept string value (semi join on the attribute)
+    * unioned with members whose numeric attribute falls in any kept
+    * interval; exact distinct count. */
+  def count(customers: DataFrame, orders: DataFrame,
+      keptSegments: DataFrame, keptIntervals: DataFrame): DataFrame = {
+    val bySegment = customers
+      .join(broadcast(keptSegments.select(col("value"))),
+        col("c_mktsegment") === col("value"), "left_semi")
+      .select(col("c_custkey").as("cust_id"))
+    val byInterval = orders
+      .join(broadcast(keptIntervals.select(col("lo"), col("hi"))),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .select(col("o_custkey").as("cust_id"))
+    bySegment.union(byInterval)
+      .agg(countDistinct(col("cust_id")).as("audience"))
+  }
+
+  /** HLL variant for 100TB-scale audience estimates. */
+  def countApprox(members: DataFrame, rsd: Double = 0.01): DataFrame =
+    members.agg(approx_count_distinct(col("cust_id"), rsd).as("audience_approx"))
+
+  /** Execute compiled audience SQL statements (see [[graft.TemplateSql]])
+    * against registered temp views and UNION-distinct them — the Spark form
+    * of the reference's `' UNION '.join(query_list)`
+    * (`/root/reference/camp_vec_rcmn.py:284`). */
+  def fromCompiledSql(spark: SparkSession, sqls: Seq[String]): DataFrame = {
+    require(sqls.nonEmpty, "no audience queries")
+    sqls.map(spark.sql).reduce(_ union _).distinct()
+      .agg(countDistinct(col("cust_id")).as("audience"))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The flagship E1 pipeline (`/root/reference/camp_vec_rcmn.py`, end to
+  * end): query expansions → per-expansion KNN → score fusion → top-5 →
+  * targeting conditions → statistical threshold → string + interval
+  * consensus → audience count. DataFrames at every stage; the only action
+  * is the caller's.
+  *
+  * This variant uses the `embeddings` fixture as the campaign vector index
+  * and vec_ids 0..4 as the five "expanded query" vectors, which makes every
+  * stage pure relational/arithmetic — and therefore DuckDB-oracle-checkable
+  * (see PipelinePack.q22). The stub-embedder variant that exercises the
+  * index *build* path too lives in [[graft.IndexBuild]].
+  */
+object CampaignRecommend {
+
+  val K = 10        // LIMIT 10 per expansion, camp_vec_rcmn.py:44
+  val NQueries = 5  // 5 expansions, camp_vec_rcmn.py:17
+  val TopN = 5      // fused top-5, camp_vec_rcmn.py:68
+
+  /** Stage 1-2: fused top-5 campaigns with percent scores. */
+  def top5(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Knn.fuse(Knn.topKPerQuery(e, qs, K), NQueries, TopN)
+  }
+
+  /** Distinct string-attribute values with dense index, for condition
+    * synthesis (small; broadcast by callers). */
+  def segments(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("seg_val"))
+    Tables.load(spark, dir, "customer")
+      .select(col("c_mktsegment").as("seg_val")).distinct()
+      .withColumn("seg_idx", row_number().over(w) - 1)
+  }
+
+  /** Full pipeline → 1-row audience count. */
+  def audienceCount(spark: SparkSession, dir: String): DataFrame = {
+    val t5 = top5(spark, dir).cache() // read 3×: conds, threshold (A8+T2 reuse)
+    val (strConds, intConds) = Conditions.synthesize(t5, segments(spark, dir))
+    val thr = Conditions.threshold(t5)
+    val keptSegments = Conditions.stringConsensus(strConds, thr)
+    val keptIntervals = SweepLine.consensus(
+        intConds.select(col("name"), col("lo"), col("hi"), col("w")))
+      .crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .select(col("name"), col("lo"), col("hi"), col("score"))
+    Audience.count(
+      Tables.load(spark, dir, "customer"), Tables.load(spark, dir, "orders"),
+      keptSegments, keptIntervals)
+  }
+}
