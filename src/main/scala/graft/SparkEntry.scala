@@ -12,7 +12,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     RelationalPack,
     VectorSearchPack,
-    PipelinePack
+    PipelinePack,
+    DedupTextPack,
+    AnnPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

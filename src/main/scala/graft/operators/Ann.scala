@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Approximate nearest-neighbor paths for embedding search at scale.
+  *
+  * Brute force ([[Knn.topK]]) is the correctness oracle and fine up to a
+  * few million vectors per query batch; beyond that:
+  *
+  *  - [[Ivf]] — inverted-file index: pick C centroids, assign every vector
+  *    to its nearest centroid (one broadcast map pass + `max_by`, no
+  *    window shuffle), then answer queries by probing only the nprobe
+  *    nearest centroid buckets. At 100TB the assignment table is
+  *    partitioned (and prunable) by centroid_id, so a query touches
+  *    nprobe/C of the data.
+  *  - [[lshModel]] — MLlib BucketedRandomProjectionLSH for
+  *    approxNearestNeighbors / approxSimilarityJoin (euclidean proxy for
+  *    cosine on ~unit vectors), the "built-in" alternative.
+  */
+object Ann {
+
+  /** IVF index: (assignments: vec_id→centroid_id, centroids). */
+  case class Ivf(assignments: DataFrame, centroids: DataFrame)
+
+  /** Deterministic centroid pick (every `stride`-th id — a stand-in for a
+    * KMeans fit, which would drop in unchanged) + nearest-centroid
+    * assignment. */
+  def buildIvf(emb: DataFrame, stride: Int = 37,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
+    val centroids = emb.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    val assignments = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"), Graft.cosine(col(vecCol), col("cvec")).as("cscore"))
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("centroid_id"),
+        struct(col("cscore"), col("centroid_id"))).as("centroid_id"))
+    Ivf(assignments, centroids)
+  }
+
+  /** Probe the nprobe nearest centroid buckets, brute-force within them. */
+  def searchIvf(ivf: Ivf, queryVec: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probed = ivf.centroids.crossJoin(broadcast(queryVec))
+      .select(col("centroid_id"), Graft.cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    ivf.assignments
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col("vec_id"), Graft.cosine(col("embedding"), col("qvec")).as("simil"))
+      .orderBy(col("simil").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Fit an MLlib LSH model over the embedding column (converted to ml
+    * Vector at this boundary only, per SURVEY §1.2). */
+  def lshModel(emb: DataFrame, vecCol: String = "embedding",
+      tables: Int = 8, bucketLength: Double = 2.0)
+      : (org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel, DataFrame) = {
+    val withVec = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(tables).setBucketLength(bucketLength).setSeed(42)
+    val model = lsh.fit(withVec)
+    (model, withVec)
+  }
+}

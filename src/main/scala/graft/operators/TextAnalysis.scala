@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, document fingerprinting, profile-based language ID.
+  * Everything is a codegen-friendly column expression — no UDFs — and each
+  * has an exact DuckDB twin for the oracle. */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Quality features + composite score: token count, unique-token ratio,
+    * stopword ratio, capped-length factor. */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val stop = size(array_intersect(toks, array(Stopwords.map(lit): _*)))
+      .cast("double") // distinct stopwords present, of 6
+    val stopRatio = size(filter(toks,
+      t => array_contains(array(Stopwords.map(lit): _*), t))).cast("double") / n
+    val lenFactor = least(n / 100.0, lit(1.0))
+    Seq(
+      "n_tokens" -> size(toks),
+      "uniq_ratio" -> round(uniq, 4),
+      "stop_ratio" -> round(stopRatio, 4),
+      "quality" -> round(uniq * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenFactor * 0.3, 4))
+  }
+
+  /** Rolling polynomial fingerprint of the token stream:
+    * h = fold(tokens, 0, (h, w) → (h·131 + len(w)·31 + ascii(w)) mod 1e9+7).
+    * Order-sensitive (unlike a bag-of-words hash) and cheap to reproduce
+    * anywhere — the mod keeps every intermediate in i64. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (h, w) => (h * 131L + length(w).cast("long") * 31L + ascii(w)) % 1000000007L)
+
+  /** Per-language top-k word profiles learned from a labeled corpus:
+    * (lang, word) frequency ranking, deterministic ties by word. */
+  def langProfiles(docs: DataFrame, langCol: String, textCol: String,
+      topK: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
+    docs.select(col(langCol).as("lang"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("lang").as("profile_lang"), col("word"))
+  }
+
+  /** Language ID: score = |doc words ∩ profile(lang)|, predict argmax
+    * (ties → lexicographically first lang); returns per-true-lang accuracy.
+    * The profile side is tiny (langs × topK rows) — broadcast join; the
+    * document side streams through one explode + two aggregations. */
+  def langIdAccuracy(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String, topK: Int = 10): DataFrame = {
+    val profiles = langProfiles(docs, langCol, textCol, topK)
+    val docWords = docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("true_lang"),
+        explode(array_distinct(tokens(col(textCol)))).as("word"))
+    val scores = docWords.join(broadcast(profiles), Seq("word"))
+      .groupBy(col("doc_id"), col("true_lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    val predicted = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("true_lang"),
+        col("profile_lang").as("pred_lang"))
+    predicted.groupBy(col("true_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pred_lang") === col("true_lang"), 1)).as("n_correct"))
+      .orderBy(col("true_lang"))
+  }
+}

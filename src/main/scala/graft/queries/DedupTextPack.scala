@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, Tables}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine)
+  * and text analysis (quality, tokens, fingerprint, language-ID).
+  * MinHash is md5-based so even the LSH banding is reproduced exactly by
+  * the DuckDB oracle; SimHash (xxhash64) is rows-only + spec-tested. */
+object DedupTextPack extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup stats: hash-groupBy on full text per source.
+    "dd_exact" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_uniq"))
+        .orderBy(col("source"))
+    }),
+
+    // Blocked n-gram (word-set) Jaccard near-dups: pairs within a lang
+    // block with Jaccard >= 0.95.
+    "dd_jaccard_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("lang"),
+        array_distinct(Dedup.tokens(col("text"))).as("w"))
+      val a = base.toDF("id_a", "lang", "wa")
+      val b = base.toDF("id_b", "lang", "wb")
+      a.join(b, Seq("lang"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("lang"), col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("wa"), col("wb")), 4).as("jac"))
+        .filter(col("jac") >= 0.95)
+        .orderBy(col("lang"), col("id_a"), col("id_b"))
+    }),
+
+    // MinHash(12) + LSH(4 bands x 3 rows) candidates, verified Jaccard>=0.6.
+    "dd_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+          k = 12, bands = 4, minJ = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash fingerprints (xxhash64 — no DuckDB twin; near-dup pair
+    // variant is spec-tested in DedupSpec).
+    "dd_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-dup: top-3 most similar pairs per label block.
+    "dd_embed_pairs" -> ((s, dir) => {
+      Graft.init(s)
+      Dedup.embeddingTopPairs(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", perBlock = 3)
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
+
+    // Quality scoring: unique/stopword ratios + composite score per doc.
+    "tx_quality" -> ((s, dir) => {
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      docs(s, dir).select(col("doc_id") +: feats.map {
+          case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting per lang: whitespace tokens + regex (BPE-ish) tokens.
+    "tx_tokens" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("lang"))
+        .agg(sum(size(TextAnalysis.tokens(col("text")))).as("n_ws"),
+          sum(size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+"), lit(0)))).as("n_re"))
+        .orderBy(col("lang"))
+    }),
+
+    // Rolling polynomial fingerprint per document (order-sensitive).
+    "tx_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Profile-based language-ID accuracy per true lang.
+    "tx_langid" -> ((s, dir) => {
+      TextAnalysis.langIdAccuracy(docs(s, dir), "doc_id", "lang", "text")
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "dd_jaccard_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents)
+        |SELECT lang, id_a, id_b, jac FROM (
+        |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.w, b.w))::DOUBLE /
+        |          len(list_distinct(list_cat(a.w, b.w))), 4) AS jac
+        |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.95
+        |ORDER BY lang, id_a, id_b""".stripMargin,
+
+    "dd_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(w) AS wset,
+        |  list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+        |  FROM base),
+        |sigs AS (SELECT doc_id, wset,
+        |  list_transform(range(0,12),
+        |    s -> list_min(list_transform(shingles, g -> md5(s || ':' || g)))) AS sig
+        |  FROM sh),
+        |buckets AS (
+        |  SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+        |  FROM sigs, range(0,4) t(b)),
+        |cands AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+        |  FROM buckets a JOIN buckets bb
+        |    ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b, jac FROM (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(x.wset, y.wset))::DOUBLE /
+        |          len(list_distinct(list_cat(x.wset, y.wset))), 4) AS jac
+        |  FROM cands JOIN sigs x ON cands.id_a = x.doc_id
+        |             JOIN sigs y ON cands.id_b = y.doc_id)
+        |WHERE jac >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_embed_pairs" ->
+      """WITH pairs AS (
+        |  SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT block, id_a, id_b, round(c, 4) AS cos FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY block ORDER BY c DESC, id_a, id_b) AS rn
+        |  FROM pairs)
+        |WHERE rn <= 3
+        |ORDER BY block, id_a, id_b""".stripMargin,
+
+    "tx_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |f AS (SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+        |  len(list_filter(w, t -> list_contains(
+        |    ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+        |  least(len(w) / 100.0, 1.0) AS lenf
+        |  FROM base)
+        |SELECT doc_id, n_tokens,
+        |  round(uniq, 4) AS uniq_ratio,
+        |  round(stop, 4) AS stop_ratio,
+        |  round(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3, 4) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "tx_tokens" ->
+      """SELECT lang,
+        |  sum(len(string_split_regex(trim(text), '\s+'))) AS n_ws,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS n_re
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(
+        |      string_split_regex(trim(text), '\s+'),
+        |      w -> len(w)::BIGINT * 31 + ascii(w))),
+        |    (h, x) -> (h * 131 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_langid" ->
+      """WITH words AS (
+        |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |prof AS (
+        |  SELECT lang AS profile_lang, word FROM (
+        |    SELECT lang, word, count(*) AS cnt,
+        |      row_number() OVER (
+        |        PARTITION BY lang ORDER BY count(*) DESC, word) AS rn
+        |    FROM words GROUP BY lang, word)
+        |  WHERE rn <= 10),
+        |docw AS (
+        |  SELECT doc_id, lang AS true_lang,
+        |    unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS word
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id, true_lang, profile_lang, count(*) AS score
+        |  FROM docw JOIN prof USING (word)
+        |  GROUP BY doc_id, true_lang, profile_lang),
+        |pred AS (
+        |  SELECT doc_id, true_lang, profile_lang AS pred_lang FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rn
+        |    FROM scores)
+        |  WHERE rn = 1)
+        |SELECT true_lang, count(*) AS n_docs,
+        |  count(CASE WHEN pred_lang = true_lang THEN 1 END) AS n_correct
+        |FROM pred GROUP BY true_lang ORDER BY true_lang""".stripMargin
+  )
+}

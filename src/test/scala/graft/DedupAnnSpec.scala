@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup, Knn}
+
+class DedupAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash: identical texts collide, near-dups are close, disjoint far") {
+    val docs = Seq(
+      (1L, "g", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "g", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "g", "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "g", "one two three four five six seven eight")
+    ).toDF("doc_id", "block", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", "block",
+        maxHamming = 64)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs((1L, 4L)))
+    assert(pairs((1L, 3L)) <= 16)
+  }
+
+  test("minhash LSH finds exact duplicates with jaccard 1.0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words nothing shared at all here folks okay then")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text", minJ = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("IVF with all buckets probed equals exact brute force") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val ivf = Ann.buildIvf(e)
+    val nCentroids = ivf.centroids.count().toInt
+    val exact = Knn.topK(e, q, 10).collect().map(_.getLong(0)).toSeq
+    val all = Ann.searchIvf(ivf, q, nprobe = nCentroids, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == exact)
+  }
+
+  test("IVF with nprobe=4 keeps decent recall@10") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+    val approx = Ann.searchIvf(Ann.buildIvf(e), q, nprobe = 4, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val (model, withVec) = Ann.lshModel(e)
+    val key = org.apache.spark.ml.linalg.Vectors.dense(
+      e.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toArray)
+    val nn = model.approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(nn.length == 10 && !nn.contains(0L))
+  }
+}

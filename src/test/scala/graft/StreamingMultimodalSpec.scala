@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming hourly counts equal the batch rollup on the same data") {
+    import spark.implicits._
+    val batch = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val expected = EventStream.hourlyCounts(batch)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val streamDf = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq)
+      query.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == expected && got.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user state across batches") {
+    import spark.implicits._
+    val input = MemoryStream[EventStream.UserEvent](spark)
+    val query = EventStream.userRunningTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_state_test")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStream.UserEvent(1, "click", 2.0),
+        EventStream.UserEvent(1, "click", 3.0))
+      query.processAllAvailable()
+      input.addData(EventStream.UserEvent(1, "buy", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("user_state_test")
+        .orderBy(col("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.last == ((1L, 3L, 10.0)))
+    } finally query.stop()
+  }
+
+  test("multimodal: stubbed decode keeps schema, determinism, no payload loss") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(30)
+    val media = Multimodal.mediaFromDocuments(docs)
+    // compare names+types (nullability flows from the source parquet)
+    assert(media.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val feats = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(8))
+    val rows = feats.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.getSeq[Float](7).length == 8))
+    assert(rows.forall(r => r.getInt(4) >= 16 && r.getInt(5) >= 16))
+    // videos have frames, images/audio exactly 1
+    rows.foreach { r =>
+      if (r.getString(1) == "video") assert(r.getInt(6) >= 1)
+      else assert(r.getInt(6) == 1)
+    }
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(media, new Multimodal.StubDecoder(8))
+      .select("media_id", "width").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getInt(4)))
+    // frame sampling plan is pure column math
+    val plan = feats.withColumn("frames", Multimodal.frameSamplePlan(feats))
+      .select("kind", "frames").collect()
+    plan.foreach { r =>
+      val fs = r.getSeq[Int](1)
+      if (r.getString(0) != "video") assert(fs == Seq(0)) else assert(fs.nonEmpty && fs.length <= 4)
+    }
+  }
+}
