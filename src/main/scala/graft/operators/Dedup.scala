@@ -27,11 +27,19 @@ object Dedup {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word n-gram shingles, `"w1 w2 w3"` strings. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word 3-gram shingles, `"w1 w2 w3"` strings.
+    * Built from three shifted copies of the token array zipped together —
+    * O(n) per document. (The naive `transform(sequence, i => slice(toks,
+    * i, 3))` form is O(n²): every lambda call re-slices the array; at sf0.1
+    * that was minutes of interpreted array copying.) `arrays_zip` truncates
+    * to the shortest input, which yields exactly size-2 shingles. */
+  def shingles(text: Column): Column = {
     val toks = tokens(text)
-    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    transform(
+      arrays_zip(toks.as("a"), t2.as("b"), t3.as("c")),
+      s => concat_ws(" ", s.getField("a"), s.getField("b"), s.getField("c")))
   }
 
   /** k MinHash values: element s = min over shingles of md5("s:shingle").
@@ -51,20 +59,67 @@ object Dedup {
             slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))))
       .toDF(idCol, "band", "key")
 
-  /** Exact word-set Jaccard between two token-array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Exact word-set Jaccard between two DISTINCT token-array columns.
+    * One intersect pass; |A∪B| = |A|+|B|−|A∩B| (inputs are de-duped), which
+    * halves the per-pair array work vs an explicit array_union. Fine for
+    * verifying a bounded candidate set; for all-pairs work use
+    * [[jaccardPairs]] instead. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** All-pairs set-similarity as a relational join (the scale shape):
+    * explode distinct words, self-join on (block, word), count
+    * co-occurrences per pair, Jaccard = |∩| / (|A|+|B|−|∩|). Everything is
+    * codegen'd hash join + partial aggregation — no per-pair interpreted
+    * array ops (which were ~40x slower at sf0.1) — and only pairs that
+    * share ≥1 word ever materialize, which is every pair above any
+    * positive threshold. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJ: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), col(blockCol).as("block"),
+        array_distinct(tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("block"), size(col("w")).as("sz"),
+        explode(col("w")).as("word"))
+    val a = base.toDF("id_a", "block", "sa", "word")
+    val b = base.toDF("id_b", "block", "sb", "word")
+    a.join(b, Seq("block", "word"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("block"), col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("block"), col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")), 4).as("jac"))
+      .filter(col("jac") >= minJ)
+  }
 
   /** MinHash+LSH near-duplicate pairs, verified with true Jaccard ≥ minJ.
     * Returns (id_a, id_b, jac). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, minJ: Double = 0.6): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(col(idCol),
-        array_distinct(tokens(col(textCol))).as("wset"),
-        minhashSignature(shingles(col(textCol)), k).as("sig"))
-      .cache()
+    // Signature via explode + k codegen'd min-aggregates, NOT the
+    // higher-order-function form: HOFs are interpreted (nested lambdas ×
+    // k permutations was ~100x slower at sf0.1), while md5 over flat
+    // exploded rows stays inside whole-stage codegen and the k mins get
+    // map-side partial aggregation. Same md5 math, identical signatures.
+    // The repartition spreads the md5 map work: a small parquet source is
+    // one input split, which would otherwise serialize the whole scan.
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(shingles(col(textCol))).as("g"))
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("g")))).as(s"sig_$s"))
+    val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
+    val wsets = docs.select(col(idCol),
+      array_distinct(tokens(col(textCol))).as("wset"))
+    val withSig = sigs.join(wsets, idCol).cache()
     val buckets = lshBuckets(withSig, idCol, "sig", bands, rows)
     val a = buckets.toDF("id_a", "band", "key")
     val b = buckets.toDF("id_b", "band", "key")
@@ -98,8 +153,8 @@ object Dedup {
   /** SimHash near-dup pairs within blocks: hamming distance ≤ maxHamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int = 12): DataFrame = {
-    val h = docs.select(col(idCol), col(blockCol),
-      simhash64(col(textCol)).as("sh"))
+    val h = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(blockCol), simhash64(col(textCol)).as("sh"))
     val a = h.toDF("id_a", "block", "sh_a")
     val b = h.toDF("id_b", "block", "sh_b")
     a.join(b, Seq("block"))
@@ -113,8 +168,9 @@ object Dedup {
     * block (label) — blocked pairwise, ranked, deterministic tie-breaks. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,
       blockCol: String, perBlock: Int = 3): DataFrame = {
-    val a = emb.select(col(blockCol).as("block"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+    val a = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col(blockCol).as("block"), col(idCol).as("id_a"),
+        col(vecCol).as("va"))
     val b = emb.select(col(blockCol).as("block"), col(idCol).as("id_b"),
       col(vecCol).as("vb"))
     val pairs = a.join(b, Seq("block"))

@@ -29,15 +29,8 @@ object DedupTextPack extends QueryPack {
     // Blocked n-gram (word-set) Jaccard near-dups: pairs within a lang
     // block with Jaccard >= 0.95.
     "dd_jaccard_pairs" -> ((s, dir) => {
-      val base = docs(s, dir).select(col("doc_id"), col("lang"),
-        array_distinct(Dedup.tokens(col("text"))).as("w"))
-      val a = base.toDF("id_a", "lang", "wa")
-      val b = base.toDF("id_b", "lang", "wb")
-      a.join(b, Seq("lang"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("lang"), col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("wa"), col("wb")), 4).as("jac"))
-        .filter(col("jac") >= 0.95)
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", "lang", minJ = 0.95)
+        .select(col("block").as("lang"), col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("lang"), col("id_a"), col("id_b"))
     }),
 
