@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog utilities — the re-implementation of the reference's absent
+  * `seg_rcmn_utils` metadata helpers (SURVEY §2.11): `table_search`
+  * (which table does each column referenced by a SQL template live in),
+  * `column_search` (physical columns matching a logical name), and
+  * `refine_query` (make stored SQL text runnable). All driven from the
+  * registered table schemas — no external metadata store. */
+object Catalog {
+
+  /** (table, column) inventory of the fixture tables. */
+  def columnInventory(spark: SparkSession, sfDir: String): Seq[(String, String)] =
+    Tables.all.flatMap { t =>
+      Tables.load(spark, sfDir, t).schema.fieldNames.map(c => (t, c))
+    }
+
+  /** `table_search(qry_meta)` (`/root/reference/nl_targeting_save.py:45,59`):
+    * map every known column mentioned in the SQL text to its table. */
+  def tableSearch(spark: SparkSession, sfDir: String,
+      sqlText: String): Map[String, String] = {
+    val tokens = sqlText.split("[^A-Za-z0-9_]+").toSet
+    columnInventory(spark, sfDir)
+      .filter { case (_, c) => tokens.contains(c) }
+      .map { case (t, c) => c -> t }
+      .toMap // later tables win on ambiguity, like a dict build would
+  }
+
+  /** `column_search(name)` (`/root/reference/nl_targeting_save.py:58`):
+    * physical columns whose name contains the logical fragment. */
+  def columnSearch(spark: SparkSession, sfDir: String,
+      fragment: String): Seq[(String, String)] =
+    columnInventory(spark, sfDir)
+      .filter(_._2.toLowerCase.contains(fragment.toLowerCase))
+
+  /** `refine_query(sql)` (`/root/reference/nl_targeting_save.py:75`): make
+    * stored dimension SQL executable — strip comments, trailing
+    * semicolons, collapse whitespace. */
+  def refineQuery(sql: String): String =
+    "(?s)/\\*.*?\\*/".r.replaceAllIn(sql, " ")
+      .replaceAll("--[^\n]*", " ")
+      .replaceAll("\\s+", " ")
+      .trim.stripSuffix(";").trim
+}

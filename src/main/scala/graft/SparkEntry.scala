@@ -14,14 +14,18 @@ object SparkEntry {
     VectorSearchPack,
     PipelinePack,
     DedupTextPack,
-    AnnPack
+    AnnPack,
+    ParsingPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Multi-query KNN + score fusion — the reference's campaign
-    * recommendation core (`/root/reference/camp_vec_rcmn.py:40-73`). */
-  def entry(spark: SparkSession): DataFrame =
-    VectorSearchPack.queries("knn_fusion")(spark, "/root/testdata/sf0.001")
+    * The full E1 pipeline: expansions → KNN → fusion → conditions →
+    * consensus → audience count (`/root/reference/camp_vec_rcmn.py`). */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.init(spark)
+    graft.operators.CampaignRecommend.audienceCount(
+      spark, "/root/testdata/sf0.001")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
