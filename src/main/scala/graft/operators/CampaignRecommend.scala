@@ -41,6 +41,47 @@ object CampaignRecommend {
       .withColumn("seg_idx", row_number().over(w) - 1)
   }
 
+  /** E1 tail in the reference's own shape: compile each kept condition set
+    * into the parameterized SQL template (F5), run the compiled statements
+    * via spark.sql, UNION and count distinct
+    * (`/root/reference/camp_vec_rcmn.py:240-293`). Semantically equal to
+    * [[audienceCount]] (spec-verified) — that one stays on the pure
+    * DataFrame path; this one proves the template route end-to-end. */
+  def audienceCountViaTemplates(spark: SparkSession, dir: String): DataFrame = {
+    import graft.TemplateSql
+    graft.Tables.registerAll(spark, dir)
+    val t5 = top5(spark, dir).cache()
+    val (strConds, intConds) = Conditions.synthesize(t5, segments(spark, dir))
+    val thr = Conditions.threshold(t5)
+    val keptSegs = Conditions.stringConsensus(strConds, thr)
+      .select("value").collect().map(_.getString(0)).toSeq.sorted
+    val keptInts = SweepLine.consensus(
+        intConds.select(col("name"), col("lo"), col("hi"), col("w")))
+      .crossJoin(broadcast(thr))
+      .filter(col("score") >= col("thr"))
+      .select("lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // The collects above materialize only the handful of consensus
+    // conditions (the reference's condition dict) — never row data.
+    val segTemplate =
+      """/* audience by segment */
+        |SELECT @@SELECT_STRING@@ FROM customer
+        |WHERE [ c_mktsegment ::op:: seg ]""".stripMargin
+    val intTemplate =
+      """/* audience by price interval */
+        |SELECT @@SELECT_STRING@@ FROM orders
+        |WHERE [ o_totalprice ::op:: price_lo ] AND [ o_totalprice ::op:: price_hi ]""".stripMargin
+    val segSql = if (keptSegs.isEmpty) Nil else Seq(TemplateSql.compile(
+      segTemplate, "c_custkey AS cust_id",
+      Map("seg" -> TemplateSql.InList(keptSegs))))
+    val intSqls = keptInts.map { case (lo, hi) => TemplateSql.compile(
+      intTemplate, "o_custkey AS cust_id",
+      Map("price_lo" -> TemplateSql.Compare(">=", lo.toString),
+        "price_hi" -> TemplateSql.Compare("<", hi.toString)))
+    }
+    Audience.fromCompiledSql(spark, segSql ++ intSqls)
+  }
+
   /** Full pipeline → 1-row audience count. */
   def audienceCount(spark: SparkSession, dir: String): DataFrame = {
     val t5 = top5(spark, dir).cache() // read 3×: conds, threshold (A8+T2 reuse)

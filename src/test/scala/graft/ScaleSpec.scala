@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CampaignRecommend, Scale}
+
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted aggregation equals direct groupBy exactly") {
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    val salted = Scale.saltedSum(
+        o.withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)")),
+        "o_orderpriority", "o_totalprice", saltFrom = "o_orderkey")
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, v) =>
+      assert(salted(k)._1.compareTo(v._1) == 0 && salted(k)._2 == v._2) }
+  }
+
+  test("salted join equals direct join") {
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val c = Tables.load(spark, TestSpark.sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val direct = o.join(c, Seq("o_custkey")).count()
+    val salted = Scale.saltedJoin(o, c, "o_custkey", saltFrom = "o_orderkey").count()
+    assert(salted == direct && direct > 0)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val c = Tables.load(spark, TestSpark.sfDir, "customer")
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    val joined = spark.table("orders_bucketed").join(
+      spark.table("customer_bucketed"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == o.join(c, o("o_custkey") === c("c_custkey")).count())
+    spark.sql("DROP TABLE orders_bucketed")
+    spark.sql("DROP TABLE customer_bucketed")
+  }
+
+  test("template-compiled audience path equals the DataFrame path") {
+    val viaTemplates = CampaignRecommend
+      .audienceCountViaTemplates(spark, TestSpark.sfDir).head.getLong(0)
+    val direct = CampaignRecommend
+      .audienceCount(spark, TestSpark.sfDir).head.getLong(0)
+    assert(viaTemplates == direct && direct > 0)
+  }
+}
