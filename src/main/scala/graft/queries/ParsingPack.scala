@@ -38,8 +38,10 @@ object ParsingPack extends QueryPack {
         ("single", "['SINGLE']"),
         ("scalar", "42"))).toDF("name", "raw")
       raw.select(col("name"),
-          split(regexp_replace(col("raw"), "[\\[\\]' ]", ""), ",").as("vals"))
-        .select(col("name"), col("vals"), size(col("vals")).as("n"))
+          split(regexp_replace(col("raw"), "[\\[\\]' ]", ""), ",").as("parsed"))
+        .select(col("name"),
+          array_join(col("parsed"), "|").as("vals"),
+          size(col("parsed")).as("n"))
         .orderBy(col("name"))
     }),
 
@@ -101,7 +103,7 @@ object ParsingPack extends QueryPack {
         |  ('single', '[''SINGLE'']'),
         |  ('scalar', '42'))
         |SELECT name,
-        |  string_split(regexp_replace(raw, '[\[\]'' ]', '', 'g'), ',') AS vals,
+        |  array_to_string(string_split(regexp_replace(raw, '[\[\]'' ]', '', 'g'), ','), '|') AS vals,
         |  len(string_split(regexp_replace(raw, '[\[\]'' ]', '', 'g'), ',')) AS n
         |FROM t ORDER BY name""".stripMargin,
 

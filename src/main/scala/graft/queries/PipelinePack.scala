@@ -32,9 +32,11 @@ object PipelinePack extends QueryPack {
         .agg(array_sort(collect_set(col("o_orderpriority"))).as("neg_codes"))
       pos.join(neg, Seq("seg"), "left_outer")
         .select(col("seg"),
-          array_sort(array_except(col("pos_codes"),
-            coalesce(col("neg_codes"), array()))).as("codes"))
-        .filter(size(col("codes")) > 0)
+          concat_ws(",", array_sort(array_except(col("pos_codes"),
+            coalesce(col("neg_codes"), array())))).as("codes"),
+          size(array_except(col("pos_codes"),
+            coalesce(col("neg_codes"), array()))).as("n_codes"))
+        .filter(col("n_codes") > 0)
         .orderBy(col("seg"))
     }),
 
@@ -150,8 +152,10 @@ object PipelinePack extends QueryPack {
         |  SELECT seg, list_sort(list(DISTINCT prio)) AS neg_codes
         |  FROM j WHERE o_totalprice > 450000 GROUP BY seg)
         |SELECT pos.seg,
-        |  list_sort(list_filter(pos.pos_codes,
-        |    x -> NOT coalesce(list_contains(neg.neg_codes, x), false))) AS codes
+        |  array_to_string(list_sort(list_filter(pos.pos_codes,
+        |    x -> NOT coalesce(list_contains(neg.neg_codes, x), false))), ',') AS codes,
+        |  len(list_filter(pos.pos_codes,
+        |    x -> NOT coalesce(list_contains(neg.neg_codes, x), false))) AS n_codes
         |FROM pos LEFT JOIN neg ON pos.seg = neg.seg
         |WHERE len(list_filter(pos.pos_codes,
         |    x -> NOT coalesce(list_contains(neg.neg_codes, x), false))) > 0

@@ -223,10 +223,13 @@ object RelationalPack extends QueryPack {
     // (reference's split/strip/replace pipeline,
     // /root/reference/camp_vec_rcmn.py:103-105,251-254).
     "q14_scalar_funcs" -> ((s, dir) => {
+      // tokens emitted as a joined string: scalar columns hash identically
+      // across engines; list-typed outputs depend on the comparator's
+      // list representation.
       t(s, dir, "part")
         .select(
           col("p_partkey"),
-          split(col("p_name"), " ").as("tokens"),
+          array_join(split(col("p_name"), " "), "|").as("tokens"),
           size(split(col("p_name"), " ")).as("n_tokens"),
           element_at(split(col("p_name"), " "), 1).as("first_token"),
           regexp_replace(lower(col("p_name")), "\\s+", "_").as("norm_name"))
@@ -394,7 +397,7 @@ object RelationalPack extends QueryPack {
 
     "q14_scalar_funcs" ->
       """SELECT p_partkey,
-        |  string_split(p_name, ' ') AS tokens,
+        |  array_to_string(string_split(p_name, ' '), '|') AS tokens,
         |  len(string_split(p_name, ' ')) AS n_tokens,
         |  string_split(p_name, ' ')[1] AS first_token,
         |  regexp_replace(lower(p_name), '\s+', '_', 'g') AS norm_name
