@@ -11,6 +11,11 @@ object Graft {
   def init(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    // per-session optimizer rule (cluster-wide form: GraftExtensions)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ImpossibleCosineFilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ImpossibleCosineFilter
   }
 
   /** Whole-stage-codegen cosine similarity (see CosineSimilarityExpr.scala). */
