@@ -30,10 +30,12 @@ object Tables {
     // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true —
     // set by Verify/Bench/Smoke/tests). Normalize to a micros timestamp so
     // downstream code sees a plain TimestampType column.
+    // Integer division: `/` on longs is double division, and nanos
+    // (~1.7e18) exceed double's 2^53 exact range — `div` stays exact.
     if (name == "events")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
 

@@ -19,6 +19,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0, s"k must be positive, got $k")
 
   private def better(a: (Long, Double), b: (Long, Double)): Boolean =
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)

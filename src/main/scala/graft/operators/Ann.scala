@@ -27,12 +27,21 @@ object Ann {
   /** IVF index: (assignments: vec_id→centroid_id, centroids). */
   case class Ivf(assignments: DataFrame, centroids: DataFrame)
 
-  /** Deterministic centroid pick (every `stride`-th id — a stand-in for a
-    * KMeans fit, which would drop in unchanged) + nearest-centroid
-    * assignment. */
-  def buildIvf(emb: DataFrame, stride: Int = 37,
+  /** Deterministic FIXED-COUNT centroid pick + nearest-centroid assignment.
+    *
+    * Centroids are the `numCentroids` vectors with the smallest
+    * `md5(vec_id)` — a deterministic pseudo-random sample (md5 also exists
+    * in DuckDB, so the whole index is oracle-reproducible; a KMeans fit
+    * would drop in unchanged). The count is FIXED, not proportional to N:
+    * the assignment pass is O(N·C) with a bounded broadcast, never O(N²),
+    * and `orderBy(...).limit(C)` is TakeOrderedAndProject — no global sort.
+    * Assignments come back partitioned by centroid_id, so a probe of
+    * nprobe buckets touches nprobe/C of the data. */
+  def buildIvf(emb: DataFrame, numCentroids: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
-    val centroids = emb.filter(pmod(col(idCol), lit(stride)) === 0)
+    val centroids = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
     val assignments = emb.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
@@ -40,6 +49,7 @@ object Ann {
       .groupBy(col(idCol), col(vecCol))
       .agg(max_by(col("centroid_id"),
         struct(col("cscore"), col("centroid_id"))).as("centroid_id"))
+      .repartition(col("centroid_id"))
     Ivf(assignments, centroids)
   }
 

@@ -31,15 +31,19 @@ object Dedup {
     * Built from three shifted copies of the token array zipped together —
     * O(n) per document. (The naive `transform(sequence, i => slice(toks,
     * i, 3))` form is O(n²): every lambda call re-slices the array; at sf0.1
-    * that was minutes of interpreted array copying.) `arrays_zip` truncates
-    * to the shortest input, which yields exactly size-2 shingles. */
+    * that was minutes of interpreted array copying.) `arrays_zip` pads to
+    * the LONGEST input with nulls (it does not truncate), so the zipped
+    * array is sliced to the first `n−2` entries — exactly the full
+    * 3-grams; a document with fewer than 3 tokens yields no shingles. */
   def shingles(text: Column): Column = {
     val toks = tokens(text)
     val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
     val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
-    transform(
-      arrays_zip(toks.as("a"), t2.as("b"), t3.as("c")),
-      s => concat_ws(" ", s.getField("a"), s.getField("b"), s.getField("c")))
+    slice(
+      transform(
+        arrays_zip(toks.as("a"), t2.as("b"), t3.as("c")),
+        s => concat_ws(" ", s.getField("a"), s.getField("b"), s.getField("c"))),
+      lit(1), greatest(size(toks) - 2, lit(0)))
   }
 
   /** k MinHash values: element s = min over shingles of md5("s:shingle").

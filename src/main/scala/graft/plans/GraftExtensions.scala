@@ -26,26 +26,40 @@ import graft.functions.CosineSimilarity
 object ImpossibleCosineFilter extends Rule[LogicalPlan] {
   private val Bound = 1.0 + 1e-6
 
+  /** A comparison that can only evaluate to FALSE or NULL, never TRUE. */
+  private def isImpossible(e: Expression): Boolean = e match {
+    case GreaterThanOrEqual(_: CosineSimilarity, Literal(d: Double, DoubleType)) => d > Bound
+    case GreaterThan(_: CosineSimilarity, Literal(d: Double, DoubleType)) => d >= Bound
+    case LessThanOrEqual(Literal(d: Double, DoubleType), _: CosineSimilarity) => d > Bound
+    case LessThan(Literal(d: Double, DoubleType), _: CosineSimilarity) => d >= Bound
+    case _ => false
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val folded = plan.transformAllExpressions {
-      case GreaterThanOrEqual(_: CosineSimilarity, Literal(d: Double, DoubleType))
-          if d > Bound => Literal.FalseLiteral
-      case GreaterThan(_: CosineSimilarity, Literal(d: Double, DoubleType))
-          if d >= Bound => Literal.FalseLiteral
-      case LessThanOrEqual(Literal(d: Double, DoubleType), _: CosineSimilarity)
-          if d > Bound => Literal.FalseLiteral
-      case LessThan(Literal(d: Double, DoubleType), _: CosineSimilarity)
-          if d >= Bound => Literal.FalseLiteral
+    // Null-rejecting positions: a Filter (or inner-join condition) emits a
+    // row only when the condition is TRUE, so a top-level conjunct that can
+    // only be FALSE-or-NULL empties the subtree regardless of nullability.
+    // When installed via experimental.extraOptimizations this runs AFTER the
+    // main batches (PruneFilters/PropagateEmptyRelation won't re-run; by
+    // then the predicate may even sit in a pushed join condition), so we
+    // collapse the subtree ourselves — preserving the plan's isStreaming.
+    val pruned = plan.transform {
+      case f @ Filter(cond, _) if conjuncts(cond).exists(isImpossible) =>
+        LocalRelation(f.output, Nil, isStreaming = f.isStreaming)
+      case j @ Join(_, _, _: InnerLike, Some(cond), _)
+          if conjuncts(cond).exists(isImpossible) =>
+        LocalRelation(j.output, Nil, isStreaming = j.isStreaming)
     }
-    // When installed via experimental.extraOptimizations this runs AFTER
-    // the main batches (PruneFilters/PropagateEmptyRelation won't re-run;
-    // by then the predicate may even sit in a pushed join condition), so
-    // collapse the now-false subtrees ourselves.
-    folded.transform {
-      case f @ Filter(Literal.FalseLiteral, _) =>
-        LocalRelation(f.output, Nil, isStreaming = false)
-      case j @ Join(_, _, _: InnerLike, Some(Literal.FalseLiteral), _) =>
-        LocalRelation(j.output, Nil, isStreaming = false)
+    // Everywhere else (projections, NOT(...), outer-join conditions) the
+    // NULL outcome is observable — NOT(NULL) is NULL, not TRUE — so fold to
+    // FALSE only when the predicate cannot be NULL.
+    pruned.transformAllExpressions {
+      case e if isImpossible(e) && !e.nullable => Literal.FalseLiteral
     }
   }
 }

@@ -7,21 +7,23 @@ import org.apache.spark.sql.functions._
 import graft.{Graft, Tables}
 import graft.operators.{Ann, Knn}
 
-/** Approximate-nearest-neighbor scale paths. xxhash-free but inherently
-  * engine-specific (IVF assignment / MLlib LSH hashes), so these are
-  * rows-only driver checks; AnnSpec asserts recall against the exact
-  * brute-force oracle. */
+/** Approximate-nearest-neighbor scale paths. The IVF index is built from
+  * md5-deterministic centroids, so the ENTIRE pipeline (centroid pick →
+  * nearest-centroid assignment → probe → brute-force within buckets) is
+  * reproduced by the DuckDB oracle; MLlib LSH hashes are engine-specific,
+  * so those stay rows-only driver checks + recall specs. */
 object AnnPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // IVF: probe the 4 nearest centroid buckets (of ~|emb|/37), top-10.
+    // IVF: probe the 4 nearest of 32 fixed centroid buckets, top-10.
     "ann_ivf_topk" -> ((s, dir) => {
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       Ann.searchIvf(Ann.buildIvf(e), q, nprobe = 4, k = 10)
         .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("simil").desc, col("vec_id"))
     }),
 
     // MLlib BucketedRandomProjectionLSH approxNearestNeighbors (euclidean).
@@ -36,5 +38,28 @@ object AnnPack extends QueryPack {
     })
   )
 
-  override def oracle: Map[String, String] = Map()
+  override def oracle: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE centroid_id IN (
+        |    SELECT centroid_id FROM c CROSS JOIN q
+        |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
+        |    LIMIT 4) AND rn = 1),
+        |topk AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
+        |  FROM asg CROSS JOIN q
+        |  ORDER BY s DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(s, 4) AS simil FROM topk
+        |ORDER BY simil DESC, vec_id""".stripMargin
+  )
 }

@@ -163,8 +163,8 @@ object DedupTextPack extends QueryPack {
 
     "tx_tokens" ->
       """SELECT lang,
-        |  sum(len(string_split_regex(trim(text), '\s+'))) AS n_ws,
-        |  sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS n_re
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_ws,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS n_re
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx_fingerprint" ->

@@ -91,7 +91,7 @@ object ParsingPack extends QueryPack {
         |SELECT name,
         |  strftime(to_timestamp(point), '%Y%m%d') AS lo_d,
         |  strftime(to_timestamp(next_point), '%Y%m%d') AS hi_d,
-        |  running AS score
+        |  CAST(running AS BIGINT) AS score
         |FROM run
         |WHERE next_point IS NOT NULL AND next_point > point AND running > 0
         |ORDER BY name, lo_d""".stripMargin,

@@ -178,7 +178,8 @@ object PipelinePack extends QueryPack {
         |    ROWS UNBOUNDED PRECEDING) AS running,
         |  lead(point) OVER (PARTITION BY name ORDER BY point, tie) AS next_point
         |  FROM eagg)
-        |SELECT name, point AS lo, next_point AS hi, running AS score
+        |SELECT name, point AS lo, next_point AS hi,
+        |  CAST(running AS BIGINT) AS score
         |FROM run
         |WHERE next_point IS NOT NULL AND next_point > point AND running > 0
         |ORDER BY name, lo""".stripMargin,
@@ -224,7 +225,7 @@ object PipelinePack extends QueryPack {
         |  CASE WHEN lo_adj <= 0 THEN '<' || hi
         |       WHEN hi >= 9999999999 THEN '>' || lo_adj
         |       ELSE lo_adj || '~' || hi END AS rendered,
-        |  score
+        |  CAST(score AS BIGINT) AS score
         |FROM adj
         |ORDER BY name, rendered, score""".stripMargin,
 

@@ -40,8 +40,12 @@ object RelationalPack extends QueryPack {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).as("sum_base_price"),
+          // decimal-exact sum, then double for the comparator: the driver
+          // stringifies Spark decimals WITH scale ('1051.00') but DuckDB
+          // aggregates through fetchdf as float64 ('1051.0') — identical
+          // exact values cast to double render identically on both sides.
+          sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast("double").as("sum_base_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -63,7 +67,8 @@ object RelationalPack extends QueryPack {
           // are 2-decimal valued), multiply in decimal — never round the
           // double product (DuckDB and Spark round midpoints differently).
           (col("l_extendedprice").cast(dec2) *
-            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))).as("revenue"))
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -79,7 +84,8 @@ object RelationalPack extends QueryPack {
         .groupBy(col("c_mktsegment"), col("l_returnflag"))
         .agg(
           sum(col("l_extendedprice").cast(dec2) *
-            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))).as("revenue"),
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("c_mktsegment"), col("l_returnflag"))
     }),
@@ -152,7 +158,7 @@ object RelationalPack extends QueryPack {
         .select(col("o_orderkey"), col("o_totalprice"))
       a.union(b).dropDuplicates()
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).as("sum_price"))
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("sum_price"))
     }),
 
     // J8/T1: semi-join against a top-k list (reference builds an IN-list
@@ -166,7 +172,7 @@ object RelationalPack extends QueryPack {
       t(s, dir, "lineitem")
         .join(broadcast(top), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast(dec2)).as("sum_qty"))
+          sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"))
     }),
 
     // SET3 (relational form): anti-join — members with no matches
@@ -191,7 +197,7 @@ object RelationalPack extends QueryPack {
       o.crossJoin(broadcast(thr))
         .filter(col("o_totalprice") > col("thr"))
         .agg(count(lit(1)).as("n_above"),
-          sum(col("o_totalprice").cast(dec2)).as("sum_above"))
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("sum_above"))
     }),
 
     // A9/SET1: the audience counter — COUNT(DISTINCT cust_id) over a
@@ -254,7 +260,7 @@ object RelationalPack extends QueryPack {
       t(s, dir, "events")
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(dec4)).as("sum_value"))
+          sum(col("value").cast(dec4)).cast("double").as("sum_value"))
         .orderBy(col("hour"))
     }),
 
@@ -266,7 +272,7 @@ object RelationalPack extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(dec2)).over(w).as("running_total"))
+          sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
@@ -287,8 +293,8 @@ object RelationalPack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -299,7 +305,7 @@ object RelationalPack extends QueryPack {
     "q2_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-        |  CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS revenue
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_discount > 0.05
         |  AND l_shipdate >= TIMESTAMP '1995-06-01'
@@ -307,7 +313,7 @@ object RelationalPack extends QueryPack {
 
     "q3_join_agg" ->
       """SELECT c_mktsegment, l_returnflag,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -352,7 +358,7 @@ object RelationalPack extends QueryPack {
 
     "q8_union_distinct" ->
       """SELECT count(*) AS n_orders,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
         |  UNION
@@ -362,7 +368,7 @@ object RelationalPack extends QueryPack {
 
     "q9_semijoin_topk" ->
       """SELECT count(*) AS n_items,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders
@@ -377,7 +383,7 @@ object RelationalPack extends QueryPack {
 
     "q11_stat_threshold" ->
       """SELECT count(*) AS n_above,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_above
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
         |FROM orders
         |WHERE o_totalprice > (
         |  SELECT avg(o_totalprice) + 0.5 * stddev_samp(o_totalprice) FROM orders)""".stripMargin,
@@ -414,16 +420,16 @@ object RelationalPack extends QueryPack {
     "q16_event_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
     "q17_running_window" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 

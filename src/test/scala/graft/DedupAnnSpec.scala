@@ -24,6 +24,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) <= 16)
   }
 
+  test("shingles emit exactly max(tokens-2, 0) full 3-grams, no partials") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c"),
+      (3L, "a b"),
+      (4L, "a"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq)).toMap
+    assert(got(1L) == Seq("a b c", "b c d", "c d e"))
+    assert(got(2L) == Seq("a b c"))
+    assert(got(3L) == Seq.empty)
+    assert(got(4L) == Seq.empty)
+    // every emitted shingle is a full 3-gram (two spaces)
+    assert(got.values.flatten.forall(_.count(_ == ' ') == 2))
+  }
+
   test("minhash LSH finds exact duplicates with jaccard 1.0") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -23,4 +23,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!feasible.queryExecution.optimizedPlan.toString
       .contains("LocalRelation <empty>"))
   }
+
+  test("NOT(impossible cosine) over nullable inputs keeps 3-valued semantics") {
+    Graft.init(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (2L, Option.empty[Seq[Float]], Some(Seq(1f, 0f)))
+    ).toDF("id", "a", "b")
+    // NOT(NULL) is NULL → row 2 must be dropped, not kept; folding the
+    // nullable predicate to FALSE would have returned both rows.
+    val out = df.filter(!(Graft.cosine(col("a"), col("b")) >= 1.5))
+    assert(out.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // projection position: the NULL outcome must survive as NULL.
+    val proj = df
+      .select(col("id"), (Graft.cosine(col("a"), col("b")) >= 1.5).as("p"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+      .toMap
+    assert(proj(1L).contains(false) && proj(2L).isEmpty)
+  }
+
+  test("impossible-cosine collapse preserves isStreaming on streaming plans") {
+    Graft.init(spark)
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], Seq[Float])]
+    val sdf = ms.toDF.toDF("id", "a", "b")
+      .filter(Graft.cosine(col("a"), col("b")) >= 1.5)
+    val analyzed = sdf.queryExecution.analyzed
+    assert(analyzed.isStreaming)
+    val collapsed = graft.plans.ImpossibleCosineFilter(analyzed)
+    assert(collapsed.isStreaming,
+      s"collapse dropped isStreaming:\n$collapsed")
+  }
 }
