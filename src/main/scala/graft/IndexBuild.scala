@@ -78,18 +78,31 @@ object IndexBuild {
 
   /** Condition vector index: one row per (condition, code, paraphrase-seq),
     * COND_ID = "{nm}_{code}_{seq}" (`nl_targeting_save.py:133-136`). The 3
-    * paraphrases are the stub-L4 grammar: deterministic suffixed variants. */
+    * paraphrases are the stub-L4 grammar: deterministic suffixed variants.
+    *
+    * Two condition classes, as in the reference's condition table:
+    *  - coded (`cond_type = 'string'`): every distinct code value is its
+    *    own row — E2 matches `attr:value` against `cond_nm:code_nm`;
+    *  - value-typed (`cond_type = 'integer' | 'datePopup'`, `code_nm =
+    *    ''`): the raw request value is normalized to an operator form by
+    *    the L2 stage (`/root/reference/nl_targeting.py:62-80`) — E2
+    *    matches the attribute alone, so these embed just `cond_nm`. */
   def conditionIndex(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
     val segs = Tables.load(spark, dir, "customer")
       .select(lit("세그먼트").as("cond_nm"), lit("c_mktsegment").as("column_nm"),
-        lit("customer").as("table_nm"), col("c_mktsegment").as("code_nm"))
+        lit("customer").as("table_nm"), col("c_mktsegment").as("code_nm"),
+        lit("string").as("cond_type"))
       .distinct()
     val prios = Tables.load(spark, dir, "orders")
       .select(lit("우선순위").as("cond_nm"), lit("o_orderpriority").as("column_nm"),
-        lit("orders").as("table_nm"), col("o_orderpriority").as("code_nm"))
+        lit("orders").as("table_nm"), col("o_orderpriority").as("code_nm"),
+        lit("string").as("cond_type"))
       .distinct()
-    segs.union(prios)
-      .withColumn("cond_type", lit("string"))
+    val valueConds = spark.createDataFrame(Seq(
+        ("구매금액", "o_totalprice", "orders", "", "integer"),
+        ("주문일자", "o_orderdate", "orders", "", "datePopup")))
+      .toDF("cond_nm", "column_nm", "table_nm", "code_nm", "cond_type")
+    segs.union(prios).union(valueConds)
       .withColumn("seq", explode(sequence(lit(1), lit(3))))
       .withColumn("cond_desc",
         format_string("%s이(가) %s 인것 표현%d", col("cond_nm"), col("code_nm"), col("seq")))
@@ -97,11 +110,14 @@ object IndexBuild {
         concat_ws("_", col("cond_nm"), col("code_nm"), col("seq")))
       // The stub embedder is a hash — it has no semantics, so paraphrases
       // of one condition would land nowhere near each other. Embedding the
-      // canonical `cond_nm:code_nm` key instead gives the stub "ideal
-      // embedder" behavior (same condition ⇒ cosine 1, else ≈0); the
-      // paraphrase text stays in cond_desc as the production field.
+      // canonical key instead (`cond_nm:code_nm` for coded rows, bare
+      // `cond_nm` for value-typed rows) gives the stub "ideal embedder"
+      // behavior (same condition ⇒ cosine 1, else ≈0); the paraphrase text
+      // stays in cond_desc as the production field.
       .withColumn("cond_vec",
-        Embeddings.embedCol(concat_ws(":", col("cond_nm"), col("code_nm")), dim))
+        Embeddings.embedCol(
+          when(col("code_nm") === "", col("cond_nm"))
+            .otherwise(concat_ws(":", col("cond_nm"), col("code_nm"))), dim))
       .select(col("cond_id"), col("cond_nm"), col("code_nm"), col("cond_type"),
         col("column_nm"), col("table_nm"), col("cond_desc"), col("cond_vec"))
   }

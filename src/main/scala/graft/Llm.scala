@@ -53,26 +53,73 @@ trait LlmClient extends Serializable {
 
 /** Deterministic stand-ins for the five chat call sites. Output grammar
   * mirrors the reference contracts (`!!!!`-separated lists,
-  * `/root/reference/camp_vec_rcmn.py:17`, `/root/reference/nl_targeting_save.py:104`). */
+  * `/root/reference/camp_vec_rcmn.py:17`, `/root/reference/nl_targeting_save.py:104`;
+  * L2 value→operator prompts, `/root/reference/nl_targeting.py:64-68`). */
 class StubLlm extends LlmClient {
   def complete(system: String, user: String): String = system match {
     case s if s.contains("expand") => // L5: 5 query expansions
       (1 to 5).map(i => s"$user 확장$i").mkString("!!!!")
     case s if s.contains("paraphrase") => // L4: 3 NL paraphrases
       (1 to 3).map(i => s"$user 표현$i").mkString("!!!!")
+    case s if s.contains("숫자를 operator") => ValueNorm.integer(user) // L2
+    case s if s.contains("날짜를 operator") => ValueNorm.date(user)    // L2
     case _ => user
+  }
+}
+
+/** JVM twin of [[graft.operators.NlTargeting.normalizeValue]]'s stub L2
+  * grammar (spec-checked equal) — the form [[StubLlm]] serves at the chat
+  * boundary. See normalizeValue's scaladoc for the grammar. */
+object ValueNorm {
+  private val IntOne = "^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$".r
+  private val IntBtw = "^([0-9]+)(만)?원?\\s*(?:~|부터)\\s*([0-9]+)(만)?원?(?:\\s*까지)?$".r
+  private val DateLike = "^(19|20)[0-9]{6}$".r
+  private val DateOne = "^([0-9]{8})\\s*(이후|이전)?$".r
+  private val DateBtw = "^([0-9]{8})\\s*(?:~|부터)\\s*([0-9]{8})(?:\\s*까지)?$".r
+
+  private def clean(raw: String): String = raw.replace(",", "").trim
+  private def amt(n: String, man: String): Long =
+    n.toLong * (if (man == "만") 10000L else 1L)
+
+  def integer(raw: String): String = clean(raw) match {
+    case DateLike(_*) => ""
+    case IntBtw(a, am, b, bm) => s"BETWEEN ${amt(a, am)} AND ${amt(b, bm)}"
+    case IntOne(n, man, op) =>
+      val o = op match {
+        case "이상" => ">="; case "이하" => "<="
+        case "초과" | "넘는" => ">"; case "미만" => "<"
+        case _ => "="
+      }
+      s"$o${amt(n, man)}"
+    case _ => ""
+  }
+
+  def date(raw: String): String = clean(raw) match {
+    case DateBtw(a, b) => s"BETWEEN $a AND $b"
+    case DateOne(d, op) =>
+      val o = op match { case "이후" => ">="; case "이전" => "<="; case _ => "=" }
+      s"$o$d"
+    case _ => ""
   }
 }
 
 object Embeddings {
 
   /** Stub embedding as a native column expression: dim deterministic floats
-    * in [-1, 1) seeded by xxhash64(text, i). Distributed, codegen'd, no
-    * shuffle, no network — the fixture convention for index builds. */
+    * in [-1, 1) — element i = (first 8 hex chars of md5("i:text") as an
+    * integer) mod 1000, scaled. Distributed, codegen'd, no shuffle, no
+    * network — the fixture convention for index builds.
+    *
+    * md5 (not xxhash64) so the DuckDB oracle reproduces every vector
+    * bit-for-bit: `(('0x' || substr(md5(i || ':' || text), 1, 8))::BIGINT
+    * % 1000 / 500.0 - 1.0)::FLOAT` — double math then one float32
+    * rounding, identical in both engines. */
   def embedCol(text: Column, dim: Int = 64): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(text, i), lit(1000)).cast("double") / 500.0 - 1.0)
+      i => (pmod(conv(substring(
+            md5(concat(i.cast("string"), lit(":"), text)), 1, 8), 16, 10)
+          .cast("long"), lit(1000)).cast("double") / 500.0 - 1.0)
         .cast("float"))
 
   /** Production-shaped embedding: batched mapPartitions through an

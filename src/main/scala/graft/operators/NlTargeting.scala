@@ -29,6 +29,65 @@ object NlTargeting {
       format_string("%s이(가) %s 인것 찾아줘", attr, value))
       .otherwise(format_string("%s이(가) %s 이(가) 아닌것 찾아줘", attr, value))
 
+  /** L2: free-text value → operator normalization for code-less conditions
+    * (`/root/reference/nl_targeting.py:62-80`). The reference asks an LLM
+    * to rewrite the raw value as one of `>, >=, <, <=, =, BETWEEN` over an
+    * integer or a `yyyyMMdd` date, emitting NOTHING when the value does
+    * not fit the condition type; this is the deterministic stub grammar
+    * ([[graft.StubLlm]] mirrors it at the chat boundary):
+    *
+    *  - integer: `N[만][원] (이상|이하|초과|미만|넘는)?` → `>=N` / `<=N` /
+    *    `>N` / `<N` / `=N` (만 multiplies by 10 000, commas stripped);
+    *    `A[만][원] (~|부터) B[만][원] [까지]` → `BETWEEN A AND B`;
+    *    a bare `(19|20)yyMMdd` 8-digit value is treated as a date → `''`.
+    *  - datePopup: `D8 (이후|이전)?` → `>=D8` / `<=D8` / `=D8`;
+    *    `D8 (~|부터) D8 [까지]` → `BETWEEN A AND B`; non-dates → `''`.
+    *
+    * Pure codegen'd column expressions (regexp + arithmetic), fully
+    * distributed, and reproducible in ANSI SQL for the DuckDB oracle. */
+  def normalizeValue(value: org.apache.spark.sql.Column,
+      condType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val v = trim(regexp_replace(value, ",", ""))
+    def amount(n: org.apache.spark.sql.Column, man: org.apache.spark.sql.Column) =
+      (n.cast("long") * when(man === "만", 10000L).otherwise(1L)).cast("string")
+
+    val intOne = "^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$"
+    val intBtw = "^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$"
+    val intOp = when(regexp_extract(v, intOne, 3) === "이상", ">=")
+      .when(regexp_extract(v, intOne, 3) === "이하", "<=")
+      .when(regexp_extract(v, intOne, 3).isin("초과", "넘는"), ">")
+      .when(regexp_extract(v, intOne, 3) === "미만", "<")
+      .otherwise("=")
+    val intNorm =
+      when(v.rlike("^(19|20)[0-9]{6}$"), "") // a date, not an amount
+        .when(regexp_extract(v, intBtw, 1) =!= "",
+          concat(lit("BETWEEN "),
+            amount(regexp_extract(v, intBtw, 1), regexp_extract(v, intBtw, 2)),
+            lit(" AND "),
+            amount(regexp_extract(v, intBtw, 4), regexp_extract(v, intBtw, 5))))
+        .when(regexp_extract(v, intOne, 1) =!= "",
+          concat(intOp, amount(regexp_extract(v, intOne, 1),
+            regexp_extract(v, intOne, 2))))
+        .otherwise("")
+
+    val dateOne = "^([0-9]{8})\\s*(이후|이전)?$"
+    val dateBtw = "^([0-9]{8})\\s*(~|부터)\\s*([0-9]{8})(\\s*까지)?$"
+    val dateOp = when(regexp_extract(v, dateOne, 2) === "이후", ">=")
+      .when(regexp_extract(v, dateOne, 2) === "이전", "<=")
+      .otherwise("=")
+    val dateNorm =
+      when(regexp_extract(v, dateBtw, 1) =!= "",
+        concat(lit("BETWEEN "), regexp_extract(v, dateBtw, 1),
+          lit(" AND "), regexp_extract(v, dateBtw, 3)))
+        .when(regexp_extract(v, dateOne, 1) =!= "",
+          concat(dateOp, regexp_extract(v, dateOne, 1)))
+        .otherwise("")
+
+    when(condType === "integer", intNorm)
+      .when(condType === "datePopup", dateNorm)
+      .otherwise("")
+  }
+
   /** Per-triple condition search + code grouping + polarity subtraction.
     *
     * @param triples columns `attr: string, polarity: string (긍정|부정),
@@ -46,19 +105,33 @@ object NlTargeting {
       floor: Double, dim: Int = 64): DataFrame = {
     // Embed the canonical attr:value key (the stub-embedder convention of
     // IndexBuild.conditionIndex); production would embed querySentence().
-    val qs = triples.select(col("attr"), col("polarity"),
-      Embeddings.embedCol(concat_ws(":", col("attr"), col("value")), dim).as("qvec"))
-    // best score per (triple, condition code): A1's max-per-group over the
-    // ≥floor hits. The triple side is tiny — broadcast; the index scan is
-    // one codegen'd pass.
-    val hits = condIndex.crossJoin(broadcast(qs))
+    val qs = triples.select(col("attr"), col("polarity"), col("value"),
+      Embeddings.embedCol(concat_ws(":", col("attr"), col("value")), dim).as("qvec"),
+      Embeddings.embedCol(col("attr"), dim).as("avec"))
+    // Coded route — best score per (triple, condition code): A1's
+    // max-per-group over the ≥floor hits. The triple side is tiny —
+    // broadcast; the index scan is one codegen'd pass.
+    val hits = condIndex.filter(col("code_nm") =!= "").crossJoin(broadcast(qs))
       .select(col("attr"), col("polarity"), col("cond_nm"), col("code_nm"),
         Graft.cosine(col("cond_vec"), col("qvec")).as("simil"))
       .filter(col("simil") >= floor)
       .groupBy(col("attr"), col("polarity"), col("cond_nm"), col("code_nm"))
       .agg(max(col("simil")).as("best"))
-    // A10: dedup'd code set per (attr, polarity).
-    val grouped = hits
+    // Value route (L2, `/root/reference/nl_targeting.py:62-80`): code-less
+    // conditions match on the attribute alone, then the triple's raw value
+    // is normalized to an operator form; empty normalizations (value does
+    // not fit the condition type) are scrubbed (P8).
+    val valueHits = condIndex.filter(col("code_nm") === "").crossJoin(broadcast(qs))
+      .select(col("attr"), col("polarity"), col("value"), col("cond_type"),
+        Graft.cosine(col("cond_vec"), col("avec")).as("simil"))
+      .filter(col("simil") >= floor)
+      .select(col("attr"), col("polarity"),
+        normalizeValue(col("value"), col("cond_type")).as("code_nm"))
+      .filter(col("code_nm") =!= "")
+      .distinct()
+    // A10: dedup'd code set per (attr, polarity) across both routes.
+    val grouped = hits.select(col("attr"), col("polarity"), col("code_nm"))
+      .union(valueHits)
       .groupBy(col("attr"), col("polarity"))
       .agg(array_sort(collect_set(col("code_nm"))).as("codes"))
     // SET3: positive := positive − negative for the same attribute.

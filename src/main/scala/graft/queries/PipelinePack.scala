@@ -85,8 +85,8 @@ object PipelinePack extends QueryPack {
       CampaignRecommend.audienceCount(s, dir)
     }),
 
-    // ---- index-build / stub-LLM path (no DuckDB twin for xxhash64:
-    // rows-only checks) ----
+    // ---- index-build / stub-LLM path. The stub embedder is md5-derived
+    // (Embeddings.embedCol), so even the vector math has a DuckDB twin. ----
 
     // E3 campaign index build: 5-way join → '[AI]%' filter → F6 sentence →
     // distributed stub embedding (/root/reference/camp_vec_save.py).
@@ -106,15 +106,22 @@ object PipelinePack extends QueryPack {
         .orderBy(col("cond_id"))
     }),
 
-    // E2: NL triples → condition search → polarity subtraction
-    // (/root/reference/nl_targeting.py). Triples are literal rows (the
-    // LLM-extraction boundary); 부정 BUILDING must vanish from 긍정 codes.
+    // E2: NL triples → condition search (coded + L2 value routes) →
+    // polarity subtraction (/root/reference/nl_targeting.py). Triples are
+    // literal rows (the LLM-extraction boundary); 부정 BUILDING must vanish
+    // from 긍정 codes; the free-text amounts/dates normalize to operator
+    // forms; the date-looking amount ('19950101' on 구매금액) scrubs to
+    // nothing (P8).
     "nl_target_codes" -> ((s, dir) => {
       val triples = s.createDataFrame(Seq(
         ("세그먼트", "긍정", "BUILDING"),
         ("세그먼트", "긍정", "MACHINERY"),
         ("세그먼트", "부정", "BUILDING"),
-        ("우선순위", "긍정", "1-URGENT")
+        ("우선순위", "긍정", "1-URGENT"),
+        ("구매금액", "긍정", "100만원 이상"),
+        ("구매금액", "긍정", "19950101"),
+        ("주문일자", "긍정", "19950101 ~ 19961231"),
+        ("주문일자", "부정", "19970615 이후")
       )).toDF("attr", "polarity", "value")
       Graft.init(s)
       NlTargeting.targetCodes(triples, IndexBuild.conditionIndex(s, dir), floor = 0.99)
@@ -140,7 +147,144 @@ object PipelinePack extends QueryPack {
     })
   )
 
+  /** DuckDB twin of [[graft.Embeddings.embedCol]] for key column `k`. */
+  private def embSql(k: String): String =
+    s"""CAST(list_transform(range(0,64),
+       |    i -> CAST((('0x' || substr(md5(i || ':' || $k), 1, 8))::BIGINT
+       |      % 1000) / 500.0 - 1.0 AS FLOAT)) AS DOUBLE[])""".stripMargin
+
+  /** DuckDB twin of IndexBuild.campaignTable + sentence (F6). */
+  private val campSql: String =
+    """offers AS (
+      |  SELECT l_partkey, array_to_string(list_sort(list(DISTINCT s_name)), ',') AS offer_nm
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY l_partkey),
+      |camp AS (
+      |  SELECT p_partkey AS camp_id,
+      |    '캠페인명은 ' || ('[AI] ' || p_name) || ' 입니다. ' ||
+      |    '캠페인유형은 ' || p_brand || ' 입니다. ' ||
+      |    '성공유형은 ' || p_type || ' 입니다. ' ||
+      |    '오퍼명은 ' || coalesce(o.offer_nm, '없음') || ' 입니다. ' ||
+      |    '예산은 ' || CAST(p_retailprice AS VARCHAR) || ' 입니다.' AS camp_sentence
+      |  FROM part LEFT JOIN offers o ON p_partkey = o.l_partkey
+      |  WHERE p_partkey % 2 = 0)""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "ix_campaign_index" ->
+      s"""WITH $campSql
+         |SELECT camp_id, camp_sentence, 64 AS vec_dim
+         |FROM camp ORDER BY camp_id""".stripMargin,
+
+    "ix_condition_index" ->
+      """WITH base AS (
+        |  SELECT DISTINCT '세그먼트' AS cond_nm, c_mktsegment AS code_nm FROM customer
+        |  UNION ALL SELECT DISTINCT '우선순위', o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM (VALUES ('구매금액',''), ('주문일자',''))),
+        |x AS (SELECT cond_nm, code_nm, unnest(range(1,4)) AS seq FROM base)
+        |SELECT concat_ws('_', cond_nm, code_nm, seq) AS cond_id,
+        |  cond_nm, code_nm,
+        |  printf('%s이(가) %s 인것 표현%d', cond_nm, code_nm, seq) AS cond_desc,
+        |  64 AS vec_dim
+        |FROM x ORDER BY cond_id""".stripMargin,
+
+    "nl_target_codes" ->
+      s"""WITH triples(attr, polarity, value) AS (VALUES
+         |  ('세그먼트','긍정','BUILDING'),
+         |  ('세그먼트','긍정','MACHINERY'),
+         |  ('세그먼트','부정','BUILDING'),
+         |  ('우선순위','긍정','1-URGENT'),
+         |  ('구매금액','긍정','100만원 이상'),
+         |  ('구매금액','긍정','19950101'),
+         |  ('주문일자','긍정','19950101 ~ 19961231'),
+         |  ('주문일자','부정','19970615 이후')),
+         |conds AS (
+         |  SELECT DISTINCT '세그먼트' AS cond_nm, c_mktsegment AS code_nm, 'string' AS cond_type FROM customer
+         |  UNION ALL SELECT DISTINCT '우선순위', o_orderpriority, 'string' FROM orders
+         |  UNION ALL SELECT * FROM (VALUES ('구매금액','','integer'), ('주문일자','','datePopup'))),
+         |keys AS (
+         |  SELECT DISTINCT CASE WHEN code_nm = '' THEN cond_nm
+         |                       ELSE cond_nm || ':' || code_nm END AS k FROM conds
+         |  UNION SELECT attr || ':' || value FROM triples
+         |  UNION SELECT attr FROM triples),
+         |vecs AS (SELECT k, ${embSql("k")} AS v FROM keys),
+         |coded_hits AS (
+         |  SELECT t.attr, t.polarity, c.code_nm
+         |  FROM conds c
+         |  JOIN vecs cv ON cv.k = c.cond_nm || ':' || c.code_nm
+         |  CROSS JOIN triples t
+         |  JOIN vecs qv ON qv.k = t.attr || ':' || t.value
+         |  WHERE c.code_nm <> '' AND list_cosine_similarity(cv.v, qv.v) >= 0.99),
+         |vraw AS (
+         |  SELECT t.attr, t.polarity, trim(replace(t.value, ',', '')) AS v, c.cond_type
+         |  FROM conds c
+         |  JOIN vecs cv ON cv.k = c.cond_nm AND c.code_nm = ''
+         |  CROSS JOIN triples t
+         |  JOIN vecs av ON av.k = t.attr
+         |  WHERE list_cosine_similarity(cv.v, av.v) >= 0.99),
+         |value_hits AS (
+         |  SELECT attr, polarity,
+         |    CASE WHEN cond_type = 'integer' THEN
+         |      CASE WHEN regexp_matches(v, '^(19|20)[0-9]{6}$$') THEN ''
+         |           WHEN regexp_extract(v, '^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$$', 1) <> ''
+         |             THEN 'BETWEEN ' ||
+         |               (regexp_extract(v, '^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$$', 1)::BIGINT *
+         |                CASE WHEN regexp_extract(v, '^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$$', 2) = '만' THEN 10000 ELSE 1 END)::VARCHAR ||
+         |               ' AND ' ||
+         |               (regexp_extract(v, '^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$$', 4)::BIGINT *
+         |                CASE WHEN regexp_extract(v, '^([0-9]+)(만)?원?\\s*(~|부터)\\s*([0-9]+)(만)?원?(\\s*까지)?$$', 5) = '만' THEN 10000 ELSE 1 END)::VARCHAR
+         |           WHEN regexp_extract(v, '^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$$', 1) <> ''
+         |             THEN CASE regexp_extract(v, '^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$$', 3)
+         |                    WHEN '이상' THEN '>=' WHEN '이하' THEN '<='
+         |                    WHEN '초과' THEN '>' WHEN '넘는' THEN '>'
+         |                    WHEN '미만' THEN '<' ELSE '=' END ||
+         |                  (regexp_extract(v, '^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$$', 1)::BIGINT *
+         |                   CASE WHEN regexp_extract(v, '^([0-9]+)(만)?원?\\s*(이상|이하|초과|미만|넘는)?$$', 2) = '만' THEN 10000 ELSE 1 END)::VARCHAR
+         |           ELSE '' END
+         |    WHEN cond_type = 'datePopup' THEN
+         |      CASE WHEN regexp_extract(v, '^([0-9]{8})\\s*(~|부터)\\s*([0-9]{8})(\\s*까지)?$$', 1) <> ''
+         |             THEN 'BETWEEN ' || regexp_extract(v, '^([0-9]{8})\\s*(~|부터)\\s*([0-9]{8})(\\s*까지)?$$', 1) ||
+         |                  ' AND ' || regexp_extract(v, '^([0-9]{8})\\s*(~|부터)\\s*([0-9]{8})(\\s*까지)?$$', 3)
+         |           WHEN regexp_extract(v, '^([0-9]{8})\\s*(이후|이전)?$$', 1) <> ''
+         |             THEN CASE regexp_extract(v, '^([0-9]{8})\\s*(이후|이전)?$$', 2)
+         |                    WHEN '이후' THEN '>=' WHEN '이전' THEN '<=' ELSE '=' END ||
+         |                  regexp_extract(v, '^([0-9]{8})\\s*(이후|이전)?$$', 1)
+         |           ELSE '' END
+         |    ELSE '' END AS code_nm
+         |  FROM vraw),
+         |all_hits AS (
+         |  SELECT * FROM coded_hits
+         |  UNION ALL SELECT * FROM value_hits WHERE code_nm <> ''),
+         |grouped AS (
+         |  SELECT attr, polarity, list_sort(list(DISTINCT code_nm)) AS codes
+         |  FROM all_hits GROUP BY attr, polarity),
+         |pos AS (SELECT attr, codes FROM grouped WHERE polarity = '긍정'),
+         |neg AS (SELECT attr, codes AS neg_codes FROM grouped WHERE polarity = '부정'),
+         |subbed AS (
+         |  SELECT pos.attr, '긍정' AS polarity,
+         |    list_sort(list_filter(pos.codes,
+         |      x -> NOT coalesce(list_contains(neg.neg_codes, x), false))) AS codes
+         |  FROM pos LEFT JOIN neg ON pos.attr = neg.attr
+         |  UNION ALL
+         |  SELECT attr, '부정', neg_codes FROM neg)
+         |SELECT attr, polarity, array_to_string(codes, ',') AS codes
+         |FROM subbed WHERE len(codes) > 0
+         |ORDER BY attr, polarity""".stripMargin,
+
+    "rcmn_top5_built_index" ->
+      s"""WITH $campSql,
+         |qk AS (SELECT unnest(range(0,5)) AS qid),
+         |qs AS (SELECT qid, '봄 시즌 VIP 고객 대상 캠페인 확장' || (qid+1)::VARCHAR AS k FROM qk),
+         |cvec AS (SELECT camp_id, ${embSql("camp_sentence")} AS v FROM camp),
+         |qvec AS (SELECT qid, ${embSql("k")} AS v FROM qs),
+         |scored AS (
+         |  SELECT q.qid, c.camp_id, list_cosine_similarity(c.v, q.v) AS simil,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.camp_id) AS rn
+         |  FROM cvec c CROSS JOIN qvec q)
+         |SELECT camp_id AS vec_id, round(sum(simil)/5*100, 2) AS score
+         |FROM scored WHERE rn <= 10 GROUP BY camp_id
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
     "q19_polarity_subtract" ->
       """WITH j AS (
         |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, o_totalprice

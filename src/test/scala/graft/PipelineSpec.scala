@@ -26,6 +26,65 @@ class PipelineSpec extends AnyFunSuite {
       ("우선순위", "긍정", List("1-URGENT"))))
   }
 
+  test("embedCol matches the md5 reference values (DuckDB-reproducible)") {
+    // expected values computed independently: int(md5("i:text")[:8], 16)
+    // % 1000 / 500 - 1, rounded to float32
+    val got = Seq(("hello", 0), ("세그먼트:BUILDING", 1)).toDF("t", "i")
+      .select(col("t"), Embeddings.embedCol(col("t"), 4).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(got("hello") == Seq(0.398f, 0.704f, -0.028f, 0.646f))
+    assert(got("세그먼트:BUILDING") == Seq(0.748f, 0.65f, 0.616f, -0.122f))
+  }
+
+  test("L2 value normalization: column grammar, and StubLlm boundary agrees") {
+    val cases = Seq(
+      ("100만원 이상", "integer", ">=1000000"),
+      ("1,000,000 이상", "integer", ">=1000000"),
+      ("50만 초과", "integer", ">500000"),
+      ("300 넘는", "integer", ">300"),
+      ("42만원", "integer", "=420000"),
+      ("10만 미만", "integer", "<100000"),
+      ("5000 이하", "integer", "<=5000"),
+      ("30만 부터 100만 까지", "integer", "BETWEEN 300000 AND 1000000"),
+      ("500~900", "integer", "BETWEEN 500 AND 900"),
+      ("19950101", "integer", ""),          // date masquerading as amount
+      ("대충 많이", "integer", ""),            // unparseable
+      ("19950101", "datePopup", "=19950101"),
+      ("19950101 이후", "datePopup", ">=19950101"),
+      ("19961231 이전", "datePopup", "<=19961231"),
+      ("19950101 ~ 19961231", "datePopup", "BETWEEN 19950101 AND 19961231"),
+      ("19950101 부터 19961231 까지", "datePopup", "BETWEEN 19950101 AND 19961231"),
+      ("다음주", "datePopup", ""))           // unparseable
+    val got = cases.map { case (v, t, _) => (v, t) }.toDF("v", "t")
+      .select(col("v"), col("t"),
+        NlTargeting.normalizeValue(col("v"), col("t")).as("norm"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val llm = new StubLlm()
+    cases.foreach { case (v, t, expect) =>
+      assert(got((v, t)) == expect, s"column form: $v [$t]")
+      val prompt = if (t == "integer") "아래 값 숫자를 operator로 표시해줘"
+        else "아래 값 날짜를 operator로 표시해줘"
+      assert(llm.complete(prompt, v) == expect, s"stub-llm form: $v [$t]")
+    }
+  }
+
+  test("E2 value route: free-text amounts/dates become operator codes") {
+    val triples = Seq(
+      ("구매금액", "긍정", "100만원 이상"),
+      ("구매금액", "긍정", "19950101"), // scrubbed: date on an integer cond
+      ("주문일자", "긍정", "19950101 ~ 19961231"),
+      ("주문일자", "부정", "19970615 이후")).toDF("attr", "polarity", "value")
+    val out = NlTargeting.targetCodes(triples,
+        IndexBuild.conditionIndex(spark, TestSpark.sfDir), floor = 0.99)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList))
+      .toSet
+    assert(out == Set(
+      ("구매금액", "긍정", List(">=1000000")),
+      ("주문일자", "긍정", List("BETWEEN 19950101 AND 19961231")),
+      ("주문일자", "부정", List(">=19970615"))))
+  }
+
   test("E1 audience count is positive and stable across runs") {
     val a = CampaignRecommend.audienceCount(spark, TestSpark.sfDir).head.getLong(0)
     val b = CampaignRecommend.audienceCount(spark, TestSpark.sfDir).head.getLong(0)
