@@ -49,23 +49,33 @@ object Bench {
       try qs(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // two timed runs, keep the min — the standard noise-robust estimator
-    // (this box shows ±3-4x scheduler/steal-time variance between runs).
+    // median-of-N timed runs per query (default 5), with the per-query
+    // [min,max] spread reported alongside — this box shows ±3-4x
+    // scheduler/steal-time variance between runs, so a single (or min-of-2)
+    // number is not adjudicable; the median is robust to one stolen run in
+    // either direction and the spread makes the noise visible in the JSON.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = selected.filter(qs.contains).map { name =>
       def once(): Double = {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try math.min(once(), once())
+      val times = try (1 to runsPerQuery).map(_ => once()).sorted
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
-      name -> t
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Vector(-1.0) }
+      name -> times
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    def fmt(d: Double) = f"$d%.3f"
+    val qJson = results.map { case (k, ts) =>
+      "\"" + k + "\":" + fmt(ts(ts.length / 2)) }.mkString("{", ",", "}")
+    val spreadJson = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.map { case (_, ts) => ts(ts.length / 2) }
+      .filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$spreadJson,"runs":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

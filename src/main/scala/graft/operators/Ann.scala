@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -66,6 +67,31 @@ object Ann {
       .select(col("vec_id"), Graft.cosine(col("embedding"), col("qvec")).as("simil"))
       .orderBy(col("simil").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch ANN: one `approxSimilarityJoin` for a whole query SET — no
+    * driver-side per-query loop, no `.head`. Both sides are hashed once;
+    * the join runs bucket-co-located on the LSH keys, then each query
+    * keeps its k nearest by euclidean distance. On unit-norm vectors
+    * (d² = 2 − 2·cos) euclidean bottom-k IS cosine top-k, so results are
+    * directly comparable to [[Knn.topKPerQuery]].
+    *
+    * @param queries   (qid: long, qvec: array<float>)
+    * @param threshold euclidean cut for the join (2.0 = the unit-sphere
+    *                  diameter ⇒ no candidate lost; tighten to prune)
+    */
+  def lshBatchTopK(emb: DataFrame, queries: DataFrame, k: Int,
+      threshold: Double = 1.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (model, withVec) = lshModel(emb, vecCol)
+    val q = queries.withColumn("features", array_to_vector(col("qvec")))
+    val flat = model.approxSimilarityJoin(withVec, q, threshold, "dist")
+      .select(col("datasetB.qid").as("qid"),
+        col(s"datasetA.$idCol").as(idCol), col("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    flat.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
   }
 
   /** Fit an MLlib LSH model over the embedding column (converted to ml

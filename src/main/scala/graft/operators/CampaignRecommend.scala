@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -33,13 +32,19 @@ object CampaignRecommend {
   }
 
   /** Distinct string-attribute values with dense index, for condition
-    * synthesis (small; broadcast by callers). */
-  def segments(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("seg_val"))
+    * synthesis (small; broadcast by callers).
+    *
+    * The index comes from `array_sort(collect_set(...))` + `posexplode`,
+    * not a global `row_number` window: collect_set partial-aggregates
+    * map-side, so no single-partition WindowExec sort ever materializes —
+    * the only requirement is that the DISTINCT VALUE DOMAIN (not the rows)
+    * fits one array, which holds for any dimension attribute. */
+  def segments(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "customer")
-      .select(col("c_mktsegment").as("seg_val")).distinct()
-      .withColumn("seg_idx", row_number().over(w) - 1)
-  }
+      .select(col("c_mktsegment").as("seg_val"))
+      .agg(array_sort(collect_set(col("seg_val"))).as("segs"))
+      .select(posexplode(col("segs")))
+      .select(col("col").as("seg_val"), col("pos").as("seg_idx"))
 
   /** E1 tail in the reference's own shape: compile each kept condition set
     * into the parameterized SQL template (F5), run the compiled statements

@@ -26,6 +26,18 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
+    // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors —
+    // the scale path (no driver-side per-query loop).
+    "ann_lsh_join" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.lshBatchTopK(e.filter(col("vec_id") >= 5), qs, k = 10)
+        .select(col("qid"), col("vec_id"), round(col("dist"), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("vec_id"))
+    }),
+
     // MLlib BucketedRandomProjectionLSH approxNearestNeighbors (euclidean).
     "ann_lsh_topk" -> ((s, dir) => {
       Graft.init(s)

@@ -74,6 +74,21 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("batch LSH similarity join matches exact top-k with decent recall") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pool = e.filter(col("vec_id") >= 3)
+    val approx = Ann.lshBatchTopK(pool, qs, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Knn.topKPerQuery(pool, qs, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      (approx.getOrElse(q, Set.empty[Long]) & ex).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 = $mean")
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)
