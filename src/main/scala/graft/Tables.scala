@@ -24,8 +24,39 @@ object Tables {
   /** Small dimension tables — always broadcast-join these. */
   val dims: Set[String] = Set("region", "nation", "supplier", "part")
 
+  /** Physical source of a table — the Spark form of the reference's
+    * `DBMS_ID` routing (`/root/reference/nl_targeting_save.py:77-90`):
+    * the registry decides WHERE a named table lives; readers don't care. */
+  sealed trait Source
+  final case class ParquetSource(path: String) extends Source
+  /** Production analog of S1/S2 (MariaDB/MSSQL scans): partitioned JDBC
+    * reads. `partitionColumn`+`numPartitions` shard the scan across
+    * executors — without them a JDBC read is one task, which at 100TB-side
+    * dimensions is fine but for facts is the classic single-reader trap. */
+  final case class JdbcSource(url: String, table: String,
+      partitionColumn: Option[String] = None, numPartitions: Int = 32,
+      options: Map[String, String] = Map.empty) extends Source
+
+  def loadSource(spark: SparkSession, src: Source): DataFrame = src match {
+    case ParquetSource(path) => spark.read.parquet(path)
+    case JdbcSource(url, table, partCol, nParts, opts) =>
+      val r = spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table).options(opts)
+      partCol.fold(r) { c =>
+        // bounds are discovered with one min/max round-trip in production;
+        // callers can override via options("lowerBound"/"upperBound")
+        r.option("partitionColumn", c).option("numPartitions", nParts)
+      }.load()
+  }
+
+  /** Default registry: every fixture table as parquet under `sfDir`. A
+    * deployment pointing some names at [[JdbcSource]] changes nothing
+    * downstream — that is the S2 multi-DBMS routing re-expressed. */
+  def registry(sfDir: String): Map[String, Source] =
+    all.map(n => n -> (ParquetSource(s"$sfDir/$n.parquet"): Source)).toMap
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = loadSource(spark, registry(sfDir)(name))
     // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true —
     // set by Verify/Bench/Smoke/tests). Normalize to a micros timestamp so

@@ -55,7 +55,11 @@ object TemplateSql {
             case Some(v) => java.util.regex.Matcher.quoteReplacement(renderCond(column, v))
             case None => "1=1"
           }
-        case _ => "1=1"
+        // Only `[ col ::op:: kwd ]` is a parameter block. Any other
+        // bracketed text — e.g. a MySQL-dialect `LIKE '[AI]%'`, where
+        // brackets are LITERAL characters (unlike MSSQL's character
+        // class, SURVEY P5) — passes through untouched.
+        case _ => java.util.regex.Matcher.quoteReplacement(m.group(0))
       }
     })
     val selected = withBlocks.replace("@@SELECT_STRING@@", selectExpr)

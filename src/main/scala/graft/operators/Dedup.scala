@@ -115,13 +115,45 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("block"), col("id_a"), col("id_b"))
       .distinct()
-    cands
-      .join(base.select(col("block"), col("id").as("id_a"), col("w").as("wa")),
-        Seq("block", "id_a"))
-      .join(base.select(col("block"), col("id").as("id_b"), col("w").as("wb")),
-        Seq("block", "id_b"))
-      .select(col("block"), col("id_a"), col("id_b"),
-        round(jaccard(col("wa"), col("wb")), 4).as("jac"))
+    verifyJaccard(cands, base.select(col("id"), col("w")), minJ,
+      keepCols = Seq("block"))
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair set, the scale shape:
+    * size-compatibility prefilter (`J ≥ t ⇒ min(sa,sb) ≥ t·max(sa,sb)` —
+    * drops pairs that cannot qualify before any word work), then
+    * co-occurrence COUNTING via two hash joins + partial aggregation.
+    * Everything stays in whole-stage codegen; no per-pair interpreted
+    * array_intersect (one such pair-at-a-time pass pinned a whole bench
+    * query to a single task for minutes at sf0.1). The explicit
+    * repartition spreads candidates across the cluster — AQE otherwise
+    * coalesces the small candidate relation to one partition and the
+    * entire verify runs single-threaded.
+    *
+    * @param cands    candidate pairs: `id_a, id_b` (+ `keepCols`)
+    * @param idWords  `(id, w: array<string>)` — DISTINCT word sets
+    */
+  private def verifyJaccard(cands: DataFrame, idWords: DataFrame,
+      minJ: Double, keepCols: Seq[String]): DataFrame = {
+    val np = cands.sparkSession.sparkContext.defaultParallelism
+    val sizes = idWords.select(col("id"), size(col("w")).as("sz"))
+    val candsSz = cands
+      .join(sizes.toDF("id_a", "sa"), "id_a")
+      .join(sizes.toDF("id_b", "sb"), "id_b")
+      .filter(least(col("sa"), col("sb")) >=
+        lit(minJ) * greatest(col("sa"), col("sb")))
+      .repartition(np, col("id_a"), col("id_b"))
+    val wa = idWords.select(col("id").as("id_a"), explode(col("w")).as("word"))
+    val wb = idWords.select(col("id").as("id_b"), explode(col("w")).as("word"))
+    val keep = keepCols.map(col) ++ Seq(col("id_a"), col("id_b"))
+    candsSz
+      .join(wa, Seq("id_a"))
+      .join(wb, Seq("id_b", "word"))
+      .groupBy(keep :+ col("sa") :+ col("sb"): _*)
+      .agg(count(lit(1)).as("inter"))
+      .select(keep :+
+        round(col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter")), 4).as("jac"): _*)
       .filter(col("jac") >= minJ)
   }
 
@@ -145,21 +177,16 @@ object Dedup {
     val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
-    val wsets = docs.select(col(idCol),
-      array_distinct(tokens(col(textCol))).as("wset"))
-    val withSig = sigs.join(wsets, idCol).cache()
-    val buckets = lshBuckets(withSig, idCol, "sig", bands, rows)
+    val wsets = docs.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("w")).cache()
+    val buckets = lshBuckets(sigs, idCol, "sig", bands, rows)
     val a = buckets.toDF("id_a", "band", "key")
     val b = buckets.toDF("id_b", "band", "key")
     val cands = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
-      .join(withSig.select(col(idCol).as("id_a"), col("wset").as("wa")), "id_a")
-      .join(withSig.select(col(idCol).as("id_b"), col("wset").as("wb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("wa"), col("wb")), 4).as("jac"))
-      .filter(col("jac") >= minJ)
+    verifyJaccard(cands, wsets, minJ, keepCols = Seq.empty)
+      .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** 64-bit SimHash of the token stream (xxhash64 per token, ±1 vote per

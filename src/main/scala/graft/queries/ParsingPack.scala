@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SweepLine
+import graft.operators.{ConditionCodec, SweepLine}
 
 /** Metadata-parsing + date-axis operators that close the SURVEY §2 gaps:
   * F9 (date↔epoch) + W2-date (sweep-line on a date axis), F13
@@ -43,6 +43,24 @@ object ParsingPack extends QueryPack {
           array_join(col("parsed"), "|").as("vals"),
           size(col("parsed")).as("n"))
         .orderBy(col("name"))
+    }),
+
+    // Reference-encoded condition-string codec: ' %^ '-separated fields
+    // joined by ' !@#$ ' (/root/reference/camp_vec_rcmn.py:79,103-130),
+    // decoded + operator/sentinel-widened into consensus-ready rows.
+    "q26_condition_codec" -> ((s, dir) => {
+      val raw = s.createDataFrame(Seq(
+        ("C1", 85.5, "string %^ c_mktsegment %^ in %^ ['BUILDING','MACHINERY'] !@#$ integer %^ o_totalprice %^ between %^ [100000, 300000]"),
+        ("C2", 62.25, "integer %^ o_totalprice %^ greater %^ 250000 !@#$ datePopup %^ o_orderdate %^ less %^ 19970101"),
+        ("C3", 40.0, "datePopup %^ o_orderdate %^ between %^ ['19950101','19961231'] !@#$ string %^ o_orderpriority %^ in %^ ['1-URGENT']")
+      )).toDF("camp_id", "score", "target_condi")
+      ConditionCodec
+        .conditionRows(ConditionCodec.decode(raw, "target_condi"), "score")
+        .select(col("name"), col("kind"),
+          coalesce(col("value"), lit("")).as("value"),
+          coalesce(col("lo"), lit("")).as("lo"),
+          coalesce(col("hi"), lit("")).as("hi"), col("w"))
+        .orderBy(col("name"), col("kind"), col("value"), col("lo"), col("w"))
     }),
 
     // F15: operator-token scan — split PRMP_STRING on spaces, find the
@@ -106,6 +124,49 @@ object ParsingPack extends QueryPack {
         |  array_to_string(string_split(regexp_replace(raw, '[\[\]'' ]', '', 'g'), ','), '|') AS vals,
         |  len(string_split(regexp_replace(raw, '[\[\]'' ]', '', 'g'), ',')) AS n
         |FROM t ORDER BY name""".stripMargin,
+
+    "q26_condition_codec" ->
+      """WITH raw(camp_id, score, target_condi) AS (VALUES
+        |  ('C1', 85.5, 'string %^ c_mktsegment %^ in %^ [''BUILDING'',''MACHINERY''] !@#$ integer %^ o_totalprice %^ between %^ [100000, 300000]'),
+        |  ('C2', 62.25, 'integer %^ o_totalprice %^ greater %^ 250000 !@#$ datePopup %^ o_orderdate %^ less %^ 19970101'),
+        |  ('C3', 40.0, 'datePopup %^ o_orderdate %^ between %^ [''19950101'',''19961231''] !@#$ string %^ o_orderpriority %^ in %^ [''1-URGENT'']')),
+        |conds AS (
+        |  SELECT camp_id, score, unnest(string_split(target_condi, '!@#$')) AS cond
+        |  FROM raw),
+        |parts AS (
+        |  SELECT camp_id, CAST(score AS DOUBLE) AS score,
+        |    trim(string_split(cond, '%^')[1]) AS cond_form,
+        |    trim(string_split(cond, '%^')[2]) AS feature,
+        |    trim(string_split(cond, '%^')[3]) AS op,
+        |    trim(string_split(cond, '%^')[4]) AS value_str
+        |  FROM conds),
+        |vals AS (
+        |  SELECT *, string_split(regexp_replace(value_str, '[\[\]'' ]', '', 'g'), ',') AS v
+        |  FROM parts),
+        |str_rows AS (
+        |  SELECT feature AS name, 'string' AS kind, unnest(v) AS value,
+        |    '' AS lo, '' AS hi, score AS w
+        |  FROM vals WHERE cond_form = 'string'),
+        |int_rows AS (
+        |  SELECT feature AS name, 'integer' AS kind, '' AS value,
+        |    CASE WHEN op = 'less' THEN '0' ELSE v[1] END AS lo,
+        |    CASE WHEN op = 'less' THEN v[1]
+        |         WHEN op = 'greater' THEN '9999999999'
+        |         ELSE coalesce(v[2], v[1]) END AS hi,
+        |    score AS w
+        |  FROM vals WHERE cond_form = 'integer'),
+        |date_rows AS (
+        |  SELECT feature AS name, 'datePopup' AS kind, '' AS value,
+        |    CASE WHEN op = 'less' THEN '20200101' ELSE v[1] END AS lo,
+        |    CASE WHEN op = 'less' THEN v[1]
+        |         WHEN op = 'greater' THEN '20301231'
+        |         ELSE coalesce(v[2], v[1]) END AS hi,
+        |    score AS w
+        |  FROM vals WHERE cond_form = 'datePopup')
+        |SELECT * FROM (
+        |  SELECT * FROM str_rows UNION ALL SELECT * FROM int_rows
+        |  UNION ALL SELECT * FROM date_rows)
+        |ORDER BY name, kind, value, lo, w""".stripMargin,
 
     "q25_operator_scan" ->
       """WITH t(name, prmp) AS (VALUES

@@ -30,6 +30,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("source registry routes named tables by physical source (S1/S2)") {
+    val viaRegistry = Tables.loadSource(spark,
+      Tables.registry(TestSpark.sfDir)("region"))
+    val direct = spark.read.parquet(TestSpark.sfDir + "/region.parquet")
+    assert(viaRegistry.collect().toSet == direct.collect().toSet)
+    // the JDBC route is the production S1 analog — same reader contract
+    // (connection-time behavior is not testable offline)
+    val j = Tables.JdbcSource("jdbc:mysql://host/db", "t_campaign",
+      partitionColumn = Some("camp_id"))
+    assert(j.numPartitions == 32 && j.partitionColumn.contains("camp_id"))
+  }
+
   test("parquet sink round-trip (S5): index write + read back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val ix = IndexBuild.campaignIndex(spark, TestSpark.sfDir)

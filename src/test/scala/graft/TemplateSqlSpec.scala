@@ -31,6 +31,18 @@ class TemplateSqlSpec extends AnyFunSuite {
     assert(sql == "SELECT cust_id FROM t WHERE a = 'o''neil' AND b >= 42")
   }
 
+  test("MySQL-literal LIKE '[AI]%' brackets survive compilation (P5 dialect)") {
+    val sql = compile(
+      "SELECT @@SELECT_STRING@@ FROM t WHERE nm LIKE '[AI]%' AND [ seg ::op:: s ]",
+      "id", Map("s" -> Equal("BUILDING")))
+    assert(sql == "SELECT id FROM t WHERE nm LIKE '[AI]%' AND seg = 'BUILDING'")
+    // and an unused parameter block still collapses
+    val sql2 = compile(
+      "SELECT @@SELECT_STRING@@ FROM t WHERE nm LIKE '[AI]%' AND [ seg ::op:: s ]",
+      "id", Map.empty)
+    assert(sql2 == "SELECT id FROM t WHERE nm LIKE '[AI]%' AND 1=1")
+  }
+
   test("compiled SQL actually runs on Spark views (E1 tail)") {
     val spark = TestSpark.spark
     Tables.registerAll(spark, TestSpark.sfDir)
