@@ -25,6 +25,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // shuffle/broadcast state is cleaned by the ContextCleaner, which is
+      // GC-triggered — on a 32g driver heap that never GCs, hundreds of
+      // registered shuffles accumulate and the session slows down
+      // minutes in; force the cleanup cycle
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // shuffle to tmpfs: this VM's /tmp disk has multi-second writeback
+      // stalls that turned the shuffle-heaviest query bimodal (2s vs 50s
+      // runs); RAM-backed local dirs take the disk out of the measurement
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,10 +66,23 @@ object Bench {
     // either direction and the spread makes the noise visible in the JSON.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = selected.filter(qs.contains).map { name =>
+      // deterministic cleanup OUTSIDE the timed path: flushes the
+      // ContextCleaner's reference queue (shuffles/broadcasts of previous
+      // queries) so neither the accumulation nor the periodic GC's own
+      // pause lands inside a timed run
+      System.gc()
       def once(): Double = {
+        // cold-cache per run: operators may cache() intra-query (their own
+        // design); leaking those entries across runs/queries makes AQE
+        // re-plan later joins around stale 1-partition InMemoryRelations
+        // (measured: a leaked cache turned a 4s run into 59s and slowed
+        // every subsequent query) and the number stops being a query cost.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name run: $dt%.3f s")
+        dt
       }
       val times = try (1 to runsPerQuery).map(_ => once()).sorted
         catch { case e: Throwable =>

@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // GC-triggered ContextCleaner never fires on a large quiet heap;
+      // 40+ queries in one session accumulate shuffle/broadcast state and
+      // the tail queries crawl (see Bench for the measurement)
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      // RAM-backed shuffle dirs — see Bench for the disk-stall measurement
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

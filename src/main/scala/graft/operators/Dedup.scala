@@ -46,21 +46,35 @@ object Dedup {
       lit(1), greatest(size(toks) - 2, lit(0)))
   }
 
-  /** k MinHash values: element s = min over shingles of md5("s:shingle").
-    * Hex-string min == unsigned 128-bit min; md5 matches DuckDB exactly. */
+  /** The per-shingle hash for MinHash permutation `s`: the first 15 hex
+    * chars of md5("s:shingle") as a 60-bit long. NUMERIC, not the hex
+    * string: `min` over longs keeps the aggregation buffer fixed-width, so
+    * Spark uses codegen'd HashAggregate with map-side combine — `min` over
+    * strings falls back to SortBasedAggregate with interpreted Least
+    * projections (measured 10-20× slower on the exploded shingle stream).
+    * A 60-bit prefix is a consistent pseudo-random order (all MinHash
+    * needs), and DuckDB reproduces it exactly:
+    * `('0x' || substr(md5(s||':'||g),1,15))::BIGINT`. */
+  def shingleHash(s: Column, shingle: Column): Column =
+    conv(substring(md5(concat(s.cast("string"), lit(":"), shingle)), 1, 15),
+      16, 10).cast("long")
+
+  /** k MinHash values (longs), HOF form of the explode+min used by
+    * [[minhashNearDups]]. */
   def minhashSignature(shinglesCol: Column, k: Int = 12): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shinglesCol,
-        sh => md5(concat(s.cast("string"), lit(":"), sh)))))
+      s => array_min(transform(shinglesCol, sh => shingleHash(s, sh))))
 
   /** LSH banding: k-element signature → `bands` buckets of `k/bands` rows;
-    * key = md5 of the band slice. Returns (idCol, band, key) exploded. */
+    * key = md5 of the band slice (elements stringified — the signature is
+    * numeric). Returns (idCol, band, key) exploded. */
   def lshBuckets(df: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
     df.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => md5(concat_ws("|",
-            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+            transform(slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")))))))
       .toDF(idCol, "band", "key")
 
   /** Exact word-set Jaccard between two DISTINCT token-array columns.
@@ -73,50 +87,87 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** All-pairs set-similarity with EXACT prefix filtering (PPJoin-style):
+  /** All-pairs set-similarity. Two EXACT strategies (identical output;
+    * both candidate sets are supersets of the qualifying pairs, and
+    * verification computes the true Jaccard):
     *
-    *  1. explode distinct words, compute per-(block, word) document
-    *     frequency;
-    *  2. order each document's words rarest-first (df asc, word) and keep
-    *     only its PREFIX of `sz − ⌈minJ·sz⌉ + 1` words — the prefix-filter
-    *     theorem guarantees any pair with `J(A,B) ≥ minJ` shares at least
-    *     one PREFIX word under a consistent global word order;
-    *  3. self-join prefixes on (block, word) → candidate pairs;
-    *  4. verify candidates against the full word sets (exact Jaccard).
+    *  - `"cooccur"` (default): explode distinct words, self-join on
+    *    (block, word), count co-occurrences per pair with map-side partial
+    *    aggregation, Jaccard = |∩| / (sa+sb−|∩|). One shuffle join + one
+    *    hash agg, everything whole-stage codegen. The size-compatibility
+    *    filter (`J ≥ t ⇒ min(sa,sb) ≥ t·max(sa,sb)`) drops impossible
+    *    pairs before the aggregation.
+    *  - `"prefix"` (PPJoin-style): rank each document's words rarest-first
+    *    by document frequency and join only on the `sz − ⌈minJ·sz⌉ + 1`
+    *    prefix (the prefix-filter theorem guarantees no qualifying pair is
+    *    lost), then verify candidates pairwise.
     *
-    * The join key is now (block, rare-prefix-word): a hot word — df near
-    * the block size — enters a document's prefix only when the document has
-    * almost no rarer words, so the quadratic hot-key blowup of the naive
-    * (block, word) join is bounded by the prefix length `(1−minJ)·sz + 1`
-    * per document (at minJ = 0.95: ~5% of its words). Output is identical
-    * to the unpruned join — the filter only drops pairs that cannot reach
-    * minJ. Verification is per-candidate array work, fine because the
-    * candidate set is prefix-bounded, not all-pairs. */
+    * Which one wins is a corpus property, MEASURED at sf0.1 (5 000 docs,
+    * ~23 distinct words/doc, ~31-word per-block vocabulary, near-dup-rich):
+    * cooccur ≈ 8 s; prefix ≈ 48 s — the tiny vocabulary makes every word
+    * hot, so the prefix join still emits 2.4 M candidates for 47 k
+    * qualifying pairs and pairwise verification (interpreted
+    * ArrayIntersect, ~0.5 ms/pair) dominates. On a Zipfian large-vocab
+    * corpus the ranking flips: cooccur's hot-word join key degenerates
+    * quadratically (df² rows through one shuffle) while prefix work is
+    * bounded by `(1−minJ)·sz + 1` rare words per document. Callers at
+    * 100 TB text scale should pass `strategy = "prefix"`. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, minJ: Double): DataFrame = {
+      blockCol: String, minJ: Double,
+      strategy: String = "cooccur"): DataFrame = {
     val spark = docs.sparkSession
+    val np = spark.sparkContext.defaultParallelism
     val base = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(np)
       .select(col(idCol).as("id"), col(blockCol).as("block"),
         array_distinct(tokens(col(textCol))).as("w"))
       .withColumn("sz", size(col("w")))
     val words = base.select(col("id"), col("block"), col("sz"),
       explode(col("w")).as("word"))
-    val dfreq = words.groupBy(col("block"), col("word"))
-      .agg(count(lit(1)).as("df"))
-    val rankW = Window.partitionBy(col("block"), col("id"))
-      .orderBy(col("df"), col("word"))
-    val prefix = words.join(dfreq, Seq("block", "word"))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
-      .select(col("block"), col("id"), col("word"))
-    val cands = prefix.toDF("block", "id_a", "word")
-      .join(prefix.toDF("block", "id_b", "word"), Seq("block", "word"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("block"), col("id_a"), col("id_b"))
-      .distinct()
-    verifyJaccard(cands, base.select(col("id"), col("w")), minJ,
-      keepCols = Seq("block"))
+
+    if (strategy == "prefix") {
+      val cachedBase = base.cache()
+      val dfreq = words.groupBy(col("block"), col("word"))
+        .agg(count(lit(1)).as("df"))
+      val rankW = Window.partitionBy(col("block"), col("id"))
+        .orderBy(col("df"), col("word"))
+      val prefix = words.join(dfreq, Seq("block", "word"))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
+        .select(col("block"), col("id"), col("word"))
+        .cache()
+      val cands = prefix.toDF("block", "id_a", "word")
+        .join(prefix.toDF("block", "id_b", "word"), Seq("block", "word"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("block"), col("id_a"), col("id_b"))
+        .distinct()
+      // explicit repartition: AQE otherwise coalesces the candidate
+      // relation to one partition and verification runs single-threaded
+      cands
+        .join(cachedBase.select(col("id").as("id_a"), col("w").as("wa"),
+          col("sz").as("sa")), Seq("id_a"))
+        .join(cachedBase.select(col("id").as("id_b"), col("w").as("wb"),
+          col("sz").as("sb")), Seq("id_b"))
+        .filter(least(col("sa"), col("sb")) >=
+          lit(minJ) * greatest(col("sa"), col("sb")))
+        .repartition(np, col("id_a"), col("id_b"))
+        .select(col("block"), col("id_a"), col("id_b"),
+          round(jaccard(col("wa"), col("wb")), 4).as("jac"))
+        .filter(col("jac") >= minJ)
+    } else {
+      val a = words.toDF("id_a", "block", "sa", "word")
+      val b = words.toDF("id_b", "block", "sb", "word")
+      a.join(b, Seq("block", "word"))
+        .filter(col("id_a") < col("id_b") &&
+          least(col("sa"), col("sb")) >=
+            lit(minJ) * greatest(col("sa"), col("sb")))
+        .groupBy(col("block"), col("id_a"), col("id_b"), col("sa"), col("sb"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("block"), col("id_a"), col("id_b"),
+          round(col("inter").cast("double") /
+            (col("sa") + col("sb") - col("inter")), 4).as("jac"))
+        .filter(col("jac") >= minJ)
+    }
   }
 
   /** Exact-Jaccard verification of a candidate-pair set, the scale shape:
@@ -173,12 +224,18 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(shingles(col(textCol))).as("g"))
     val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("g")))).as(s"sig_$s"))
+      min(shingleHash(lit(s), col("g"))).as(s"sig_$s"))
     val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
-    val wsets = docs.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("w")).cache()
+    // repartitioned (the parquet source is often one split); NOT cached —
+    // recomputing the tokenize is cheaper than the cross-run planner
+    // instability a leaked InMemoryRelation causes (measured: alternating
+    // 4 s / 60 s runs with a cache here, stable without)
+    val wsets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        array_distinct(tokens(col(textCol))).as("w"))
     val buckets = lshBuckets(sigs, idCol, "sig", bands, rows)
     val a = buckets.toDF("id_a", "band", "key")
     val b = buckets.toDF("id_b", "band", "key")
@@ -205,7 +262,9 @@ object Dedup {
       (s, p) => when(s > 0, p).otherwise(0L)), lit(0L), (a, b) => a + b)
   }
 
-  /** SimHash near-dup pairs within blocks: hamming distance ≤ maxHamming. */
+  /** SimHash near-dup pairs within blocks: hamming distance ≤ maxHamming.
+    * Block-local all-pairs — exact, fine when blocks are bounded; for
+    * unbounded blocks use [[simhashNearDupsBanded]]. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int = 12): DataFrame = {
     val h = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -217,6 +276,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** EXACT banded SimHash near-dup join — the unbounded-scale form.
+    *
+    * Pigeonhole: split the 64-bit key into `bands` equal bit-blocks; a
+    * pair with hamming ≤ maxHamming differs in ≤ maxHamming blocks, so
+    * with `bands ≥ maxHamming + 1` at least one block matches EXACTLY.
+    * Candidates therefore come from an equi-join on (band_idx, band_bits)
+    * — no all-pairs anywhere, recall 100% — and are verified with the
+    * true popcount. Default 16 bands of 4 bits suits maxHamming ≤ 15;
+    * fewer, wider bands prune harder for smaller maxHamming. */
+  def simhashNearDupsBanded(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 12, bands: Int = 16): DataFrame = {
+    require(bands > maxHamming, s"need bands > maxHamming for exact recall")
+    require(64 % bands == 0, s"bands must divide 64")
+    val width = 64 / bands
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val h = docs.repartition(np)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val banded = h.select(col("id"), col("sh"), posexplode(
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col("sh"), b * width)
+            .bitwiseAND(lit((1L << width) - 1))): _*)))
+      .toDF("id", "sh", "band", "bits")
+    val a = banded.toDF("id_a", "sh_a", "band", "bits")
+    val b = banded.toDF("id_b", "sh_b", "band", "bits")
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup: top `perBlock` most-similar pairs per

@@ -114,7 +114,8 @@ object DedupTextPack extends QueryPack {
         |  FROM base),
         |sigs AS (SELECT doc_id, wset,
         |  list_transform(range(0,12),
-        |    s -> list_min(list_transform(shingles, g -> md5(s || ':' || g)))) AS sig
+        |    s -> list_min(list_transform(shingles,
+        |      g -> (('0x' || substr(md5(s || ':' || g), 1, 15))::BIGINT)))) AS sig
         |  FROM sh),
         |buckets AS (
         |  SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key

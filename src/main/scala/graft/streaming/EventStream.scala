@@ -29,6 +29,34 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Streaming exact dedup (the streaming twin of `dd_exact`):
+    * watermarked `dropDuplicates` on a content key — state holds one entry
+    * per key inside the watermark horizon, so memory is bounded by the
+    * horizon's key cardinality, not the stream length. Column names:
+    * `ts: timestamp` + `keyCols`. */
+  def dedupStream(events: DataFrame, watermark: String,
+      keyCols: Seq[String]): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.dropDuplicates(keyCols :+ "ts")
+  }
+
+  /** Stream-stream inner join on a key within a time bound — the
+    * streaming form of the events⋈conditions merges (J7). Both sides are
+    * watermarked; the range predicate lets Spark expire join state on both
+    * sides (unbounded state otherwise). Left carries `ts, k, value`;
+    * right carries `rts, k, label`. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "1 hour", joinWindow: String = "30 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark("ts", watermark) else left
+    val r = if (right.isStreaming) right.withWatermark("rts", watermark) else right
+    l.join(r,
+      l("k") === r("k") &&
+        r("rts") >= l("ts") - expr(s"INTERVAL $joinWindow") &&
+        r("rts") <= l("ts") + expr(s"INTERVAL $joinWindow"))
+      .select(l("ts"), l("k"), col("value"), col("rts"), col("label"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSummary(user_id: Long, n: Long, total: Double)

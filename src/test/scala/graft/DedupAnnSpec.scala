@@ -53,6 +53,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("banded simhash equals block-local all-pairs exactly") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(300)
+      .withColumn("one", lit("g"))
+    val allPairs = Dedup
+      .simhashNearDups(docs, "doc_id", "text", "one", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup
+      .simhashNearDupsBanded(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == allPairs && banded.nonEmpty)
+  }
+
+  test("jaccardPairs: cooccur and prefix strategies agree exactly") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(200)
+    def run(s: String) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", "lang", minJ = 0.8, strategy = s)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val cooccur = run("cooccur")
+    val prefix = run("prefix")
+    assert(cooccur.nonEmpty && cooccur == prefix)
+  }
+
   test("IVF with all buckets probed equals exact brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))

@@ -52,6 +52,45 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("watermarked streaming dedup drops in-horizon duplicates") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val query = EventStream.dedupStream(
+        input.toDF().toDF("ts", "k"), "1 hour", Seq("k"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((t0, "a"), (t0, "a"), (t0, "b"))
+      query.processAllAvailable()
+      input.addData((t0, "a")) // duplicate again, same micro-batch horizon
+      query.processAllAvailable()
+      val got = spark.table("dedup_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(got.toSet == Set((t0, "a"), (t0, "b")) && got.length == 2)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join matches only in-window pairs") {
+    import spark.implicits._
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val lIn = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val rIn = MemoryStream[(java.sql.Timestamp, String, String)](spark)
+    val joined = EventStream.streamStreamJoin(
+      lIn.toDF().toDF("ts", "k", "value"),
+      rIn.toDF().toDF("rts", "k", "label"))
+    val query = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      lIn.addData((ts(0), "x", 1.0), (ts(0), "y", 2.0))
+      rIn.addData((ts(10), "x", "in-window"), (ts(50), "y", "too-late"))
+      query.processAllAvailable()
+      val got = spark.table("ssj_test").collect()
+        .map(r => (r.getString(1), r.getString(4))).toSet
+      assert(got == Set(("x", "in-window")))
+    } finally query.stop()
+  }
+
   test("multimodal: stubbed decode keeps schema, determinism, no payload loss") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(30)
     val media = Multimodal.mediaFromDocuments(docs)
