@@ -63,6 +63,13 @@ class StubLlm extends LlmClient {
       (1 to 3).map(i => s"$user 표현$i").mkString("!!!!")
     case s if s.contains("숫자를 operator") => ValueNorm.integer(user) // L2
     case s if s.contains("날짜를 operator") => ValueNorm.date(user)    // L2
+    case s if s.contains("맞는조건들만") => // L3 keep-matching filter
+      // deterministic stub: keep every condition — extract the Condition
+      // part of "Request : … Conditiion : {…}" verbatim (the reference's
+      // temperature-0.7 call prunes non-matching entries;
+      // /root/reference/nl_targeting.py:89-97 merges whatever comes back,
+      // so keep-all is the neutral deterministic refinement)
+      user.split("Conditiion : ").last
     case _ => user
   }
 }

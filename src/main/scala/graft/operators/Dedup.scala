@@ -310,6 +310,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding near-duplicate pairs above a cosine threshold at scale:
+    * candidates from MLlib random-projection LSH buckets (unit-norm
+    * vectors: euclidean ≤ √(2−2·minCos) ⟺ cosine ≥ minCos), verified
+    * with the exact cosine. No all-pairs stage — the join is bucket-
+    * co-located — so block size never goes quadratic; recall is the LSH
+    * probability (spec-checked ≥ 0.9 on the fixture), not 1.0. This is
+    * the 100TB path; [[embeddingTopPairs]] stays the exact small-block
+    * form (and the oracle twin). */
+  def embeddingNearPairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, tables: Int = 8, bucketLength: Double = 0.5): DataFrame = {
+    val np = emb.sparkSession.sparkContext.defaultParallelism
+    val dist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    val (model, withVec) = Ann.lshModel(
+      emb.repartition(np), vecCol, tables, bucketLength)
+    model.approxSimilarityJoin(withVec, withVec, dist, "dist")
+      .select(col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        col("datasetA." + vecCol).as("va"),
+        col("datasetB." + vecCol).as("vb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Graft.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Embedding-cosine near-dup: top `perBlock` most-similar pairs per
     * block (label) — blocked pairwise, ranked, deterministic tie-breaks. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,

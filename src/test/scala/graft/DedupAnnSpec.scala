@@ -113,6 +113,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("embeddingNearPairs: LSH candidates, exact verify, recall >= 0.9") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val got = Dedup.embeddingNearPairs(e, "vec_id", "embedding", minCos = 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(round(Graft.cosine(col("va"), col("vb")), 4) >= 0.35)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision 1.0 (every candidate is verified with the true cosine)
+    assert(got.subsetOf(exact))
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${got.size}/${exact.size})")
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)

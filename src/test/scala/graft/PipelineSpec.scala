@@ -68,6 +68,15 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("L3 keep-filter stub returns the condition dict verbatim") {
+    val llm = new StubLlm()
+    val cond = """{'세그먼트:긍정': ['BUILDING', 'MACHINERY']}"""
+    val out = llm.complete(
+      "Condition에서 Request에 맞는조건들만 남겨줘. …",
+      s"Request : 세그먼트이(가) BUILDING 인것 찾아줘. Conditiion : $cond")
+    assert(out == cond)
+  }
+
   test("E2 value route: free-text amounts/dates become operator codes") {
     val triples = Seq(
       ("구매금액", "긍정", "100만원 이상"),
