@@ -23,6 +23,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 
 def canon(df):
     cols = sorted(df.columns)
+    # Normalize nulls before stringifying: pandas read_parquet yields
+    # None/<NA> ('None'/'<NA>') while DuckDB fetchdf yields NaN/NaT
+    # ('nan'/'NaT'), so a semantically-matching NULL would fail the string
+    # comparison. Map every null form to a common sentinel first.
+    df = df.astype(object).where(df.notna(), "<NULL>")
     s = pd.DataFrame({c: df[c].map(str) for c in cols})
     return sorted(map(tuple, s.values.tolist())), cols
 

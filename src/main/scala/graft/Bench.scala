@@ -98,7 +98,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map { case (_, ts) => ts(ts.length / 2) }
       .filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$spreadJson,"runs":$runsPerQuery,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"spread":$spreadJson,"runs":$runsPerQuery,"sf":"$sfDir"}"""
+    println(json)
+    // Also drop the line in a bare file: the driver invokes this through
+    // sbt, whose `[info] ` prefix breaks JSON parsing of stdout (every
+    // BENCH_r*.json so far has "parsed": null). A file has no prefix.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -42,11 +42,25 @@ object Tables {
     case JdbcSource(url, table, partCol, nParts, opts) =>
       val r = spark.read.format("jdbc")
         .option("url", url).option("dbtable", table).options(opts)
-      partCol.fold(r) { c =>
-        // bounds are discovered with one min/max round-trip in production;
-        // callers can override via options("lowerBound"/"upperBound")
-        r.option("partitionColumn", c).option("numPartitions", nParts)
-      }.load()
+      partCol.fold(r.load()) { c =>
+        // Spark's JDBC reader requires all four of partitionColumn /
+        // numPartitions / lowerBound / upperBound. Callers may pass bounds
+        // via options; otherwise discover them with the one-time min/max
+        // round-trip (runs DB-side, returns a single row).
+        val (lo, hi) =
+          if (opts.contains("lowerBound") && opts.contains("upperBound"))
+            (opts("lowerBound"), opts("upperBound"))
+          else {
+            val row = spark.read.format("jdbc").option("url", url)
+              .options(opts - "lowerBound" - "upperBound")
+              .option("query", s"SELECT MIN($c) AS lo, MAX($c) AS hi FROM $table")
+              .load().head()
+            (String.valueOf(row.get(0)), String.valueOf(row.get(1)))
+          }
+        if (lo == "null" || hi == "null") r.load() // empty table: one task
+        else r.option("partitionColumn", c).option("numPartitions", nParts)
+          .option("lowerBound", lo).option("upperBound", hi).load()
+      }
   }
 
   /** Default registry: every fixture table as parquet under `sfDir`. A

@@ -17,7 +17,8 @@ import graft.Graft
   *    banding turns the quadratic all-pairs problem into a groupBy on
   *    (band, key) — only documents sharing a band bucket are joined.
   *    Candidate verification re-checks true Jaccard, so precision is exact.
-  *  - SimHash packs a document into one i64; near-dup = hamming ≤ r over
+  *  - SimHash packs a document into one 60-bit long (md5-derived so the
+  *    DuckDB oracle reproduces it); near-dup = hamming ≤ r over
   *    block-local pairs (bit_count(xor)) — cheap enough to run pairwise
   *    inside blocks.
   *  - All pair generation is blocked (lang/source/bucket) — never an
@@ -46,24 +47,35 @@ object Dedup {
       lit(1), greatest(size(toks) - 2, lit(0)))
   }
 
-  /** The per-shingle hash for MinHash permutation `s`: the first 15 hex
-    * chars of md5("s:shingle") as a 60-bit long. NUMERIC, not the hex
-    * string: `min` over longs keeps the aggregation buffer fixed-width, so
-    * Spark uses codegen'd HashAggregate with map-side combine — `min` over
-    * strings falls back to SortBasedAggregate with interpreted Least
-    * projections (measured 10-20× slower on the exploded shingle stream).
-    * A 60-bit prefix is a consistent pseudo-random order (all MinHash
-    * needs), and DuckDB reproduces it exactly:
-    * `('0x' || substr(md5(s||':'||g),1,15))::BIGINT`. */
-  def shingleHash(s: Column, shingle: Column): Column =
-    conv(substring(md5(concat(s.cast("string"), lit(":"), shingle)), 1, 15),
-      16, 10).cast("long")
+  /** The base shingle hash: first 15 hex chars of md5(shingle) as a 60-bit
+    * long. ONE md5 per shingle — the k per-permutation values derive from
+    * this via [[permKey]] XOR, so the signature stage does 1/k-th the
+    * hashing work of the naive md5-per-permutation form (measured: the
+    * 12×md5+conv stage was the query's dominant CPU sink; under host CPU
+    * contention that amplified a ~1 s stage into ~20 s). NUMERIC, not the
+    * hex string: `min` over longs keeps the aggregation buffer fixed-width,
+    * so Spark uses codegen'd HashAggregate with map-side combine.
+    * DuckDB reproduces it exactly: `('0x' || substr(md5(g),1,15))::BIGINT`. */
+  def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long")
+
+  /** Permutation key for MinHash permutation `s`: a fixed 60-bit constant,
+    * itself md5-derived so the DuckDB oracle computes the identical value
+    * (`('0x' || substr(md5('perm:' || s),1,15))::BIGINT`). XOR with a
+    * constant is a bijection of the hash space, so `min(h XOR key_s)` is a
+    * valid min-wise permutation family (the standard cheap-minhash trick);
+    * everything inside the min is one ALU op. Constant-folded by Catalyst
+    * — no per-row md5. */
+  def permKey(s: Int): Column =
+    conv(substring(md5(lit(s"perm:$s")), 1, 15), 16, 10).cast("long")
 
   /** k MinHash values (longs), HOF form of the explode+min used by
-    * [[minhashNearDups]]. */
-  def minhashSignature(shinglesCol: Column, k: Int = 12): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      s => array_min(transform(shinglesCol, sh => shingleHash(s, sh))))
+    * [[minhashNearDups]] (spec-checked equal). */
+  def minhashSignature(shinglesCol: Column, k: Int = 12): Column = {
+    val hashes = transform(shinglesCol, sh => shingleHash(sh))
+    array((0 until k).map(s =>
+      array_min(transform(hashes, h => h.bitwiseXOR(permKey(s))))): _*)
+  }
 
   /** LSH banding: k-element signature → `bands` buckets of `k/bands` rows;
     * key = md5 of the band slice (elements stringified — the signature is
@@ -126,41 +138,40 @@ object Dedup {
       explode(col("w")).as("word"))
 
     if (strategy == "prefix") {
-      val cachedBase = base.cache()
       val dfreq = words.groupBy(col("block"), col("word"))
         .agg(count(lit(1)).as("df"))
       val rankW = Window.partitionBy(col("block"), col("id"))
         .orderBy(col("df"), col("word"))
+      // Prefix length sz − ⌈minJ·sz⌉ + 1. The ε inside the ceil keeps an
+      // exact integer product from rounding UP in binary double arithmetic
+      // (⌈0.95·20⌉ must be 19, not 20) — a too-short prefix silently drops
+      // qualifying pairs, breaking the exact-strategy contract. Relaxing by
+      // ε can only lengthen the prefix: safe (verification is exact).
+      // NOT cached: the self-joined prefix subtree shares one shuffle via
+      // exchange reuse, and a leaked InMemoryRelation causes the cross-run
+      // planner instability minhashNearDups documents.
       val prefix = words.join(dfreq, Seq("block", "word"))
         .withColumn("rank", row_number().over(rankW))
-        .filter(col("rank") <= col("sz") - ceil(lit(minJ) * col("sz")) + 1)
+        .filter(col("rank") <=
+          col("sz") - ceil(lit(minJ) * col("sz") - lit(1e-9)) + 1)
         .select(col("block"), col("id"), col("word"))
-        .cache()
       val cands = prefix.toDF("block", "id_a", "word")
         .join(prefix.toDF("block", "id_b", "word"), Seq("block", "word"))
         .filter(col("id_a") < col("id_b"))
         .select(col("block"), col("id_a"), col("id_b"))
         .distinct()
-      // explicit repartition: AQE otherwise coalesces the candidate
-      // relation to one partition and verification runs single-threaded
-      cands
-        .join(cachedBase.select(col("id").as("id_a"), col("w").as("wa"),
-          col("sz").as("sa")), Seq("id_a"))
-        .join(cachedBase.select(col("id").as("id_b"), col("w").as("wb"),
-          col("sz").as("sb")), Seq("id_b"))
-        .filter(least(col("sa"), col("sb")) >=
-          lit(minJ) * greatest(col("sa"), col("sb")))
-        .repartition(np, col("id_a"), col("id_b"))
-        .select(col("block"), col("id_a"), col("id_b"),
-          round(jaccard(col("wa"), col("wb")), 4).as("jac"))
-        .filter(col("jac") >= minJ)
+      // candidate verification is the relational count-join shape — never
+      // per-pair interpreted array_intersect (see verifyJaccard)
+      verifyJaccard(cands, base.select(col("id"), col("w")), minJ,
+        keepCols = Seq("block"))
+        .select(col("block"), col("id_a"), col("id_b"), col("jac"))
     } else {
       val a = words.toDF("id_a", "block", "sa", "word")
       val b = words.toDF("id_b", "block", "sb", "word")
       a.join(b, Seq("block", "word"))
         .filter(col("id_a") < col("id_b") &&
           least(col("sa"), col("sb")) >=
-            lit(minJ) * greatest(col("sa"), col("sb")))
+            lit(minJ) * greatest(col("sa"), col("sb")) - lit(1e-9))
         .groupBy(col("block"), col("id_a"), col("id_b"), col("sa"), col("sb"))
         .agg(count(lit(1)).as("inter"))
         .select(col("block"), col("id_a"), col("id_b"),
@@ -192,10 +203,17 @@ object Dedup {
       .join(sizes.toDF("id_a", "sa"), "id_a")
       .join(sizes.toDF("id_b", "sb"), "id_b")
       .filter(least(col("sa"), col("sb")) >=
-        lit(minJ) * greatest(col("sa"), col("sb")))
+        lit(minJ) * greatest(col("sa"), col("sb")) - lit(1e-9))
       .repartition(np, col("id_a"), col("id_b"))
-    val wa = idWords.select(col("id").as("id_a"), explode(col("w")).as("word"))
-    val wb = idWords.select(col("id").as("id_b"), explode(col("w")).as("word"))
+    // Words are joined as xxhash64 LONGS, not strings: the co-occurrence
+    // count only needs equality, and an 8-byte fixed-width join key both
+    // shrinks the explode-join shuffles and keeps the hash-join buffers
+    // primitive. (Collision odds over a per-doc word set are ~|w|²/2⁶⁴ —
+    // irrelevant.) The sets are distinct, so counts are unchanged.
+    val wa = idWords.select(col("id").as("id_a"),
+      explode(col("w")).as("word")).withColumn("word", xxhash64(col("word")))
+    val wb = idWords.select(col("id").as("id_b"),
+      explode(col("w")).as("word")).withColumn("word", xxhash64(col("word")))
     val keep = keepCols.map(col) ++ Seq(col("id_a"), col("id_b"))
     candsSz
       .join(wa, Seq("id_a"))
@@ -215,16 +233,19 @@ object Dedup {
     val rows = k / bands
     // Signature via explode + k codegen'd min-aggregates, NOT the
     // higher-order-function form: HOFs are interpreted (nested lambdas ×
-    // k permutations was ~100x slower at sf0.1), while md5 over flat
-    // exploded rows stays inside whole-stage codegen and the k mins get
-    // map-side partial aggregation. Same md5 math, identical signatures.
-    // The repartition spreads the md5 map work: a small parquet source is
+    // k permutations was ~100x slower at sf0.1), while the flat exploded
+    // rows stay inside whole-stage codegen and the k mins get map-side
+    // partial aggregation. ONE md5 per shingle row; the k permutation
+    // values are XORs with constant-folded keys (see shingleHash/permKey —
+    // same signatures as the HOF twin, spec-checked).
+    // The repartition spreads the hash map work: a small parquet source is
     // one input split, which would otherwise serialize the whole scan.
     val exploded = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), explode(shingles(col(textCol))).as("g"))
+      .select(col(idCol), shingleHash(col("g")).as("h"))
     val aggs = (0 until k).map(s =>
-      min(shingleHash(lit(s), col("g"))).as(s"sig_$s"))
+      min(col("h").bitwiseXOR(permKey(s))).as(s"sig_$s"))
     val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol),
         array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
@@ -246,16 +267,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** 64-bit SimHash of the token stream (xxhash64 per token, ±1 vote per
-    * bit, sign → bit). One codegen'd expression, no shuffle. */
-  def simhash64(text: Column): Column = {
-    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+  /** Bit width of [[simhash]] — 60 because the per-token hash is the
+    * md5-prefix long of [[shingleHash]] (15 hex chars), which DuckDB
+    * reproduces bit-for-bit; a full 64-bit value would need an unsigned
+    * parse neither engine's BIGINT cast allows. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash of the token stream (md5-derived hash per token, ±1
+    * vote per bit, sign → bit). One codegen'd expression, no shuffle, and
+    * — unlike an xxhash64 form — fully reproducible in the DuckDB oracle:
+    * `CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END` summed per bit. */
+  def simhash(text: Column): Column = {
+    val powers = array((0 until SimhashBits).map(i => lit(1L << i)): _*)
     val bitsum = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc,
+      transform(tokens(text), t => shingleHash(t)), // ONE md5 per token
+      array_repeat(lit(0L), SimhashBits),
+      (acc, h) => zip_with(acc,
         transform(powers, p =>
-          when(xxhash64(t).bitwiseAND(p) =!= 0, 1L).otherwise(-1L)),
+          when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)),
         (a, b) => a + b))
     // sum of selected distinct powers == OR of the sign bits
     aggregate(zip_with(bitsum, powers,
@@ -268,7 +297,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int = 12): DataFrame = {
     val h = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), col(blockCol), simhash64(col(textCol)).as("sh"))
+      .select(col(idCol), col(blockCol), simhash(col(textCol)).as("sh"))
     val a = h.toDF("id_a", "block", "sh_a")
     val b = h.toDF("id_b", "block", "sh_b")
     a.join(b, Seq("block"))
@@ -280,21 +309,22 @@ object Dedup {
 
   /** EXACT banded SimHash near-dup join — the unbounded-scale form.
     *
-    * Pigeonhole: split the 64-bit key into `bands` equal bit-blocks; a
-    * pair with hamming ≤ maxHamming differs in ≤ maxHamming blocks, so
-    * with `bands ≥ maxHamming + 1` at least one block matches EXACTLY.
-    * Candidates therefore come from an equi-join on (band_idx, band_bits)
-    * — no all-pairs anywhere, recall 100% — and are verified with the
-    * true popcount. Default 16 bands of 4 bits suits maxHamming ≤ 15;
-    * fewer, wider bands prune harder for smaller maxHamming. */
+    * Pigeonhole: split the [[SimhashBits]]-bit key into `bands` equal
+    * bit-blocks; a pair with hamming ≤ maxHamming differs in ≤ maxHamming
+    * blocks, so with `bands ≥ maxHamming + 1` at least one block matches
+    * EXACTLY. Candidates therefore come from an equi-join on (band_idx,
+    * band_bits) — no all-pairs anywhere, recall 100% — and are verified
+    * with the true popcount. Default 15 bands of 4 bits suits
+    * maxHamming ≤ 14; fewer, wider bands prune harder for smaller
+    * maxHamming. */
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12, bands: Int = 16): DataFrame = {
+      maxHamming: Int = 12, bands: Int = 15): DataFrame = {
     require(bands > maxHamming, s"need bands > maxHamming for exact recall")
-    require(64 % bands == 0, s"bands must divide 64")
-    val width = 64 / bands
+    require(SimhashBits % bands == 0, s"bands must divide $SimhashBits")
+    val width = SimhashBits / bands
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val h = docs.repartition(np)
-      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
     val banded = h.select(col("id"), col("sh"), posexplode(
         array((0 until bands).map(b =>
           shiftrightunsigned(col("sh"), b * width)

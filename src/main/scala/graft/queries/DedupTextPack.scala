@@ -9,8 +9,8 @@ import graft.operators.{Dedup, TextAnalysis}
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine)
   * and text analysis (quality, tokens, fingerprint, language-ID).
-  * MinHash is md5-based so even the LSH banding is reproduced exactly by
-  * the DuckDB oracle; SimHash (xxhash64) is rows-only + spec-tested. */
+  * MinHash and SimHash are md5-based so even the LSH banding and the
+  * per-bit vote math are reproduced exactly by the DuckDB oracle. */
 object DedupTextPack extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -41,11 +41,11 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash fingerprints (xxhash64 — no DuckDB twin; near-dup pair
-    // variant is spec-tested in DedupSpec).
+    // SimHash fingerprints (md5-derived 60-bit hash — bit-exact DuckDB
+    // twin below; the near-dup pair variant is spec-tested in DedupAnnSpec).
     "dd_simhash" -> ((s, dir) => {
       docs(s, dir)
-        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -112,11 +112,15 @@ object DedupTextPack extends QueryPack {
         |  list_transform(range(1, len(w)-1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
         |  FROM base),
+        |-- len(shingles) > 0 mirrors Spark's explode dropping sub-shingle
+        |-- (<3-token) docs; without it the all-NULL signatures of short
+        |-- docs hash to one shared bucket key here but never in Spark
         |sigs AS (SELECT doc_id, wset,
         |  list_transform(range(0,12),
         |    s -> list_min(list_transform(shingles,
-        |      g -> (('0x' || substr(md5(s || ':' || g), 1, 15))::BIGINT)))) AS sig
-        |  FROM sh),
+        |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
+        |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
+        |  FROM sh WHERE len(shingles) > 0),
         |buckets AS (
         |  SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
         |  FROM sigs, range(0,4) t(b)),
@@ -132,6 +136,18 @@ object DedupTextPack extends QueryPack {
         |             JOIN sigs y ON cands.id_b = y.doc_id)
         |WHERE jac >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_simhash" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,60), i ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "dd_embed_pairs" ->
       """WITH pairs AS (
