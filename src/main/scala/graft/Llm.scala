@@ -57,6 +57,8 @@ trait LlmClient extends Serializable {
   * L2 value→operator prompts, `/root/reference/nl_targeting.py:64-68`). */
 class StubLlm extends LlmClient {
   def complete(system: String, user: String): String = system match {
+    case s if s.contains("키워드를 추출") => // L1: request → targeting triples
+      TripleExtract.bracketFormat(user)
     case s if s.contains("expand") => // L5: 5 query expansions
       (1 to 5).map(i => s"$user 확장$i").mkString("!!!!")
     case s if s.contains("paraphrase") => // L4: 3 NL paraphrases
@@ -71,6 +73,35 @@ class StubLlm extends LlmClient {
       // so keep-all is the neutral deterministic refinement)
       user.split("Conditiion : ").last
     case _ => user
+  }
+}
+
+/** JVM twin of [[graft.operators.NlTargeting.extractTriples]]'s stub L1
+  * grammar (spec-checked equal) — the triple-extraction form [[StubLlm]]
+  * serves at the chat boundary. Output follows the reference's L1 contract
+  * (`/root/reference/nl_targeting.py:8-27`): the bracket list
+  * `[{속성:a,논리:p,값:v},…]`, one entry per recognized
+  * `<attr>이/가 <value>` clause, polarity 부정 when the clause carries an
+  * 아닌 marker, and spaces inside values replaced with `_` (output rule 4). */
+object TripleExtract {
+  /** The deterministic attribute lexicon of the stub — the fixture's four
+    * condition names (a production LLM extracts attributes freely; the
+    * stub recognizes exactly the conditions the fixture index carries). */
+  val DefaultAttrs: Seq[String] =
+    Seq("세그먼트", "우선순위", "구매금액", "주문일자")
+
+  def bracketFormat(request: String,
+      attrs: Seq[String] = DefaultAttrs): String = {
+    val p = graft.operators.NlTargeting.triplePattern(attrs).r
+    val entries = p.findAllMatchIn(request).map { m =>
+      val value = m.group(2) +
+        (if (m.group(3) != null) " " + m.group(3)
+         else if (m.group(4) != null) " ~ " + m.group(4)
+         else "")
+      val polarity = if (m.group(5) != null) "부정" else "긍정"
+      s"{속성:${m.group(1)},논리:$polarity,값:${value.replace(' ', '_')}}"
+    }
+    entries.mkString("[", ",", "]")
   }
 }
 

@@ -20,6 +20,64 @@ import graft.{Graft, IndexBuild, Embeddings}
   */
 object NlTargeting {
 
+  /** The L1 system prompt (stub-routed on its 키워드를 추출 marker), after
+    * the reference's extraction prompt
+    * (`/root/reference/nl_targeting.py:9-27`). */
+  val L1Prompt: String =
+    "아래 요청문장에서 타겟팅이 가능한 키워드를 추출하라. " +
+      "출력형식: [{속성:키워드,논리:논리값,값:키워드값}] " +
+      "논리값은 긍정/부정, 모든 띄어쓰기는 '_'로 변환하라."
+
+  /** L1 clause grammar, shared verbatim by the codegen'd column extraction
+    * ([[extractTriples]]), the chat-boundary twin
+    * ([[graft.TripleExtract]]), and the DuckDB oracle (Java regex and RE2
+    * both accept it). One match per `<attr>이/가 <value>` clause, with:
+    * group 2 = the value token, group 3 = an optional comparison particle
+    * (이상/이하/초과/미만/넘는/이후/이전 — kept, it feeds the L2 operator
+    * normalization), group 4 = an optional range end (`~`/부터 … [까지]),
+    * group 5 = the 아닌 negation marker (polarity 부정). */
+  def triplePattern(attrs: Seq[String]): String =
+    "(" + attrs.mkString("|") + ")[이가]\\s+(\\S+)" +
+      "(?:\\s+(이상|이하|초과|미만|넘는|이후|이전)" +
+      "|\\s*(?:~|부터)\\s+(\\S+)(?:\\s+까지)?)?" +
+      "((?:\\s+이)?\\s+아닌)?"
+
+  /** L1 as a relational operator: extract (attr, polarity, value) triples
+    * from a free-text request COLUMN. Pure codegen'd regexp work — at scale
+    * this runs over millions of requests with no LLM in the loop (the stub
+    * grammar; a production deployment swaps [[graft.LlmClient]] in via
+    * [[parseTriples]] over the LLM's bracket output instead). */
+  def extractTriples(requests: DataFrame, reqCol: String,
+      attrs: Seq[String] = graft.TripleExtract.DefaultAttrs): DataFrame = {
+    val p = triplePattern(attrs)
+    requests
+      .select(explode(regexp_extract_all(col(reqCol), lit(p), lit(0))).as("m"))
+      .select(
+        regexp_extract(col("m"), p, 1).as("attr"),
+        when(regexp_extract(col("m"), p, 5) =!= "", "부정")
+          .otherwise("긍정").as("polarity"),
+        concat(regexp_extract(col("m"), p, 2),
+          when(regexp_extract(col("m"), p, 3) =!= "",
+            concat(lit(" "), regexp_extract(col("m"), p, 3)))
+            .when(regexp_extract(col("m"), p, 4) =!= "",
+              concat(lit(" ~ "), regexp_extract(col("m"), p, 4)))
+            .otherwise(lit(""))).as("value"))
+  }
+
+  /** Parse the L1 chat contract (`[{속성:a,논리:p,값:v},…]`, `_` for
+    * spaces — `/root/reference/nl_targeting.py:24-27,46`) back into triple
+    * rows. Column-expression regexp only, so the parse itself is
+    * distributed and oracle-reproducible. */
+  def parseTriples(bracketOutput: DataFrame, colName: String): DataFrame = {
+    val bp = "\\{속성:([^,]+),논리:([^,]+),값:([^}]+)\\}"
+    bracketOutput
+      .select(explode(regexp_extract_all(col(colName), lit(bp), lit(0))).as("m"))
+      .select(
+        regexp_extract(col("m"), bp, 1).as("attr"),
+        regexp_extract(col("m"), bp, 2).as("polarity"),
+        translate(regexp_extract(col("m"), bp, 3), "_", " ").as("value"))
+  }
+
   /** F7: query sentence per triple — positive/negative particle templating
     * (`/root/reference/nl_targeting.py:48-53`). */
   def querySentence(attr: org.apache.spark.sql.Column,

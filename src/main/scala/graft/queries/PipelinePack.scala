@@ -130,6 +130,22 @@ object PipelinePack extends QueryPack {
         .orderBy(col("attr"), col("polarity"))
     }),
 
+    // E2 FRONT DOOR: raw Korean request → L1 triple extraction (stub chat
+    // call, /root/reference/nl_targeting.py:8-46) → bracket-contract parse
+    // → condition search → polarity subtraction. The whole reference
+    // pipeline from the user's first input in one flow.
+    "nl_target_from_text" -> ((s, dir) => {
+      Graft.init(s)
+      val raw = new StubLlm().complete(NlTargeting.L1Prompt, Request)
+      val triples = NlTargeting.parseTriples(
+        s.createDataFrame(Seq(Tuple1(raw))).toDF("llm_out"), "llm_out")
+      NlTargeting.targetCodes(triples, IndexBuild.conditionIndex(s, dir),
+          floor = 0.99)
+        .select(col("attr"), col("polarity"),
+          concat_ws(",", col("codes")).as("codes"))
+        .orderBy(col("attr"), col("polarity"))
+    }),
+
     // E1 front half on the BUILT index with stub-LLM query expansion
     // (L5 grammar, /root/reference/camp_vec_rcmn.py:11-38).
     "rcmn_top5_built_index" -> ((s, dir) => {
@@ -146,6 +162,13 @@ object PipelinePack extends QueryPack {
         CampaignRecommend.NQueries, CampaignRecommend.TopN)
     })
   )
+
+  /** The fixture NL request for the E2 front door: one coded positive, one
+    * amount with a comparison particle, one coded negation, one date range. */
+  private val Request: String =
+    "세그먼트가 BUILDING 인 고객 중 구매금액이 100만원 넘는 사람들, " +
+      "우선순위가 1-URGENT 이 아닌, 주문일자가 19950101 부터 19961231 까지 인 " +
+      "고객 찾아줘"
 
   /** DuckDB twin of [[graft.Embeddings.embedCol]] for key column `k`. */
   private def embSql(k: String): String =
@@ -169,34 +192,12 @@ object PipelinePack extends QueryPack {
       |  FROM part LEFT JOIN offers o ON p_partkey = o.l_partkey
       |  WHERE p_partkey % 2 = 0)""".stripMargin
 
-  override def oracle: Map[String, String] = Map(
-    "ix_campaign_index" ->
-      s"""WITH $campSql
-         |SELECT camp_id, camp_sentence, 64 AS vec_dim
-         |FROM camp ORDER BY camp_id""".stripMargin,
-
-    "ix_condition_index" ->
-      """WITH base AS (
-        |  SELECT DISTINCT '세그먼트' AS cond_nm, c_mktsegment AS code_nm FROM customer
-        |  UNION ALL SELECT DISTINCT '우선순위', o_orderpriority FROM orders
-        |  UNION ALL SELECT * FROM (VALUES ('구매금액',''), ('주문일자',''))),
-        |x AS (SELECT cond_nm, code_nm, unnest(range(1,4)) AS seq FROM base)
-        |SELECT concat_ws('_', cond_nm, code_nm, seq) AS cond_id,
-        |  cond_nm, code_nm,
-        |  printf('%s이(가) %s 인것 표현%d', cond_nm, code_nm, seq) AS cond_desc,
-        |  64 AS vec_dim
-        |FROM x ORDER BY cond_id""".stripMargin,
-
-    "nl_target_codes" ->
-      s"""WITH triples(attr, polarity, value) AS (VALUES
-         |  ('세그먼트','긍정','BUILDING'),
-         |  ('세그먼트','긍정','MACHINERY'),
-         |  ('세그먼트','부정','BUILDING'),
-         |  ('우선순위','긍정','1-URGENT'),
-         |  ('구매금액','긍정','100만원 이상'),
-         |  ('구매금액','긍정','19950101'),
-         |  ('주문일자','긍정','19950101 ~ 19961231'),
-         |  ('주문일자','부정','19970615 이후')),
+  /** E2 oracle body downstream of a `triples(attr, polarity, value)` CTE
+    * — shared by nl_target_codes (literal triple rows) and
+    * nl_target_from_text (triples extracted from the raw request by the
+    * L1 grammar: both front doors must land on identical code sets). */
+  private def nlCodesSql(triplesCte: String): String =
+    s"""WITH $triplesCte,
          |conds AS (
          |  SELECT DISTINCT '세그먼트' AS cond_nm, c_mktsegment AS code_nm, 'string' AS cond_type FROM customer
          |  UNION ALL SELECT DISTINCT '우선순위', o_orderpriority, 'string' FROM orders
@@ -268,7 +269,59 @@ object PipelinePack extends QueryPack {
          |  SELECT attr, '부정', neg_codes FROM neg)
          |SELECT attr, polarity, array_to_string(codes, ',') AS codes
          |FROM subbed WHERE len(codes) > 0
-         |ORDER BY attr, polarity""".stripMargin,
+         |ORDER BY attr, polarity""".stripMargin
+
+  /** The L1 extraction as DuckDB CTEs over the literal [[Request]] —
+    * the same [[graft.operators.NlTargeting.triplePattern]] regex the
+    * Spark side compiles (RE2 and java.util.regex agree on it). */
+  private def nlExtractCte: String = {
+    val p = graft.operators.NlTargeting.triplePattern(
+      graft.TripleExtract.DefaultAttrs)
+    s"""req(s) AS (VALUES ('$Request')),
+       |m AS (SELECT unnest(regexp_extract_all(s, '$p')) AS m FROM req),
+       |triples AS (
+       |  SELECT regexp_extract(m, '$p', 1) AS attr,
+       |    CASE WHEN regexp_extract(m, '$p', 5) <> '' THEN '부정'
+       |         ELSE '긍정' END AS polarity,
+       |    regexp_extract(m, '$p', 2) ||
+       |      CASE WHEN regexp_extract(m, '$p', 3) <> ''
+       |             THEN ' ' || regexp_extract(m, '$p', 3)
+       |           WHEN regexp_extract(m, '$p', 4) <> ''
+       |             THEN ' ~ ' || regexp_extract(m, '$p', 4)
+       |           ELSE '' END AS value
+       |  FROM m)""".stripMargin
+  }
+
+  override def oracle: Map[String, String] = Map(
+    "ix_campaign_index" ->
+      s"""WITH $campSql
+         |SELECT camp_id, camp_sentence, 64 AS vec_dim
+         |FROM camp ORDER BY camp_id""".stripMargin,
+
+    "ix_condition_index" ->
+      """WITH base AS (
+        |  SELECT DISTINCT '세그먼트' AS cond_nm, c_mktsegment AS code_nm FROM customer
+        |  UNION ALL SELECT DISTINCT '우선순위', o_orderpriority FROM orders
+        |  UNION ALL SELECT * FROM (VALUES ('구매금액',''), ('주문일자',''))),
+        |x AS (SELECT cond_nm, code_nm, unnest(range(1,4)) AS seq FROM base)
+        |SELECT concat_ws('_', cond_nm, code_nm, seq) AS cond_id,
+        |  cond_nm, code_nm,
+        |  printf('%s이(가) %s 인것 표현%d', cond_nm, code_nm, seq) AS cond_desc,
+        |  64 AS vec_dim
+        |FROM x ORDER BY cond_id""".stripMargin,
+
+    "nl_target_codes" -> nlCodesSql(
+      """triples(attr, polarity, value) AS (VALUES
+        |  ('세그먼트','긍정','BUILDING'),
+        |  ('세그먼트','긍정','MACHINERY'),
+        |  ('세그먼트','부정','BUILDING'),
+        |  ('우선순위','긍정','1-URGENT'),
+        |  ('구매금액','긍정','100만원 이상'),
+        |  ('구매금액','긍정','19950101'),
+        |  ('주문일자','긍정','19950101 ~ 19961231'),
+        |  ('주문일자','부정','19970615 이후'))""".stripMargin),
+
+    "nl_target_from_text" -> nlCodesSql(nlExtractCte),
 
     "rcmn_top5_built_index" ->
       s"""WITH $campSql,

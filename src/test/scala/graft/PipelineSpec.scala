@@ -144,4 +144,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap ==
       again.map(r => (r.getLong(0), r.getSeq[Float](1))).toMap)
   }
+
+  test("L1 triple extraction: clause grammar covers code, amount-particle, " +
+      "negation, and date-range forms") {
+    val req = "세그먼트가 BUILDING 인 고객 중 구매금액이 100만원 넘는 사람들, " +
+      "우선순위가 1-URGENT 이 아닌, 주문일자가 19950101 부터 19961231 까지 인 " +
+      "고객 찾아줘"
+    val got = NlTargeting.extractTriples(
+        spark.createDataFrame(Seq(Tuple1(req))).toDF("req"), "req")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("세그먼트", "긍정", "BUILDING"),
+      ("구매금액", "긍정", "100만원 넘는"),
+      ("우선순위", "부정", "1-URGENT"),
+      ("주문일자", "긍정", "19950101 ~ 19961231")))
+  }
+
+  test("L1 chat boundary: StubLlm bracket contract + parseTriples equals " +
+      "the direct column extraction") {
+    val req = "세그먼트가 MACHINERY 인 고객, 구매금액이 5000 이상, " +
+      "주문일자가 19970615 이후 인, 우선순위가 2-HIGH 이 아닌 고객"
+    val raw = new StubLlm().complete(NlTargeting.L1Prompt, req)
+    // the contract itself: bracket list, _ for spaces, 논리 in {긍정,부정}
+    assert(raw.startsWith("[{속성:") && raw.endsWith("}]"))
+    assert(raw.contains("값:5000_이상") && raw.contains("논리:부정"))
+    val viaChat = NlTargeting.parseTriples(
+        spark.createDataFrame(Seq(Tuple1(raw))).toDF("x"), "x")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val direct = NlTargeting.extractTriples(
+        spark.createDataFrame(Seq(Tuple1(req))).toDF("req"), "req")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(viaChat == direct && direct.size == 4)
+  }
 }
