@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Catalog utilities — the re-implementation of the reference's absent
@@ -34,6 +34,20 @@ object Catalog {
       fragment: String): Seq[(String, String)] =
     columnInventory(spark, sfDir)
       .filter(_._2.toLowerCase.contains(fragment.toLowerCase))
+
+  /** F15 as a column expression, the reference's driver-side loop form
+    * (`/root/reference/nl_targeting_save.py:41,52-56`): split PRMP_STRING
+    * on spaces, find the first token in {=, BETWEEN, IN, ::op::}, column
+    * name = the tokens strictly between the leading keyword and that
+    * operator (`' '.join(tokens[1:j])`). */
+  def columnFromPrmp(prmp: Column): Column = {
+    val toks = split(prmp, " ")
+    def posOf(op: String) =
+      when(array_position(toks, op) === 0, lit(Long.MaxValue))
+        .otherwise(array_position(toks, op))
+    val j = least(posOf("="), posOf("BETWEEN"), posOf("IN"), posOf("::op::"))
+    concat_ws(" ", slice(toks, lit(2), (j - 2).cast("int")))
+  }
 
   /** `refine_query(sql)` (`/root/reference/nl_targeting_save.py:75`): make
     * stored dimension SQL executable — strip comments, trailing

@@ -76,6 +76,130 @@ object IndexBuild {
       .withColumn("camp_vec", Embeddings.embedCol(col("camp_sentence"), dim))
   }
 
+  /** The four metadata tables of the reference's condition-index build
+    * (`/root/reference/nl_targeting_save.py:11-36`), as literal fixtures:
+    * query catalog, per-query prompt rows (JSON info carries label/input/
+    * field), the dimension routing table (DS rows carry their own code
+    * SQL; ML rows route through the hierarchy), and the versioned
+    * hierarchy whose LATEST `ml_seq` row per `ml_id` wins (J5). */
+  case class ConditionMeta(queryList: DataFrame, queryPrompt: DataFrame,
+      dimensionList: DataFrame, hierarchyList: DataFrame)
+
+  def metaFixture(spark: SparkSession): ConditionMeta = {
+    val ql = spark.createDataFrame(Seq(
+      ("Q1", "SELECT c_custkey, c_mktsegment FROM customer"),
+      ("Q2", "SELECT o_custkey, o_orderpriority, o_totalprice, o_orderdate FROM orders")
+    )).toDF("qry_id", "qry_meta")
+    val qp = spark.createDataFrame(Seq(
+      ("Q1", "seg", "AND c_mktsegment = ::op::",
+        """{"label":{"kr":"세그먼트"},"input":"select","values":[]}"""),
+      ("Q2", "prio", "AND o_orderpriority IN ::op::",
+        """{"label":{"kr":"우선순위"},"input":"select","values":[]}"""),
+      ("Q2", "amount", "AND o_totalprice = ::op::",
+        """{"label":{"kr":"구매금액"},"input":"text","field":"o_totalprice"}"""),
+      ("Q2", "odate", "AND o_orderdate = ::op::",
+        """{"label":{"kr":"주문일자"},"input":"datePopup","field":"o_orderdate"}"""),
+      ("Q1", "legacy", "AND c_name = ::op::", null) // filtered: NULL json
+    )).toDF("qry_id", "prmp_kwd", "prmp_string", "prmp_json_info")
+    val dl = spark.createDataFrame(Seq(
+      ("seg", "DS", "QUADMAX_SDZ",
+        "/* seg codes */ SELECT c_mktsegment AS code, c_mktsegment AS code_nm " +
+          "FROM customer GROUP BY c_mktsegment ;"),
+      ("prio", "ML", "ML01", null)
+    )).toDF("prmp_kwd", "ml_ds_div_cd", "dbms_id", "ds_sql")
+    val hl = spark.createDataFrame(Seq(
+      ("ML01", 1, "QUADMAX_SDZ", "SELECT 'OLD' AS code, 'OLD' AS code_nm"),
+      ("ML01", 2, "QUADMAX_SDZ",
+        "-- latest\nSELECT o_orderpriority AS code, o_orderpriority AS code_nm " +
+          "FROM orders GROUP BY o_orderpriority ;")
+    )).toDF("ml_id", "ml_seq", "ml_dbms_id", "ml_qry")
+    ConditionMeta(ql, qp, dl, hl)
+  }
+
+  /** The condition index composed the reference's way
+    * (`/root/reference/nl_targeting_save.py:11-104`): 4-way metadata join
+    * (inner prompt, left dimension, left latest-hierarchy) + NULL-json
+    * filter, JSON label/input/field extraction, F15 operator scan for
+    * field-less prompts, table resolution from the query catalog ∩ column
+    * inventory, per-dimension stored-SQL code resolution, then the L4
+    * paraphrase ×3 + embed tail. Output = the 9-column INSERT shape with
+    * the reference's 4-part COND_ID `{nm}_{code}_{code_nm}_{seq}`
+    * (`nl_targeting_save.py:133-136`).
+    *
+    * The stored-SQL step collects the METADATA rows (bounded by catalog
+    * size, same driver boundary as the reference's per-dimension cursor
+    * loop) and runs each dimension SQL as a distributed Spark job; the
+    * data-sized work — code scans, paraphrase explode, embedding — never
+    * touches the driver. */
+  def conditionIndexFromMeta(spark: SparkSession, dir: String,
+      meta: ConditionMeta, dim: Int = 64): DataFrame = {
+    // J5 latest-seq via max_by: one partial-aggregable pass, no window.
+    val latest = meta.hierarchyList.groupBy(col("ml_id"))
+      .agg(max_by(struct(col("ml_dbms_id"), col("ml_qry")), col("ml_seq")).as("d"))
+      .select(col("ml_id"), col("d.ml_dbms_id").as("ml_dbms_id"),
+        col("d.ml_qry").as("ml_qry"))
+    val joined = meta.queryList
+      .join(meta.queryPrompt, Seq("qry_id")) // J1
+      .join(broadcast(meta.dimensionList), Seq("prmp_kwd"), "left_outer") // J2
+      .join(broadcast(latest), col("dbms_id") === col("ml_id"), "left_outer")
+      .filter(col("prmp_json_info").isNotNull) // P4
+      .select(col("qry_meta"), col("prmp_string"),
+        get_json_object(col("prmp_json_info"), "$.label.kr").as("cond_nm"),
+        get_json_object(col("prmp_json_info"), "$.input").as("input"),
+        get_json_object(col("prmp_json_info"), "$.field").as("field"),
+        when(col("ml_ds_div_cd") === "DS", col("ds_sql"))
+          .otherwise(col("ml_qry")).as("sql_qry"))
+      .withColumn("column_nm",
+        coalesce(col("field"), Catalog.columnFromPrmp(col("prmp_string"))))
+    // Table resolution (table_search ∩ column_search): a broadcast join
+    // against the (table, column) inventory — the inventory is schema
+    // metadata, bounded, and the join is the relational form of the
+    // reference's per-row dict lookups.
+    val inv = spark.createDataFrame(Catalog.columnInventory(spark, dir))
+      .toDF("inv_table", "inv_col")
+    val withTables = joined
+      .join(broadcast(inv),
+        col("inv_col").contains(col("column_nm")) &&
+          array_contains(split(col("qry_meta"), "[^A-Za-z0-9_]+"), col("inv_col")),
+        "left_outer")
+      .groupBy(col("cond_nm"), col("input"), col("column_nm"), col("sql_qry"))
+      .agg(concat_ws(",", array_sort(collect_set(
+        concat_ws(" ", col("inv_table"), col("inv_col"))))).as("table_nm"))
+    // Value-typed conditions need no codes; coded ones resolve theirs by
+    // executing the routed dimension SQL (stored-SQL S4 boundary).
+    val valueRows = withTables.filter(col("input").isin("text", "datePopup"))
+      .select(col("cond_nm"), lit("").as("code"), lit("").as("code_nm"),
+        when(col("input") === "text", "integer").otherwise("datePopup")
+          .as("cond_type"),
+        col("column_nm"), col("table_nm"))
+    Tables.registerAll(spark, dir)
+    val codedMeta = withTables
+      .filter(col("input") === "select" && col("sql_qry").isNotNull)
+      .select("cond_nm", "column_nm", "table_nm", "sql_qry").collect()
+    val codedRows = codedMeta.map { r =>
+      spark.sql(Catalog.refineQuery(r.getString(3))).toDF("code", "code_nm")
+        .select(lit(r.getString(0)).as("cond_nm"),
+          col("code").cast("string"), col("code_nm").cast("string"),
+          lit("string").as("cond_type"),
+          lit(r.getString(1)).as("column_nm"), lit(r.getString(2)).as("table_nm"))
+    }.reduceOption(_ unionAll _)
+    val rows = codedRows.fold(valueRows)(valueRows.unionAll)
+    rows
+      .withColumn("seq", explode(sequence(lit(1), lit(3))))
+      .withColumn("cond_desc",
+        format_string("%s이(가) %s 인것 표현%d",
+          col("cond_nm"), col("code_nm"), col("seq")))
+      .withColumn("cond_id", concat_ws("_",
+        col("cond_nm"), col("code"), col("code_nm"), col("seq")))
+      .withColumn("cond_vec",
+        Embeddings.embedCol(
+          when(col("code_nm") === "", col("cond_nm"))
+            .otherwise(concat_ws(":", col("cond_nm"), col("code_nm"))), dim))
+      .select(col("cond_id"), col("cond_nm"), col("code"), col("code_nm"),
+        col("cond_type"), col("column_nm"), col("table_nm"), col("cond_desc"),
+        col("cond_vec"))
+  }
+
   /** Condition vector index: one row per (condition, code, paraphrase-seq),
     * COND_ID = "{nm}_{code}_{seq}" (`nl_targeting_save.py:133-136`). The 3
     * paraphrases are the stub-L4 grammar: deterministic suffixed variants.

@@ -94,6 +94,35 @@ object Ann {
       .drop("rn")
   }
 
+  /** Recall-at-k of an ANN result against the exact top-k, as one
+    * driver-checkable gate row per query: `(qid, exact_top1, recall_ok)`.
+    *
+    * MLlib's random hyperplanes are engine-specific, so an LSH result can
+    * never bit-match a DuckDB oracle; what CAN be checked relationally is
+    * (a) the exact-KNN side (top-1 neighbor re-derived independently) and
+    * (b) that the ANN result covers ≥ `minRecall` of the true top-k — the
+    * quantity that actually certifies an ANN index. A recall dip below the
+    * floor flips `recall_ok` to false and fails the row hash.
+    *
+    * @param exact [[Knn.topKPerQuery]] shape: (qid, idCol, simil)
+    * @param ann   ANN candidates: (qid, idCol, …)
+    */
+  def recallVsExact(exact: DataFrame, ann: DataFrame, k: Int,
+      minRecall: Double, idCol: String = "vec_id"): DataFrame = {
+    val hits = exact
+      .join(ann.select(col("qid"), col(idCol)), Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    // top-1 via max_by, not a window: one partial-aggregable pass, and the
+    // (simil, -id) struct reproduces the ORDER BY simil DESC, id tie-break
+    val top1 = exact.groupBy(col("qid"))
+      .agg(max_by(col(idCol), struct(col("simil"), -col(idCol)))
+        .as("exact_top1"))
+    top1.join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("exact_top1"),
+        (coalesce(col("n_hit"), lit(0L)) >=
+          math.ceil(minRecall * k).toLong).as("recall_ok"))
+  }
+
   /** Fit an MLlib LSH model over the embedding column (converted to ml
     * Vector at this boundary only, per SURVEY §1.2). */
   def lshModel(emb: DataFrame, vecCol: String = "embedding",

@@ -99,6 +99,42 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Corpus statistic behind [[jaccardPairs]]'s `"auto"` strategy: the
+    * normalized second moment of the per-(block, word) document frequency,
+    * κ = V·Σdf² / (Σdf)², where V = #distinct (block, word) pairs. κ is
+    * scale-invariant in corpus size and ≈1 when every word is equally hot
+    * (the uniform-df regime where cooccur's one join + one agg wins);
+    * under a Zipfian tail the hot ranks dominate Σdf² and κ grows without
+    * bound — exactly the df² blowup that degenerates cooccur's join, while
+    * prefix work stays bounded at `(1−minJ)·sz + 1` rare words per doc.
+    *
+    * Cost: one explode + one partial-agg pass. At 100 TB pass
+    * `probeFraction` ≪ 1 — a doc-hash sample scales df by the fraction and
+    * κ is ratio-normalized, so the estimate is stable. */
+  def dfSkew(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, probeFraction: Double = 1.0): Double = {
+    val base =
+      if (probeFraction >= 1.0) docs
+      else docs.where(pmod(xxhash64(col(idCol)), lit(1000000)) <
+        lit((probeFraction * 1000000).toLong))
+    val r = base
+      .select(col(blockCol).as("block"),
+        explode(array_distinct(tokens(col(textCol)))).as("word"))
+      .groupBy(col("block"), col("word")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df")).cast("double").as("s2"),
+        sum(col("df")).cast("double").as("s1"),
+        count(lit(1)).cast("double").as("v"))
+      .head()
+    val (s2, s1, v) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    if (s1 == 0.0) 1.0 else v * s2 / (s1 * s1)
+  }
+
+  /** κ above which `"auto"` routes to the prefix strategy. Calibrated on
+    * the two measured corpora (fixture κ ≈ 1, synthetic Zipf κ ≫ 1, see
+    * JaccardProbe): the geometric middle leaves an order of magnitude of
+    * slack on each side. */
+  val SkewThreshold: Double = 3.0
+
   /** All-pairs set-similarity. Two EXACT strategies (identical output;
     * both candidate sets are supersets of the qualifying pairs, and
     * verification computes the true Jaccard):
@@ -122,13 +158,23 @@ object Dedup {
     * ArrayIntersect, ~0.5 ms/pair) dominates. On a Zipfian large-vocab
     * corpus the ranking flips: cooccur's hot-word join key degenerates
     * quadratically (df² rows through one shuffle) while prefix work is
-    * bounded by `(1−minJ)·sz + 1` rare words per document. Callers at
-    * 100 TB text scale should pass `strategy = "prefix"`. */
+    * bounded by `(1−minJ)·sz + 1` rare words per document.
+    *
+    * `"auto"` (the default) measures the corpus instead of trusting the
+    * caller: one cheap [[dfSkew]] pass routes uniform-df corpora to
+    * cooccur and Zipfian ones to prefix (κ vs [[SkewThreshold]]). At
+    * 100 TB, run the probe on a sample via `probeFraction`. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJ: Double,
-      strategy: String = "cooccur"): DataFrame = {
+      strategy: String = "auto", probeFraction: Double = 1.0): DataFrame = {
     val spark = docs.sparkSession
     val np = spark.sparkContext.defaultParallelism
+    val chosen =
+      if (strategy == "auto") {
+        if (dfSkew(docs, idCol, textCol, blockCol, probeFraction) >
+          SkewThreshold) "prefix"
+        else "cooccur"
+      } else strategy
     val base = docs
       .repartition(np)
       .select(col(idCol).as("id"), col(blockCol).as("block"),
@@ -137,7 +183,7 @@ object Dedup {
     val words = base.select(col("id"), col("block"), col("sz"),
       explode(col("w")).as("word"))
 
-    if (strategy == "prefix") {
+    if (chosen == "prefix") {
       val dfreq = words.groupBy(col("block"), col("word"))
         .agg(count(lit(1)).as("df"))
       val rankW = Window.partitionBy(col("block"), col("id"))

@@ -26,27 +26,39 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
-    // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors —
-    // the scale path (no driver-side per-query loop).
+    // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors — the
+    // scale path (no driver-side per-query loop) — graded as recall vs the
+    // relational exact top-10 (the oracle-checkable form of an ANN result).
     "ann_lsh_join" -> ((s, dir) => {
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Ann.lshBatchTopK(e.filter(col("vec_id") >= 5), qs, k = 10)
-        .select(col("qid"), col("vec_id"), round(col("dist"), 4).as("dist"))
-        .orderBy(col("qid"), col("dist"), col("vec_id"))
+      val base = e.filter(col("vec_id") >= 5)
+      Ann.recallVsExact(
+          Knn.topKPerQuery(base, qs, k = 10),
+          Ann.lshBatchTopK(base, qs, k = 10),
+          k = 10, minRecall = 0.5)
+        .orderBy(col("qid"))
     }),
 
-    // MLlib BucketedRandomProjectionLSH approxNearestNeighbors (euclidean).
+    // MLlib BucketedRandomProjectionLSH approxNearestNeighbors — the
+    // single-key API (driver-side .head is the MLlib contract; the batch
+    // path above is the scale form), graded as recall vs exact.
     "ann_lsh_topk" -> ((s, dir) => {
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
       val (model, withVec) = Ann.lshModel(e)
       val key = Vectors.dense(
         e.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toArray)
-      model.approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
-        .select(col("vec_id"), round(col("distCol"), 4).as("dist"))
+      val ann = model
+        .approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      Ann.recallVsExact(
+        Knn.topKPerQuery(e.filter(col("vec_id") =!= 0), q, k = 10),
+        ann, k = 10, minRecall = 0.5)
     })
   )
 
@@ -72,6 +84,34 @@ object AnnPack extends QueryPack {
         |  FROM asg CROSS JOIN q
         |  ORDER BY s DESC, vec_id LIMIT 10)
         |SELECT vec_id, round(s, 4) AS simil FROM topk
-        |ORDER BY simil DESC, vec_id""".stripMargin
+        |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // The oracle re-derives the exact top-1 neighbor per query and asserts
+    // the recall gate held (recall_ok must come back true from Spark —
+    // a dip below the floor breaks the row hash).
+    "ann_lsh_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 5)
+        |SELECT qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    "ann_lsh_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin
   )
 }

@@ -130,6 +130,19 @@ object PipelinePack extends QueryPack {
         .orderBy(col("attr"), col("polarity"))
     }),
 
+    // E3 condition index composed the reference's way: 4-way metadata join
+    // (inner prompt, left dimension, left latest-ML_SEQ hierarchy) + F15
+    // operator scan + catalog table resolution + stored-SQL code
+    // resolution + paraphrase/embed tail, as ONE flow
+    // (/root/reference/nl_targeting_save.py:11-104).
+    "ix_condition_meta" -> ((s, dir) => {
+      IndexBuild.conditionIndexFromMeta(s, dir, IndexBuild.metaFixture(s))
+        .select(col("cond_id"), col("cond_nm"), col("code"), col("code_nm"),
+          col("cond_type"), col("column_nm"), col("table_nm"), col("cond_desc"),
+          size(col("cond_vec")).as("vec_dim"))
+        .orderBy(col("cond_id"))
+    }),
+
     // E2 FRONT DOOR: raw Korean request → L1 triple extraction (stub chat
     // call, /root/reference/nl_targeting.py:8-46) → bracket-contract parse
     // → condition search → polarity subtraction. The whole reference
@@ -306,6 +319,95 @@ object PipelinePack extends QueryPack {
         |x AS (SELECT cond_nm, code_nm, unnest(range(1,4)) AS seq FROM base)
         |SELECT concat_ws('_', cond_nm, code_nm, seq) AS cond_id,
         |  cond_nm, code_nm,
+        |  printf('%s이(가) %s 인것 표현%d', cond_nm, code_nm, seq) AS cond_desc,
+        |  64 AS vec_dim
+        |FROM x ORDER BY cond_id""".stripMargin,
+
+    // The metadata join, latest-seq resolution, F15 scan, and catalog
+    // table resolution are replayed relationally; the two stored dimension
+    // SQLs are inlined in the `codes` CTE (dynamic SQL execution is the
+    // driver-side S4 boundary in both engines) — the 우선순위 codes MUST be
+    // the latest hierarchy row's output, so a broken latest-seq window
+    // would surface as OLD rows here.
+    "ix_condition_meta" ->
+      """WITH ql(qry_id, qry_meta) AS (VALUES
+        |  ('Q1', 'SELECT c_custkey, c_mktsegment FROM customer'),
+        |  ('Q2', 'SELECT o_custkey, o_orderpriority, o_totalprice, o_orderdate FROM orders')),
+        |qp(qry_id, prmp_kwd, prmp_string, prmp_json_info) AS (VALUES
+        |  ('Q1', 'seg', 'AND c_mktsegment = ::op::',
+        |    '{"label":{"kr":"세그먼트"},"input":"select","values":[]}'),
+        |  ('Q2', 'prio', 'AND o_orderpriority IN ::op::',
+        |    '{"label":{"kr":"우선순위"},"input":"select","values":[]}'),
+        |  ('Q2', 'amount', 'AND o_totalprice = ::op::',
+        |    '{"label":{"kr":"구매금액"},"input":"text","field":"o_totalprice"}'),
+        |  ('Q2', 'odate', 'AND o_orderdate = ::op::',
+        |    '{"label":{"kr":"주문일자"},"input":"datePopup","field":"o_orderdate"}'),
+        |  ('Q1', 'legacy', 'AND c_name = ::op::', NULL)),
+        |dl(prmp_kwd, ml_ds_div_cd, dbms_id, ds_sql) AS (VALUES
+        |  ('seg', 'DS', 'QUADMAX_SDZ', 'SELECT 1'),
+        |  ('prio', 'ML', 'ML01', NULL)),
+        |hl(ml_id, ml_seq, ml_dbms_id, ml_qry) AS (VALUES
+        |  ('ML01', 1, 'QUADMAX_SDZ', 'SELECT 1 OLD'),
+        |  ('ML01', 2, 'QUADMAX_SDZ', 'SELECT 1 LATEST')),
+        |latest AS (
+        |  SELECT ml_id, ml_dbms_id, ml_qry FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ml_id
+        |      ORDER BY ml_seq DESC) AS rn FROM hl)
+        |  WHERE rn = 1),
+        |joined AS (
+        |  SELECT qry_meta, prmp_string,
+        |    regexp_extract(prmp_json_info, '"kr":"([^"]+)"', 1) AS cond_nm,
+        |    regexp_extract(prmp_json_info, '"input":"([^"]+)"', 1) AS input,
+        |    nullif(regexp_extract(prmp_json_info, '"field":"([^"]+)"', 1), '') AS field,
+        |    CASE WHEN dl.ml_ds_div_cd = 'DS' THEN dl.ds_sql
+        |         ELSE latest.ml_qry END AS sql_qry
+        |  FROM ql JOIN qp USING (qry_id)
+        |  LEFT JOIN dl USING (prmp_kwd)
+        |  LEFT JOIN latest ON dl.dbms_id = latest.ml_id
+        |  WHERE prmp_json_info IS NOT NULL),
+        |colnm AS (
+        |  SELECT *, coalesce(field, array_to_string(toks[2:j-1], ' ')) AS column_nm
+        |  FROM (
+        |    SELECT *,
+        |      least(
+        |        coalesce(nullif(list_position(toks, '='), 0), 9223372036854775807),
+        |        coalesce(nullif(list_position(toks, 'BETWEEN'), 0), 9223372036854775807),
+        |        coalesce(nullif(list_position(toks, 'IN'), 0), 9223372036854775807),
+        |        coalesce(nullif(list_position(toks, '::op::'), 0), 9223372036854775807)) AS j
+        |    FROM (SELECT *, string_split(prmp_string, ' ') AS toks FROM joined))),
+        |inv AS (
+        |  SELECT table_name AS inv_table, column_name AS inv_col
+        |  FROM information_schema.columns
+        |  WHERE table_name IN ('region','nation','customer','supplier','part',
+        |    'orders','lineitem','events','documents','embeddings')),
+        |with_tables AS (
+        |  SELECT cond_nm, input, column_nm, sql_qry,
+        |    coalesce(array_to_string(list_sort(
+        |      list(DISTINCT inv_table || ' ' || inv_col)), ','), '') AS table_nm
+        |  FROM colnm LEFT JOIN inv
+        |    ON contains(inv.inv_col, colnm.column_nm)
+        |   AND list_contains(string_split_regex(qry_meta, '[^A-Za-z0-9_]+'), inv_col)
+        |  GROUP BY cond_nm, input, column_nm, sql_qry),
+        |codes AS (
+        |  SELECT '세그먼트' AS cond_nm, c_mktsegment AS code, c_mktsegment AS code_nm
+        |  FROM customer GROUP BY c_mktsegment
+        |  UNION ALL
+        |  SELECT '우선순위', o_orderpriority, o_orderpriority
+        |  FROM orders GROUP BY o_orderpriority),
+        |coded AS (
+        |  SELECT w.cond_nm, c.code, c.code_nm, 'string' AS cond_type,
+        |    w.column_nm, w.table_nm
+        |  FROM with_tables w JOIN codes c ON w.cond_nm = c.cond_nm
+        |  WHERE w.input = 'select' AND w.sql_qry IS NOT NULL),
+        |valuer AS (
+        |  SELECT cond_nm, '' AS code, '' AS code_nm,
+        |    CASE WHEN input = 'text' THEN 'integer' ELSE 'datePopup' END AS cond_type,
+        |    column_nm, table_nm
+        |  FROM with_tables WHERE input IN ('text', 'datePopup')),
+        |all_rows AS (SELECT * FROM coded UNION ALL SELECT * FROM valuer),
+        |x AS (SELECT *, unnest(range(1,4)) AS seq FROM all_rows)
+        |SELECT concat_ws('_', cond_nm, code, code_nm, seq) AS cond_id,
+        |  cond_nm, code, code_nm, cond_type, column_nm, table_nm,
         |  printf('%s이(가) %s 인것 표현%d', cond_nm, code_nm, seq) AS cond_desc,
         |  64 AS vec_dim
         |FROM x ORDER BY cond_id""".stripMargin,

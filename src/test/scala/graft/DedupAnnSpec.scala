@@ -75,6 +75,29 @@ class DedupAnnSpec extends AnyFunSuite {
     val cooccur = run("cooccur")
     val prefix = run("prefix")
     assert(cooccur.nonEmpty && cooccur == prefix)
+    assert(run("auto") == cooccur) // auto is exact whichever way it routes
+  }
+
+  test("jaccard auto-strategy: dfSkew routes uniform-df to cooccur and " +
+      "a Zipfian corpus to prefix") {
+    val fixture = Tables.load(spark, TestSpark.sfDir, "documents")
+    val kFixture = Dedup.dfSkew(fixture, "doc_id", "text", "lang")
+    assert(kFixture < Dedup.SkewThreshold,
+      s"fixture skew $kFixture should route to cooccur")
+    // Zipfian synthetic: df ~ 1/rank via inverse-CDF over a large vocab —
+    // a few very hot words plus a long rare tail.
+    val zipf = spark.range(800).select(col("id").as("doc_id"),
+      lit("z").as("lang"),
+      concat_ws(" ", (0 until 30).map { j =>
+        concat(lit("w"), floor(pow(lit(20000.0),
+          pmod(xxhash64(col("id") * 1000 + j), lit(10000L)).cast("double")
+            / 10000.0)).cast("long"))
+      }: _*).as("text"))
+    val kZ = Dedup.dfSkew(zipf, "doc_id", "text", "lang")
+    assert(kZ > Dedup.SkewThreshold, s"zipf skew $kZ should route to prefix")
+    // sampled probe stays on the same side of the threshold
+    val kZs = Dedup.dfSkew(zipf, "doc_id", "text", "lang", probeFraction = 0.5)
+    assert(kZs > Dedup.SkewThreshold, s"sampled zipf skew $kZs")
   }
 
   test("IVF with all buckets probed equals exact brute force") {
