@@ -15,7 +15,8 @@ object SparkEntry {
     PipelinePack,
     DedupTextPack,
     AnnPack,
-    ParsingPack
+    ParsingPack,
+    MultimodalPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

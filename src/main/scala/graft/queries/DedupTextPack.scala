@@ -49,6 +49,16 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup PAIRS via exact pigeonhole banding (10 bands of 6
+    // bits, maxHamming 8 < bands ⇒ recall 1.0) — the unbounded-scale path.
+    // Banding is exact, so the oracle verifies with plain all-pairs
+    // hamming: identical output, independently derived.
+    "dd_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDupsBanded(docs(s, dir), "doc_id", "text",
+          maxHamming = 8, bands = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Embedding-cosine near-dup: top-3 most similar pairs per label block.
     "dd_embed_pairs" -> ((s, dir) => {
       Graft.init(s)
@@ -148,6 +158,23 @@ object DedupTextPack extends QueryPack {
         |      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
         |    THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents),
+        |sim AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0,60), i ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS s
+        |  FROM base)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s::BIT, b.s::BIT)) AS INTEGER) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s::BIT, b.s::BIT)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_embed_pairs" ->
       """WITH pairs AS (
