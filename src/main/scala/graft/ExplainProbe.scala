@@ -11,7 +11,9 @@ object ExplainProbe {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args(1).split(",").toSeq
       else Seq("q2_filter_pushdown", "q3_join_agg", "knn_topk", "knn_fusion",
-        "q22_recommend_audience", "dd_minhash_lsh", "dd_jaccard_pairs")
+        "q22_recommend_audience", "dd_minhash_lsh", "dd_jaccard_pairs",
+        "dd_simhash_pairs", "ix_condition_meta", "nl_target_from_text",
+        "ann_lsh_join", "mm_frame_plan")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
