@@ -386,6 +386,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair set — the step that turns
+    * PAIRS into duplicate GROUPS a dedup pipeline can act on (keep the
+    * representative, drop the rest). Min-label propagation: every node
+    * starts as its own representative and repeatedly takes the minimum
+    * over itself and its neighbors' labels; converges in
+    * graph-diameter rounds, and near-dup clusters are shallow (a dup
+    * cluster's diameter is small by construction — transitively-similar
+    * docs share bands). Each round is one shuffle join + one partial
+    * aggregation over the EDGE set only, so cost is O(diameter · |E|) —
+    * at web scale swap in the alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce", same join
+    * primitive, O(log n) rounds) if deep chains appear.
+    *
+    * @param pairs (id_a, id_b) near-dup pairs, any orientation
+    * @return (doc_id, cluster_rep) for every node that appears in a pair
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val np = pairs.sparkSession.sparkContext.defaultParallelism
+    val sym = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nb"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+      .repartition(np, col("id"))
+      .cache()
+    var lab = sym.select(col("id")).distinct()
+      .select(col("id"), col("id").as("rep")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbMin = sym.join(lab.toDF("nb", "rep"), Seq("nb"))
+        .groupBy(col("id")).agg(min(col("rep")).as("nbrep"))
+      val next = lab.join(nbMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nbrep"), col("rep"))).as("rep"))
+        .cache()
+      next.count() // materialize before dropping the parent cache
+      changed = next.join(lab.toDF("id", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).count()
+      lab.unpersist()
+      lab = next
+      i += 1
+    }
+    sym.unpersist()
+    lab.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold at scale:
     * candidates from MLlib random-projection LSH buckets (unit-norm
     * vectors: euclidean ≤ √(2−2·minCos) ⟺ cosine ≥ minCos), verified

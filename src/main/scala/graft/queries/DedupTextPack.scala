@@ -41,6 +41,25 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Exact dedup OUTPUT (not just stats): keep the smallest doc_id per
+    // identical text — one hash shuffle, the rows a pipeline would retain.
+    "dd_keep_first" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Near-dup GROUPS: connected components over the verified MinHash
+    // pairs (min-label propagation; recursive-CTE twin in the oracle) —
+    // the doc→representative mapping a dedup pipeline acts on.
+    "dd_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        k = 12, bands = 4, minJ = 0.6)
+      Dedup.duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash fingerprints (md5-derived 60-bit hash — bit-exact DuckDB
     // twin below; the near-dup pair variant is spec-tested in DedupAnnSpec).
     "dd_simhash" -> ((s, dir) => {
@@ -94,8 +113,55 @@ object DedupTextPack extends QueryPack {
     // Profile-based language-ID accuracy per true lang.
     "tx_langid" -> ((s, dir) => {
       TextAnalysis.langIdAccuracy(docs(s, dir), "doc_id", "lang", "text")
+    }),
+
+    // Corpus profiling: exact interpolated token-count percentiles per
+    // lang (Spark `percentile` ≡ DuckDB `quantile_cont`, both the
+    // standard linear interpolation).
+    "tx_lengths" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).as("n"))
+        .groupBy(col("lang"))
+        .agg(round(expr("percentile(n, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n, 0.9)"), 4).as("p90"),
+          max(col("n")).as("max_n"))
+        .orderBy(col("lang"))
     })
   )
+
+  /** The MinHash+LSH candidate/verify pipeline as DuckDB CTEs ending in
+    * `mh_pairs(id_a, id_b, jac)` — shared by dd_minhash_lsh and
+    * dd_clusters. `len(shingles) > 0` mirrors Spark's explode dropping
+    * sub-shingle (<3-token) docs; without it the all-NULL signatures of
+    * short docs hash to one shared bucket key here but never in Spark. */
+  private val minhashPairsCte: String =
+    """base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(w) AS wset,
+      |  list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+      |  FROM base),
+      |sigs AS (SELECT doc_id, wset,
+      |  list_transform(range(0,12),
+      |    s -> list_min(list_transform(shingles,
+      |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
+      |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
+      |  FROM sh WHERE len(shingles) > 0),
+      |buckets AS (
+      |  SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+      |  FROM sigs, range(0,4) t(b)),
+      |cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      |  FROM buckets a JOIN buckets bb
+      |    ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id),
+      |mh_pairs AS (
+      |  SELECT id_a, id_b, jac FROM (
+      |    SELECT id_a, id_b,
+      |      round(len(list_intersect(x.wset, y.wset))::DOUBLE /
+      |            len(list_distinct(list_cat(x.wset, y.wset))), 4) AS jac
+      |    FROM cands JOIN sigs x ON cands.id_a = x.doc_id
+      |               JOIN sigs y ON cands.id_b = y.doc_id)
+      |  WHERE jac >= 0.6)""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "dd_exact" ->
@@ -116,36 +182,37 @@ object DedupTextPack extends QueryPack {
         |ORDER BY lang, id_a, id_b""".stripMargin,
 
     "dd_minhash_lsh" ->
-      """WITH base AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(w) AS wset,
-        |  list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
-        |  FROM base),
-        |-- len(shingles) > 0 mirrors Spark's explode dropping sub-shingle
-        |-- (<3-token) docs; without it the all-NULL signatures of short
-        |-- docs hash to one shared bucket key here but never in Spark
-        |sigs AS (SELECT doc_id, wset,
-        |  list_transform(range(0,12),
-        |    s -> list_min(list_transform(shingles,
-        |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
-        |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
-        |  FROM sh WHERE len(shingles) > 0),
-        |buckets AS (
-        |  SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
-        |  FROM sigs, range(0,4) t(b)),
-        |cands AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-        |  FROM buckets a JOIN buckets bb
-        |    ON a.b = bb.b AND a.key = bb.key AND a.doc_id < bb.doc_id)
-        |SELECT id_a, id_b, jac FROM (
-        |  SELECT id_a, id_b,
-        |    round(len(list_intersect(x.wset, y.wset))::DOUBLE /
-        |          len(list_distinct(list_cat(x.wset, y.wset))), 4) AS jac
-        |  FROM cands JOIN sigs x ON cands.id_a = x.doc_id
-        |             JOIN sigs y ON cands.id_b = y.doc_id)
-        |WHERE jac >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT id_a, id_b, jac FROM mh_pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_keep_first" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // Connected components via recursive reachability + min — an
+    // independent derivation of the same clusters label propagation finds.
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_rep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "tx_lengths" ->
+      """WITH n AS (
+        |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  CAST(max(n) AS INTEGER) AS max_n
+        |FROM n GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dd_simhash" ->
       """WITH base AS (

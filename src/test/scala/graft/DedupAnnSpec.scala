@@ -100,6 +100,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kZs > Dedup.SkewThreshold, s"sampled zipf skew $kZs")
   }
 
+  test("duplicateClusters: min-label propagation finds exact components, " +
+      "including multi-hop chains") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (24L, 23L), (23L, 22L), (22L, 21L), (21L, 20L)) // 5-deep chain
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
+  }
+
   test("IVF with all buckets probed equals exact brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
