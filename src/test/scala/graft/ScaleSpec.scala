@@ -3,10 +3,37 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CampaignRecommend, Scale}
+import graft.operators.{Ann, CampaignRecommend, Scale}
 
 class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  test("IVF assignments written partitionBy(centroid_id) partition-prune " +
+      "probe reads to the probed buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val ivf = Ann.buildIvf(e)
+    ivf.assignments.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/ivf")
+    val stored = spark.read.parquet(s"$dir/ivf")
+    val probeIds = ivf.centroids.select("centroid_id")
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val probed = stored.filter(col("centroid_id").isin(probeIds: _*))
+    // the probe filter reaches the scan as a PARTITION filter — only the
+    // probed directories are listed/read, the 100 TB prune contract
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"expected a partition filter in:\n$plan")
+    val filesProbed = probed.select(input_file_name()).distinct().count()
+    val filesTotal = stored.select(input_file_name()).distinct().count()
+    assert(filesProbed < filesTotal,
+      s"probe read $filesProbed of $filesTotal files — no pruning")
+    // and the pruned read returns exactly the probed buckets' rows
+    val expected = ivf.assignments
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+  }
 
   test("salted aggregation equals direct groupBy exactly") {
     val o = Tables.load(spark, TestSpark.sfDir, "orders")
