@@ -40,10 +40,13 @@ object JaccardProbe {
         sum(col("count")).as("tot_words"),
         count(lit(1)).as("n_block_words")).head
       val nDocs = docs.count()
-      println(s"[probe]   nDocs=$nDocs sum_df2=${r.getLong(0)} " +
+      val kappa = r.getLong(2).toDouble * r.getLong(0) /
+        (r.getLong(1).toDouble * r.getLong(1))
+      println(s"[probe]   nDocs=$nDocs volume(sum_df2)=${r.getLong(0)} " +
         s"tot_words=${r.getLong(1)} distinct(block,word)=${r.getLong(2)} " +
         f"joinFan=${r.getLong(0).toDouble / r.getLong(1)}%.1f " +
-        f"vocabRatio=${r.getLong(2).toDouble / nDocs}%.3f")
+        f"vocabRatio=${r.getLong(2).toDouble / nDocs}%.3f kappa=$kappa%.1f " +
+        s"autoRoutes=${if (r.getLong(0) > graft.operators.Dedup.DefaultCooccurBudget) "prefix" else "cooccur"}")
     }
 
     // fixture corpus

@@ -99,20 +99,29 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Corpus statistic behind [[jaccardPairs]]'s `"auto"` strategy: the
-    * normalized second moment of the per-(block, word) document frequency,
-    * κ = V·Σdf² / (Σdf)², where V = #distinct (block, word) pairs. κ is
-    * scale-invariant in corpus size and ≈1 when every word is equally hot
-    * (the uniform-df regime where cooccur's one join + one agg wins);
-    * under a Zipfian tail the hot ranks dominate Σdf² and κ grows without
-    * bound — exactly the df² blowup that degenerates cooccur's join, while
-    * prefix work stays bounded at `(1−minJ)·sz + 1` rare words per doc.
+  /** Corpus probe behind [[jaccardPairs]]'s `"auto"` strategy: one
+    * explode + partial-agg pass over the distinct (block, word) document
+    * frequencies, returning
     *
-    * Cost: one explode + one partial-agg pass. At 100 TB pass
-    * `probeFraction` ≪ 1 — a doc-hash sample scales df by the fraction and
-    * κ is ratio-normalized, so the estimate is stable. */
-  def dfSkew(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, probeFraction: Double = 1.0): Double = {
+    *  - `volume` = Σdf² — EXACTLY the number of rows cooccur's self-join
+    *    emits before any filter, the quantity that decides whether cooccur
+    *    is affordable. Grows quadratically in corpus size at fixed
+    *    vocabulary, so this—not skew—is the scale guard.
+    *  - `kappa` = V·Σdf²/(Σdf)² — normalized df skew (≈1 uniform, ≫1
+    *    Zipfian), scale-invariant; a diagnostic for WHY a corpus is
+    *    expensive (hot-head vocabulary vs sheer size), logged by
+    *    JaccardProbe, not the routing axis. Measured (sf0.1, 32 cores):
+    *    the fixture (κ≈1.3) and a 4 k-doc Zipf corpus (κ≈15) BOTH run
+    *    cooccur faster, because both volumes (~1e8) are trivially
+    *    affordable — skew alone routes wrong at small absolute scale.
+    *
+    * Under doc-hash sampling (`probeFraction` p ≪ 1 — mandatory at
+    * 100 TB) df scales by p, so `volume` is rescaled by 1/p² and `kappa`
+    * is ratio-stable. */
+  case class JaccardProbeStats(volume: Double, kappa: Double)
+
+  def dfStats(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, probeFraction: Double = 1.0): JaccardProbeStats = {
     val base =
       if (probeFraction >= 1.0) docs
       else docs.where(pmod(xxhash64(col(idCol)), lit(1000000)) <
@@ -126,14 +135,23 @@ object Dedup {
         count(lit(1)).cast("double").as("v"))
       .head()
     val (s2, s1, v) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
-    if (s1 == 0.0) 1.0 else v * s2 / (s1 * s1)
+    val p = math.min(probeFraction, 1.0)
+    if (s1 == 0.0) JaccardProbeStats(0.0, 1.0)
+    else JaccardProbeStats(s2 / (p * p), v * s2 / (s1 * s1))
   }
 
-  /** κ above which `"auto"` routes to the prefix strategy. Calibrated on
-    * the two measured corpora (fixture κ ≈ 1, synthetic Zipf κ ≫ 1, see
-    * JaccardProbe): the geometric middle leaves an order of magnitude of
-    * slack on each side. */
-  val SkewThreshold: Double = 3.0
+  /** Backward-compatible κ accessor (diagnostic only — see [[dfStats]]). */
+  def dfSkew(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, probeFraction: Double = 1.0): Double =
+    dfStats(docs, idCol, textCol, blockCol, probeFraction).kappa
+
+  /** Projected cooccur join volume (rows) above which `"auto"` routes to
+    * the prefix strategy. 2e9 rows through one codegen'd shuffle join +
+    * partial agg is ~a minute of cluster work (measured ~5e7 rows/s/core
+    * on the fixture); past that the quadratic growth of Σdf² makes
+    * cooccur the wrong plan and the bounded per-doc prefix work wins.
+    * Tunable per deployment via the `cooccurBudget` parameter. */
+  val DefaultCooccurBudget: Double = 2e9
 
   /** All-pairs set-similarity. Two EXACT strategies (identical output;
     * both candidate sets are supersets of the qualifying pairs, and
@@ -151,28 +169,35 @@ object Dedup {
     *    lost), then verify candidates pairwise.
     *
     * Which one wins is a corpus property, MEASURED at sf0.1 (5 000 docs,
-    * ~23 distinct words/doc, ~31-word per-block vocabulary, near-dup-rich):
-    * cooccur ≈ 8 s; prefix ≈ 48 s — the tiny vocabulary makes every word
-    * hot, so the prefix join still emits 2.4 M candidates for 47 k
-    * qualifying pairs and pairwise verification (interpreted
-    * ArrayIntersect, ~0.5 ms/pair) dominates. On a Zipfian large-vocab
-    * corpus the ranking flips: cooccur's hot-word join key degenerates
-    * quadratically (df² rows through one shuffle) while prefix work is
-    * bounded by `(1−minJ)·sz + 1` rare words per document.
+    * ~23 distinct words/doc, ~31-word per-block vocabulary, near-dup-rich;
+    * JaccardProbe, 32 cores, warm): cooccur ≈ 1.3–5 s; prefix ≈ 5–12 s —
+    * the tiny vocabulary makes every word hot, so the prefix join still
+    * emits 2.4 M candidates for 47 k qualifying pairs, and even with the
+    * relational [[verifyJaccard]] the extra rank-window + candidate
+    * shuffles dominate at this volume. Cooccur's exposure is its join
+    * OUTPUT volume Σdf², quadratic in corpus size at fixed vocabulary:
+    * once that projection exceeds the work budget, prefix's bounded
+    * `(1−minJ)·sz + 1` rare words per document win regardless of
+    * constant factors.
     *
     * `"auto"` (the default) measures the corpus instead of trusting the
-    * caller: one cheap [[dfSkew]] pass routes uniform-df corpora to
-    * cooccur and Zipfian ones to prefix (κ vs [[SkewThreshold]]). At
-    * 100 TB, run the probe on a sample via `probeFraction`. */
+    * caller: one cheap [[dfStats]] pass projects cooccur's join volume
+    * (Σdf², the rows its self-join emits) and routes to prefix only when
+    * that exceeds `cooccurBudget` — the quantity that actually decides
+    * the contest. (Skew κ alone routes wrong: a 4 k-doc Zipf corpus has
+    * κ≈15 but volume ~8e7, and measured cooccur still wins ~1.8×; see
+    * [[dfStats]].) At 100 TB, run the probe on a sample via
+    * `probeFraction`. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJ: Double,
-      strategy: String = "auto", probeFraction: Double = 1.0): DataFrame = {
+      strategy: String = "auto", probeFraction: Double = 1.0,
+      cooccurBudget: Double = DefaultCooccurBudget): DataFrame = {
     val spark = docs.sparkSession
     val np = spark.sparkContext.defaultParallelism
     val chosen =
       if (strategy == "auto") {
-        if (dfSkew(docs, idCol, textCol, blockCol, probeFraction) >
-          SkewThreshold) "prefix"
+        if (dfStats(docs, idCol, textCol, blockCol, probeFraction).volume >
+          cooccurBudget) "prefix"
         else "cooccur"
       } else strategy
     val base = docs

@@ -78,26 +78,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run("auto") == cooccur) // auto is exact whichever way it routes
   }
 
-  test("jaccard auto-strategy: dfSkew routes uniform-df to cooccur and " +
-      "a Zipfian corpus to prefix") {
-    val fixture = Tables.load(spark, TestSpark.sfDir, "documents")
-    val kFixture = Dedup.dfSkew(fixture, "doc_id", "text", "lang")
-    assert(kFixture < Dedup.SkewThreshold,
-      s"fixture skew $kFixture should route to cooccur")
-    // Zipfian synthetic: df ~ 1/rank via inverse-CDF over a large vocab —
-    // a few very hot words plus a long rare tail.
-    val zipf = spark.range(800).select(col("id").as("doc_id"),
-      lit("z").as("lang"),
-      concat_ws(" ", (0 until 30).map { j =>
-        concat(lit("w"), floor(pow(lit(20000.0),
-          pmod(xxhash64(col("id") * 1000 + j), lit(10000L)).cast("double")
-            / 10000.0)).cast("long"))
-      }: _*).as("text"))
-    val kZ = Dedup.dfSkew(zipf, "doc_id", "text", "lang")
-    assert(kZ > Dedup.SkewThreshold, s"zipf skew $kZ should route to prefix")
-    // sampled probe stays on the same side of the threshold
-    val kZs = Dedup.dfSkew(zipf, "doc_id", "text", "lang", probeFraction = 0.5)
-    assert(kZs > Dedup.SkewThreshold, s"sampled zipf skew $kZs")
+  test("jaccard auto-strategy: projected cooccur volume routes the " +
+      "default budget to cooccur and a tiny budget to prefix, identically") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(200)
+    val stats = Dedup.dfStats(docs, "doc_id", "text", "lang")
+    // this corpus is far under the default budget → auto == cooccur
+    assert(stats.volume > 0 && stats.volume < Dedup.DefaultCooccurBudget)
+    // κ is the diagnostic, not the router: uniform-hot fixture stays ≈1
+    assert(stats.kappa < 3.0, s"fixture kappa ${stats.kappa}")
+    def run(s: String, budget: Double = Dedup.DefaultCooccurBudget) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", "lang", minJ = 0.8,
+          strategy = s, cooccurBudget = budget)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val viaCooccur = run("auto") // volume < budget → cooccur
+    val viaPrefix = run("auto", budget = 1.0) // forced over budget → prefix
+    assert(viaCooccur.nonEmpty && viaCooccur == viaPrefix)
+    // sampled probe: volume rescales by 1/p², staying the same order
+    val half = Dedup.dfStats(docs, "doc_id", "text", "lang",
+      probeFraction = 0.5)
+    assert(half.volume > stats.volume / 4 && half.volume < stats.volume * 4)
   }
 
   test("duplicateClusters: min-label propagation finds exact components, " +
