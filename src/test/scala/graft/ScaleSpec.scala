@@ -35,6 +35,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(probed.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
   }
 
+  test("filters and column pruning reach the parquet scan (regression " +
+      "guard for the ExplainProbe evidence)") {
+    val df = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .filter(col("l_quantity") > 49)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity"), s"no pushdown in:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_partkey") && !readSchema.contains("l_comment"),
+      s"scan reads more than the projection: $readSchema")
+  }
+
   test("salted aggregation equals direct groupBy exactly") {
     val o = Tables.load(spark, TestSpark.sfDir, "orders")
     val direct = o.groupBy(col("o_orderpriority"))
