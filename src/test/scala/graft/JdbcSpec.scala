@@ -75,6 +75,19 @@ class JdbcSpec extends AnyFunSuite {
       == parquet.select("r_regionkey", "r_name").collect().map(_.toSeq).toSet)
   }
 
+  test("empty table with a partition column: bound discovery returns " +
+      "NULLs and the read degrades to a single task, zero rows") {
+    seeded
+    val cust = spark.read.parquet(TestSpark.sfDir + "/customer.parquet")
+      .select(col("c_custkey").as("C_CUSTKEY"))
+      .filter(lit(false))
+    cust.write.mode("overwrite").jdbc(url, "EMPTY_J", new Properties)
+    val df = Tables.loadSource(spark, Tables.JdbcSource(url, "EMPTY_J",
+      partitionColumn = Some("C_CUSTKEY"), numPartitions = 4))
+    assert(df.count() == 0)
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
   test("mixed registry: JDBC fact joins parquet dim identically to " +
       "all-parquet (S2 routing)") {
     seeded
