@@ -160,6 +160,49 @@ class PipelineSpec extends AnyFunSuite {
       ("주문일자", "긍정", "19950101 ~ 19961231")))
   }
 
+  test("L1 grammar fuzz: 100 seeded random requests — column extraction, " +
+      "chat-boundary round-trip, and the generator's own triples agree") {
+    val rnd = new scala.util.Random(42)
+    val attrs = TripleExtract.DefaultAttrs
+    def clause(): (String, (String, String, String)) = {
+      val attr = attrs(rnd.nextInt(attrs.size))
+      val (vText, vExpect) = rnd.nextInt(4) match {
+        case 0 => val v = s"CODE${rnd.nextInt(99)}"; (v, v)
+        case 1 =>
+          val n = 1 + rnd.nextInt(900)
+          val op = Seq("이상", "이하", "초과", "미만", "넘는")(rnd.nextInt(5))
+          (s"${n}만원 $op", s"${n}만원 $op")
+        case 2 =>
+          val d = 19950000 + rnd.nextInt(9999)
+          val op = Seq("", " 이후", " 이전")(rnd.nextInt(3))
+          (s"$d$op", s"$d$op".trim)
+        case _ =>
+          val a = 19950000 + rnd.nextInt(999)
+          val b = a + 1 + rnd.nextInt(999)
+          (s"$a 부터 $b 까지", s"$a ~ $b")
+      }
+      val neg = rnd.nextBoolean()
+      val marker = if (neg) " 이 아닌" else " 인"
+      (s"$attr${if (rnd.nextBoolean()) "이" else "가"} $vText$marker",
+        (attr, if (neg) "부정" else "긍정", vExpect))
+    }
+    val cases = (1 to 100).map { _ =>
+      val cs = (0 to rnd.nextInt(3)).map(_ => clause())
+      val connectors = Seq(", ", " 고객 중 ", " 그리고 ")
+      val req = cs.map(_._1).mkString("", connectors(rnd.nextInt(3)), " 찾아줘")
+      (req, cs.map(_._2))
+    }
+    val expected = cases.flatMap(_._2).sorted
+    def collectTriples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val reqDf = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("req")
+    assert(collectTriples(NlTargeting.extractTriples(reqDf, "req")) == expected)
+    val llm = new StubLlm()
+    val brackets = cases.map(c => Tuple1(llm.complete(NlTargeting.L1Prompt, c._1)))
+    assert(collectTriples(NlTargeting.parseTriples(
+      spark.createDataFrame(brackets).toDF("x"), "x")) == expected)
+  }
+
   test("L1 chat boundary: StubLlm bracket contract + parseTriples equals " +
       "the direct column extraction") {
     val req = "세그먼트가 MACHINERY 인 고객, 구매금액이 5000 이상, " +
