@@ -36,6 +36,14 @@ object PerfProbe {
     val oneMd5 = sh.select(col("doc_id"), md5(concat(lit("0:"), col("g"))).as("h"))
     time("1 md5 pass")(oneMd5.select(max(col("h"))).head)
 
+    // simhash cost: nested interpreted HOFs (aggregate+zip_with over
+    // 60-element arrays per token) vs queries that must stay cheap
+    val simq = rep.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+    time("simhash all docs")(simq.select(max(col("sh"))).head)
+    time("simhash banded pairs")(
+      Dedup.simhashNearDupsBanded(docs, "doc_id", "text",
+        maxHamming = 8, bands = 10).count())
+
     val aggs = (0 until 12).map(s =>
       min(md5(concat(lit(s.toString), lit(":"), col("g")))).as(s"sig_$s"))
     val sigs = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)

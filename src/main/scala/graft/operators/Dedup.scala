@@ -345,10 +345,19 @@ object Dedup {
   val SimhashBits = 60
 
   /** 60-bit SimHash of the token stream (md5-derived hash per token, ±1
-    * vote per bit, sign → bit). One codegen'd expression, no shuffle, and
-    * — unlike an xxhash64 form — fully reproducible in the DuckDB oracle:
+    * vote per bit, sign → bit) — the native whole-stage-codegen expression
+    * ([[graft.functions.Simhash60]]; the interpreted-HOF twin below was
+    * measured ~1.8 s / 5 000 docs at sf0.1 purely in lambda dispatch).
+    * Fully reproducible in the DuckDB oracle:
     * `CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END` summed per bit. */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Simhash60(
+        org.apache.spark.sql.GraftSqlBridge.expression(tokens(text))))
+
+  /** Higher-order-function twin of [[simhash]] (spec-checked equal) —
+    * kept as the executable specification of the bit math. */
+  def simhashHof(text: Column): Column = {
     val powers = array((0 until SimhashBits).map(i => lit(1L << i)): _*)
     val bitsum = aggregate(
       transform(tokens(text), t => shingleHash(t)), // ONE md5 per token

@@ -24,6 +24,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(pairs((1L, 3L)) <= 16)
   }
 
+  test("native Simhash60 expression equals the HOF twin on every fixture " +
+      "doc (and on empty/blank edge rows)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "  "), (100003L, "한글 토큰 테스트"))
+        .toDF("doc_id", "text"))
+    val mismatches = docs.select(
+        Dedup.simhash(col("text")).as("native"),
+        Dedup.simhashHof(col("text")).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches == 0)
+  }
+
   test("shingles emit exactly max(tokens-2, 0) full 3-grams, no partials") {
     val df = Seq(
       (1L, "a b c d e"),
