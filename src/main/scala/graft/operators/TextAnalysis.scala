@@ -35,8 +35,16 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint of the token stream:
     * h = fold(tokens, 0, (h, w) → (h·131 + len(w)·31 + ascii(w)) mod 1e9+7).
     * Order-sensitive (unlike a bag-of-words hash) and cheap to reproduce
-    * anywhere — the mod keeps every intermediate in i64. */
+    * anywhere — the mod keeps every intermediate in i64. Native
+    * whole-stage-codegen expression ([[graft.functions.Fingerprint64]]);
+    * the interpreted HOF twin below is the executable spec. */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Fingerprint64(
+        org.apache.spark.sql.GraftSqlBridge.expression(tokens(text))))
+
+  /** HOF twin of [[fingerprint]] (spec-checked equal). */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (h, w) => (h * 131L + length(w).cast("long") * 31L + ascii(w)) % 1000000007L)
 

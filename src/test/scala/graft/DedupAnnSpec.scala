@@ -37,6 +37,19 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("native Fingerprint64 expression equals the HOF twin on fixture " +
+      "docs and edge rows") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "  "), (100003L, "한글 토큰 테스트"))
+        .toDF("doc_id", "text"))
+    val mismatches = docs.select(
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("native"),
+        graft.operators.TextAnalysis.fingerprintHof(col("text")).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(mismatches == 0)
+  }
+
   test("shingles emit exactly max(tokens-2, 0) full 3-grams, no partials") {
     val df = Seq(
       (1L, "a b c d e"),
