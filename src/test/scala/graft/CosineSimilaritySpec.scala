@@ -63,4 +63,24 @@ class CosineSimilaritySpec extends AnyFunSuite {
       "SELECT vec_id, cosine_sim(embedding, embedding) c FROM emb_t").collect()
     viaSql.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
+
+  test("simhash60 and fingerprint64 are SQL-registered and match the " +
+      "Column forms") {
+    Graft.init(spark)
+    Tables.load(spark, TestSpark.sfDir, "documents").limit(20)
+      .createOrReplaceTempView("docs_t")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash60(split(trim(text), '\\s+')) sh,
+        |       fingerprint64(split(trim(text), '\\s+')) fp
+        |FROM docs_t""".stripMargin)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val viaCol = Tables.load(spark, TestSpark.sfDir, "documents").limit(20)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.Dedup.simhash(
+          org.apache.spark.sql.functions.col("text")).as("sh"),
+        graft.operators.TextAnalysis.fingerprint(
+          org.apache.spark.sql.functions.col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
 }
