@@ -41,6 +41,22 @@ object EventStream {
     withWm.dropDuplicates(keyCols :+ "ts")
   }
 
+  /** Streaming NEAR-dup suppression on document ingest: key the
+    * watermarked dedup on the 60-bit [[graft.operators.Dedup.simhash]] of
+    * the text (the native codegen expression — cheap enough to hash every
+    * arriving doc inline). Docs whose simhash collides inside the horizon
+    * are near-identical with high probability (exact dups always collide),
+    * so the stream keeps the first arrival per fingerprint. State is one
+    * entry per distinct fingerprint inside the watermark, same bound as
+    * [[dedupStream]]. Input carries `ts: timestamp, text: string`. */
+  def nearDupSuppressStream(docs: DataFrame, watermark: String): DataFrame = {
+    val withSh = docs.withColumn("sh",
+      graft.operators.Dedup.simhash(col("text")))
+    val withWm =
+      if (withSh.isStreaming) withSh.withWatermark("ts", watermark) else withSh
+    withWm.dropDuplicates(Seq("sh", "ts"))
+  }
+
   /** Stream-stream inner join on a key within a time bound — the
     * streaming form of the events⋈conditions merges (J7). Both sides are
     * watermarked; the range predicate lets Spark expire join state on both

@@ -71,6 +71,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup suppression keeps one doc per simhash " +
+      "fingerprint inside the horizon") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val query = EventStream.nearDupSuppressStream(
+        input.toDF().toDF("ts", "text"), "1 hour")
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (t0, "alpha beta gamma delta"),
+        (t0, "alpha beta gamma delta"), // exact dup: same simhash
+        (t0, "one two three four"))
+      query.processAllAvailable()
+      input.addData((t0, "alpha beta gamma delta")) // dup again, in horizon
+      query.processAllAvailable()
+      val kept = spark.table("neardup_test").collect().map(_.getString(1))
+      assert(kept.count(_ == "alpha beta gamma delta") == 1)
+      assert(kept.count(_ == "one two three four") == 1)
+      assert(kept.length == 2)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only in-window pairs") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
