@@ -38,7 +38,7 @@ object JaccardProbe {
       val r = df.agg(
         sum(col("count") * col("count")).as("sum_df2"),
         sum(col("count")).as("tot_words"),
-        count(lit(1)).as("n_block_words")).head
+        count(lit(1)).as("n_block_words")).head()
       val nDocs = docs.count()
       val kappa = r.getLong(2).toDouble * r.getLong(0) /
         (r.getLong(1).toDouble * r.getLong(1))

@@ -28,18 +28,18 @@ object PerfProbe {
 
     val rep = docs.repartition(spark.sparkContext.defaultParallelism)
     val toksOnly = rep.select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
-    time("tokens only")(toksOnly.select(sum(size(col("t")))).head)
+    time("tokens only")(toksOnly.select(sum(size(col("t")))).head())
 
     val sh = rep.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
     time("shingles exploded")(sh.count())
 
     val oneMd5 = sh.select(col("doc_id"), md5(concat(lit("0:"), col("g"))).as("h"))
-    time("1 md5 pass")(oneMd5.select(max(col("h"))).head)
+    time("1 md5 pass")(oneMd5.select(max(col("h"))).head())
 
     // simhash cost: nested interpreted HOFs (aggregate+zip_with over
     // 60-element arrays per token) vs queries that must stay cheap
     val simq = rep.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
-    time("simhash all docs")(simq.select(max(col("sh"))).head)
+    time("simhash all docs")(simq.select(max(col("sh"))).head())
     time("simhash banded pairs")(
       Dedup.simhashNearDupsBanded(docs, "doc_id", "text",
         maxHamming = 8, bands = 10).count())

@@ -465,6 +465,28 @@ object Dedup {
     lab.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** The full corpus-cleaning composition — what a training-data pipeline
+    * actually emits: exact dedup first (keep the smallest id per identical
+    * text — one hash shuffle), then MinHash near-dup clustering over the
+    * survivors ([[minhashNearDups]] → [[duplicateClusters]]), keeping each
+    * cluster's representative. Returns the kept `(idCol)` rows.
+    *
+    * Every stage is a shape proven on its own gate query (dd_keep_first,
+    * dd_minhash_lsh, dd_clusters); this operator is their composition, and
+    * its oracle re-derives the same survivors with a recursive CTE. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, minJ: Double = 0.6): DataFrame = {
+    val exactKept = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val pairs = minhashNearDups(exactKept, idCol, textCol, k, bands, minJ)
+    val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol))
+    exactKept.select(col(idCol))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold at scale:
     * candidates from MLlib random-projection LSH buckets (unit-norm
     * vectors: euclidean ≤ √(2−2·minCos) ⟺ cosine ≥ minCos), verified

@@ -50,7 +50,7 @@ object AnnPack extends QueryPack {
       val e = Tables.load(s, dir, "embeddings")
       val (model, withVec) = Ann.lshModel(e)
       val key = Vectors.dense(
-        e.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toArray)
+        e.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toArray)
       val ann = model
         .approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
         .select(lit(0L).as("qid"), col("vec_id"))

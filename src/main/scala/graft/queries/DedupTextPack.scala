@@ -60,6 +60,15 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The full corpus-cleaning composition: exact keep-first, then
+    // MinHash near-dup clustering, keep each cluster's representative —
+    // the doc_ids a training pipeline actually retains.
+    "dd_corpus" -> ((s, dir) => {
+      Dedup.dedupCorpus(docs(s, dir), "doc_id", "text",
+          k = 12, bands = 4, minJ = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash fingerprints (md5-derived 60-bit hash — bit-exact DuckDB
     // twin below; the near-dup pair variant is spec-tested in DedupAnnSpec).
     "dd_simhash" -> ((s, dir) => {
@@ -134,9 +143,9 @@ object DedupTextPack extends QueryPack {
     * dd_clusters. `len(shingles) > 0` mirrors Spark's explode dropping
     * sub-shingle (<3-token) docs; without it the all-NULL signatures of
     * short docs hash to one shared bucket key here but never in Spark. */
-  private val minhashPairsCte: String =
-    """base AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  private def minhashPairsCte(source: String = "documents"): String =
+    s"""base AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source),
       |sh AS (SELECT doc_id, list_distinct(w) AS wset,
       |  list_transform(range(1, len(w)-1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
@@ -182,7 +191,7 @@ object DedupTextPack extends QueryPack {
         |ORDER BY lang, id_a, id_b""".stripMargin,
 
     "dd_minhash_lsh" ->
-      s"""WITH $minhashPairsCte
+      s"""WITH ${minhashPairsCte()}
          |SELECT id_a, id_b, jac FROM mh_pairs
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -193,7 +202,7 @@ object DedupTextPack extends QueryPack {
     // Connected components via recursive reachability + min — an
     // independent derivation of the same clusters label propagation finds.
     "dd_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte()},
          |sym AS (
          |  SELECT id_a, id_b FROM mh_pairs
          |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
@@ -203,6 +212,24 @@ object DedupTextPack extends QueryPack {
          |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id)
          |SELECT id AS doc_id, min(r) AS cluster_rep
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // Exact keep-first + near-dup clusters composed; survivors = keepfirst
+    // minus non-representative cluster members.
+    "dd_corpus" ->
+      s"""WITH RECURSIVE keepfirst AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${minhashPairsCte("keepfirst")},
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+         |SELECT doc_id FROM keepfirst
+         |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)
+         |ORDER BY doc_id""".stripMargin,
 
     "tx_lengths" ->
       """WITH n AS (
