@@ -69,6 +69,23 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Training-data prep end-to-end: dedupCorpus survivors ⋈ quality
+    // scores → per-lang kept counts and high-quality counts (counts only —
+    // comparisons over per-doc rounded scores are exact in both engines;
+    // a float aggregate would be summation-order-dependent).
+    "tx_prep_pipeline" -> ((s, dir) => {
+      val kept = Dedup.dedupCorpus(docs(s, dir), "doc_id", "text",
+        k = 12, bands = 4, minJ = 0.6)
+      val quality = docs(s, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityFeatures(col("text"))
+          .collectFirst { case ("quality", c) => c }.get.as("q"))
+      quality.join(kept, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          count(when(col("q") >= 0.55, 1)).as("n_highq"))
+        .orderBy(col("lang"))
+    }),
+
     // SimHash fingerprints (md5-derived 60-bit hash — bit-exact DuckDB
     // twin below; the near-dup pair variant is spec-tested in DedupAnnSpec).
     "dd_simhash" -> ((s, dir) => {
@@ -230,6 +247,38 @@ object DedupTextPack extends QueryPack {
          |SELECT doc_id FROM keepfirst
          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_prep_pipeline" ->
+      s"""WITH RECURSIVE keepfirst AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${minhashPairsCte("keepfirst")},
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |kept AS (
+         |  SELECT doc_id FROM keepfirst
+         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)),
+         |qf AS (
+         |  SELECT doc_id, lang,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+         |    len(list_filter(w, t -> list_contains(
+         |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+         |    least(len(w) / 100.0, 1.0) AS lenf
+         |  FROM (SELECT doc_id, lang,
+         |          string_split_regex(trim(text), '\\s+') AS w FROM documents)),
+         |q AS (
+         |  SELECT doc_id, lang,
+         |    round(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3, 4) AS q
+         |  FROM qf)
+         |SELECT lang, count(*) AS n_kept,
+         |  count(CASE WHEN q >= 0.55 THEN 1 END) AS n_highq
+         |FROM q JOIN kept USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx_lengths" ->
       """WITH n AS (
