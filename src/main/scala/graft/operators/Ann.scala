@@ -109,15 +109,18 @@ object Ann {
     */
   def recallVsExact(exact: DataFrame, ann: DataFrame, k: Int,
       minRecall: Double, idCol: String = "vec_id"): DataFrame = {
+    // every relation here is ≤ k × |queries| rows by construction —
+    // broadcast explicitly rather than waiting for AQE to notice
     val hits = exact
-      .join(ann.select(col("qid"), col(idCol)), Seq("qid", idCol), "left_semi")
+      .join(broadcast(ann.select(col("qid"), col(idCol))),
+        Seq("qid", idCol), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     // top-1 via max_by, not a window: one partial-aggregable pass, and the
     // (simil, -id) struct reproduces the ORDER BY simil DESC, id tie-break
     val top1 = exact.groupBy(col("qid"))
       .agg(max_by(col(idCol), struct(col("simil"), -col(idCol)))
         .as("exact_top1"))
-    top1.join(hits, Seq("qid"), "left_outer")
+    top1.join(broadcast(hits), Seq("qid"), "left_outer")
       .select(col("qid"), col("exact_top1"),
         (coalesce(col("n_hit"), lit(0L)) >=
           math.ceil(minRecall * k).toLong).as("recall_ok"))
