@@ -140,6 +140,33 @@ class DedupAnnSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L, 24L -> 20L))
   }
 
+  test("alternating-star components equal label propagation on seeded " +
+      "random graphs and on a deep chain") {
+    val rnd = new scala.util.Random(7)
+    def assignments(pairs: org.apache.spark.sql.DataFrame) = {
+      val a = Dedup.duplicateClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val b = Dedup.duplicateClustersAltStar(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      (a, b)
+    }
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val (lp, as) = assignments(pairs)
+      assert(lp == as, s"trial $trial mismatch")
+    }
+    // 40-deep chain: label prop needs ~40 rounds, alt-star ~log rounds —
+    // both must land every node on the chain minimum
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val (lp, as) = assignments(chain)
+    assert(as == lp && as.values.toSet == Set(0L) && as.size == 40)
+  }
+
   test("IVF with all buckets probed equals exact brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
