@@ -60,6 +60,15 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Same clusters via the O(log n) alternating-star contraction — the
+    // deep-diameter scale path, gated against the identical oracle.
+    "dd_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(docs(s, dir), "doc_id", "text",
+        k = 12, bands = 4, minJ = 0.6)
+      Dedup.duplicateClustersAltStar(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("doc_id"))
+    }),
+
     // The full corpus-cleaning composition: exact keep-first, then
     // MinHash near-dup clustering, keep each cluster's representative —
     // the doc_ids a training pipeline actually retains.
@@ -189,6 +198,18 @@ object DedupTextPack extends QueryPack {
       |               JOIN sigs y ON cands.id_b = y.doc_id)
       |  WHERE jac >= 0.6)""".stripMargin
 
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE ${minhashPairsCte()},
+       |sym AS (
+       |  SELECT id_a, id_b FROM mh_pairs
+       |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT id_a, id_a FROM sym
+       |  UNION
+       |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id)
+       |SELECT id AS doc_id, min(r) AS cluster_rep
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
@@ -216,19 +237,11 @@ object DedupTextPack extends QueryPack {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
 
-    // Connected components via recursive reachability + min — an
-    // independent derivation of the same clusters label propagation finds.
-    "dd_clusters" ->
-      s"""WITH RECURSIVE ${minhashPairsCte()},
-         |sym AS (
-         |  SELECT id_a, id_b FROM mh_pairs
-         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT id_a, id_a FROM sym
-         |  UNION
-         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_rep
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // Connected components via recursive reachability + min — one
+    // independent derivation gates BOTH cluster engines (label
+    // propagation and the O(log n) alternating-star contraction).
+    "dd_clusters" -> clustersOracle,
+    "dd_clusters_star" -> clustersOracle,
 
     // Exact keep-first + near-dup clusters composed; survivors = keepfirst
     // minus non-representative cluster members.
