@@ -28,24 +28,29 @@ object Dedup {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Word 3-gram shingles, `"w1 w2 w3"` strings.
-    * Built from three shifted copies of the token array zipped together —
-    * O(n) per document. (The naive `transform(sequence, i => slice(toks,
-    * i, 3))` form is O(n²): every lambda call re-slices the array; at sf0.1
-    * that was minutes of interpreted array copying.) `arrays_zip` pads to
-    * the LONGEST input with nulls (it does not truncate), so the zipped
-    * array is sliced to the first `n−2` entries — exactly the full
-    * 3-grams; a document with fewer than 3 tokens yields no shingles. */
-  def shingles(text: Column): Column = {
+  /** Word n-grams as `"w1 … wn"` strings, built from n shifted copies of
+    * the token array zipped together — O(len) per document. (The naive
+    * `transform(sequence, i => slice(toks, i, n))` form is O(len²): every
+    * lambda call re-slices the array; at sf0.1 that was minutes of
+    * interpreted array copying.) `arrays_zip` pads to the LONGEST input
+    * with nulls (it does not truncate), so the zipped array is sliced to
+    * the first `len−n+1` entries — exactly the full n-grams; a document
+    * with fewer than n tokens yields none. */
+  def ngrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val t2 = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
-    val t3 = slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))
+    val shifted = (0 until n).map { i =>
+      (if (i == 0) toks
+       else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0))))
+        .as(s"t$i")
+    }
     slice(
-      transform(
-        arrays_zip(toks.as("a"), t2.as("b"), t3.as("c")),
-        s => concat_ws(" ", s.getField("a"), s.getField("b"), s.getField("c"))),
-      lit(1), greatest(size(toks) - 2, lit(0)))
+      transform(arrays_zip(shifted: _*),
+        s => concat_ws(" ", (0 until n).map(i => s.getField(s"t$i")): _*)),
+      lit(1), greatest(size(toks) - (n - 1), lit(0)))
   }
+
+  /** Word 3-gram shingles — the MinHash unit. */
+  def shingles(text: Column): Column = ngrams(text, 3)
 
   /** The base shingle hash: first 15 hex chars of md5(shingle) as a 60-bit
     * long. ONE md5 per shingle — the k per-permutation values derive from
@@ -545,6 +550,37 @@ object Dedup {
     val roots = edges.select(col("v")).distinct()
       .select(col("v").as("doc_id"), col("v").as("cluster_rep"))
     members.union(roots).distinct()
+  }
+
+  /** Benchmark-contamination detection — the asymmetric twin of dedup: how
+    * much of each TEST document's n-gram stream appears anywhere in the
+    * TRAIN corpus (the standard 8-gram containment check run before
+    * training on scraped data). Returns only contaminated docs:
+    * `(idCol, n_grams, n_hit, ratio)`.
+    *
+    * Scale shape: the train side collapses to DISTINCT 60-bit md5 gram
+    * hashes (one shuffle of 8-byte keys — never the gram strings), the
+    * test side is one explode + two partial-aggregable counts, and the
+    * containment probe is a semi-join on the hash. At extreme train sizes
+    * the distinct-hash relation is the natural input to a bloom-filter
+    * pushdown; the relational form stays the ground truth. */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val np = train.sparkSession.sparkContext.defaultParallelism
+    val trainGrams = train.repartition(np)
+      .select(explode(ngrams(col(textCol), n)).as("g"))
+      .select(shingleHash(col("g")).as("h"))
+      .distinct()
+    val testGrams = test.repartition(np)
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol), shingleHash(col("g")).as("h"))
+    val totals = testGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = testGrams.join(trainGrams, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("ratio"))
   }
 
   /** The full corpus-cleaning composition — what a training-data pipeline

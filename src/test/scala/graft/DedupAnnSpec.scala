@@ -167,6 +167,23 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(as == lp && as.values.toSet == Set(0L) && as.size == 40)
   }
 
+  test("contamination: verbatim containment scores 1.0, partial overlap " +
+      "in (0,1), disjoint docs are absent") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val test = Seq(
+      (11L, "a b c d e f g h i j"),        // verbatim: every 8-gram hits
+      (12L, "x a b c d e f g h i j"),      // contains train 8-grams + fresh
+      (13L, "u v w x y z aa bb cc dd")     // disjoint
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got(11L) == 1.0)
+    assert(got(12L) > 0.0 && got(12L) < 1.0)
+    assert(!got.contains(13L))
+  }
+
   test("IVF with all buckets probed equals exact brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
