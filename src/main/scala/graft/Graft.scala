@@ -26,4 +26,18 @@ object Graft {
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.column(CosineSimilarity(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Engine-agnostic `round(x, scale)` for RATIO-like doubles (ratios of
+    * small integers, weighted sums of such): route through a decimal(28,12)
+    * cast so both engines round the same decimal value HALF_UP. Plain
+    * `round` on a double diverges between engines exactly when the true
+    * rational sits on a rounding boundary (e.g. 0.65875: Spark rounds the
+    * shortest decimal string → 0.6588, DuckDB rounds the binary value
+    * 0.65874999… → 0.6587 — observed at sf0.1 on tx_quality). The oracle
+    * twin is `round(CAST(x AS DECIMAL(28,12)), scale)::DOUBLE`. Generic
+    * irrational-ish doubles (cosines, fused scores) never present short
+    * boundary representations, so plain round stays fine there. */
+  def roundExact(c: Column, scale: Int): Column =
+    org.apache.spark.sql.functions
+      .round(c.cast("decimal(28,12)"), scale).cast("double")
 }

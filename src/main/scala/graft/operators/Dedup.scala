@@ -251,7 +251,7 @@ object Dedup {
         .groupBy(col("block"), col("id_a"), col("id_b"), col("sa"), col("sb"))
         .agg(count(lit(1)).as("inter"))
         .select(col("block"), col("id_a"), col("id_b"),
-          round(col("inter").cast("double") /
+          Graft.roundExact(col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")), 4).as("jac"))
         .filter(col("jac") >= minJ)
     }
@@ -297,7 +297,7 @@ object Dedup {
       .groupBy(keep :+ col("sa") :+ col("sb"): _*)
       .agg(count(lit(1)).as("inter"))
       .select(keep :+
-        round(col("inter").cast("double") /
+        Graft.roundExact(col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter")), 4).as("jac"): _*)
       .filter(col("jac") >= minJ)
   }
@@ -580,7 +580,8 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 4).as("ratio"))
+        Graft.roundExact(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("ratio"))
   }
 
   /** The full corpus-cleaning composition — what a training-data pipeline

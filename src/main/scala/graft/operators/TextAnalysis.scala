@@ -25,11 +25,14 @@ object TextAnalysis {
     val stopRatio = size(filter(toks,
       t => array_contains(array(Stopwords.map(lit): _*), t))).cast("double") / n
     val lenFactor = least(n / 100.0, lit(1.0))
+    // ratios of small integers sit on round() knife edges — use the
+    // engine-agnostic decimal-path rounding (Graft.roundExact scaladoc)
     Seq(
       "n_tokens" -> size(toks),
-      "uniq_ratio" -> round(uniq, 4),
-      "stop_ratio" -> round(stopRatio, 4),
-      "quality" -> round(uniq * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenFactor * 0.3, 4))
+      "uniq_ratio" -> graft.Graft.roundExact(uniq, 4),
+      "stop_ratio" -> graft.Graft.roundExact(stopRatio, 4),
+      "quality" -> graft.Graft.roundExact(
+        uniq * 0.4 + (lit(1.0) - stopRatio) * 0.3 + lenFactor * 0.3, 4))
   }
 
   /** Rolling polynomial fingerprint of the token stream:

@@ -204,8 +204,7 @@ object DedupTextPack extends QueryPack {
       |mh_pairs AS (
       |  SELECT id_a, id_b, jac FROM (
       |    SELECT id_a, id_b,
-      |      round(len(list_intersect(x.wset, y.wset))::DOUBLE /
-      |            len(list_distinct(list_cat(x.wset, y.wset))), 4) AS jac
+      |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE / len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
       |    FROM cands JOIN sigs x ON cands.id_a = x.doc_id
       |               JOIN sigs y ON cands.id_b = y.doc_id)
       |  WHERE jac >= 0.6)""".stripMargin
@@ -238,8 +237,7 @@ object DedupTextPack extends QueryPack {
         |  FROM documents)
         |SELECT lang, id_a, id_b, jac FROM (
         |  SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(len(list_intersect(a.w, b.w))::DOUBLE /
-        |          len(list_distinct(list_cat(a.w, b.w))), 4) AS jac
+        |    round(CAST(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(list_cat(a.w, b.w))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
         |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY lang, id_a, id_b""".stripMargin,
@@ -271,7 +269,7 @@ object DedupTextPack extends QueryPack {
          |  FROM test t LEFT JOIN train tr ON t.g = tr.g
          |  GROUP BY t.doc_id)
          |SELECT doc_id, n_grams, n_hit,
-         |  round(n_hit::DOUBLE / n_grams, 4) AS ratio
+         |  round(CAST(n_hit::DOUBLE / n_grams AS DECIMAL(28,12)), 4)::DOUBLE AS ratio
          |FROM hits WHERE n_hit > 0
          |ORDER BY doc_id""".stripMargin,
 
@@ -324,7 +322,7 @@ object DedupTextPack extends QueryPack {
          |          string_split_regex(trim(text), '\\s+') AS w FROM documents)),
          |q AS (
          |  SELECT doc_id, lang,
-         |    round(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3, 4) AS q
+         |    round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
          |  FROM qf)
          |SELECT lang, count(*) AS n_kept,
          |  count(CASE WHEN q >= 0.55 THEN 1 END) AS n_highq
@@ -394,9 +392,9 @@ object DedupTextPack extends QueryPack {
         |  least(len(w) / 100.0, 1.0) AS lenf
         |  FROM base)
         |SELECT doc_id, n_tokens,
-        |  round(uniq, 4) AS uniq_ratio,
-        |  round(stop, 4) AS stop_ratio,
-        |  round(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3, 4) AS quality
+        |  round(CAST(uniq AS DECIMAL(28,12)), 4)::DOUBLE AS uniq_ratio,
+        |  round(CAST(stop AS DECIMAL(28,12)), 4)::DOUBLE AS stop_ratio,
+        |  round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 + lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "tx_tokens" ->
