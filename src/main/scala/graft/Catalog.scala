@@ -45,8 +45,15 @@ object Catalog {
     def posOf(op: String) =
       when(array_position(toks, op) === 0, lit(Long.MaxValue))
         .otherwise(array_position(toks, op))
-    val j = least(posOf("="), posOf("BETWEEN"), posOf("IN"), posOf("::op::"))
-    concat_ws(" ", slice(toks, lit(2), (j - 2).cast("int")))
+    // Clamp BEFORE the arithmetic: with no operator present, the raw
+    // Long.MaxValue position would wrap to a negative slice length (or
+    // overflow-throw under ANSI). Clamped to size+1, the no-operator case
+    // degrades to "everything after the leading keyword"; an operator in
+    // position 1 degrades to an empty name (length clamped ≥ 0).
+    val j = least(
+      least(posOf("="), posOf("BETWEEN"), posOf("IN"), posOf("::op::")),
+      size(toks).cast("long") + 1)
+    concat_ws(" ", slice(toks, lit(2), greatest((j - 2).cast("int"), lit(0))))
   }
 
   /** `refine_query(sql)` (`/root/reference/nl_targeting_save.py:75`): make

@@ -274,7 +274,20 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, idWords: DataFrame,
       minJ: Double, keepCols: Seq[String]): DataFrame = {
     val np = cands.sparkSession.sparkContext.defaultParallelism
-    val sizes = idWords.select(col("id"), size(col("w")).as("sz"))
+    // Prune the word relation to candidate documents FIRST: candidates are
+    // normally ≪ corpus (LSH emits tens of pairs from thousands of docs),
+    // and without this the WHOLE corpus was tokenized and exploded twice
+    // below just to verify a handful of pairs — the dominant scan+explode
+    // volume of the minhash query. The semi-join key is `id` alone, so
+    // Catalyst pushes it below idWords' tokenize projection
+    // (PushDownLeftSemiAntiJoin) and non-candidate docs drop before any
+    // word work. When candidates ≈ corpus (dense prefix-join case) the
+    // prune degrades to a cheap id-set semi-join — proportional to the
+    // joins that follow, never the bottleneck.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val pruned = idWords.join(candIds, Seq("id"), "left_semi")
+    val sizes = pruned.select(col("id"), size(col("w")).as("sz"))
     val candsSz = cands
       .join(sizes.toDF("id_a", "sa"), "id_a")
       .join(sizes.toDF("id_b", "sb"), "id_b")
@@ -286,9 +299,9 @@ object Dedup {
     // shrinks the explode-join shuffles and keeps the hash-join buffers
     // primitive. (Collision odds over a per-doc word set are ~|w|²/2⁶⁴ —
     // irrelevant.) The sets are distinct, so counts are unchanged.
-    val wa = idWords.select(col("id").as("id_a"),
+    val wa = pruned.select(col("id").as("id_a"),
       explode(col("w")).as("word")).withColumn("word", xxhash64(col("word")))
-    val wb = idWords.select(col("id").as("id_b"),
+    val wb = pruned.select(col("id").as("id_b"),
       explode(col("w")).as("word")).withColumn("word", xxhash64(col("word")))
     val keep = keepCols.map(col) ++ Seq(col("id_a"), col("id_b"))
     candsSz
@@ -328,7 +341,9 @@ object Dedup {
     // repartitioned (the parquet source is often one split); NOT cached —
     // recomputing the tokenize is cheaper than the cross-run planner
     // instability a leaked InMemoryRelation causes (measured: alternating
-    // 4 s / 60 s runs with a cache here, stable without)
+    // 4 s / 60 s runs with a cache here, stable without). verifyJaccard
+    // semi-join-prunes this relation to candidate ids before tokenizing,
+    // so the corpus is tokenized ONCE (signatures) plus candidates only.
     val wsets = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),

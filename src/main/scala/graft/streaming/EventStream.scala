@@ -48,13 +48,18 @@ object EventStream {
     * are near-identical with high probability (exact dups always collide),
     * so the stream keeps the first arrival per fingerprint. State is one
     * entry per distinct fingerprint inside the watermark, same bound as
-    * [[dedupStream]]. Input carries `ts: timestamp, text: string`. */
+    * [[dedupStream]]: `dropDuplicatesWithinWatermark` keys state on `sh`
+    * ALONE (putting `ts` in the key would let two near-identical docs at
+    * different event times both pass) while still expiring entries once
+    * the watermark moves past them. Input carries
+    * `ts: timestamp, text: string`. */
   def nearDupSuppressStream(docs: DataFrame, watermark: String): DataFrame = {
     val withSh = docs.withColumn("sh",
       graft.operators.Dedup.simhash(col("text")))
-    val withWm =
-      if (withSh.isStreaming) withSh.withWatermark("ts", watermark) else withSh
-    withWm.dropDuplicates(Seq("sh", "ts"))
+    if (withSh.isStreaming)
+      withSh.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(Seq("sh"))
+    else withSh.dropDuplicates(Seq("sh"))
   }
 
   /** Stream-stream inner join on a key within a time bound — the
