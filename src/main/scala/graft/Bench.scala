@@ -1,5 +1,8 @@
 package graft
 
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
@@ -15,6 +18,13 @@ object Bench {
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs",
     "tx_langid", "ann_ivf_topk")
+
+  /** One completed stage's metrics, captured by the bench listener. A slow
+    * run with low executorRunTime means tasks were PARKED (host scheduler /
+    * steal-time stall — environment, not the plan); high runTime means the
+    * compute itself degraded (plan problem). */
+  private case class St(name: String, wallMs: Long, runMs: Long, gcMs: Long,
+    tasks: Int, shuffleWriteMs: Long, fetchWaitMs: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -39,6 +49,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Graft.init(spark)
+
+    // per-stage timing capture (SPARK_GRAFT_BENCH_STAGES=0 disables): the
+    // listener is always cheap; the dump below only fires for runs >3x the
+    // per-query minimum, so a clean bench prints nothing extra while a
+    // stolen/stalled run leaves stderr evidence naming the slow stage and
+    // whether its time was executor compute or parked wall-clock.
+    val stagesOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGES", "1") != "0"
+    val stageBuf = mutable.ArrayBuffer.empty[St]
+    if (stagesOn) spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for {
+          s <- si.submissionTime; c <- si.completionTime
+        } yield c - s).getOrElse(-1L)
+        val m = si.taskMetrics
+        stageBuf.synchronized {
+          stageBuf += St(si.name.takeWhile(_ != '\n').take(60), wall,
+            m.executorRunTime, m.jvmGCTime, si.numTasks,
+            m.shuffleWriteMetrics.writeTime / 1000000,
+            m.shuffleReadMetrics.fetchWaitTime)
+        }
+      }
+    })
 
     // warmup: touch every table, then run each headline query once at the
     // smallest scale factor. This compiles the whole-stage-codegen classes
@@ -71,24 +104,45 @@ object Bench {
       // queries) so neither the accumulation nor the periodic GC's own
       // pause lands inside a timed run
       System.gc()
-      def once(): Double = {
+      def once(): (Double, Vector[St]) = {
         // cold-cache per run: operators may cache() intra-query (their own
         // design); leaking those entries across runs/queries makes AQE
         // re-plan later joins around stale 1-partition InMemoryRelations
         // (measured: a leaked cache turned a 4s run into 59s and slowed
         // every subsequent query) and the number stops being a query cost.
         spark.catalog.clearCache()
+        stageBuf.synchronized(stageBuf.clear())
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name run: $dt%.3f s")
-        dt
+        // listener events post async; give the bus a beat before snapshot
+        val snap = if (stagesOn) {
+          Thread.sleep(200); stageBuf.synchronized(stageBuf.toVector)
+        } else Vector.empty[St]
+        (dt, snap)
       }
-      val times = try (1 to runsPerQuery).map(_ => once()).sorted
+      val runs = try (1 to runsPerQuery).map(_ => once()).toVector
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Vector(-1.0) }
-      name -> times
+          Vector((-1.0, Vector.empty[St])) }
+      // stage-evidence dump: any run >3x the query's fastest run gets its
+      // top stages printed so a bad median is attributable (parked vs
+      // computing) instead of adjudicated on faith.
+      val minT = runs.map(_._1).filter(_ >= 0).minOption.getOrElse(-1.0)
+      if (stagesOn && minT > 0) runs.zipWithIndex.foreach { case ((dt, snap), i) =>
+        if (dt > 3 * minT && dt > 1.0) {
+          System.err.println(
+            f"[bench-stages] $name run ${i + 1} SLOW: $dt%.3f s (min $minT%.3f s)")
+          snap.sortBy(-_.wallMs).take(8).foreach { s =>
+            System.err.println(
+              f"[bench-stages]   wall=${s.wallMs}%6d ms run=${s.runMs}%6d " +
+              f"gc=${s.gcMs}%5d tasks=${s.tasks}%3d shufW=${s.shuffleWriteMs}%5d " +
+              f"fetchWait=${s.fetchWaitMs}%5d  ${s.name}")
+          }
+        }
+      }
+      name -> runs.map(_._1).sorted
     }
     def fmt(d: Double) = f"$d%.3f"
     val qJson = results.map { case (k, ts) =>
@@ -104,10 +158,22 @@ object Bench {
     // Also drop the line in a bare file: the driver invokes this through
     // sbt, whose `[info] ` prefix breaks JSON parsing of stdout (every
     // BENCH_r*.json so far has "parsed": null). A file has no prefix.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Default to an ABSOLUTE path at the repo root — sbt may run the main
+    // in a forked JVM whose cwd differs from the invocation dir, so a
+    // relative default is not provable; walking up from user.dir to the
+    // first build.sbt pins the file regardless of fork/cwd.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
+        if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
+        else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
+        else repoRoot(p.getParent)
+      repoRoot(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)
+        .resolve("bench_out.json").toString
+    })
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outFile")
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()

@@ -37,9 +37,18 @@ object Catalog {
 
   /** F15 as a column expression, the reference's driver-side loop form
     * (`/root/reference/nl_targeting_save.py:41,52-56`): split PRMP_STRING
-    * on spaces, find the first token in {=, BETWEEN, IN, ::op::}, column
+    * on spaces, find the FIRST token in {=, BETWEEN, IN, ::op::}, column
     * name = the tokens strictly between the leading keyword and that
-    * operator (`' '.join(tokens[1:j])`). */
+    * operator (`' '.join(tokens[1:j])`). With no operator present the
+    * whole PRMP_STRING is returned unchanged — exactly what the
+    * reference's loop leaves in `column_name_base` when nothing matches.
+    *
+    * Deliberate divergence, documented: the reference's loop does not
+    * `break`, so the LAST matching token wins — on the common shape
+    * `"AND col = ::op::"` (two operator tokens) that yields the nonsense
+    * name `"col ="`, which then fails every inventory lookup. First-match
+    * is the evident intent and what the stored prompts assume; the
+    * divergence is pinned in CatalogSpec. */
   def columnFromPrmp(prmp: Column): Column = {
     val toks = split(prmp, " ")
     def posOf(op: String) =
@@ -48,12 +57,13 @@ object Catalog {
     // Clamp BEFORE the arithmetic: with no operator present, the raw
     // Long.MaxValue position would wrap to a negative slice length (or
     // overflow-throw under ANSI). Clamped to size+1, the no-operator case
-    // degrades to "everything after the leading keyword"; an operator in
-    // position 1 degrades to an empty name (length clamped ≥ 0).
+    // is detectable as j > size (→ full string); an operator in position 1
+    // degrades to an empty name (length clamped ≥ 0).
     val j = least(
       least(posOf("="), posOf("BETWEEN"), posOf("IN"), posOf("::op::")),
       size(toks).cast("long") + 1)
-    concat_ws(" ", slice(toks, lit(2), greatest((j - 2).cast("int"), lit(0))))
+    when(j > size(toks), prmp).otherwise(
+      concat_ws(" ", slice(toks, lit(2), greatest((j - 2).cast("int"), lit(0)))))
   }
 
   /** `refine_query(sql)` (`/root/reference/nl_targeting_save.py:75`): make

@@ -44,6 +44,44 @@ object Ann {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cvec"))
+    assignToCentroids(emb, centroids, idCol, vecCol)
+  }
+
+  /** LEARNED centroids: an MLlib KMeans fit (cosine distance — the same
+    * measure the index assigns and probes by) instead of [[buildIvf]]'s
+    * deterministic row sample. On clustered real embeddings random-row
+    * centroids land several picks inside one dense cluster and none in
+    * sparse ones — unbalanced buckets, degraded recall at fixed nprobe;
+    * KMeans spreads centroids by the data's own density. The md5 sample
+    * stays the ORACLE default (DuckDB-reproducible); this is the quality
+    * path, gated by the recall/balance spec instead.
+    *
+    * Scale: the fit is KMeans|| on the distributed frame (no driver
+    * materialization of the data); only the C centers (C·dim doubles)
+    * come to the driver, same bounded footprint as the sample path's
+    * broadcast. */
+  def buildIvfKMeans(emb: DataFrame, numCentroids: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 20): Ivf = {
+    val withVec = emb.withColumn("features", array_to_vector(col(vecCol)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(numCentroids).setSeed(42)
+      .setDistanceMeasure("cosine").setMaxIter(maxIter)
+      .fit(withVec)
+    // centers arrive as double Vectors; the index stores array<float> like
+    // the data so the codegen cosine kernel applies unchanged
+    val centers = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toArray.map(_.toFloat)) }
+    val centroids = emb.sparkSession.createDataFrame(centers)
+      .toDF("centroid_id", "cvec")
+    assignToCentroids(emb, centroids, idCol, vecCol)
+  }
+
+  /** Nearest-centroid assignment shared by both builders: one broadcast
+    * map pass + `max_by` (no window shuffle), result partitioned by
+    * centroid_id so an nprobe probe touches nprobe/C of the data. */
+  private def assignToCentroids(emb: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): Ivf = {
     val assignments = emb.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
         col("centroid_id"), Graft.cosine(col(vecCol), col("cvec")).as("cscore"))

@@ -215,6 +215,26 @@ object RelationalPack extends QueryPack {
         .agg(countDistinct(col("cust_id")).as("audience"))
     }),
 
+    // A9 scale path: the HLL audience estimate (Audience.countApprox) gated
+    // against the exact count on the same member set. Spark's HLL++ and
+    // DuckDB's sketch differ, so the approx VALUE can't cross-engine hash;
+    // the oracled claim is the boolean — approx within 5×rsd of exact (HLL++
+    // at rsd=0.01 has σ≈1%, so 5% is a deterministic-pass margin at any sf).
+    "q12_audience_approx" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val members = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("cust_id"))
+        .union(c.filter(col("c_mktsegment") === "AUTOMOBILE")
+          .select(col("c_custkey").as("cust_id")))
+      val exact = members.agg(countDistinct(col("cust_id")).as("audience_exact"))
+      val approx = graft.operators.Audience.countApprox(members, rsd = 0.01)
+      exact.crossJoin(approx)
+        .select(col("audience_exact"),
+          (abs(col("audience_approx") - col("audience_exact")) <=
+            lit(0.05) * col("audience_exact")).as("within_tolerance"))
+    }),
+
     // T1/T2/T3: global top-k with the reference's percent normalization
     // (round(score/5*100, 2), /root/reference/camp_vec_rcmn.py:71).
     "q13_topk_orders" -> ((s, dir) => {
@@ -390,6 +410,14 @@ object RelationalPack extends QueryPack {
 
     "q12_audience_count" ->
       """SELECT count(DISTINCT cust_id) AS audience
+        |FROM (
+        |  SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT c_custkey AS cust_id FROM customer WHERE c_mktsegment = 'AUTOMOBILE')""".stripMargin,
+
+    "q12_audience_approx" ->
+      """SELECT count(DISTINCT cust_id) AS audience_exact,
+        |  TRUE AS within_tolerance
         |FROM (
         |  SELECT o_custkey AS cust_id FROM orders WHERE o_totalprice > 300000
         |  UNION ALL

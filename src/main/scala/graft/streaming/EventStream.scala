@@ -59,7 +59,16 @@ object EventStream {
     if (withSh.isStreaming)
       withSh.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("sh"))
-    else withSh.dropDuplicates(Seq("sh"))
+    else {
+      // batch twin keeps the EARLIEST row per fingerprint — the same
+      // survivor the streaming side emits (first arrival in event-time
+      // order), not dropDuplicates' arbitrary pick; one shuffle on sh.
+      import org.apache.spark.sql.expressions.Window
+      withSh
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("sh")).orderBy(col("ts"))))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Stream-stream inner join on a key within a time bound — the

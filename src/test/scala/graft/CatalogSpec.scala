@@ -30,6 +30,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(n == 5)
   }
 
+  test("columnFromPrmp degradations: no operator, operator at position 1, " +
+      "first-operator divergence (F15 regression)") {
+    import spark.implicits._
+    val got = Seq(
+      ("normal", "AND o_totalprice BETWEEN ::op::"),
+      // r5 overflow fix: no operator token anywhere — must return the FULL
+      // string (reference leaves column_name_base untouched), not throw or
+      // wrap to a negative slice length under ANSI.
+      ("no_op", "SOMEKEYWORD colname extra"),
+      // operator in position 1: tokens[1:0] — empty name, not an error.
+      ("op_first", "= trailing tokens"),
+      // two operator tokens: the reference's non-breaking loop would keep
+      // the LAST ('::op::' → "c_mktsegment ="); we deliberately keep the
+      // FIRST ('=' → "c_mktsegment"). Pinned so the divergence is chosen,
+      // not drifted into.
+      ("two_ops", "AND c_mktsegment = ::op::"))
+      .toDF("k", "prmp")
+      .select(col("k"), Catalog.columnFromPrmp(col("prmp")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("normal") == "o_totalprice")
+    assert(got("no_op") == "SOMEKEYWORD colname extra")
+    assert(got("op_first") == "")
+    assert(got("two_ops") == "c_mktsegment")
+  }
+
   test("source registry routes named tables by physical source (S1/S2)") {
     val viaRegistry = Tables.loadSource(spark,
       Tables.registry(TestSpark.sfDir)("region"))

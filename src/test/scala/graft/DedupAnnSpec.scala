@@ -205,6 +205,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("learned (KMeans) IVF centroids: recall@10 >= md5-sample recall@10 " +
+      "at the same nprobe, buckets bounded-balanced") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val c = 16
+    val learned = Ann.buildIvfKMeans(e, numCentroids = c)
+    val sampled = Ann.buildIvf(e, numCentroids = c)
+    // mean recall@10 over several queries (both builders are fully
+    // deterministic — seeded KMeans, md5 sample — so this is a fixed number)
+    val qids = (0L until 8L)
+    def meanRecall(ivf: Ann.Ivf): Double = qids.map { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Knn.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.searchIvf(ivf, q, nprobe = 4, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact & approx).size / 10.0
+    }.sum / qids.size
+    val rLearned = meanRecall(learned)
+    val rSampled = meanRecall(sampled)
+    assert(rLearned >= rSampled,
+      s"KMeans recall $rLearned < sample recall $rSampled")
+    // balance: learned buckets must not collapse — every centroid earns a
+    // bucket no larger than 4x the even share, and most are non-empty
+    val sizes = learned.assignments.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("sz")).collect().map(_.getLong(1))
+    assert(sizes.max <= 4L * n / c,
+      s"largest learned bucket ${sizes.max} > 4x even share ${n / c}")
+    assert(sizes.length >= c / 2,
+      s"only ${sizes.length} of $c learned buckets are non-empty")
+  }
+
   test("batch LSH similarity join matches exact top-k with decent recall") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val qs = e.filter(col("vec_id") < 3)

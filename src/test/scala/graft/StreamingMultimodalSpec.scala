@@ -95,6 +95,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("near-dup suppression dedups the same text at DIFFERENT event times " +
+      "inside the watermark (state keyed on sh alone — r5 regression)") {
+    import spark.implicits._
+    // the exact case the r5 fix exists for: identical text arriving at two
+    // different timestamps within the horizon. State keyed on (sh, ts)
+    // would pass both; keyed on sh alone, only the first survives.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:20:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val query = EventStream.nearDupSuppressStream(
+        input.toDF().toDF("ts", "text"), "1 hour")
+      .writeStream.format("memory").queryName("neardup_ts_test")
+      .outputMode("append").start()
+    try {
+      input.addData((t0, "alpha beta gamma delta"))
+      query.processAllAvailable()
+      input.addData((t1, "alpha beta gamma delta")) // later ts, same text
+      query.processAllAvailable()
+      val kept = spark.table("neardup_ts_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(kept.length == 1 && kept.head._1 == t0)
+    } finally query.stop()
+  }
+
+  test("near-dup batch twin keeps the earliest-ts survivor per fingerprint") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:20:00")
+    val batch = Seq((t1, "alpha beta gamma delta"),
+      (t0, "alpha beta gamma delta"), (t0, "one two three four"))
+      .toDF("ts", "text")
+    val kept = EventStream.nearDupSuppressStream(batch, "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
+    // same survivor as the streaming side: first arrival in event time
+    assert(kept == Set((t0, "alpha beta gamma delta"),
+      (t0, "one two three four")))
+  }
+
   test("stream-stream interval join matches only in-window pairs") {
     import spark.implicits._
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
