@@ -2,6 +2,7 @@ package graft
 
 import scala.collection.mutable
 
+import org.apache.spark.graftutil.BusDrain
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -17,14 +18,44 @@ object Bench {
     "q1_agg", "q3_join_agg", "q17_running_window", "q20_sweepline_consensus",
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs",
-    "tx_langid", "ann_ivf_topk")
+    "tx_langid", "ann_ivf_topk", "ann_ivf_kmeans_topk")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /
     * steal-time stall — environment, not the plan); high runTime means the
     * compute itself degraded (plan problem). */
   private case class St(name: String, wallMs: Long, runMs: Long, gcMs: Long,
-    tasks: Int, shuffleWriteMs: Long, fetchWaitMs: Long)
+    tasks: Int, shuffleWriteMs: Long, fetchWaitMs: Long) {
+    def json: String = {
+      def esc(s: String) =
+        s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                    case c if c < ' ' => " "; case c => c.toString }
+      s"""{"name":"${esc(name)}","wall_ms":$wallMs,"run_ms":$runMs,""" +
+        s""""gc_ms":$gcMs,"tasks":$tasks,"shuffle_write_ms":$shuffleWriteMs,""" +
+        s""""fetch_wait_ms":$fetchWaitMs}"""
+    }
+  }
+
+  /** Resolve a file name to an absolute path at the repo root (first parent
+    * of user.dir holding build.sbt) — sbt may fork the main in a JVM whose
+    * cwd differs from the invocation dir, so a relative path is not provable.
+    */
+  private def repoRootFile(name: String): String = {
+    def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
+      if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
+      else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
+      else repoRoot(p.getParent)
+    repoRoot(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)
+      .resolve(name).toString
+  }
+
+  private def writeFile(path: String, content: String): Unit =
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        content.getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $path")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $path: ${e.getMessage}") }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,12 +94,17 @@ object Bench {
         val wall = (for {
           s <- si.submissionTime; c <- si.completionTime
         } yield c - s).getOrElse(-1L)
-        val m = si.taskMetrics
-        stageBuf.synchronized {
-          stageBuf += St(si.name.takeWhile(_ != '\n').take(60), wall,
-            m.executorRunTime, m.jvmGCTime, si.numTasks,
-            m.shuffleWriteMetrics.writeTime / 1000000,
-            m.shuffleReadMetrics.fetchWaitTime)
+        // taskMetrics is nullable (stages that complete without metrics,
+        // e.g. on failure) — an NPE here would be swallowed by the listener
+        // bus and the evidence would silently vanish on exactly the runs
+        // being diagnosed.
+        Option(si.taskMetrics).foreach { m =>
+          stageBuf.synchronized {
+            stageBuf += St(si.name.takeWhile(_ != '\n').take(60), wall,
+              m.executorRunTime, m.jvmGCTime, si.numTasks,
+              m.shuffleWriteMetrics.writeTime / 1000000,
+              m.shuffleReadMetrics.fetchWaitTime)
+          }
         }
       }
     })
@@ -98,6 +134,10 @@ object Bench {
     // number is not adjudicable; the median is robust to one stolen run in
     // either direction and the spread makes the noise visible in the JSON.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // evidence collected for bench_stages.json: per-run wall times (run
+    // order, not sorted) and the full stage breakdown of every slow run
+    val allRunsJson = mutable.ArrayBuffer.empty[String]
+    val slowRunsJson = mutable.ArrayBuffer.empty[String]
     val results = selected.filter(qs.contains).map { name =>
       // deterministic cleanup OUTSIDE the timed path: flushes the
       // ContextCleaner's reference queue (shuffles/broadcasts of previous
@@ -116,9 +156,11 @@ object Bench {
         qs(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name run: $dt%.3f s")
-        // listener events post async; give the bus a beat before snapshot
+        // listener events post async; drain the bus deterministically
+        // before snapshot (a fixed sleep was a race on a busy bus)
         val snap = if (stagesOn) {
-          Thread.sleep(200); stageBuf.synchronized(stageBuf.toVector)
+          BusDrain.waitUntilEmpty(spark.sparkContext, 5000L)
+          stageBuf.synchronized(stageBuf.toVector)
         } else Vector.empty[St]
         (dt, snap)
       }
@@ -127,19 +169,26 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Vector((-1.0, Vector.empty[St])) }
       // stage-evidence dump: any run >3x the query's fastest run gets its
-      // top stages printed so a bad median is attributable (parked vs
-      // computing) instead of adjudicated on faith.
+      // top stages printed AND persisted so a bad median is attributable
+      // (low run_ms vs wall = tasks parked → environment; high run_ms =
+      // compute degraded → plan) instead of adjudicated on faith.
       val minT = runs.map(_._1).filter(_ >= 0).minOption.getOrElse(-1.0)
+      allRunsJson += "\"" + name + "\":[" +
+        runs.map(r => f"${r._1}%.3f").mkString(",") + "]"
       if (stagesOn && minT > 0) runs.zipWithIndex.foreach { case ((dt, snap), i) =>
         if (dt > 3 * minT && dt > 1.0) {
           System.err.println(
             f"[bench-stages] $name run ${i + 1} SLOW: $dt%.3f s (min $minT%.3f s)")
-          snap.sortBy(-_.wallMs).take(8).foreach { s =>
+          val top = snap.sortBy(-_.wallMs).take(8)
+          top.foreach { s =>
             System.err.println(
               f"[bench-stages]   wall=${s.wallMs}%6d ms run=${s.runMs}%6d " +
               f"gc=${s.gcMs}%5d tasks=${s.tasks}%3d shufW=${s.shuffleWriteMs}%5d " +
               f"fetchWait=${s.fetchWaitMs}%5d  ${s.name}")
           }
+          slowRunsJson +=
+            f"""{"query":"$name","run":${i + 1},"sec":$dt%.3f,""" +
+            f""""min_sec":$minT%.3f,"stages":[${top.map(_.json).mkString(",")}]}"""
         }
       }
       name -> runs.map(_._1).sorted
@@ -160,22 +209,21 @@ object Bench {
     // BENCH_r*.json so far has "parsed": null). A file has no prefix.
     // Default to an ABSOLUTE path at the repo root — sbt may run the main
     // in a forked JVM whose cwd differs from the invocation dir, so a
-    // relative default is not provable; walking up from user.dir to the
-    // first build.sbt pins the file regardless of fork/cwd.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
-        if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
-        else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
-        else repoRoot(p.getParent)
-      repoRoot(java.nio.file.Paths.get(sys.props("user.dir")).toAbsolutePath)
-        .resolve("bench_out.json").toString
-    })
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (json + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $outFile")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // relative default is not provable.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      repoRootFile("bench_out.json"))
+    writeFile(outFile, json + "\n")
+    // Stage evidence beside it — stderr alone dies in the handoff's
+    // 2000-char tail truncation (two rounds of unadjudicable spikes), so
+    // the same slow-run stage lines plus every per-run wall time go to a
+    // parsable file. Always written: an empty slow_runs array is itself
+    // evidence (no run exceeded 3x its query minimum).
+    val stagesFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAGES_OUT",
+      repoRootFile("bench_stages.json"))
+    writeFile(stagesFile,
+      s"""{"runs_per_query":$runsPerQuery,"sf":"$sfDir",""" +
+      s""""runs":${allRunsJson.mkString("{", ",", "}")},""" +
+      s""""slow_runs":${slowRunsJson.mkString("[", ",", "]")}}""" + "\n")
     spark.stop()
   }
 }

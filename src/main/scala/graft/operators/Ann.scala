@@ -64,10 +64,17 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxIter: Int = 20): Ivf = {
     val withVec = emb.withColumn("features", array_to_vector(col(vecCol)))
+    // KMeans with cosine distance throws on any zero-norm vector, whereas
+    // the rest of the index (Graft.cosine guard) degrades zero vectors to
+    // 0.0 similarity — so FIT only on nonzero-norm rows (a zero vector
+    // carries no direction to learn from anyway); assignment below still
+    // covers every row.
+    val sqNorm = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42)
       .setDistanceMeasure("cosine").setMaxIter(maxIter)
-      .fit(withVec)
+      .fit(withVec.filter(sqNorm > 0.0d))
     // centers arrive as double Vectors; the index stores array<float> like
     // the data so the codegen cosine kernel applies unchanged
     val centers = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>

@@ -274,6 +274,20 @@ object Dedup {
   private def verifyJaccard(cands: DataFrame, idWords: DataFrame,
       minJ: Double, keepCols: Seq[String]): DataFrame = {
     val np = cands.sparkSession.sparkContext.defaultParallelism
+    // `cands` is referenced three times below (both candIds union branches
+    // + the size join), and on every call site the candidate subtree is
+    // itself a join (LSH bucket join / prefix self-join). Relying on
+    // Catalyst exchange reuse to evaluate it once is planner-version-
+    // dependent — a silent change would triple the most expensive subtree —
+    // so materialize it ONCE with an eager localCheckpoint. Unlike the
+    // cache() this file bans (cross-run planner instability from leaked
+    // InMemoryRelations, see minhashNearDups), a localCheckpoint is plain
+    // executor-local RDD storage scoped to this query's lineage, and AQE
+    // then plans the three consumers on EXACT candidate stats. Cluster
+    // caveat: lineage is truncated, so a lost executor fails the job
+    // instead of recomputing — acceptable for the bounded candidate
+    // relation (pairs, not corpus).
+    val candsCk = cands.localCheckpoint(true)
     // Prune the word relation to candidate documents FIRST: candidates are
     // normally ≪ corpus (LSH emits tens of pairs from thousands of docs),
     // and without this the WHOLE corpus was tokenized and exploded twice
@@ -284,11 +298,11 @@ object Dedup {
     // word work. When candidates ≈ corpus (dense prefix-join case) the
     // prune degrades to a cheap id-set semi-join — proportional to the
     // joins that follow, never the bottleneck.
-    val candIds = cands.select(col("id_a").as("id"))
-      .union(cands.select(col("id_b").as("id"))).distinct()
+    val candIds = candsCk.select(col("id_a").as("id"))
+      .union(candsCk.select(col("id_b").as("id"))).distinct()
     val pruned = idWords.join(candIds, Seq("id"), "left_semi")
     val sizes = pruned.select(col("id"), size(col("w")).as("sz"))
-    val candsSz = cands
+    val candsSz = candsCk
       .join(sizes.toDF("id_a", "sa"), "id_a")
       .join(sizes.toDF("id_b", "sb"), "id_b")
       .filter(least(col("sa"), col("sb")) >=
@@ -578,7 +592,8 @@ object Dedup {
     * test side is one explode + two partial-aggregable counts, and the
     * containment probe is a semi-join on the hash. At extreme train sizes
     * the distinct-hash relation is the natural input to a bloom-filter
-    * pushdown; the relational form stays the ground truth. */
+    * pushdown ([[contaminationBloom]]); this relational form stays the
+    * ground truth. */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     val np = train.sparkSession.sparkContext.defaultParallelism
@@ -592,6 +607,53 @@ object Dedup {
     val totals = testGrams.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))
     val hits = testGrams.join(trainGrams, Seq("h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        Graft.roundExact(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("ratio"))
+  }
+
+  /** [[contamination]] with a broadcast Bloom-filter prefilter on the probe
+    * side — the scaladoc'd "bloom-filter pushdown" made real. The distinct
+    * train-hash relation (materialized once via localCheckpoint — it feeds
+    * both the filter build and the exact semi-join) is aggregated into a
+    * Bloom filter (`DataFrameStatFunctions.bloomFilter`: distributed
+    * partial sketches, driver merge), broadcast, and applied to the test
+    * grams BEFORE the semi-join shuffle. Bloom filters have no false
+    * negatives, so every truly-contaminated gram survives the prefilter and
+    * the exact semi-join that follows makes the result IDENTICAL to
+    * [[contamination]] (spec-pinned); false positives only cost a little
+    * shuffle. At scale this turns the probe-side shuffle from "every test
+    * gram" into "test grams that might hit" — on mostly-clean corpora a
+    * ~fpp-sized trickle.
+    *
+    * Sizing caveat for 100 TB: the driver-merged filter is ~7.3 bits per
+    * distinct train gram at fpp=0.03 (100 M grams ≈ 91 MB — fine; 10¹² is
+    * not). Past driver memory, shard the filter by hash range or drop back
+    * to [[contamination]] — which remains the ground truth either way. */
+  def contaminationBloom(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, fpp: Double = 0.03): DataFrame = {
+    val spark = train.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    val trainGrams = train.repartition(np)
+      .select(explode(ngrams(col(textCol), n)).as("g"))
+      .select(shingleHash(col("g")).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val bloom = trainGrams.stat.bloomFilter(
+      "h", math.max(trainGrams.count(), 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightHit = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    val testGrams = test.repartition(np)
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol), shingleHash(col("g")).as("h"))
+    val totals = testGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    // the UDF is a broadcast-local bitset probe on a map-side path, applied
+    // before any shuffle; the exact semi-join after it restores exactness
+    val hits = testGrams.filter(mightHit(col("h")))
+      .join(trainGrams, Seq("h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq(idCol))
       .select(col(idCol), col("n_grams"), col("n_hit"),

@@ -26,6 +26,23 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
+    // LEARNED-centroid IVF (seeded KMeans, cosine): the quality path's
+    // build + probe cost, benched alongside the md5-sample IVF. Graded as
+    // recall vs the exact top-10 — KMeans float reduction order is not
+    // hash-stable across engines, the recall gate boolean is (same grading
+    // contract as the LSH queries).
+    "ann_ivf_kmeans_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val ivf = Ann.buildIvfKMeans(e, numCentroids = 32)
+      val ann = Ann.searchIvf(ivf, q.select(col("qvec")), nprobe = 4, k = 10)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
+        k = 10, minRecall = 0.3)
+    }),
+
     // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors — the
     // scale path (no driver-side per-query loop) — graded as recall vs the
     // relational exact top-10 (the oracle-checkable form of an ANN result).
@@ -85,6 +102,20 @@ object AnnPack extends QueryPack {
         |  ORDER BY s DESC, vec_id LIMIT 10)
         |SELECT vec_id, round(s, 4) AS simil FROM topk
         |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // Same recall-gate oracle shape as the LSH queries: re-derive the
+    // exact top-1 (vec_id 0 matches itself) and assert the gate held.
+    "ann_ivf_kmeans_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
 
     // The oracle re-derives the exact top-1 neighbor per query and asserts
     // the recall gate held (recall_ok must come back true from Spark —

@@ -60,9 +60,13 @@ object EventStream {
       withSh.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(Seq("sh"))
     else {
-      // batch twin keeps the EARLIEST row per fingerprint — the same
-      // survivor the streaming side emits (first arrival in event-time
-      // order), not dropDuplicates' arbitrary pick; one shuffle on sh.
+      // batch twin keeps the EARLIEST event-time row per fingerprint, not
+      // dropDuplicates' arbitrary pick; one shuffle on sh. Known, chosen
+      // divergence: the streaming side keeps the first ARRIVAL (processing
+      // order), which matches the earliest event time only for in-order
+      // streams — for a late-then-early arrival inside the watermark the
+      // two paths keep different rows (spec-pinned). Batch prefers the
+      // deterministic event-time rule; arrival order does not exist there.
       import org.apache.spark.sql.expressions.Window
       withSh
         .withColumn("__rn", row_number().over(

@@ -184,6 +184,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(!got.contains(13L))
   }
 
+  test("contaminationBloom equals the semi-join ground truth exactly " +
+      "(bloom prefilter has no false negatives)") {
+    def runBoth(train: org.apache.spark.sql.DataFrame,
+        test: org.apache.spark.sql.DataFrame) = {
+      def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      (norm(Dedup.contamination(train, test, "doc_id", "text", n = 8)),
+        norm(Dedup.contaminationBloom(train, test, "doc_id", "text", n = 8)))
+    }
+    // toy fixture: exact containment structure known
+    val train = Seq((1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val test = Seq((11L, "a b c d e f g h i j"),
+      (12L, "x a b c d e f g h i j"),
+      (13L, "u v w x y z aa bb cc dd")).toDF("doc_id", "text")
+    val (exactToy, bloomToy) = runBoth(train, test)
+    assert(bloomToy == exactToy && exactToy.nonEmpty)
+    // real fixture: the dd_contamination gate's own table split
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val (exactDocs, bloomDocs) =
+      runBoth(docs.limit(250), docs.filter(col("doc_id") >= 200))
+    assert(bloomDocs == exactDocs && exactDocs.nonEmpty)
+  }
+
+  test("verifyJaccard pins its candidate subtree to ONE evaluation: the " +
+      "localCheckpoint scan appears in both routes' physical plans") {
+    // cands is referenced three times inside verifyJaccard; without the
+    // eager localCheckpoint a planner change could silently re-evaluate
+    // the candidate join thrice. The checkpointed RDD surfaces as a Scan
+    // ExistingRDD node — if this probe stops matching, the pin is gone.
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(200)
+    def hasRddScan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.contains("ExistingRDD")
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", minJ = 0.9)
+    assert(hasRddScan(mh), "minhash route lost the candidate checkpoint")
+    val pf = Dedup.jaccardPairs(docs, "doc_id", "text", "lang", minJ = 0.8,
+      strategy = "prefix")
+    assert(hasRddScan(pf), "prefix route lost the candidate checkpoint")
+  }
+
   test("IVF with all buckets probed equals exact brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -224,8 +265,15 @@ class DedupAnnSpec extends AnyFunSuite {
     }.sum / qids.size
     val rLearned = meanRecall(learned)
     val rSampled = meanRecall(sampled)
-    assert(rLearned >= rSampled,
-      s"KMeans recall $rLearned < sample recall $rSampled")
+    // epsilon + absolute floor, not strict >=: learned beating the sample
+    // at this nprobe on this fixture is an empirical fact, not an
+    // invariant — an MLlib upgrade or partitioning change may flip a tie,
+    // and that should not fail a correct build. What IS the contract:
+    // learned centroids are never materially WORSE, and recall stays
+    // usable in absolute terms.
+    assert(rLearned >= rSampled - 0.05,
+      s"KMeans recall $rLearned < sample recall $rSampled - 0.05")
+    assert(rLearned >= 0.5, s"KMeans recall $rLearned below absolute floor")
     // balance: learned buckets must not collapse — every centroid earns a
     // bucket no larger than 4x the even share, and most are non-empty
     val sizes = learned.assignments.groupBy(col("centroid_id"))

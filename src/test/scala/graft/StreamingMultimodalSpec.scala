@@ -128,9 +128,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .toDF("ts", "text")
     val kept = EventStream.nearDupSuppressStream(batch, "1 hour")
       .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSet
-    // same survivor as the streaming side: first arrival in event time
+    // earliest EVENT time — matches the streaming survivor when arrival
+    // order is event-time order (the divergence spec below pins the rest)
     assert(kept == Set((t0, "alpha beta gamma delta"),
       (t0, "one two three four")))
+  }
+
+  test("near-dup suppression KNOWN DIVERGENCE: out-of-order arrival keeps " +
+      "first ARRIVAL in streaming but earliest EVENT TIME in batch") {
+    import spark.implicits._
+    // dropDuplicatesWithinWatermark keeps the first row in PROCESSING
+    // (arrival) order; the batch twin keeps the minimum event-time row.
+    // Feed the LATER-ts copy first: the streaming side keeps t1, the batch
+    // twin keeps t0. This pins the divergence as chosen and documented
+    // (EventStream.nearDupSuppressStream), not drift.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:20:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val query = EventStream.nearDupSuppressStream(
+        input.toDF().toDF("ts", "text"), "1 hour")
+      .writeStream.format("memory").queryName("neardup_ooo_test")
+      .outputMode("append").start()
+    try {
+      input.addData((t1, "alpha beta gamma delta")) // later ts arrives first
+      query.processAllAvailable()
+      input.addData((t0, "alpha beta gamma delta")) // earlier ts, in horizon
+      query.processAllAvailable()
+      val streamKept = spark.table("neardup_ooo_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(streamKept.length == 1 && streamKept.head._1 == t1)
+    } finally query.stop()
+    val batchKept = EventStream.nearDupSuppressStream(
+        Seq((t1, "alpha beta gamma delta"), (t0, "alpha beta gamma delta"))
+          .toDF("ts", "text"), "1 hour")
+      .collect().map(_.getTimestamp(0))
+    assert(batchKept.length == 1 && batchKept.head == t0)
   }
 
   test("stream-stream interval join matches only in-window pairs") {
