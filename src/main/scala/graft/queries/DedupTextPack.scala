@@ -107,6 +107,18 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-prefiltered twin: identical result by construction (no false
+    // negatives, exact semi-join after the prefilter) — sharing
+    // dd_contamination's oracle makes the equivalence driver-verified.
+    "dd_contamination_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationBloom(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash fingerprints (md5-derived 60-bit hash — bit-exact DuckDB
     // twin below; the near-dup pair variant is spec-tested in DedupAnnSpec).
     "dd_simhash" -> ((s, dir) => {
@@ -225,6 +237,31 @@ object DedupTextPack extends QueryPack {
   private def gramConcat(n: Int): String =
     (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
 
+  /** Shared by dd_contamination and dd_contamination_bloom — the two Spark
+    * paths are exactly equivalent (bloom is a no-false-negative prefilter
+    * ahead of the same semi-join), so one oracle gates both. */
+  private def contaminationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |grams AS (
+       |  -- range end is EXCLUSIVE: len(w)-6 yields i = 1 … len-7,
+       |  -- i.e. exactly the len-7 full 8-grams
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)-6),
+       |    i -> ${gramConcat(8)})) AS g
+       |  FROM toks),
+       |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+       |test AS (SELECT doc_id, g FROM grams WHERE doc_id % 2 = 1),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS n_grams,
+       |    count(CASE WHEN tr.g IS NOT NULL THEN 1 END) AS n_hit
+       |  FROM test t LEFT JOIN train tr ON t.g = tr.g
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_grams, n_hit,
+       |  round(CAST(n_hit::DOUBLE / n_grams AS DECIMAL(28,12)), 4)::DOUBLE AS ratio
+       |FROM hits WHERE n_hit > 0
+       |ORDER BY doc_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
@@ -251,27 +288,11 @@ object DedupTextPack extends QueryPack {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
 
-    "dd_contamination" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |grams AS (
-         |  -- range end is EXCLUSIVE: len(w)-6 yields i = 1 … len-7,
-         |  -- i.e. exactly the len-7 full 8-grams
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w)-6),
-         |    i -> ${gramConcat(8)})) AS g
-         |  FROM toks),
-         |train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
-         |test AS (SELECT doc_id, g FROM grams WHERE doc_id % 2 = 1),
-         |hits AS (
-         |  SELECT t.doc_id, count(*) AS n_grams,
-         |    count(CASE WHEN tr.g IS NOT NULL THEN 1 END) AS n_hit
-         |  FROM test t LEFT JOIN train tr ON t.g = tr.g
-         |  GROUP BY t.doc_id)
-         |SELECT doc_id, n_grams, n_hit,
-         |  round(CAST(n_hit::DOUBLE / n_grams AS DECIMAL(28,12)), 4)::DOUBLE AS ratio
-         |FROM hits WHERE n_hit > 0
-         |ORDER BY doc_id""".stripMargin,
+    "dd_contamination" -> contaminationSql,
+
+    // the bloom variant is exactly equivalent — same oracle, so the
+    // equivalence itself is part of the driver's hash gate
+    "dd_contamination_bloom" -> contaminationSql,
 
     // Connected components via recursive reachability + min — one
     // independent derivation gates BOTH cluster engines (label
