@@ -74,6 +74,10 @@ object Ann {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42)
       .setDistanceMeasure("cosine").setMaxIter(maxIter)
+      // one k-means|| init round: each round is a full pass + a driver
+      // sync, and round 1 already oversamples ~2k candidates — plenty for
+      // the bounded C this index uses; recall/balance are spec-gated
+      .setInitSteps(1)
       .fit(withVec.filter(sqNorm > 0.0d))
     // centers arrive as double Vectors; the index stores array<float> like
     // the data so the codegen cosine kernel applies unchanged
