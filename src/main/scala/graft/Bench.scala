@@ -98,9 +98,15 @@ object Bench {
         // e.g. on failure) — an NPE here would be swallowed by the listener
         // bus and the evidence would silently vanish on exactly the runs
         // being diagnosed.
+        // the call-site stage name is useless under AQE (every stage reads
+        // "$anonfun$withThreadLocalCaptured…"); the RDD operation scopes
+        // name the actual operators (Exchange, WholeStageCodegen, …)
+        val scopes = si.rddInfos.flatMap(_.scope).map(_.name).distinct
+        val label = if (scopes.isEmpty) si.name.takeWhile(_ != '\n')
+          else s"${scopes.take(5).mkString(">")} @ ${si.name.takeWhile(_ != '\n')}"
         Option(si.taskMetrics).foreach { m =>
           stageBuf.synchronized {
-            stageBuf += St(si.name.takeWhile(_ != '\n').take(60), wall,
+            stageBuf += St(label.take(90), wall,
               m.executorRunTime, m.jvmGCTime, si.numTasks,
               m.shuffleWriteMetrics.writeTime / 1000000,
               m.shuffleReadMetrics.fetchWaitTime)

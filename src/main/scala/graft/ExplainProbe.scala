@@ -13,7 +13,8 @@ object ExplainProbe {
       else Seq("q2_filter_pushdown", "q3_join_agg", "knn_topk", "knn_fusion",
         "q22_recommend_audience", "dd_minhash_lsh", "dd_jaccard_pairs",
         "dd_simhash_pairs", "ix_condition_meta", "nl_target_from_text",
-        "ann_lsh_join", "mm_frame_plan")
+        "ann_lsh_join", "mm_frame_plan", "ann_ivf_kmeans_topk",
+        "dd_contamination_bloom")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
