@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Randomized (seeded, deterministic) property coverage for the columnar
+  * primitives, checked against independent plain-Scala reference
+  * implementations. Hundreds of generated documents go through ONE
+  * DataFrame pass per property — the breadth of property testing without
+  * per-case Spark job overhead. The generator leans on the edges the
+  * hand-written specs can't enumerate: token counts straddling the n-gram
+  * boundary (len < n, == n, > n), single-char and longer words, repeated
+  * words, empty-ish docs.
+  */
+class RandomizedPrimitiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 400 random docs of 0–12 clean words (joined by single spaces so the
+    * Spark-side regexp tokenizer and Scala's split agree by construction). */
+  private def randomDocs(seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("a", "b", "cd", "efg", "hij", "k", "lm", "nop", "q9", "r")
+    (0L until 400L).map { i =>
+      val n = rnd.nextInt(13)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+  }
+
+  test("ngrams equals a sliding-window reference on 400 random docs, " +
+      "n in {1, 2, 3, 8}") {
+    val docs = randomDocs(seed = 101)
+    val df = docs.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val got = df.select(col("doc_id"), Dedup.ngrams(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      docs.foreach { case (id, text) =>
+        // the engine's tokens() contract: splitting "" yields ONE empty
+        // token (identically in Spark split, Scala split, and DuckDB
+        // string_split_regex — which is why the oracles hash-match), so an
+        // empty doc has a single 1-gram "" and no higher grams
+        val words = text.split("\\s+").toList
+        val want =
+          if (words.length < n) Nil
+          else words.sliding(n).map(_.mkString(" ")).toList
+        assert(got(id) == want, s"n=$n doc=$id text='$text'")
+      }
+    }
+  }
+
+  test("jaccard column equals set arithmetic on 400 random word-set pairs") {
+    val rnd = new scala.util.Random(202)
+    val vocab = Vector("w1", "w2", "w3", "w4", "w5", "w6")
+    val pairs = (0L until 400L).map { i =>
+      def set() = rnd.shuffle(vocab).take(1 + rnd.nextInt(vocab.size)).toList
+      (i, set(), set())
+    }
+    val got = pairs.toDF("id", "a", "b")
+      .select(col("id"), Dedup.jaccard(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case (id, a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val want = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(got(id) - want) < 1e-12, s"pair $id: $a vs $b")
+    }
+  }
+
+  test("native codegen simhash/fingerprint equal their interpreted HOF " +
+      "twins on 400 random docs") {
+    val df = randomDocs(seed = 303).toDF("doc_id", "text")
+    val diff = df.select(
+        Dedup.simhash(col("text")).as("s_native"),
+        Dedup.simhashHof(col("text")).as("s_hof"),
+        TextAnalysis.fingerprint(col("text")).as("f_native"),
+        TextAnalysis.fingerprintHof(col("text")).as("f_hof"))
+      .filter(col("s_native") =!= col("s_hof") ||
+        col("f_native") =!= col("f_hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("minhash HOF signature equals the explode+min-agg signature on " +
+      "random docs with >= 3 tokens") {
+    // the exploded path only emits rows for docs that HAVE shingles; the
+    // HOF form yields nulls/empties there, so compare on docs of >= 3 words
+    val df = randomDocs(seed = 404).toDF("doc_id", "text")
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+    val k = 12
+    val hof = df.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), k).as("sig"))
+    val exploded = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+      .select(col("doc_id"), Dedup.shingleHash(col("g")).as("h"))
+    val aggs = (0 until k).map(s =>
+      min(col("h").bitwiseXOR(Dedup.permKey(s))).as(s"sig_$s"))
+    val agg = exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
+    val a = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = agg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+}
