@@ -51,6 +51,55 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (h, w) => (h * 131L + length(w).cast("long") * 31L + ascii(w)) % 1000000007L)
 
+  /** Deterministic stratified quota sample: the `quota` pseudo-randomly
+    * smallest documents per stratum, ranked by `md5(id)` (id tie-break) —
+    * the corpus-balancing step of a training pipeline (cap each language/
+    * source at N docs) with none of `sampleBy`'s run-to-run drift, and
+    * md5-ordering is reproducible in any engine, so the sample itself is
+    * oracle-checkable.
+    *
+    * Scale shape: the rank-filter compiles to WindowGroupLimit (Spark 4
+    * pushes a per-partition partial top-k below the stratum shuffle), so
+    * each map task forwards at most `quota` rows per stratum it sees —
+    * the shuffle carries O(partitions·quota), not the corpus, and a hot
+    * stratum never concentrates more than its quota on one reducer's
+    * output. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
+  /** Token-budgeted shard packing — the sharding step before training:
+    * within each stream (e.g. language), documents in `idCol` order are
+    * assigned `shard_id = floor(preceding_cum_tokens / budget)` (the
+    * cumulative count EXCLUDES the current document, so an empty prefix is
+    * shard 0 and an oversized document still lands somewhere). Shards are
+    * contiguous runs of ~budget tokens; a shard may overflow by up to its
+    * last document's length — the closed-form prefix-sum rule, chosen over
+    * true greedy (close-when-next-would-overflow) because greedy is a
+    * prefix-dependent recurrence that needs a stateful per-stream scan,
+    * while this is one window pass and equally deterministic. Returns
+    * `(streamCol, idCol, n_tokens, shard_id)`.
+    *
+    * Scale shape: one shuffle on the stream column, then a single
+    * running-sum window pass per stream — no self-join, no driver state.
+    * Packing is inherently sequential per stream; at 100 TB the stream key
+    * is (lang, date-bucket) so each window partition stays executor-sized,
+    * and shard ids are made globally unique by prefixing the stream key. */
+  def packShards(docs: DataFrame, streamCol: String, idCol: String,
+      textCol: String, tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(streamCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
+  }
+
   /** Per-language top-k word profiles learned from a labeled corpus:
     * (lang, word) frequency ranking, deterministic ties by word. */
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,

@@ -174,6 +174,22 @@ object DedupTextPack extends QueryPack {
       TextAnalysis.langIdAccuracy(docs(s, dir), "doc_id", "lang", "text")
     }),
 
+    // Corpus balancing: deterministic md5-ranked quota sample per lang
+    // (WindowGroupLimit keeps the shuffle at O(partitions * quota)).
+    "tx_sample_stratified" -> ((s, dir) => {
+      TextAnalysis.stratifiedSample(docs(s, dir), "lang", "doc_id", quota = 50)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Sequence packing: token-budgeted contiguous shards per lang stream
+    // (closed-form prefix-sum rule — one window pass, no stateful scan).
+    "tx_shard_pack" -> ((s, dir) => {
+      TextAnalysis.packShards(docs(s, dir), "lang", "doc_id", "text",
+          tokenBudget = 1000L)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Corpus profiling: exact interpolated token-count percentiles per
     // lang (Spark `percentile` ≡ DuckDB `quantile_cont`, both the
     // standard linear interpolation).
@@ -349,6 +365,29 @@ object DedupTextPack extends QueryPack {
          |  count(CASE WHEN q >= 0.55 THEN 1 END) AS n_highq
          |FROM q JOIN kept USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx_sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "tx_shard_pack" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
+        |FROM s ORDER BY lang, doc_id""".stripMargin,
 
     "tx_lengths" ->
       """WITH n AS (

@@ -80,6 +80,52 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("stratifiedSample: exact quota per stratum, subset of input, " +
+      "rank filter compiles to WindowGroupLimit") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    val sampled = TextAnalysis.stratifiedSample(docs, "lang", "doc_id", 20)
+    val counts = sampled.groupBy(col("lang")).count()
+      .collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 20L))
+    assert(sampled.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    // the scale claim: the per-stratum top-k is a WindowGroupLimit (partial
+    // limit below the shuffle), not a full sort+filter of the corpus
+    assert(sampled.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
+  test("packShards equals a per-stream prefix-sum reference on random " +
+      "docs; shards are contiguous and overflow-bounded") {
+    val rnd = new scala.util.Random(505)
+    val docs = (0L until 300L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")
+      (i, s"s${rnd.nextInt(3)}", words)
+    }
+    val budget = 40L
+    val got = TextAnalysis
+      .packShards(docs.toDF("doc_id", "stream", "text"), "stream", "doc_id",
+        "text", budget)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: walk each stream in id order, shard = floor(prefix/budget)
+    val byStream = docs.groupBy(_._2)
+    got.groupBy(_._1).foreach { case (stream, rows) =>
+      val ordered = byStream(stream).sortBy(_._1)
+      var prefix = 0L
+      val want = ordered.map { case (id, _, text) =>
+        val n = text.split("\\s+").length.toLong
+        val shard = prefix / budget
+        prefix += n
+        (id, n, shard)
+      }
+      assert(rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toList ==
+        want.toList, s"stream $stream")
+      // contiguity: shard ids are non-decreasing in id order
+      val shards = rows.sortBy(_._2).map(_._4)
+      assert(shards.zip(shards.drop(1)).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("minhash HOF signature equals the explode+min-agg signature on " +
       "random docs with >= 3 tokens") {
     // the exploded path only emits rows for docs that HAVE shingles; the
