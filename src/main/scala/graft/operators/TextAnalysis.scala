@@ -100,6 +100,40 @@ object TextAnalysis {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
 
+  /** Repetition/shape quality signals per document, after the published
+    * large-corpus filter rules (word-count bounds, mean-word-length band,
+    * max-repeated-unigram fraction): returns
+    * `(idCol, n_words, mean_word_len, top_word_frac, keep)`.
+    *
+    * The repetition signal needs per-(doc, word) counts, so the shape is
+    * one explode into two stacked partial-aggregations — (doc, word) then
+    * (doc) — both map-side combinable; nothing is per-pair or driver-side.
+    * Thresholds follow the common published bands (50–100k words,
+    * mean length 3–10, top unigram ≤ 0.2) scaled down to the fixture's
+    * short documents via the parameters. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 5, maxWords: Int = 100000,
+      minMeanLen: Double = 1.0, maxMeanLen: Double = 12.0,
+      maxTopFrac: Double = 0.5): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("word"))
+    val perWord = words.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("cnt"), sum(length(col("word"))).as("chars"))
+    val perDoc = perWord.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_words"),
+        graft.Graft.roundExact(
+          sum(col("chars")).cast("double") / sum(col("cnt")), 4)
+          .as("mean_word_len"),
+        graft.Graft.roundExact(
+          max(col("cnt")).cast("double") / sum(col("cnt")), 4)
+          .as("top_word_frac"))
+    perDoc.select(col(idCol), col("n_words"), col("mean_word_len"),
+      col("top_word_frac"),
+      (col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+        col("top_word_frac") <= maxTopFrac).as("keep"))
+  }
+
   /** Per-language top-k word profiles learned from a labeled corpus:
     * (lang, word) frequency ranking, deterministic ties by word. */
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,

@@ -190,6 +190,13 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Repetition/shape quality rules (published large-corpus filter
+    // bands): explode into two stacked partial aggs, no per-pair work.
+    "tx_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus profiling: exact interpolated token-count percentiles per
     // lang (Spark `percentile` ≡ DuckDB `quantile_cont`, both the
     // standard linear interpolation).
@@ -388,6 +395,26 @@ object DedupTextPack extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
         |FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    "tx_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |per_word AS (
+        |  SELECT doc_id, word, count(*) AS cnt, sum(len(word)) AS chars
+        |  FROM words GROUP BY doc_id, word),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    round(CAST(sum(chars)::DOUBLE / sum(cnt) AS DECIMAL(28,12)), 4)::DOUBLE
+        |      AS mean_word_len,
+        |    round(CAST(max(cnt)::DOUBLE / sum(cnt) AS DECIMAL(28,12)), 4)::DOUBLE
+        |      AS top_word_frac
+        |  FROM per_word GROUP BY doc_id)
+        |SELECT doc_id, n_words, mean_word_len, top_word_frac,
+        |  (n_words BETWEEN 5 AND 100000
+        |    AND mean_word_len BETWEEN 1.0 AND 12.0
+        |    AND top_word_frac <= 0.5) AS keep
+        |FROM per_doc ORDER BY doc_id""".stripMargin,
 
     "tx_lengths" ->
       """WITH n AS (
