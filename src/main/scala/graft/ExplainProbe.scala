@@ -14,7 +14,8 @@ object ExplainProbe {
         "q22_recommend_audience", "dd_minhash_lsh", "dd_jaccard_pairs",
         "dd_simhash_pairs", "ix_condition_meta", "nl_target_from_text",
         "ann_lsh_join", "mm_frame_plan", "ann_ivf_kmeans_topk",
-        "dd_contamination_bloom")
+        "dd_contamination_bloom", "tx_sample_stratified", "tx_shard_pack",
+        "tx_repetition")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
