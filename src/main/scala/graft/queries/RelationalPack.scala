@@ -296,6 +296,13 @@ object RelationalPack extends QueryPack {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Sessionization (streaming extension's batch face): session_window
+    // per user, 2h gap — oracle is the gaps-and-islands derivation.
+    "q27_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStream.sessionize(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // S7/F16: vector text round-trip — str(embedding) -> VEC_FromText
     // (/root/reference/nl_targeting_save.py:135,142). The oracle asserts
     // every row survives the round-trip.
@@ -460,6 +467,28 @@ object RelationalPack extends QueryPack {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // Gaps-and-islands twin of session_window: a session breaks when the
+    // inter-event gap is >= 2h (Spark's window is [start, last+gap), so an
+    // event at exactly prev+gap starts a new session — hence >=, not >).
+    "q27_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin

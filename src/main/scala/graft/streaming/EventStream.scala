@@ -29,6 +29,35 @@ object EventStream {
         col("n_events"), col("sum_value"))
   }
 
+  /** Sessionization: events of one user closer than `gap` chain into one
+    * session — the standard large-scale event-pipeline operator, via
+    * `session_window` (identical API batch and streaming; streaming merges
+    * session state across micro-batches and the watermark closes sessions
+    * once `gap` has provably passed). A session's window starts at its
+    * first event and ends `gap` after its last; an event at EXACTLY
+    * `prev + gap` starts a new session.
+    *
+    * Output `(user_id, session_start: epoch seconds, n_events,
+    * total_value)` — the start is emitted as floor-seconds and the value
+    * sum goes through decimal so the batch form is engine-exact
+    * (oracle-checkable by a gaps-and-islands twin); input carries
+    * `ts: timestamp, user_id, value`.
+    *
+    * Scale: one shuffle on user_id; per-key state is open sessions inside
+    * the watermark, same bound as any keyed streaming agg. */
+  def sessionize(events: DataFrame, gap: String = "2 hours",
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double")
+          .as("total_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming exact dedup (the streaming twin of `dd_exact`):
     * watermarked `dropDuplicates` on a content key — state holds one entry
     * per key inside the watermark horizon, so memory is bounded by the

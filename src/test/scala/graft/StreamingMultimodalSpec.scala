@@ -52,6 +52,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionize merges in-gap events into one session and " +
+      "emits it once the watermark passes the session end") {
+    import spark.implicits._
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:00:00")
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)](spark)
+    val query = EventStream.sessionize(
+        input.toDF().toDF("ts", "user_id", "value"),
+        gap = "2 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // two events 1h apart -> one session [10:00, 13:00)
+      input.addData((ts(10), 1L, 1.0), (ts(11), 1L, 2.0))
+      query.processAllAvailable()
+      // an event far later advances the watermark (19:00) past the first
+      // session's end, forcing it to close and emit
+      input.addData((ts(20), 1L, 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("session_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((1L, ts(10).getTime / 1000, 2L, 3.0)))
+    } finally query.stop()
+  }
+
   test("watermarked streaming dedup drops in-horizon duplicates") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
