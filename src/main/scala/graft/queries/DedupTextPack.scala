@@ -190,6 +190,25 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Approximate-quantile gate (the percentile analog of the HLL audience
+    // gate q12): approx_percentile's sketch answer must land inside the
+    // exact p40..p60 rank window — a property the sketch's rank-error
+    // bound (1/accuracy = 1% of ranks, vs the window's +/-10%) guarantees
+    // REGARDLESS of partition merge order, so the boolean is stable where
+    // the raw sketch value would not be hash-stable.
+    "tx_lengths_approx" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), size(TextAnalysis.tokens(col("text"))).as("n"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(n, 0.4)").as("p40"),
+          expr("percentile(n, 0.6)").as("p60"),
+          expr("approx_percentile(n, 0.5, 100)").as("ap50"))
+        .select(col("lang"),
+          (col("ap50") >= floor(col("p40")) &&
+            col("ap50") <= ceil(col("p60"))).as("ok"))
+        .orderBy(col("lang"))
+    }),
+
     // Repetition/shape quality rules (published large-corpus filter
     // bands): explode into two stacked partial aggs, no per-pair work.
     "tx_repetition" -> ((s, dir) => {
@@ -395,6 +414,12 @@ object DedupTextPack extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
         |FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // boolean-oracled like q12_audience_approx: the oracle asserts the
+    // gate held; a sketch answer outside the rank window breaks the hash
+    "tx_lengths_approx" ->
+      """SELECT DISTINCT lang, TRUE AS ok FROM documents
+        |ORDER BY lang""".stripMargin,
 
     "tx_repetition" ->
       """WITH words AS (

@@ -303,6 +303,13 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Ordered-step conversion funnel (view -> click -> purchase, each
+    // step within 24h of the previous): per-step reach counts.
+    "q28_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), withinHours = 24)
+    }),
+
     // S7/F16: vector text round-trip — str(embedding) -> VEC_FromText
     // (/root/reference/nl_targeting_save.py:135,142). The oracle asserts
     // every row survives the round-trip.
@@ -489,6 +496,32 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Sequential greedy-earliest CTEs — the same step semantics as
+    // Funnel.funnel (strictly after the previous match, within 24h of it).
+    "q28_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 0 AS step, 'view' AS step_name, count(*) AS n_users FROM s0
+        |  UNION ALL
+        |  SELECT 1, 'click', count(*) FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'purchase', count(*) FROM s2)
+        |ORDER BY step""".stripMargin,
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin
