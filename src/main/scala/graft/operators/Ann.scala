@@ -59,11 +59,29 @@ object Ann {
     * Scale: the fit is KMeans|| on the distributed frame (no driver
     * materialization of the data); only the C centers (C·dim doubles)
     * come to the driver, same bounded footprint as the sample path's
-    * broadcast. */
+    * broadcast. The fit input is further bounded two ways, per standard
+    * IVF-training practice (centroid quality saturates at a few hundred
+    * training points per centroid — Lloyd-iterating the full corpus is
+    * wasted passes):
+    *  - `fitFraction` < 1 keeps a deterministic hash slice of the rows
+    *    (xxhash64 threshold on the id — reproducible regardless of
+    *    partitioning, unlike `df.sample`). At 100TB you fit on ~1e-6 of
+    *    the corpus; assignment below still covers every row.
+    *  - `fitPartitions` coalesces the (now small) fit set so each Lloyd
+    *    round is a handful of tasks, not one task per corpus partition —
+    *    the fit is job-scheduling-bound once the sample fits in memory. */
   def buildIvfKMeans(emb: DataFrame, numCentroids: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxIter: Int = 20): Ivf = {
-    val withVec = emb.withColumn("features", array_to_vector(col(vecCol)))
+      maxIter: Int = 20, fitFraction: Double = 1.0,
+      fitPartitions: Int = 4): Ivf = {
+    val sampled =
+      if (fitFraction >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) < (fitFraction * 1e6).toLong)
+    val withVec = sampled
+      .select(col(vecCol))
+      .coalesce(fitPartitions)
+      .withColumn("features", array_to_vector(col(vecCol)))
     // KMeans with cosine distance throws on any zero-norm vector, whereas
     // the rest of the index (Graft.cosine guard) degrades zero vectors to
     // 0.0 similarity — so FIT only on nonzero-norm rows (a zero vector
@@ -74,10 +92,12 @@ object Ann {
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(numCentroids).setSeed(42)
       .setDistanceMeasure("cosine").setMaxIter(maxIter)
-      // one k-means|| init round: each round is a full pass + a driver
-      // sync, and round 1 already oversamples ~2k candidates — plenty for
-      // the bounded C this index uses; recall/balance are spec-gated
-      .setInitSteps(1)
+      // seeded random init: k-means|| costs an extra full pass + driver
+      // sync per init round to spread the FIRST centers well, but Lloyd
+      // with a few iterations converges to density-following centers from
+      // a random start too — and recall/balance are spec-gated, so the
+      // cheaper init is the right trade for a bounded-C index
+      .setInitMode("random")
       .fit(withVec.filter(sqNorm > 0.0d))
     // centers arrive as double Vectors; the index stores array<float> like
     // the data so the codegen cosine kernel applies unchanged

@@ -36,10 +36,11 @@ object AnnPack extends QueryPack {
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qvec"))
-      // maxIter 8: the fit is job-scheduling-bound at bench scale (each
-      // Lloyd iteration is a pair of tiny jobs) and converges in a handful
-      // of iterations on this data; recall is gated below either way
-      val ivf = Ann.buildIvfKMeans(e, numCentroids = 32, maxIter = 8)
+      // maxIter 5: the fit is job-scheduling-bound at bench scale (each
+      // Lloyd iteration is one tiny job, ~80ms of it sequential scheduling
+      // latency) and centroids converge in a handful of iterations on this
+      // data; recall is gated below either way
+      val ivf = Ann.buildIvfKMeans(e, numCentroids = 32, maxIter = 5)
       val ann = Ann.searchIvf(ivf, q.select(col("qvec")), nprobe = 4, k = 10)
         .select(lit(0L).as("qid"), col("vec_id"))
       Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
