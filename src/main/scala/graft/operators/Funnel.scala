@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * conversion query (did the user do A, then B, then C, each within a
   * bounded time of the previous step?).
   *
-  * Semantics: a user's step-0 match is their EARLIEST step-0 event; step i
-  * matches the earliest event of its type STRICTLY after the step i-1
-  * match and at most `withinHours` after it. Greedy-earliest is exact for
-  * reachability: if any chain of events satisfies the constraints, the
-  * earliest-match chain does too (each greedy timestamp is ≤ the
-  * corresponding chain timestamp, so every later window only widens).
+  * Semantics — FIRST-TOUCH ANCHORED (the common product-analytics
+  * definition): a user's step-0 match is their EARLIEST step-0 event;
+  * step i matches the earliest event of its type STRICTLY after the
+  * step i-1 match and at most `withinHours` after it. Each window is
+  * measured from the previous MATCH, so a user who abandons their first
+  * touch and converts via a later one does NOT count (view@0h,
+  * view@30h, click@40h → step 1 unmatched: the anchor is the 0h view
+  * and its 24h window closes before the click). That divergence from
+  * any-chain reachability is deliberate and spec-pinned — "did the
+  * first touch convert" is the question this funnel answers, and the
+  * anchored rule keeps the operator one frontier per user per step
+  * instead of a per-user set of feasible anchors.
   *
   * Scale shape: one hash-aggregate per step over the step's type-filtered
   * slice (the filter prunes at the scan), joined to the previous step's
