@@ -15,7 +15,8 @@ object ExplainProbe {
         "dd_simhash_pairs", "ix_condition_meta", "nl_target_from_text",
         "ann_lsh_join", "mm_frame_plan", "ann_ivf_kmeans_topk",
         "dd_contamination_bloom", "tx_sample_stratified", "tx_shard_pack",
-        "tx_repetition", "q27_sessionize", "q28_funnel")
+        "tx_repetition", "q27_sessionize", "q28_funnel",
+        "tx_pii_scrub", "tx_tfidf", "q29_retention")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

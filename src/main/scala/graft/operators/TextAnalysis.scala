@@ -134,6 +134,38 @@ object TextAnalysis {
         col("top_word_frac") <= maxTopFrac).as("keep"))
   }
 
+  /** Top-N keywords per document by tf·(N/df) — tf-idf with a RATIONAL
+    * idf (document-count ratio, no logarithm): every score is an integer
+    * product followed by one IEEE double division, so the value is
+    * bit-identical in any engine and the ranking is oracle-checkable —
+    * a log-damped idf ranks identically per document whenever df ties
+    * break the same way, but its transcendental values are not
+    * cross-engine hash-stable.
+    *
+    * Shape: one explode into a (doc, term) partial-aggregable count, a
+    * vocabulary-sized df aggregate joined back ON TERM (both sides
+    * already term-partitioned after their aggs), a broadcast scalar for
+    * N, and a per-doc WindowGroupLimit for the top-N — no driver-side
+    * vocabulary, no per-pair work. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 3): DataFrame = {
+    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(col(idCol), col("rn").as("rank"), col("term"),
+        graft.Graft.roundExact(col("score"), 4).as("score"))
+  }
+
   /** Per-language top-k word profiles learned from a labeled corpus:
     * (lang, word) frequency ranking, deterministic ties by word. */
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,

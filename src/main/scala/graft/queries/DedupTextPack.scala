@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Pii, TextAnalysis}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine)
@@ -207,6 +207,30 @@ object DedupTextPack extends QueryPack {
           (col("ap50") >= floor(col("p40")) &&
             col("ap50") <= ceil(col("p60"))).as("ok"))
         .orderBy(col("lang"))
+    }),
+
+    // PII scrub: the corpus has no natural PII (synthetic word soup), so
+    // the query INJECTS deterministic email/IP/phone spans per doc_id —
+    // identically on the oracle side — then redacts and counts. The
+    // operator itself is pure codegen map work riding the scan.
+    "tx_pii_scrub" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+          lit(" tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      injected.select(
+          col("doc_id") +:
+            (Pii.counts(col("text")).map { case (n, c) => c.as(n) } :+
+              Pii.redact(col("text")).as("redacted")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Top-3 keywords per doc by tf·(N/df): rational idf, engine-exact.
+    "tx_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", topN = 3)
+        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // Repetition/shape quality rules (published large-corpus filter
@@ -420,6 +444,60 @@ object DedupTextPack extends QueryPack {
     "tx_lengths_approx" ->
       """SELECT DISTINCT lang, TRUE AS ok FROM documents
         |ORDER BY lang""".stripMargin,
+
+    // Same injection, same patterns (Java/RE2-common subset), same
+    // redaction order — email, then IP, then phone.
+    "tx_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |      '@ex.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS text
+        |  FROM documents),
+        |s1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g') AS after_email
+        |  FROM inj),
+        |s2 AS (
+        |  SELECT *,
+        |    regexp_replace(after_email,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS after_ip
+        |  FROM s1)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(after_email,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(after_ip,
+        |    '\d{3}[-.]\d{3,4}(?:[-.]\d{4})?')) AS n_phone,
+        |  regexp_replace(after_ip, '\d{3}[-.]\d{3,4}(?:[-.]\d{4})?',
+        |    '[PHONE]', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "tx_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM terms
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / df.df DESC, tf.term)
+        |      AS rank
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(round(CAST(score AS DECIMAL(28,12)), 4) AS DOUBLE) AS score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "tx_repetition" ->
       """WITH words AS (

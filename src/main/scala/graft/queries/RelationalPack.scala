@@ -310,6 +310,17 @@ object RelationalPack extends QueryPack {
         Seq("view", "click", "purchase"), withinHours = 24)
     }),
 
+    // Cohort retention triangle: users bucketed by first-seen day,
+    // distinct-active again k days later. Integer date math only.
+    "q29_retention" -> ((s, dir) => {
+      // DATE stringifies differently between pandas (date) and DuckDB
+      // fetchdf (midnight timestamp) — format it, per the q16 convention
+      graft.operators.Retention.cohorts(t(s, dir, "events"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // S7/F16: vector text round-trip — str(embedding) -> VEC_FromText
     // (/root/reference/nl_targeting_save.py:135,142). The oracle asserts
     // every row survives the round-trip.
@@ -522,6 +533,18 @@ object RelationalPack extends QueryPack {
         |  UNION ALL
         |  SELECT 2, 'purchase', count(*) FROM s2)
         |ORDER BY step""".stripMargin,
+
+    "q29_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act JOIN fs USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin
