@@ -310,6 +310,27 @@ object RelationalPack extends QueryPack {
         Seq("view", "click", "purchase"), withinHours = 24)
     }),
 
+    // As-of join (last-touch attribution): every purchase matched to the
+    // user's latest view at-or-before it. Oracle is DuckDB's native ASOF
+    // LEFT JOIN; determinism holds because (user_id, ts) is unique in the
+    // events table (spec-checked precondition of AsofJoin).
+    "q30_asof_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").as("purchase_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin
+        .lastEarlier(purchases, views, Seq("user_id"), "ts",
+          payload = Seq("ts", "value"), prefix = "view_")
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_ts"),
+          col("event_id"), col("purchase_value"),
+          unix_timestamp(col("view_ts")).as("view_ts"), col("view_value"))
+        .orderBy(col("user_id"), col("purchase_ts"), col("event_id"))
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen day,
     // distinct-active again k days later. Integer date math only.
     "q29_retention" -> ((s, dir) => {
@@ -533,6 +554,21 @@ object RelationalPack extends QueryPack {
         |  UNION ALL
         |  SELECT 2, 'purchase', count(*) FROM s2)
         |ORDER BY step""".stripMargin,
+
+    "q30_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+        |SELECT p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+        |  p.event_id, p.purchase_value,
+        |  CAST(floor(epoch(v.ts)) AS BIGINT) AS view_ts,
+        |  v.value AS view_value
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
 
     "q29_retention" ->
       """WITH fs AS (
