@@ -89,16 +89,25 @@ object Ann {
     // covers every row.
     val sqNorm = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(numCentroids).setSeed(42)
-      .setDistanceMeasure("cosine").setMaxIter(maxIter)
-      // seeded random init: k-means|| costs an extra full pass + driver
-      // sync per init round to spread the FIRST centers well, but Lloyd
-      // with a few iterations converges to density-following centers from
-      // a random start too — and recall/balance are spec-gated, so the
-      // cheaper init is the right trade for a bounded-C index
-      .setInitMode("random")
-      .fit(withVec.filter(sqNorm > 0.0d))
+    // KMeans is multi-pass (init takeSample, countByValue, one pass per
+    // Lloyd round) over an RDD view it does NOT cache — uncached, every
+    // pass re-runs the parquet scan + array→Vector conversion (MLlib logs
+    // "input data is not directly cached" for exactly this). Materialize
+    // the bounded fit set once; the cost is fitFraction·N vectors, already
+    // sized to fit by the caller's sampling contract.
+    val fitSet = withVec.filter(sqNorm > 0.0d).cache()
+    val model = try {
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(numCentroids).setSeed(42)
+        .setDistanceMeasure("cosine").setMaxIter(maxIter)
+        // seeded random init: k-means|| costs an extra full pass + driver
+        // sync per init round to spread the FIRST centers well, but Lloyd
+        // with a few iterations converges to density-following centers from
+        // a random start too — and recall/balance are spec-gated, so the
+        // cheaper init is the right trade for a bounded-C index
+        .setInitMode("random")
+        .fit(fitSet)
+    } finally fitSet.unpersist(blocking = false)
     // centers arrive as double Vectors; the index stores array<float> like
     // the data so the codegen cosine kernel applies unchanged
     val centers = model.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
