@@ -708,6 +708,55 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup — semantic deduplication over an embedding column (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540 — public algorithm):
+    *
+    *  1. coarse-cluster the embeddings ([[Ann.buildIvf]]'s deterministic
+    *     md5-sample centroids, so the whole pipeline has a DuckDB twin;
+    *     [[Ann.buildIvfKMeans]] drops in for the quality path),
+    *  2. generate candidate pairs ONLY within a cluster (the paper's point:
+    *     the pair stage is Σ bucket² instead of N² — at 100 TB the
+    *     clusters bound the quadratic term, and the self-join is
+    *     co-partitioned on centroid_id),
+    *  3. connect pairs with cosine ≥ `eps` into duplicate groups
+    *     ([[duplicateClusters]]),
+    *  4. keep ONE doc per group — per the paper, the member FURTHEST from
+    *     its centroid (lowest centroid-cosine; the most atypical example
+    *     carries the most training signal), ties broken by id.
+    *
+    * Returns the surviving `(idCol)` rows: unclustered docs plus one
+    * representative per semantic-duplicate group. */
+  def semanticDedup(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", numCentroids: Int = 8,
+      eps: Double = 0.4): DataFrame = {
+    val ivf = Ann.buildIvf(emb, numCentroids, idCol, vecCol)
+    // each member's cosine to its OWN centroid — the keep-rule ordering
+    val withCs = ivf.assignments
+      .join(broadcast(ivf.centroids), Seq("centroid_id"))
+      .select(col(idCol), col(vecCol), col("centroid_id"),
+        Graft.cosine(col(vecCol), col("cvec")).as("cs"))
+      .localCheckpoint(true) // feeds pairs twice + the keep-rule join
+    val a = withCs.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = withCs.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Graft.cosine(col("va"), col("vb")) >= eps)
+      .select(col("id_a"), col("id_b"))
+    val comp = duplicateClusters(pairs) // (doc_id, cluster_rep)
+    val keepers = comp
+      .join(withCs.select(col(idCol).as("doc_id"), col("cs")), Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(min_by(col("doc_id"), struct(col("cs"), col("doc_id")))
+        .as(idCol))
+      .select(col(idCol))
+    emb.select(col(idCol))
+      .join(comp.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+      .union(keepers)
+  }
+
   /** Embedding-cosine near-dup: top `perBlock` most-similar pairs per
     * block (label) — blocked pairwise, ranked, deterministic tie-breaks. */
   def embeddingTopPairs(emb: DataFrame, idCol: String, vecCol: String,

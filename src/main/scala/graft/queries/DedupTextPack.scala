@@ -137,6 +137,17 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): coarse-cluster embeddings, connect
+    // within-cluster pairs with cosine >= eps, keep the member furthest
+    // from its centroid per group. md5-deterministic centroids make the
+    // whole pipeline DuckDB-reproducible.
+    "dd_semantic" -> ((s, dir) => {
+      Graft.init(s)
+      Dedup.semanticDedup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", numCentroids = 8, eps = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Embedding-cosine near-dup: top-3 most similar pairs per label block.
     "dd_embed_pairs" -> ((s, dir) => {
       Graft.init(s)
@@ -557,6 +568,46 @@ object DedupTextPack extends QueryPack {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s::BIT, b.s::BIT)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Independent re-derivation of the full SemDeDup pipeline: md5-sample
+    // centroids, nearest-centroid assignment (same DESC tie-break as
+    // Ann.assignToCentroids' max_by struct), within-cluster pairs >= eps,
+    // recursive-CTE components, keep the min-(centroid-cosine, id) member.
+    "dd_semantic" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+        |asg AS (
+        |  SELECT vec_id, embedding, centroid_id, cs FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) AS cs,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asg a JOIN asg b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |    a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |sym AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id_a, id_a FROM sym
+        |  UNION
+        |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+        |keepers AS (
+        |  SELECT id FROM (
+        |    SELECT comp.id, row_number() OVER (PARTITION BY rep
+        |      ORDER BY asg.cs ASC, comp.id) AS rn
+        |    FROM comp JOIN asg ON comp.id = asg.vec_id) WHERE rn = 1)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp)
+        |   OR vec_id IN (SELECT id FROM keepers)
+        |ORDER BY vec_id""".stripMargin,
 
     "dd_embed_pairs" ->
       """WITH pairs AS (

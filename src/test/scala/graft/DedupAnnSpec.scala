@@ -317,6 +317,52 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall (${got.size}/${exact.size})")
   }
 
+  test("semanticDedup: survivors + removed partition the corpus; every " +
+      "removed doc has a surviving >= eps neighbor in its cluster; the " +
+      "kept member is the one furthest from its centroid") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val eps = 0.4
+    val survivors = Dedup.semanticDedup(e, "vec_id", "embedding",
+      numCentroids = 8, eps = eps).collect().map(_.getLong(0)).toSet
+    val all = e.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(all) && survivors.nonEmpty)
+    val removed = all -- survivors
+    assert(removed.nonEmpty, "fixture should contain semantic dups at eps=0.4")
+
+    // re-derive assignment + within-cluster >= eps pairs independently
+    val ivf = Ann.buildIvf(e, numCentroids = 8)
+    val asg = ivf.assignments
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val pairs = asg.as("a").join(asg.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(Graft.cosine(col("a.embedding"), col("b.embedding")) >= eps)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every removed doc is on >= 1 duplicate pair with a KEPT doc somewhere
+    // in its transitive group — weaker local check: it appears on a pair
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(removed.subsetOf(paired),
+      s"removed docs off any dup pair: ${(removed -- paired).take(5)}")
+    // exactly one survivor per connected group: survivors ∩ paired ==
+    // number of connected components over the pair graph
+    val comp = Dedup.duplicateClusters(
+        pairs.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nGroups = comp.values.toSet.size
+    assert((survivors & paired).size == nGroups)
+    // the kept member minimizes (centroid-cosine, id) within its group
+    val cs = asg.join(broadcast(ivf.centroids), Seq("centroid_id"))
+      .select(col("vec_id"),
+        Graft.cosine(col("embedding"), col("cvec")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    comp.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.keys.toSeq
+      val expectKeep = ids.minBy(id => (cs(id), id))
+      assert((survivors & ids.toSet) == Set(expectKeep))
+    }
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)
