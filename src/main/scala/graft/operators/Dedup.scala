@@ -708,6 +708,32 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** Corpus curation: near-dup clustering that keeps the BEST doc per
+    * cluster instead of the smallest id — the rule real training-data
+    * pipelines use (of N near-identical crawls, keep the highest-quality
+    * one, e.g. the least boilerplate-damaged). Clusters come from
+    * [[minhashNearDups]] → [[duplicateClusters]] (both oracle-proven
+    * shapes); the keep rule is one partial-aggregable `max_by` over
+    * `(quality, -id)` — quality ties break to the SMALLEST id, matching
+    * [[dedupCorpus]]'s convention. `quality` must be an engine-agnostic
+    * column (rounded via [[graft.Graft.roundExact]]) for the oracle to
+    * reproduce the argmax; returns the surviving `(idCol)` rows. */
+  def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+      quality: Column, k: Int = 12, bands: Int = 4,
+      minJ: Double = 0.6): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, k, bands, minJ)
+    val comp = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("doc_id", idCol)
+    val scored = docs.select(col(idCol), quality.as("q"))
+    val best = comp.join(scored, Seq(idCol))
+      .groupBy(col("cluster_rep"))
+      .agg(max_by(col(idCol), struct(col("q"), -col(idCol))).as(idCol))
+      .select(col(idCol))
+    scored.select(col(idCol))
+      .join(comp, Seq(idCol), "left_anti")
+      .union(best)
+  }
+
   /** SemDeDup — semantic deduplication over an embedding column (Abbas et
     * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540 — public algorithm):

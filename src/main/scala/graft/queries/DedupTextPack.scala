@@ -137,6 +137,17 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Curation keep-rule: near-dup clusters keep their HIGHEST-QUALITY
+    // member (ties to smallest id), not the smallest id — survivors a
+    // quality-aware pipeline retains.
+    "dd_keep_best" -> ((s, dir) => {
+      val q = TextAnalysis.qualityFeatures(col("text"))
+        .collectFirst { case ("quality", c) => c }.get
+      Dedup.dedupKeepBest(docs(s, dir), "doc_id", "text", q,
+          k = 12, bands = 4, minJ = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): coarse-cluster embeddings, connect
     // within-cluster pairs with cosine >= eps, keep the member furthest
     // from its centroid per group. md5-deterministic centroids make the
@@ -568,6 +579,39 @@ object DedupTextPack extends QueryPack {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s::BIT, b.s::BIT)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Clusters + quality independently re-derived; keeper = argmax
+    // (quality, -id) per component via row_number.
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE ${minhashPairsCte()},
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |qf AS (
+         |  SELECT doc_id,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+         |    len(list_filter(w, t -> list_contains(
+         |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+         |    least(len(w) / 100.0, 1.0) AS lenf
+         |  FROM base),
+         |qual AS (
+         |  SELECT doc_id, round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 +
+         |    lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
+         |  FROM qf),
+         |best AS (
+         |  SELECT id AS doc_id FROM (
+         |    SELECT comp.id, row_number() OVER (PARTITION BY rep
+         |      ORDER BY qual.q DESC, comp.id) AS rn
+         |    FROM comp JOIN qual ON comp.id = qual.doc_id) WHERE rn = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp)
+         |   OR doc_id IN (SELECT doc_id FROM best)
+         |ORDER BY doc_id""".stripMargin,
 
     // Independent re-derivation of the full SemDeDup pipeline: md5-sample
     // centroids, nearest-centroid assignment (same DESC tie-break as

@@ -363,6 +363,67 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupKeepBest keeps exactly the max-quality member per cluster " +
+      "(ties to smallest id) and passes unclustered docs through") {
+    import spark.implicits._
+    // three near-identical docs (one cluster), one loner; quality rises
+    // with length, and two cluster members tie on quality
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (4L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val q = operators.TextAnalysis.qualityFeatures(col("text"))
+      .collectFirst { case ("quality", c) => c }.get
+    val kept = Dedup.dedupKeepBest(docs, "doc_id", "text", q, minJ = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    // doc 3 is longest (highest lenf → highest quality) → cluster keeper;
+    // doc 4 never pairs → passes through
+    assert(kept == Set(3L, 4L), s"got $kept")
+    // tie case: identical docs 1,2 alone — keeper is the smaller id
+    val tied = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val keptTied = Dedup.dedupKeepBest(tied, "doc_id", "text", q, minJ = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(5L), s"got $keptTied")
+  }
+
+  test("SQ8 quantization: per-component reconstruction error <= amax/254, " +
+      "zero vectors survive, and quantized search recalls the exact top-10") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    // reconstruction error bound: |x - q8*scale| <= scale/2 = amax/254
+    val q = Ann.quantizeSq8(e)
+    val joined = e.join(q, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        Ann.dequantizeSq8(col("q8"), col("scale")).as("deq"), col("scale"))
+    val maxErrOverBound = joined.select(
+        max(aggregate(zip_with(col("embedding"), col("deq"),
+            (x, d) => (abs(x.cast("double") - d.cast("double")) /
+              (col("scale").cast("double") * 0.5d + lit(1e-12d)))),
+          lit(0.0d), (acc, r) => greatest(acc, r))).as("m"))
+      .head.getDouble(0)
+    assert(maxErrOverBound <= 1.0 + 1e-3,
+      s"reconstruction error exceeded half a quantization step: $maxErrOverBound")
+    // zero vector: all-zero q8, scale 1 — no NaN/crash
+    import spark.implicits._
+    val z = Ann.quantizeSq8(
+      Seq((99999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"))
+      .head
+    assert(z.getSeq[Byte](1).forall(_ == 0) && z.getFloat(2) == 1.0f)
+    // end-to-end: quantized tier + rescore reproduces the exact top-10
+    val qv = e.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topKPerQuery(e, qv, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = Ann.searchSq8(e, q, qv.select(col("qvec")), k = 10, overfetch = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)
