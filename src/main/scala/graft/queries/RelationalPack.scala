@@ -331,6 +331,29 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("purchase_ts"), col("event_id"))
     }),
 
+    // Range join (banded): every error event opens a 10-minute window;
+    // count the SAME user's click/view events inside it. The bin-keyed
+    // equi-join replaces the BroadcastNestedLoopJoin a raw range
+    // predicate plans — the join shuffles on (user_id, bin), codegen,
+    // AQE-splittable; the exact [start, end) filter runs within-bin.
+    "q31_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      val pts = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"))
+      val counts = graft.operators.RangeJoin.binnedIntervalJoin(
+          err, pts, Seq("user_id"), "w_start", "w_end", "ts",
+          binSeconds = 600)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_follow"))
+      err.select(col("event_id"))
+        .join(counts, Seq("event_id"), "left_outer")
+        .select(col("event_id"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .orderBy(col("event_id"))
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen day,
     // distinct-active again k days later. Integer date math only.
     "q29_retention" -> ((s, dir) => {
@@ -569,6 +592,20 @@ object RelationalPack extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
+
+    // The oracle is the naive non-equi join the banded form replaces —
+    // independent derivation of the same matches.
+    "q31_range_join" ->
+      """WITH err AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        |pts AS (
+        |  SELECT user_id, ts FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT e.event_id, count(p.ts) AS n_follow
+        |FROM err e LEFT JOIN pts p
+        |  ON e.user_id = p.user_id
+        |  AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 10 MINUTE
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
 
     "q29_retention" ->
       """WITH fs AS (
