@@ -13,12 +13,12 @@ object Bench {
 
   /** Headline set: one per operator family (scan-agg, join-agg, window,
     * KNN, fusion, full E1, sweep-line, minhash LSH, jaccard pairs,
-    * lang-ID, IVF ANN, embed near-dup). */
+    * lang-ID, IVF ANN, quantized ANN, embed near-dup). */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q17_running_window", "q20_sweepline_consensus",
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs",
-    "tx_langid", "ann_ivf_topk", "ann_ivf_kmeans_topk")
+    "tx_langid", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_sq8_topk")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /

@@ -354,6 +354,21 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Pivot reshape: daily event-type counts as columns. Values are
+    // passed EXPLICITLY — without them Spark runs an extra distinct-values
+    // job over the whole table before it can even plan (the 100 TB
+    // anti-pattern pivot hides); with them it is one partial-agg pass.
+    "q32_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(tp =>
+          coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy(col("day"))
+    }),
+
     // Cohort retention triangle: users bucketed by first-seen day,
     // distinct-active again k days later. Integer date math only.
     "q29_retention" -> ((s, dir) => {
@@ -592,6 +607,15 @@ object RelationalPack extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
+
+    "q32_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     // The oracle is the naive non-equi join the banded form replaces —
     // independent derivation of the same matches.
