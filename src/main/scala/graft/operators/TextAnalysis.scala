@@ -73,6 +73,33 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sample without replacement — Efraimidis &
+    * Spirakis (2006, "Weighted random sampling with a reservoir", public
+    * algorithm): each row gets key `u^(1/w)` for uniform `u`, and the
+    * sample is the n largest keys; ranking by `ln(u)/w` descending is the
+    * same order with better conditioning. Training pipelines use this for
+    * quality-weighted corpus mixing (sample ∝ quality, not uniformly).
+    *
+    * `u ∈ (0,1]` comes from the 60-bit md5 prefix of the id — the same
+    * engine-reproducible trick as [[stratifiedSample]], so the SAMPLE
+    * ITSELF is oracle-checkable, with none of `rand()`'s run-to-run
+    * drift. `weight` must be strictly positive (zero-weight rows would
+    * key to -∞ and simply never be sampled).
+    *
+    * Scale shape: one codegen map pass to key; top-n is
+    * TakeOrderedAndProject (per-partition partial top-n, no global
+    * sort) — the driver sees n rows, the shuffle carries
+    * O(partitions·n). */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column,
+      n: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + 1.0d) / 1152921504606846976.0d // 2^60
+    docs.withColumn("__k", log(u) / weight)
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(n)
+      .drop("__k")
+  }
+
   /** Token-budgeted shard packing — the sharding step before training:
     * within each stream (e.g. language), documents in `idCol` order are
     * assigned `shard_id = floor(preceding_cum_tokens / budget)` (the

@@ -204,6 +204,19 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Quality-weighted corpus sampling: Efraimidis-Spirakis keys from
+    // md5-uniforms over the quality score — sample ∝ quality,
+    // deterministic, the sample itself oracle-checked.
+    "tx_sample_weighted" -> ((s, dir) => {
+      val q = TextAnalysis.qualityFeatures(col("text"))
+        .collectFirst { case ("quality", c) => c }.get
+      TextAnalysis.weightedSample(
+          docs(s, dir).select(col("doc_id"), q.as("q")), "doc_id",
+          col("q"), n = 100)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequence packing: token-budgeted contiguous shards per lang stream
     // (closed-form prefix-sum rule — one window pass, no stateful scan).
     "tx_shard_pack" -> ((s, dir) => {
@@ -446,6 +459,31 @@ object DedupTextPack extends QueryPack {
         |  FROM documents)
         |WHERE rn <= 50
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // Same E-S keys re-derived: ln of the scaled 60-bit md5 prefix over
+    // the independently recomputed quality, top-100 by key.
+    "tx_sample_weighted" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |qf AS (
+        |  SELECT doc_id,
+        |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+        |    len(list_filter(w, t -> list_contains(
+        |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+        |    least(len(w) / 100.0, 1.0) AS lenf
+        |  FROM base),
+        |qual AS (
+        |  SELECT doc_id, round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 +
+        |    lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
+        |  FROM qf),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE
+        |        + 1.0) / 1152921504606846976.0) / q AS k
+        |  FROM qual)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
 
     "tx_shard_pack" ->
       """WITH t AS (

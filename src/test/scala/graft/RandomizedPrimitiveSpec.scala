@@ -94,6 +94,67 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
       .contains("WindowGroupLimit"))
   }
 
+  test("weightedSample equals a plain-Scala Efraimidis-Spirakis reference " +
+      "on random weights; an overwhelming weight is always sampled; the " +
+      "top-n is TakeOrdered, not a global sort") {
+    val rnd = new scala.util.Random(707)
+    val rows = (0L until 400L).map(i => (i, 0.05 + rnd.nextDouble()))
+    val df = rows.toDF("doc_id", "w")
+    val n = 50
+    val got = TextAnalysis.weightedSample(df, "doc_id", col("w"), n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // plain-Scala twin of the md5-uniform E-S key
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(md, 16).toDouble + 1.0) /
+        1152921504606846976.0d
+      math.log(u) / w
+    }
+    val want = rows.sortBy { case (id, w) => (-key(id, w), id) }
+      .take(n).map(_._1).toSet
+    assert(got == want)
+    // dominance: one huge weight among tiny ones is always in a 1-sample
+    val skew = (0L until 10L).map(i => (i, if (i == 7L) 1e6 else 1e-6))
+      .toDF("doc_id", "w")
+    val one = TextAnalysis.weightedSample(skew, "doc_id", col("w"), 1)
+      .select("doc_id").head.getLong(0)
+    assert(one == 7L)
+    // scale claim: limit-after-order is TakeOrderedAndProject
+    assert(TextAnalysis.weightedSample(df, "doc_id", col("w"), n)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("binnedIntervalJoin equals the naive range join on 300 random " +
+      "intervals x 500 random points, several bin widths") {
+    val rnd = new scala.util.Random(909)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val intervals = (0L until 300L).map { i =>
+      val s = t0 + rnd.nextInt(86400) * 1000L
+      (rnd.nextInt(5).toLong, i, new java.sql.Timestamp(s),
+        new java.sql.Timestamp(s + (60 + rnd.nextInt(7200)) * 1000L))
+    }.toDF("k", "iv_id", "w_start", "w_end")
+    val points = (0L until 500L).map { i =>
+      (rnd.nextInt(5).toLong,
+        new java.sql.Timestamp(t0 + rnd.nextInt(90000) * 1000L))
+    }.toDF("k", "ts")
+    val naive = intervals.as("i").join(points.as("p"),
+        col("i.k") === col("p.k") &&
+          col("p.ts") >= col("i.w_start") && col("p.ts") < col("i.w_end"))
+      .select(col("iv_id"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      .sortBy(p => (p._1, p._2.getTime)).toList
+    for (binSec <- Seq(60L, 600L, 3600L, 100000L)) {
+      val got = graft.operators.RangeJoin.binnedIntervalJoin(
+          intervals, points, Seq("k"), "w_start", "w_end", "ts", binSec)
+        .select(col("iv_id"), col("ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        .sortBy(p => (p._1, p._2.getTime)).toList
+      assert(got == naive, s"binSeconds=$binSec")
+    }
+  }
+
   test("packShards equals a per-stream prefix-sum reference on random " +
       "docs; shards are contiguous and overflow-bounded") {
     val rnd = new scala.util.Random(505)
