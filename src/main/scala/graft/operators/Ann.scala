@@ -259,6 +259,89 @@ object Ann {
       .limit(k)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search" — the scheme behind FAISS
+    * IVFPQ): split the vector into `m` subspaces and learn `ksub` entries
+    * per subspace. Entries here are the subvectors of the `ksub`
+    * md5-smallest rows — the same deterministic bounded sample as
+    * [[buildIvf]] (a per-subspace k-means fit drops in unchanged). Only
+    * `ksub` rows ever reach the driver; the codebook is `m·ksub·dsub`
+    * floats, broadcast as a literal into codegen'd HOF expressions.
+    * Returns `[m][ksub][dsub]`. */
+  def buildPqCodebook(emb: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Float]]] = {
+    val sample = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    val dsub = sample.head.length / m
+    (0 until m).map(j =>
+      sample.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq))
+  }
+
+  /** PQ-encode every vector: `codes[j] = argmin_c ‖sub_j(v) − cb[j][c]‖²`
+    * (ties to the smallest code). One codegen map pass — the nested
+    * argmin is `aggregate` over the code range carrying a
+    * `(best_dist, best_code)` struct; no join, no shuffle. The codes
+    * relation is `m` bytes per vector (64-dim float × m=16 → 16 B vs
+    * 256 B, 16×) — at 100 TB THIS is the relation the ADC scan reads. */
+  def pqEncode(emb: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val ksub = cb.head.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(col(vecCol), j * dsub + 1, lit(dsub))
+      val best = aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, c) => {
+          val cv = element_at(element_at(cbLit, j + 1), c + 1)
+          val d = aggregate(
+            zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
+            lit(0.0d), (a, t) => a + t.cast("double"))
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.as("c"))).otherwise(acc)
+        })
+      best.getField("c").cast("byte")
+    })
+    emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ANN via asymmetric distance computation over the PQ codes: score
+    * every code row with `Σ_j ‖sub_j(q) − cb[j][codes_j]‖²` (one codegen
+    * map pass over the 16×-smaller codes relation), keep the
+    * `k·overfetch` smallest (TakeOrderedAndProject), then rescore exactly
+    * on the full-precision vectors of the candidates only.
+    *
+    * @param codes output of [[pqEncode]] (pre-materialized at scale) */
+  def searchPq(emb: DataFrame, codes: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      queryVec: DataFrame, k: Int, overfetch: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
+      val sub = slice(col("qvec"), j * dsub + 1, lit(dsub))
+      val cv = element_at(element_at(cbLit, j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+      acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (a, t) => a + t.cast("double"))
+    })
+    val cands = codes.crossJoin(broadcast(queryVec))
+      .select(col(idCol), adc.as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol))
+    emb.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
+      .orderBy(col("simil").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Fit an MLlib LSH model over the embedding column (converted to ml
     * Vector at this boundary only, per SURVEY §1.2). */
   def lshModel(emb: DataFrame, vecCol: String = "embedding",

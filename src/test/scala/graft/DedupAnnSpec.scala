@@ -424,6 +424,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
   }
 
+  test("PQ: codes match a plain-Scala argmin reference, are m bytes wide, " +
+      "and ADC + rescore recalls the exact top-10") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val (m, ksub) = (16, 32)
+    val cb = Ann.buildPqCodebook(e, m, ksub)
+    assert(cb.length == m && cb.forall(_.length == ksub))
+    val dsub = cb.head.head.length
+    val got = Ann.pqEncode(e, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(got.values.forall(_.length == m))
+    // plain-Scala reference encode over every fixture vector
+    val vecs = e.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until m).map { j =>
+        val sub = v.slice(j * dsub, (j + 1) * dsub)
+        (0 until ksub).minBy { c =>
+          val cv = cb(j)(c)
+          (sub, cv).zipped.map((x, y) =>
+            (x - y).toDouble * (x - y)).sum: Double
+        }.toByte
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+    // end-to-end recall on the fixture (deterministic given the data)
+    val q = e.filter(col("vec_id") === 0)
+      .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.topKPerQuery(e, q, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ann = Ann.searchPq(e, Ann.pqEncode(e, cb), cb,
+        q.select(col("qvec")), k = 10, overfetch = 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall@10 = $recall")
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)
