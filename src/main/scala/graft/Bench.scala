@@ -19,7 +19,7 @@ object Bench {
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs",
     "tx_langid", "ann_ivf_topk", "ann_ivf_kmeans_topk", "ann_sq8_topk",
-    "ann_pq_topk")
+    "ann_pq_topk", "ann_ivfpq_topk")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /

@@ -18,7 +18,7 @@ object ExplainProbe {
         "tx_repetition", "q27_sessionize", "q28_funnel",
         "tx_pii_scrub", "tx_tfidf", "q29_retention", "q30_asof_attribution",
         "dd_semantic", "dd_keep_best", "ann_sq8_topk", "q31_range_join",
-        "ann_pq_topk")
+        "ann_pq_topk", "ann_ivfpq_topk")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -288,7 +288,8 @@ object Ann {
     * relation is `m` bytes per vector (64-dim float × m=16 → 16 B vs
     * 256 B, 16×) — at 100 TB THIS is the relation the ADC scan reads. */
   def pqEncode(emb: DataFrame, cb: Seq[Seq[Seq[Float]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      keep: Seq[String] = Nil): DataFrame = {
     val m = cb.length
     val ksub = cb.head.length
     val dsub = cb.head.head.length
@@ -307,7 +308,61 @@ object Ann {
         })
       best.getField("c").cast("byte")
     })
-    emb.select(col(idCol), codes.as("codes"))
+    emb.select(col(idCol) +: codes.as("codes") +: keep.map(col): _*)
+  }
+
+  /** IVF-PQ index — the FAISS IVFADC layout as ONE relation:
+    * `(idCol, codes, centroid_id)`, partitioned by centroid_id and 16×
+    * smaller than the vectors. At 100 TB this is the only relation a
+    * query's coarse phase touches: partition-pruned to nprobe/C of the
+    * rows, each row `m` bytes. */
+  def buildIvfPq(emb: DataFrame, numCentroids: Int = 32, m: Int = 16,
+      ksub: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
+    val ivf = buildIvf(emb, numCentroids, idCol, vecCol)
+    val cb = buildPqCodebook(emb, m, ksub, idCol, vecCol)
+    // assignments carry (idCol, vecCol, centroid_id); encoding keeps the
+    // centroid so the index stays partition-prunable
+    val index = pqEncode(ivf.assignments, cb, idCol, vecCol,
+      keep = Seq("centroid_id"))
+    (ivf, index, cb)
+  }
+
+  /** IVF-PQ search: centroid prune (broadcast semi-join — the partition-
+    * prune shape) → ADC over the surviving codes → exact rescore of the
+    * `k·overfetch` candidates from the full-precision vectors. */
+  def searchIvfPq(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      emb: DataFrame, queryVec: DataFrame, nprobe: Int, k: Int,
+      overfetch: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    val probed = ivf.centroids.crossJoin(broadcast(queryVec))
+      .select(col("centroid_id"),
+        Graft.cosine(col("cvec"), col("qvec")).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
+      val sub = slice(col("qvec"), j * dsub + 1, lit(dsub))
+      val cv = element_at(element_at(cbLit, j + 1),
+        element_at(col("codes"), j + 1).cast("int") + 1)
+      acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (a, t) => a + t.cast("double"))
+    })
+    val cands = index
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), adc.as("adist"))
+      .orderBy(col("adist").asc, col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol))
+    emb.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
+      .orderBy(col("simil").desc, col(idCol))
+      .limit(k)
   }
 
   /** ANN via asymmetric distance computation over the PQ codes: score

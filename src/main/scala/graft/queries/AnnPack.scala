@@ -64,6 +64,23 @@ object AnnPack extends QueryPack {
         k = 10, minRecall = 0.9)
     }),
 
+    // IVF-PQ (the FAISS IVFADC layout): one partition-prunable index
+    // relation (vec_id, codes, centroid_id); a query prunes to nprobe/C
+    // of the rows, ADC-scores 16 B/row, exact-rescores k·overfetch.
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32)
+      val ann = Ann.searchIvfPq(ivf, index, cb, e,
+          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
+        k = 10, minRecall = 0.5)
+    }),
+
     // Product quantization (16 subspaces x 32 codes — 16 B/vector, 16x
     // smaller than the floats) + ADC coarse scan + exact rescore of the
     // k·overfetch candidates. Recall-gate grading like the other
@@ -144,6 +161,19 @@ object AnnPack extends QueryPack {
     // Same recall-gate oracle shape as the LSH queries: re-derive the
     // exact top-1 (vec_id 0 matches itself) and assert the gate held.
     "ann_ivf_kmeans_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Same recall-gate shape: exact top-1 re-derived, gate must hold.
+    "ann_ivfpq_topk" ->
       """WITH q AS (
         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
         |scored AS (
