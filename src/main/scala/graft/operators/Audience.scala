@@ -36,6 +36,29 @@ object Audience {
   def countApprox(members: DataFrame, rsd: Double = 0.01): DataFrame =
     members.agg(approx_count_distinct(col("cust_id"), rsd).as("audience_approx"))
 
+  /** Heavy-hitter gate over a key column: Spark's `stat.freqItems`
+    * implements the Karp–Shenker–Papadimitriou one-pass frequent-items
+    * sketch (bounded 1/support state per partition, partial-mergeable —
+    * the 100 TB shape for "who dominates this stream"). The sketch may
+    * return false POSITIVES but never misses an item with exact
+    * frequency > support·N; this surfaces that published guarantee the
+    * same way the HLL/percentile gates do — one row per EXACT heavy
+    * hitter with `in_sketch`, which the oracle requires to be TRUE (a
+    * missed hitter breaks the row hash). Driver state is bounded: the
+    * sketch array (≤ 1/support items) and one count scalar. */
+  def heavyHitters(df: DataFrame, keyCol: String,
+      support: Double): DataFrame = {
+    val items = df.stat.freqItems(Array(keyCol), support)
+      .head.getSeq[Any](0)
+    val thresh = support * df.count()
+    df.groupBy(col(keyCol))
+      // qualified: plain `count` resolves to Audience.count here
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > lit(thresh))
+      .withColumn("in_sketch", col(keyCol).isin(items: _*))
+      .orderBy(col(keyCol))
+  }
+
   /** Execute compiled audience SQL statements (see [[graft.TemplateSql]])
     * against registered temp views and UNION-distinct them — the Spark form
     * of the reference's `' UNION '.join(query_list)`

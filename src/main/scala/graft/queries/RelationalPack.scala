@@ -354,6 +354,34 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Frequent-items sketch gate (the heavy-hitter analog of the HLL gate
+    // q12): every user whose exact event count exceeds support*N must be
+    // in the one-pass freqItems sketch — its no-false-negative guarantee,
+    // boolean-oracled per hitter.
+    "q34_heavy_hitters" -> ((s, dir) => {
+      graft.operators.Audience.heavyHitters(
+        t(s, dir, "events"), "user_id", support = 0.008)
+    }),
+
+    // ROLLUP: per-(lang, source) doc counts with subtotal and grand-total
+    // rows — one pass, partial-aggregable (Expand feeds a single hash
+    // aggregate; no per-level rescan). NULL group markers are labeled via
+    // grouping() so the rollup rows are distinguishable from real NULLs.
+    "q33_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        // grouping() is only valid inside the rollup's agg list
+        .agg(count(lit(1)).as("n_docs"),
+          grouping(col("lang")).as("gl"),
+          grouping(col("source")).as("gs"))
+        .select(
+          when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          when(col("gs") === 1, lit("ALL")).otherwise(col("source"))
+            .as("source"),
+          col("n_docs"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Pivot reshape: daily event-type counts as columns. Values are
     // passed EXPLICITLY — without them Spark runs an extra distinct-values
     // job over the whole table before it can even plan (the 100 TB
@@ -607,6 +635,22 @@ object RelationalPack extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
+
+    // Exact heavy hitters re-derived; in_sketch must come back TRUE from
+    // Spark for every one (the sketch's no-false-negative guarantee).
+    "q34_heavy_hitters" ->
+      """SELECT user_id, count(*) AS n_rows, TRUE AS in_sketch
+        |FROM events GROUP BY user_id
+        |HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+        |ORDER BY user_id""".stripMargin,
+
+    "q33_rollup" ->
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "q32_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -219,4 +219,18 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(viaChat == direct && direct.size == 4)
   }
+
+  test("heavyHitters: every exact heavy hitter survives with " +
+      "in_sketch=true on a skewed stream; light keys are excluded") {
+    import spark.implicits._
+    // key 1 dominates (60%), key 2 is 20%, the rest are singletons
+    val rows = Seq.fill(600)(1L) ++ Seq.fill(200)(2L) ++ (100L until 300L)
+    val df = rows.toDF("k")
+    val got = Audience.heavyHitters(df, "k", support = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // exact hitters above 0.1 * 1000 = 100 rows: keys 1 and 2 only
+    assert(got.map(x => (x._1, x._2)).toSet == Set((1L, 600L), (2L, 200L)))
+    // the published guarantee: no false negatives
+    assert(got.forall(_._3), s"sketch missed a true heavy hitter: $got")
+  }
 }
