@@ -331,6 +331,29 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, verified with true Jaccard ≥ minJ.
     * Returns (id_a, id_b, jac). */
+  /** MinHash signatures shared by [[minhashNearDups]] and
+    * [[dedupIncremental]]: explode + k codegen min-aggregates (see the
+    * call-site comment in minhashNearDups for why not the HOF form). */
+  private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val exploded = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), explode(shingles(col(textCol))).as("g"))
+      .select(col(idCol), shingleHash(col("g")).as("h"))
+    val aggs = (0 until k).map(s =>
+      min(col("h").bitwiseXOR(permKey(s))).as(s"sig_$s"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
+  }
+
+  /** Distinct word sets keyed as (id, w) — [[verifyJaccard]]'s input. */
+  private def wsetsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        array_distinct(tokens(col(textCol))).as("w"))
+
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, minJ: Double = 0.6): DataFrame = {
     val rows = k / bands
@@ -343,25 +366,14 @@ object Dedup {
     // same signatures as the HOF twin, spec-checked).
     // The repartition spreads the hash map work: a small parquet source is
     // one input split, which would otherwise serialize the whole scan.
-    val exploded = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol), explode(shingles(col(textCol))).as("g"))
-      .select(col(idCol), shingleHash(col("g")).as("h"))
-    val aggs = (0 until k).map(s =>
-      min(col("h").bitwiseXOR(permKey(s))).as(s"sig_$s"))
-    val sigs = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array((0 until k).map(s => col(s"sig_$s")): _*).as("sig"))
+    val sigs = sigsOf(docs, idCol, textCol, k)
     // repartitioned (the parquet source is often one split); NOT cached —
     // recomputing the tokenize is cheaper than the cross-run planner
     // instability a leaked InMemoryRelation causes (measured: alternating
     // 4 s / 60 s runs with a cache here, stable without). verifyJaccard
     // semi-join-prunes this relation to candidate ids before tokenizing,
     // so the corpus is tokenized ONCE (signatures) plus candidates only.
-    val wsets = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        array_distinct(tokens(col(textCol))).as("w"))
+    val wsets = wsetsOf(docs, idCol, textCol)
     val buckets = lshBuckets(sigs, idCol, "sig", bands, rows)
     val a = buckets.toDF("id_a", "band", "key")
     val b = buckets.toDF("id_b", "band", "key")
@@ -706,6 +718,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Graft.cosine(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= minCos)
+  }
+
+  /** Incremental dedup — the INGESTION shape: a small new `batch` arrives
+    * against an already-clean `corpus`, and only the batch does new work
+    * (the corpus side is its pre-materializable band index + a text-hash
+    * anti-join; nothing re-clusters the corpus — at 100 TB that is the
+    * whole point). Ids must be disjoint across the two frames.
+    *
+    * Survivors of the batch, in order:
+    *  1. drop exact text matches against the corpus (anti-join), then
+    *     exact keep-first WITHIN the batch (min id per text),
+    *  2. drop batch docs that are verified MinHash near-dups (Jaccard ≥
+    *     `minJ`) of ANY corpus doc — batch band buckets probe the corpus
+    *     band buckets, an equi-join whose work scales with the batch,
+    *  3. cluster the remaining batch docs among THEMSELVES
+    *     ([[minhashNearDups]] → [[duplicateClusters]]) and keep each
+    *     cluster's min-id representative.
+    * Returns the kept `(idCol)` rows. */
+  def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 12, bands: Int = 4,
+      minJ: Double = 0.6): DataFrame = {
+    val rows = k / bands
+    val b1 = batch.select(col(idCol), col(textCol))
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    val b2 = b1.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val bBuckets = lshBuckets(sigsOf(b2, idCol, textCol, k),
+      idCol, "sig", bands, rows).toDF("id_a", "band", "key")
+    val cBuckets = lshBuckets(sigsOf(corpus, idCol, textCol, k),
+      idCol, "sig", bands, rows).toDF("id_b", "band", "key")
+    val cands = bBuckets.join(cBuckets, Seq("band", "key"))
+      .select("id_a", "id_b").distinct()
+    val wsetsAll = wsetsOf(
+      b2.unionByName(corpus.select(col(idCol), col(textCol))),
+      idCol, textCol)
+    val crossHits = verifyJaccard(cands, wsetsAll, minJ, keepCols = Seq.empty)
+      .select(col("id_a").as(idCol)).distinct()
+    val b3 = b2.join(crossHits, Seq(idCol), "left_anti")
+    val pairs = minhashNearDups(b3, idCol, textCol, k, bands, minJ)
+    val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol))
+    b3.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Corpus curation: near-dup clustering that keeps the BEST doc per

@@ -137,6 +137,20 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental (ingestion-shaped) dedup: the odd-id "new batch"
+    // deduped against the even-id "clean corpus" — exact anti-join, then
+    // batch bands probing the corpus band index, then within-batch
+    // clusters. Work scales with the batch; the corpus is never
+    // re-clustered.
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupIncremental(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
     // Curation keep-rule: near-dup clusters keep their HIGHEST-QUALITY
     // member (ties to smallest id), not the smallest id — survivors a
     // quality-aware pipeline retains.
@@ -617,6 +631,68 @@ object DedupTextPack extends QueryPack {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s::BIT, b.s::BIT)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full independent re-derivation of the three incremental stages
+    // (exact anti-join, cross-side band probe + verify, within-batch
+    // clusters) over the same parity split.
+    "dd_incremental" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |corpus AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |b1 AS (
+        |  SELECT * FROM base WHERE doc_id % 2 = 1
+        |    AND text NOT IN (SELECT text FROM corpus)),
+        |b2 AS (SELECT min(doc_id) AS doc_id, any_value(w) AS w, text
+        |       FROM b1 GROUP BY text),
+        |sh AS (SELECT doc_id, list_distinct(w) AS wset,
+        |  list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+        |  FROM base),
+        |sigs AS (SELECT doc_id, wset,
+        |  list_transform(range(0,12),
+        |    s -> list_min(list_transform(shingles,
+        |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
+        |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
+        |  FROM sh WHERE len(shingles) > 0),
+        |bb AS (
+        |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+        |  FROM sigs s JOIN b2 USING (doc_id), range(0,4) t(b)),
+        |cbk AS (
+        |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+        |  FROM sigs s JOIN corpus USING (doc_id), range(0,4) t(b)),
+        |crosscand AS (
+        |  SELECT DISTINCT bb.doc_id AS id_a, cbk.doc_id AS id_b
+        |  FROM bb JOIN cbk ON bb.b = cbk.b AND bb.key = cbk.key),
+        |crosshit AS (
+        |  SELECT DISTINCT id_a FROM (
+        |    SELECT id_a,
+        |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
+        |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
+        |    FROM crosscand JOIN sigs x ON crosscand.id_a = x.doc_id
+        |                   JOIN sigs y ON crosscand.id_b = y.doc_id)
+        |  WHERE jac >= 0.6),
+        |b3 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_a FROM crosshit)),
+        |bb3 AS (SELECT doc_id, b, key FROM bb WHERE doc_id IN (SELECT doc_id FROM b3)),
+        |cand3 AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM bb3 a JOIN bb3 c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+        |mh3 AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
+        |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
+        |    FROM cand3 JOIN sigs x ON cand3.id_a = x.doc_id
+        |               JOIN sigs y ON cand3.id_b = y.doc_id)
+        |  WHERE jac >= 0.6),
+        |sym AS (SELECT id_a, id_b FROM mh3 UNION ALL SELECT id_b, id_a FROM mh3),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id_a, id_a FROM sym
+        |  UNION
+        |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+        |SELECT doc_id FROM b3
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+        |ORDER BY doc_id""".stripMargin,
 
     // Clusters + quality independently re-derived; keeper = argmax
     // (quality, -id) per component via row_number.

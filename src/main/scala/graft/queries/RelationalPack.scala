@@ -354,6 +354,24 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Volume-anomaly detection (A8's mean+k·σ rule over the time axis):
+    // hours whose event count exceeds mean + 2σ of the hourly series.
+    // Two aggregates: the hourly rollup (output is one row per hour —
+    // tiny at any corpus scale), then a 1-row stats frame broadcast back
+    // over it; no window over the raw events.
+    "q35_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:00").as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = hourly.agg((avg(col("n_events")) +
+        lit(2.0) * stddev_samp(col("n_events"))).as("thresh"))
+      hourly.crossJoin(broadcast(stats))
+        .filter(col("n_events") > col("thresh"))
+        .select(col("hour"), col("n_events"))
+        .orderBy(col("hour"))
+    }),
+
     // Frequent-items sketch gate (the heavy-hitter analog of the HLL gate
     // q12): every user whose exact event count exceeds support*N must be
     // in the one-pass freqItems sketch — its no-false-negative guarantee,
@@ -635,6 +653,15 @@ object RelationalPack extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
+
+    "q35_anomaly" ->
+      """WITH h AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT avg(n_events) + 2 * stddev_samp(n_events) AS thresh FROM h)
+        |SELECT hour, n_events FROM h, s WHERE n_events > thresh
+        |ORDER BY hour""".stripMargin,
 
     // Exact heavy hitters re-derived; in_sketch must come back TRUE from
     // Spark for every one (the sketch's no-false-negative guarantee).

@@ -363,6 +363,40 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupIncremental: exact corpus dups, near corpus dups, and " +
+      "within-batch dups all drop; fresh docs survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact dup of corpus doc 0 → dropped at stage 1
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // near-dup of corpus doc 2 (one word changed) → dropped at stage 2
+      (3L, "one two three four five six seven eight nine TEN"),
+      // fresh doc → survives
+      (5L, "red orange yellow green blue indigo violet pink brown black"),
+      // two near-identical fresh docs → one survives (min id)
+      (7L, "cat dog fish bird mouse horse cow sheep goat duck"),
+      (9L, "cat dog fish bird mouse horse cow sheep goat duckling")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncremental(corpus, batch, "doc_id", "text",
+        minJ = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 7L), s"got $kept")
+    // ingesting the SAME batch again against corpus+survivors is a no-op
+    // for the survivors' texts (idempotence of the ingestion rule);
+    // survivors are re-id'd — the operator contract wants disjoint ids
+    val grown = corpus.unionByName(
+      batch.filter(col("doc_id").isin(5L, 7L))
+        .select((col("doc_id") + 100L).as("doc_id"), col("text")))
+    val again = Dedup.dedupIncremental(grown, batch, "doc_id", "text",
+        minJ = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(again.isEmpty, s"re-ingest kept $again")
+  }
+
   test("dedupKeepBest keeps exactly the max-quality member per cluster " +
       "(ties to smallest id) and passes unclustered docs through") {
     import spark.implicits._
