@@ -73,6 +73,41 @@ object TextAnalysis {
       .drop("__rn")
   }
 
+  /** Corpus-trained bigram language-model score per document — the
+    * relational analog of the LM-perplexity quality filter CCNet-style
+    * pipelines use (Wenzek et al. 2020, public method): score(doc) =
+    * mean over its bigrams of `ln P(w2|w1)` with add-one smoothing,
+    * `P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)`. Low score = improbable word
+    * sequences = low-quality text.
+    *
+    * Shapes: bigram/unigram count tables are two hash aggregates over the
+    * exploded corpus; V is a 1-row frame broadcast (never a driver
+    * scalar); the per-doc mean sums `DECIMAL(28,12)`-cast log-probs so
+    * the aggregate is order-independent — the float work is one ln per
+    * DISTINCT bigram occurrence, the summation is exact decimal (the
+    * engine-agnostic trick the money sums use). Docs with <2 tokens have
+    * no bigrams and drop out. Returns (idCol, n_bigrams, lm_score). */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("w"))
+    val uniCounts = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val bi = docs.select(col(idCol),
+      explode(Dedup.ngrams(col(textCol), 2)).as("g"))
+    val biCounts = bi.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    bi.join(biCounts, Seq("g"))
+      .withColumn("t", split(col("g"), " ").getItem(0))
+      .join(uniCounts, Seq("t"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((col("c12") + lit(1.0d)) / (col("c1") + col("v")))
+          .cast("decimal(28,12)").as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.Graft.roundExact(
+          sum(col("lp")).cast("double") / count(lit(1)), 4).as("lm_score"))
+  }
+
   /** Deterministic weighted sample without replacement — Efraimidis &
     * Spirakis (2006, "Weighted random sampling with a reservoir", public
     * algorithm): each row gets key `u^(1/w)` for uniform `u`, and the

@@ -218,6 +218,13 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Corpus-trained bigram LM score (the perplexity-filter analog):
+    // mean ln P(w2|w1) per doc, add-one smoothing, exact-decimal sums.
+    "tx_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-weighted corpus sampling: Efraimidis-Spirakis keys from
     // md5-uniforms over the quality score — sample ∝ quality,
     // deterministic, the sample itself oracle-checked.
@@ -473,6 +480,32 @@ object DedupTextPack extends QueryPack {
         |  FROM documents)
         |WHERE rn <= 50
         |ORDER BY lang, doc_id""".stripMargin,
+
+    // Bigram/unigram counts, vocab size, and the smoothed log-prob mean
+    // re-derived; decimal-cast lp sums make the mean order-independent.
+    "tx_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT t, count(*) AS c1 FROM (SELECT unnest(w) AS t FROM toks)
+        |  GROUP BY t),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |big AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM toks),
+        |bc AS (SELECT g, count(*) AS c12 FROM big GROUP BY g),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(ln((c12 + 1.0) / (c1 + v)) AS DECIMAL(28,12)) AS lp
+        |  FROM big JOIN bc USING (g)
+        |  JOIN uc ON split_part(g, ' ', 1) = uc.t
+        |  CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(CAST(sum(lp) AS DOUBLE) / count(*) AS DECIMAL(28,12)), 4)::DOUBLE
+        |    AS lm_score
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same E-S keys re-derived: ln of the scaled 60-bit md5 prefix over
     // the independently recomputed quality, top-100 by key.

@@ -155,6 +155,38 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScore equals a plain-Scala bigram-LM reference on 400 random " +
+      "docs (counts, smoothing, decimal-sum mean); short docs drop out") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val docs = randomDocs(seed = 404)
+    val got = TextAnalysis.lmScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toList }
+    val uni = toks.flatMap(_._2).groupBy(identity).map { case (w, l) =>
+      w -> l.size }
+    val v = uni.size
+    val bigrams = toks.map { case (id, ws) =>
+      id -> (if (ws.length < 2) Nil else ws.sliding(2).map(_.mkString(" ")).toList)
+    }
+    val bc = bigrams.flatMap(_._2).groupBy(identity).map { case (g, l) =>
+      g -> l.size }
+    val want = bigrams.filter(_._2.nonEmpty).map { case (id, gs) =>
+      val lps = gs.map { g =>
+        val c12 = bc(g); val c1 = uni(g.split(" ")(0))
+        BigDecimal(math.log((c12 + 1.0) / (c1 + v))).setScale(12, HALF_UP)
+      }
+      val mean = (lps.sum.toDouble / gs.length)
+      id -> (gs.length.toLong,
+        BigDecimal(mean).setScale(12, HALF_UP).setScale(4, HALF_UP).toDouble)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, s)) =>
+      assert(got(id) == ((n, s)), s"doc $id: got ${got(id)}, want ($n, $s)")
+    }
+  }
+
   test("packShards equals a per-stream prefix-sum reference on random " +
       "docs; shards are contiguous and overflow-bounded") {
     val rnd = new scala.util.Random(505)
