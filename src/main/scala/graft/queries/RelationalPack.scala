@@ -354,6 +354,23 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Correlated-subquery surface: orders above their OWN customer's
+    // average order value. Written as the correlated SQL a user ports
+    // over; Catalyst decorrelates it into one aggregate + join — no
+    // per-row re-execution (the plan is spec-checked in ScaleSpec's
+    // pushdown regression style via the oracle's identical derivation).
+    "q36_correlated" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_custkey, count(*) AS n_above
+        FROM orders o
+        WHERE o_totalprice > (
+          SELECT avg(o_totalprice) FROM orders i
+          WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")
+    }),
+
     // Volume-anomaly detection (A8's mean+k·σ rule over the time axis):
     // hours whose event count exceeds mean + 2σ of the hourly series.
     // Two aggregates: the hourly rollup (output is one row per hour —
@@ -653,6 +670,17 @@ object RelationalPack extends QueryPack {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, purchase_ts, p.event_id""".stripMargin,
+
+    // The identical correlated form — DuckDB decorrelates too; both
+    // engines compare each order to its customer's exact-same avg.
+    "q36_correlated" ->
+      """SELECT o_custkey, count(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT avg(o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q35_anomaly" ->
       """WITH h AS (

@@ -237,4 +237,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       if (r.getString(0) != "video") assert(fs == Seq(0)) else assert(fs.nonEmpty && fs.length <= 4)
     }
   }
+
+  test("foreachBatch ingestion: dedupIncremental per micro-batch equals " +
+      "applying it sequentially batch-by-batch") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two micro-batches of docs ingested against a growing corpus
+    val seed = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val batch1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of seed
+      (3L, "one two three four five six seven eight"))       // fresh
+    val batch2 = Seq(
+      (5L, "one two three four five six seven NINE"), // near-dup of 3
+      (7L, "red orange yellow green blue indigo violet pink")) // fresh
+    val input = MemoryStream[(Long, String)](spark)
+    // the ingestion loop a production stream runs: survivors of each
+    // micro-batch are appended to the corpus the NEXT batch dedupes
+    // against (state lives in the corpus table, not executor memory)
+    var corpus = seed.toDF("doc_id", "text")
+    val query = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Dedup.dedupIncremental(corpus, batch, "doc_id", "text",
+          minJ = 0.6)
+        corpus = corpus.unionByName(
+          batch.join(kept, Seq("doc_id"), "left_semi")).localCheckpoint(true)
+      }
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val streamed = corpus.collect().map(_.getLong(0)).toSet
+    // sequential batch application — same operator, no streaming
+    var ref = seed.toDF("doc_id", "text")
+    Seq(batch1, batch2).foreach { b =>
+      val kept = Dedup.dedupIncremental(ref, b.toDF("doc_id", "text"),
+        "doc_id", "text", minJ = 0.6)
+      ref = ref.unionByName(
+        b.toDF("doc_id", "text").join(kept, Seq("doc_id"), "left_semi"))
+    }
+    val sequential = ref.collect().map(_.getLong(0)).toSet
+    assert(streamed == sequential)
+    assert(streamed == Set(0L, 3L, 7L), s"got $streamed")
+  }
 }
