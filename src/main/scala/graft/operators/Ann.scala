@@ -282,14 +282,34 @@ object Ann {
   }
 
   /** PQ-encode every vector: `codes[j] = argmin_c ‖sub_j(v) − cb[j][c]‖²`
-    * (ties to the smallest code). One codegen map pass — the nested
-    * argmin is `aggregate` over the code range carrying a
-    * `(best_dist, best_code)` struct; no join, no shuffle. The codes
-    * relation is `m` bytes per vector (64-dim float × m=16 → 16 B vs
-    * 256 B, 16×) — at 100 TB THIS is the relation the ADC scan reads. */
+    * (ties to the smallest code). One map pass through the native
+    * [[graft.functions.PqEncode]] expression — a flat whole-stage-codegen
+    * loop, no join, no shuffle, no per-code allocation (the HOF twin
+    * [[pqEncodeHof]] is the executable spec). The codes relation is `m`
+    * bytes per vector (64-dim float × m=16 → 16 B vs 256 B, 16×) — at
+    * 100 TB THIS is the relation the ADC scan reads. */
   def pqEncode(emb: DataFrame, cb: Seq[Seq[Seq[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding",
       keep: Seq[String] = Nil): DataFrame = {
+    val m = cb.length
+    val ksub = cb.head.length
+    val dsub = cb.head.head.length
+    val flat = cb.flatten.flatten.toArray
+    val codes = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol)),
+        flat, m, ksub, dsub))
+    emb.select(col(idCol) +: codes.as("codes") +: keep.map(col): _*)
+  }
+
+  /** Interpreted higher-order-function twin of [[pqEncode]] (spec-checked
+    * equal): `transform` over subspaces, `aggregate` over codes carrying a
+    * `(best_dist, best_code)` struct, `zip_with` for the squared
+    * distance. Kept as the executable specification of the native
+    * expression's arithmetic — including the float-then-widen semantics
+    * and the first-on-tie argmin. */
+  def pqEncodeHof(emb: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val m = cb.length
     val ksub = cb.head.length
     val dsub = cb.head.head.length
@@ -308,7 +328,7 @@ object Ann {
         })
       best.getField("c").cast("byte")
     })
-    emb.select(col(idCol) +: codes.as("codes") +: keep.map(col): _*)
+    emb.select(col(idCol), codes.as("codes"))
   }
 
   /** IVF-PQ index — the FAISS IVFADC layout as ONE relation:
@@ -335,26 +355,16 @@ object Ann {
       emb: DataFrame, queryVec: DataFrame, nprobe: Int, k: Int,
       overfetch: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val m = cb.length
-    val dsub = cb.head.head.length
-    val cbLit = typedlit(cb)
     val probed = ivf.centroids.crossJoin(broadcast(queryVec))
       .select(col("centroid_id"),
         Graft.cosine(col("cvec"), col("qvec")).as("cs"))
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
-      val sub = slice(col("qvec"), j * dsub + 1, lit(dsub))
-      val cv = element_at(element_at(cbLit, j + 1),
-        element_at(col("codes"), j + 1).cast("int") + 1)
-      acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (a, t) => a + t.cast("double"))
-    })
     val cands = index
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
       .crossJoin(broadcast(queryVec))
-      .select(col(idCol), adc.as("adist"))
+      .select(col(idCol), adc(cb, col("codes"), col("qvec")).as("adist"))
       .orderBy(col("adist").asc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))
@@ -365,28 +375,44 @@ object Ann {
       .limit(k)
   }
 
+  /** Native whole-stage-codegen ADC column over (codes, query vector) —
+    * see [[graft.functions.PqAdc]]; [[adcHof]] is its executable spec. */
+  def adc(cb: Seq[Seq[Seq[Float]]], codes: Column, qvec: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.GraftSqlBridge.expression(codes),
+        org.apache.spark.sql.GraftSqlBridge.expression(qvec),
+        cb.flatten.flatten.toArray,
+        cb.length, cb.head.length, cb.head.head.length))
+
+  /** Interpreted HOF twin of [[adc]] (spec-checked equal). */
+  def adcHof(cb: Seq[Seq[Seq[Float]]], codes: Column,
+      qvec: Column): Column = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
+      val sub = slice(qvec, j * dsub + 1, lit(dsub))
+      val cv = element_at(element_at(cbLit, j + 1),
+        element_at(codes, j + 1).cast("int") + 1)
+      acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (a, t) => a + t.cast("double"))
+    })
+  }
+
   /** ANN via asymmetric distance computation over the PQ codes: score
-    * every code row with `Σ_j ‖sub_j(q) − cb[j][codes_j]‖²` (one codegen
-    * map pass over the 16×-smaller codes relation), keep the
-    * `k·overfetch` smallest (TakeOrderedAndProject), then rescore exactly
-    * on the full-precision vectors of the candidates only.
+    * every code row with `Σ_j ‖sub_j(q) − cb[j][codes_j]‖²` (one native
+    * codegen map pass — [[graft.functions.PqAdc]] — over the 16×-smaller
+    * codes relation), keep the `k·overfetch` smallest
+    * (TakeOrderedAndProject), then rescore exactly on the full-precision
+    * vectors of the candidates only.
     *
     * @param codes output of [[pqEncode]] (pre-materialized at scale) */
   def searchPq(emb: DataFrame, codes: DataFrame, cb: Seq[Seq[Seq[Float]]],
       queryVec: DataFrame, k: Int, overfetch: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = cb.length
-    val dsub = cb.head.head.length
-    val cbLit = typedlit(cb)
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
-      val sub = slice(col("qvec"), j * dsub + 1, lit(dsub))
-      val cv = element_at(element_at(cbLit, j + 1),
-        element_at(col("codes"), j + 1).cast("int") + 1)
-      acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (a, t) => a + t.cast("double"))
-    })
     val cands = codes.crossJoin(broadcast(queryVec))
-      .select(col(idCol), adc.as("adist"))
+      .select(col(idCol), adc(cb, col("codes"), col("qvec")).as("adist"))
       .orderBy(col("adist").asc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))

@@ -468,6 +468,19 @@ class DedupAnnSpec extends AnyFunSuite {
     val got = Ann.pqEncode(e, cb)
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(got.values.forall(_.length == m))
+    // the native codegen expression equals its interpreted HOF twin
+    val hof = Ann.pqEncodeHof(e, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(got == hof)
+    // native ADC equals its HOF twin bit-for-bit on every fixture row
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val adcDiff = Ann.pqEncode(e, cb).crossJoin(broadcast(q0))
+      .select(
+        Ann.adc(cb, col("codes"), col("qvec")).as("native"),
+        Ann.adcHof(cb, col("codes"), col("qvec")).as("hof"))
+      .filter(!(col("native") <=> col("hof"))).count()
+    assert(adcDiff == 0)
     // plain-Scala reference encode over every fixture vector
     val vecs = e.select("vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
