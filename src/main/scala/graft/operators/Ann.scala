@@ -242,13 +242,22 @@ object Ann {
     * @param quantized output of [[quantizeSq8]] (pre-materialized at scale:
     *                  quantize once, write, serve many queries)
     * @param queryVec  single query `(qvec: array<float>)` */
+  /** Fused codegen cosine over (q8, scale, qvec) — see
+    * [[graft.functions.Sq8Cosine]]; the composed
+    * `Graft.cosine(dequantizeSq8(...), ...)` form is its executable spec. */
+  def sq8Cosine(q8: Column, scale: Column, qvec: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Sq8Cosine(
+        org.apache.spark.sql.GraftSqlBridge.expression(q8),
+        org.apache.spark.sql.GraftSqlBridge.expression(scale),
+        org.apache.spark.sql.GraftSqlBridge.expression(qvec)))
+
   def searchSq8(emb: DataFrame, quantized: DataFrame, queryVec: DataFrame,
       k: Int, overfetch: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val cands = quantized.crossJoin(broadcast(queryVec))
       .select(col(idCol),
-        Graft.cosine(dequantizeSq8(col("q8"), col("scale")), col("qvec"))
-          .as("qsim"))
+        sq8Cosine(col("q8"), col("scale"), col("qvec")).as("qsim"))
       .orderBy(col("qsim").desc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))

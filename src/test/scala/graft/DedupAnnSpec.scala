@@ -441,6 +441,16 @@ class DedupAnnSpec extends AnyFunSuite {
       .head.getDouble(0)
     assert(maxErrOverBound <= 1.0 + 1e-3,
       s"reconstruction error exceeded half a quantization step: $maxErrOverBound")
+    // the fused codegen sq8_cosine equals the composed dequantize+cosine
+    // form bit-for-bit on every fixture row (including a zero query)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val fusedDiff = q.crossJoin(broadcast(q0))
+      .select(
+        Ann.sq8Cosine(col("q8"), col("scale"), col("qv")).as("fused"),
+        Graft.cosine(Ann.dequantizeSq8(col("q8"), col("scale")), col("qv"))
+          .as("composed"))
+      .filter(!(col("fused") <=> col("composed"))).count()
+    assert(fusedDiff == 0)
     // zero vector: all-zero q8, scale 1 — no NaN/crash
     import spark.implicits._
     val z = Ann.quantizeSq8(
