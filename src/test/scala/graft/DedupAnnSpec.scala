@@ -549,6 +549,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("native ANN kernels participate in whole-stage codegen: the " +
+      "generated Java calls the static helpers (no interpreted fallback)") {
+    import org.apache.spark.sql.execution.debug._
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val cb = Ann.buildPqCodebook(e, m = 16, ksub = 32)
+    // a literal query vector keeps the scan a pure Project (a broadcast
+    // join would wrap the plan in AQE, which reports no codegen subtrees
+    // before execution)
+    val qv = typedlit(e.filter(col("vec_id") === 0)
+      .head.getSeq[Float](1).toSeq)
+    val pqScan = Ann.pqEncode(e, cb)
+      .select(Ann.adc(cb, col("codes"), qv).as("adist"))
+    val pqGen = codegenString(pqScan.queryExecution.executedPlan)
+    assert(pqGen.contains("graft.functions.PqUtil.encode"), pqGen.take(500))
+    assert(pqGen.contains("graft.functions.PqUtil.adc"), pqGen.take(500))
+    // materialize the quantized relation first (as the real tier does —
+    // quantize once, scan many): the quantize transform is an interpreted
+    // HOF and would otherwise knock its whole Project out of codegen
+    val q8mat = Ann.quantizeSq8(e).localCheckpoint(true)
+    val sqScan = q8mat
+      .select(Ann.sq8Cosine(col("q8"), col("scale"), qv).as("s"))
+    val sqGen = codegenString(sqScan.queryExecution.executedPlan)
+    assert(sqGen.contains("graft.functions.Sq8Util.cosine"), sqGen.take(500))
+  }
+
   test("MLlib LSH approxNearestNeighbors returns valid non-empty neighbors") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (model, withVec) = Ann.lshModel(e)
