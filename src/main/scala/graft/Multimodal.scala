@@ -90,4 +90,27 @@ object Multimodal {
     when(col("kind") === "video",
       slice(sequence(lit(0), col("n_frames") - 1, lit(stride)), lit(1), lit(maxFrames)))
       .otherwise(array(lit(0)))
+
+  /** Overlapping-window chunk plan for audio rows — the fan-out plan a
+    * transcription pipeline runs BEFORE any decode: `chunkSec`-second
+    * windows advancing by `chunkSec − overlapSec`, covering
+    * `[0, durationSec)`; the last chunk is clipped to the duration.
+    * Pure column math (`sequence` + `transform` over a handful of chunk
+    * indices per row — the plan, not the audio, so the per-row array is
+    * bounded by duration/stride); the decode stays behind the external
+    * [[Decoder]] boundary. Returns `array<struct<start:int, end:int>>`;
+    * durations ≤ `overlapSec` still get one `[0, duration)` chunk. */
+  def chunkPlan(durationSec: Column, chunkSec: Int = 30,
+      overlapSec: Int = 5): Column = {
+    val stride = chunkSec - overlapSec
+    // ceil((dur - overlap) / stride) via floor((x + stride - 1) / stride);
+    // integer inputs are exact in double
+    val n = greatest(
+      floor((durationSec - overlapSec + stride - 1).cast("double") / stride)
+        .cast("int"),
+      lit(1))
+    transform(sequence(lit(0), n - 1), i =>
+      struct((i * stride).as("start"),
+        least(i * stride + chunkSec, durationSec).cast("int").as("end")))
+  }
 }

@@ -33,6 +33,24 @@ object MultimodalPack extends QueryPack {
             Multimodal.frameSamplePlan(media),
             f => f.cast("string")), "|").as("frame_plan"))
         .orderBy(col("media_id"))
+    }),
+
+    // Audio chunking plan: overlapping 30s windows (5s overlap) over a
+    // metadata-derived duration — the fan-out plan a transcription
+    // pipeline distributes on, as pure column math; chunks render as
+    // "start-end|start-end" for the oracle.
+    "mm_chunk_plan" -> ((s, dir) => {
+      val media = Multimodal
+        .mediaFromDocuments(Tables.load(s, dir, "documents"))
+        .filter(col("kind") === "audio")
+        .withColumn("duration_sec",
+          (pmod(length(col("payload")), lit(120)) + 1).cast("int"))
+      media.select(col("media_id"), col("duration_sec"),
+          array_join(transform(
+            Multimodal.chunkPlan(col("duration_sec")),
+            c => concat_ws("-", c.getField("start"), c.getField("end"))),
+            "|").as("chunks"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -52,6 +70,25 @@ object MultimodalPack extends QueryPack {
         |    THEN array_to_string(list_transform(
         |      range(0, n_frames, 5), x -> CAST(x AS VARCHAR))[1:4], '|')
         |    ELSE '0' END AS frame_plan
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // Same window arithmetic re-derived: n = max(ceil((dur-5)/25), 1)
+    // chunks, start = 25·i, end clipped to the duration.
+    "mm_chunk_plan" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+        |    octet_length(encode(text)) AS n_bytes
+        |  FROM documents),
+        |a AS (
+        |  SELECT media_id, CAST(n_bytes % 120 + 1 AS INTEGER) AS duration_sec,
+        |    greatest(CAST(floor((n_bytes % 120 + 1 - 5 + 24) / 25.0) AS INTEGER), 1) AS n
+        |  FROM media WHERE kind = 'audio')
+        |SELECT media_id, duration_sec,
+        |  array_to_string(list_transform(range(0, n),
+        |    i -> CAST(25 * i AS VARCHAR) || '-' ||
+        |         CAST(least(25 * i + 30, duration_sec) AS VARCHAR)), '|')
+        |    AS chunks
+        |FROM a ORDER BY media_id""".stripMargin
   )
 }

@@ -238,6 +238,32 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio chunkPlan: covers [0, duration) with the configured overlap; " +
+      "short durations get exactly one clipped chunk") {
+    import spark.implicits._
+    val plans = (1 to 150).map(d => (d.toLong, d))
+      .toDF("media_id", "duration_sec")
+      .select(col("duration_sec"),
+        Multimodal.chunkPlan(col("duration_sec")).as("chunks"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => (c.getInt(0), c.getInt(1))))
+    plans.foreach { case (dur, chunks) =>
+      assert(chunks.head._1 == 0, s"dur=$dur")
+      assert(chunks.last._2 == dur, s"dur=$dur: last chunk must end at dur")
+      // contiguous coverage: each next chunk starts before the prior ends
+      chunks.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(s2 < e1, s"dur=$dur: gap between chunks")
+        case _ =>
+      }
+      chunks.foreach { case (s, e) =>
+        assert(e - s <= 30 && s % 25 == 0, s"dur=$dur chunk ($s,$e)") }
+      if (dur <= 30) assert(chunks == Seq((0, dur)), s"dur=$dur")
+    }
+  }
+
   test("foreachBatch ingestion: dedupIncremental per micro-batch equals " +
       "applying it sequentially batch-by-batch") {
     import spark.implicits._
