@@ -246,6 +246,26 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // The training-corpus capstone: dedupCorpus survivors, filtered by
+    // BOTH quality signals (heuristic composite >= 0.55 AND bigram-LM
+    // score >= -3.45), packed into token-budgeted shards per lang — the
+    // full prepare-for-training flow, every stage a proven oracle shape.
+    "tx_corpus_ready" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = Dedup.dedupCorpus(d, "doc_id", "text",
+        k = 12, bands = 4, minJ = 0.6)
+      val q = TextAnalysis.qualityFeatures(col("text"))
+        .collectFirst { case ("quality", c) => c }.get
+      val lmOk = TextAnalysis.lmScore(d, "doc_id", "text")
+        .filter(col("lm_score") >= -3.45).select("doc_id")
+      val ready = d.join(kept, Seq("doc_id"), "left_semi")
+        .filter(q >= 0.55)
+        .join(lmOk, Seq("doc_id"), "left_semi")
+      TextAnalysis.packShards(ready, "lang", "doc_id", "text",
+          tokenBudget = 1000L)
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Approximate-quantile gate (the percentile analog of the HLL audience
     // gate q12): approx_percentile's sketch answer must land inside the
     // exact p40..p60 rank window — a property the sketch's rank-error
@@ -531,6 +551,74 @@ object DedupTextPack extends QueryPack {
         |SELECT doc_id FROM (
         |  SELECT doc_id FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // Every stage's proven CTE composed: keepfirst + clusters (dd_corpus),
+    // quality (tx_quality), bigram LM (tx_lm_score), prefix-sum shards
+    // (tx_shard_pack) over the surviving set.
+    "tx_corpus_ready" ->
+      s"""WITH RECURSIVE keepfirst AS (
+         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         |${minhashPairsCte("keepfirst")},
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |survivors AS (
+         |  SELECT doc_id FROM keepfirst
+         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)),
+         |-- quality + LM train on ALL documents (the Spark side scores the
+         |-- raw corpus), not on keepfirst like the minhash `base` above
+         |alltoks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |qf AS (
+         |  SELECT doc_id,
+         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+         |    len(list_filter(w, t -> list_contains(
+         |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+         |    least(len(w) / 100.0, 1.0) AS lenf
+         |  FROM alltoks),
+         |qual AS (
+         |  SELECT doc_id, round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 +
+         |    lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
+         |  FROM qf),
+         |uc AS (
+         |  SELECT t, count(*) AS c1 FROM (
+         |    SELECT unnest(w) AS t FROM alltoks) GROUP BY t),
+         |v AS (SELECT count(*) AS v FROM uc),
+         |big AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM alltoks),
+         |bc AS (SELECT g, count(*) AS c12 FROM big GROUP BY g),
+         |lm AS (
+         |  SELECT doc_id,
+         |    round(CAST(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + v))
+         |      AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         |      AS DECIMAL(28,12)), 4)::DOUBLE AS lm_score
+         |  FROM big JOIN bc USING (g)
+         |  JOIN uc ON split_part(g, ' ', 1) = uc.t
+         |  CROSS JOIN v GROUP BY doc_id),
+         |ready AS (
+         |  SELECT d.lang, d.doc_id,
+         |    len(string_split_regex(trim(d.text), '\\s+'))::BIGINT AS n_tokens
+         |  FROM documents d
+         |  JOIN survivors USING (doc_id)
+         |  JOIN qual USING (doc_id)
+         |  JOIN lm USING (doc_id)
+         |  WHERE qual.q >= 0.55 AND lm.lm_score >= -3.45),
+         |s AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+         |  FROM ready)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
+         |FROM s ORDER BY lang, doc_id""".stripMargin,
 
     "tx_shard_pack" ->
       """WITH t AS (
