@@ -432,6 +432,42 @@ object Ann {
       .limit(k)
   }
 
+  /** Per-dimension corpus means of an embedding column, as a bounded
+    * Scala array (dim doubles — the PQ-codebook footprint). One
+    * posexplode + hash aggregate; each float is cast to DECIMAL(28,12)
+    * before summing so the mean is summation-order-independent (the
+    * engine-agnostic decimal-sum trick), then divided in double. */
+  def dimMeans(emb: DataFrame, vecCol: String = "embedding"): Array[Double] =
+    emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mu"))
+      .orderBy(col("dim"))
+      .collect().map(_.getDouble(1))
+
+  /** Mean-center and L2-normalize an embedding column — the standard
+    * preprocessing before cosine ANN / SemDeDup (centering removes the
+    * corpus-wide offset that compresses cosine spread; normalizing makes
+    * dot = cosine). Means ride in as a literal (bounded, like the PQ
+    * codebook); the per-row math is sequential-order HOFs, so both
+    * engines reduce in array order. Zero-norm rows (a vector equal to
+    * the mean) normalize to the zero vector rather than NaN. Returns
+    * `(idCol, centered_norm: double, normalized: array<double>)`. */
+  def centerNormalize(emb: DataFrame, means: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mu = typedlit(means.toSeq)
+    val centered = zip_with(col(vecCol), mu,
+      (x, m) => x.cast("double") - m)
+    val norm = sqrt(aggregate(centered, lit(0.0d), (a, v) => a + v * v))
+    emb
+      .withColumn("_c", centered)
+      .withColumn("centered_norm", norm)
+      .select(col(idCol), col("centered_norm"),
+        transform(col("_c"), v =>
+          when(col("centered_norm") > 0.0d, v / col("centered_norm"))
+            .otherwise(lit(0.0d))).as("normalized"))
+  }
+
   /** Fit an MLlib LSH model over the embedding column (converted to ml
     * Vector at this boundary only, per SURVEY §1.2). */
   def lshModel(emb: DataFrame, vecCol: String = "embedding",

@@ -64,6 +64,19 @@ object AnnPack extends QueryPack {
         k = 10, minRecall = 0.9)
     }),
 
+    // Pre-ANN preprocessing: corpus mean-centering + L2 normalization.
+    // Output is boundary-safe: the centered norm and the first two
+    // normalized components, rounded (the full array is spec-checked).
+    "emb_normalize" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val n = Ann.centerNormalize(e, Ann.dimMeans(e))
+      n.select(col("vec_id"),
+          round(col("centered_norm"), 4).as("cnorm"),
+          round(element_at(col("normalized"), 1), 4).as("n0"),
+          round(element_at(col("normalized"), 2), 4).as("n1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF-PQ (the FAISS IVFADC layout): one partition-prunable index
     // relation (vec_id, codes, centroid_id); a query prunes to nprobe/C
     // of the rows, ADC-scores 16 B/row, exact-rescores k·overfetch.
@@ -171,6 +184,38 @@ object AnnPack extends QueryPack {
         |  FROM embeddings e CROSS JOIN q)
         |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Decimal-summed per-dim means, centered vectors, sequential-order
+    // norm (list_reduce over a 0-prepended list reduces left-to-right,
+    // matching Spark's aggregate) — independently re-derived.
+    "emb_normalize" ->
+      """WITH m AS (
+        |  SELECT i AS dim,
+        |    CAST(sum(CAST(embedding[i] AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*) AS mu
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY i),
+        |mu_list AS (SELECT list(mu ORDER BY dim) AS mus FROM m),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) - mus[i]) AS cent
+        |  FROM embeddings CROSS JOIN mu_list),
+        |n AS (
+        |  SELECT vec_id, cent,
+        |    sqrt(list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(cent, v -> v * v)),
+        |      (a, b) -> a + b)) AS cnorm
+        |  FROM c)
+        |SELECT vec_id, round(cnorm, 4) AS cnorm,
+        |  -- + 0.0 folds DuckDB's -0.0 (round of a tiny negative) to the
+        |  -- +0.0 Spark's round emits, else the stringified hash diverges
+        |  round(CASE WHEN cnorm > 0 THEN cent[1] / cnorm ELSE 0.0 END, 4)
+        |    + 0.0 AS n0,
+        |  round(CASE WHEN cnorm > 0 THEN cent[2] / cnorm ELSE 0.0 END, 4)
+        |    + 0.0 AS n1
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     // Same recall-gate shape: exact top-1 re-derived, gate must hold.
     "ann_ivfpq_topk" ->

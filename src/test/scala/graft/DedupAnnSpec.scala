@@ -549,6 +549,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("centerNormalize: centered dims mean ~0, survivors unit-norm, " +
+      "a vector equal to the corpus mean maps to the zero vector") {
+    import spark.implicits._
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val means = Ann.dimMeans(e)
+    assert(means.length == 64)
+    val n = Ann.centerNormalize(e, means)
+    // every non-degenerate row is unit-norm after normalization
+    val norms = n.filter(col("centered_norm") > 0.0d)
+      .select(sqrt(aggregate(col("normalized"), lit(0.0d),
+        (a, v) => a + v * v)).as("un"))
+      .collect().map(_.getDouble(0))
+    assert(norms.nonEmpty && norms.forall(v => math.abs(v - 1.0) < 1e-9))
+    // centering: per-dim mean of the centered values is ~0
+    val rawCentered = e.select(col("vec_id"),
+      zip_with(col("embedding"), typedlit(means.toSeq),
+        (x, m) => (x.cast("double") - m).cast("float")).as("embedding"))
+    assert(Ann.dimMeans(rawCentered).forall(m => math.abs(m) < 1e-4))
+    // degenerate row: exactly the mean vector → zero output, no NaN
+    val mv = Seq((9999L, means.map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val z = Ann.centerNormalize(mv, means)
+      .select(col("centered_norm"), col("normalized")).head
+    assert(z.getDouble(0) < 1e-6)
+    assert(z.getSeq[Double](1).forall(v => !v.isNaN))
+  }
+
   test("native ANN kernels participate in whole-stage codegen: the " +
       "generated Java calls the static helpers (no interpreted fallback)") {
     import org.apache.spark.sql.execution.debug._
