@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, FloatType}
   *
   * The codebook rides along as a flat `float[]` reference object
   * (`cb[(j·ksub + c)·dsub + i]`) — m·ksub·dsub floats, the same bounded
-  * footprint the HOF's literal carried. Precondition (checked): the input
-  * vector has exactly m·dsub non-null elements.
+  * footprint the HOF's literal carried. The element COUNT is checked
+  * (must be exactly m·dsub); null array ELEMENTS are the caller's
+  * precondition (embeddings are non-null by schema) — the HOF twin
+  * null-propagates where this reads the raw slot. A vector with a
+  * non-finite component encodes to code 0 in that subspace (see
+  * [[PqUtil.encode]]).
   */
 case class PqEncode(child: Expression, cb: Array[Float], m: Int,
     ksub: Int, dsub: Int) extends UnaryExpression {
@@ -124,7 +128,11 @@ object PqUtil {
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
-      codes(j) = best.toByte
+      // a non-finite component makes every candidate distance NaN/Inf and
+      // `d < bestD` never fires — fall back to code 0 (a VALID codebook
+      // entry) instead of emitting sentinel -1, which ADC would decode as
+      // 255 and index past the codebook (same fallback as the HOF twin)
+      codes(j) = math.max(best, 0).toByte
       j += 1
     }
     new GenericArrayData(codes)

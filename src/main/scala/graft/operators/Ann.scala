@@ -211,7 +211,7 @@ object Ann {
     * scan tier reads a quarter of the bytes, and that scan is the
     * bottleneck of brute-force ANN, not the arithmetic.
     *
-    * Output: `(idCol, qvec: array<tinyint>, scale: float)`. Zero vectors
+    * Output: `(idCol, q8: array<tinyint>, scale: float)`. Zero vectors
     * quantize to all-zero with scale 1 (no division by zero); everything
     * is built-in HOFs (`transform`/`aggregate`), fully codegen.
     * Reconstruction error per component is ≤ amax/254 (half a quantization
@@ -242,6 +242,19 @@ object Ann {
     * @param quantized output of [[quantizeSq8]] (pre-materialized at scale:
     *                  quantize once, write, serve many queries)
     * @param queryVec  single query `(qvec: array<float>)` */
+  /** Exact rescore shared by every compressed/pruned ANN tier: the
+    * candidate ids (a k·overfetch-bounded relation) semi-join back to the
+    * full-precision vectors, exact cosine against the broadcast query,
+    * top-k with the standard (simil DESC, id) tie-break. */
+  private def rescoreExact(emb: DataFrame, cands: DataFrame,
+      queryVec: DataFrame, k: Int, idCol: String,
+      vecCol: String): DataFrame =
+    emb.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
+      .orderBy(col("simil").desc, col(idCol))
+      .limit(k)
+
   /** Fused codegen cosine over (q8, scale, qvec) — see
     * [[graft.functions.Sq8Cosine]]; the composed
     * `Graft.cosine(dequantizeSq8(...), ...)` form is its executable spec. */
@@ -261,11 +274,7 @@ object Ann {
       .orderBy(col("qsim").desc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))
-    emb.join(broadcast(cands), Seq(idCol), "left_semi")
-      .crossJoin(broadcast(queryVec))
-      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-      .orderBy(col("simil").desc, col(idCol))
-      .limit(k)
+    rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
@@ -280,11 +289,17 @@ object Ann {
   def buildPqCodebook(emb: DataFrame, m: Int, ksub: Int,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[Seq[Seq[Float]]] = {
+    require(ksub <= 256, s"ksub=$ksub exceeds what a byte code can index")
     val sample = emb
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(ksub)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toIndexedSeq)
+    // fail at BUILD time, not mid-encode: a silently floored dsub would
+    // make the native encoder throw per-row while the HOF twin silently
+    // dropped the trailing dims
+    require(sample.head.length % m == 0,
+      s"embedding dim ${sample.head.length} is not divisible by m=$m")
     val dsub = sample.head.length / m
     (0 until m).map(j =>
       sample.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq))
@@ -335,7 +350,9 @@ object Ann {
           when(d < acc.getField("d"),
             struct(d.as("d"), c.as("c"))).otherwise(acc)
         })
-      best.getField("c").cast("byte")
+      // non-finite components leave the argmin at sentinel -1 — fall back
+      // to code 0 (a valid entry), matching the native expression
+      greatest(best.getField("c"), lit(0)).cast("byte")
     })
     emb.select(col(idCol), codes.as("codes"))
   }
@@ -377,11 +394,7 @@ object Ann {
       .orderBy(col("adist").asc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))
-    emb.join(broadcast(cands), Seq(idCol), "left_semi")
-      .crossJoin(broadcast(queryVec))
-      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-      .orderBy(col("simil").desc, col(idCol))
-      .limit(k)
+    rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
   /** Native whole-stage-codegen ADC column over (codes, query vector) —
@@ -402,8 +415,11 @@ object Ann {
     val cbLit = typedlit(cb)
     aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
       val sub = slice(qvec, j * dsub + 1, lit(dsub))
+      // pmod(…, 256) is the column form of the native path's `& 0xff`:
+      // codes 128..255 are stored as NEGATIVE bytes, and a plain int cast
+      // would turn them into <= 0 element_at indices
       val cv = element_at(element_at(cbLit, j + 1),
-        element_at(codes, j + 1).cast("int") + 1)
+        pmod(element_at(codes, j + 1).cast("int"), lit(256)) + 1)
       acc + aggregate(zip_with(sub, cv, (x, y) => (x - y) * (x - y)),
         lit(0.0d), (a, t) => a + t.cast("double"))
     })
@@ -425,11 +441,7 @@ object Ann {
       .orderBy(col("adist").asc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))
-    emb.join(broadcast(cands), Seq(idCol), "left_semi")
-      .crossJoin(broadcast(queryVec))
-      .select(col(idCol), Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-      .orderBy(col("simil").desc, col(idCol))
-      .limit(k)
+    rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
   /** Per-dimension corpus means of an embedding column, as a bounded
@@ -458,10 +470,13 @@ object Ann {
     val mu = typedlit(means.toSeq)
     val centered = zip_with(col(vecCol), mu,
       (x, m) => x.cast("double") - m)
-    val norm = sqrt(aggregate(centered, lit(0.0d), (a, v) => a + v * v))
     emb
       .withColumn("_c", centered)
-      .withColumn("centered_norm", norm)
+      // norm reads col("_c"), NOT the `centered` tree — HOFs are
+      // interpreted and a second copy of the zip_with would run the
+      // dim-length lambda loop twice per row
+      .withColumn("centered_norm",
+        sqrt(aggregate(col("_c"), lit(0.0d), (a, v) => a + v * v)))
       .select(col(idCol), col("centered_norm"),
         transform(col("_c"), v =>
           when(col("centered_norm") > 0.0d, v / col("centered_norm"))

@@ -48,14 +48,19 @@ object Audience {
     * sketch array (≤ 1/support items) and one count scalar. */
   def heavyHitters(df: DataFrame, keyCol: String,
       support: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
     val items = df.stat.freqItems(Array(keyCol), support)
       .head.getSeq[Any](0)
-    val thresh = support * df.count()
-    df.groupBy(col(keyCol))
-      // qualified: plain `count` resolves to Audience.count here
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_rows"))
-      .filter(col("n_rows") > lit(thresh))
+    // two full scans total (freqItems + the groupBy) — the threshold's
+    // total count re-aggregates the SMALL per-key relation and rides a
+    // broadcast 1-row frame, not a third corpus scan via df.count()
+    val grouped = df.groupBy(col(keyCol))
+      .agg(fcount(lit(1)).as("n_rows"))
+    val total = grouped.agg(fsum(col("n_rows")).as("n_total"))
+    grouped.crossJoin(broadcast(total))
+      .filter(col("n_rows") > lit(support) * col("n_total"))
       .withColumn("in_sketch", col(keyCol).isin(items: _*))
+      .select(col(keyCol), col("n_rows"), col("in_sketch"))
       .orderBy(col(keyCol))
   }
 

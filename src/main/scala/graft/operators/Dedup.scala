@@ -738,21 +738,45 @@ object Dedup {
     * Returns the kept `(idCol)` rows. */
   def dedupIncremental(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 12, bands: Int = 4,
-      minJ: Double = 0.6): DataFrame = {
+      minJ: Double = 0.6): DataFrame =
+    dedupIncremental(buildCorpusIndex(corpus, idCol, textCol, k, bands),
+      batch, idCol, textCol, k, bands, minJ)
+
+  /** The corpus-side artifacts [[dedupIncremental]] probes — build (or
+    * incrementally append to) these ONCE, write them out, and every
+    * subsequent batch does only batch-proportional work. Deriving them
+    * from raw corpus text costs one full corpus pass; the convenience
+    * overload above does exactly that, which is fine for one-shot use but
+    * defeats the ingestion shape if called per micro-batch. */
+  case class CorpusIndex(texts: DataFrame, buckets: DataFrame,
+      wsets: DataFrame)
+
+  def buildCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4): CorpusIndex = {
+    val rows = k / bands
+    CorpusIndex(
+      corpus.select(col(textCol)).distinct(),
+      lshBuckets(sigsOf(corpus, idCol, textCol, k),
+        idCol, "sig", bands, rows).toDF("id_b", "band", "key"),
+      wsetsOf(corpus, idCol, textCol))
+  }
+
+  /** [[dedupIncremental]] against pre-materialized corpus artifacts —
+    * every stage here scales with the BATCH: the exact anti-join probes
+    * `index.texts`, the batch's bands probe `index.buckets`, and
+    * verification prunes `index.wsets` to candidate ids first. */
+  def dedupIncremental(index: CorpusIndex, batch: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int, minJ: Double): DataFrame = {
     val rows = k / bands
     val b1 = batch.select(col(idCol), col(textCol))
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .join(index.texts, Seq(textCol), "left_anti")
     val b2 = b1.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
     val bBuckets = lshBuckets(sigsOf(b2, idCol, textCol, k),
       idCol, "sig", bands, rows).toDF("id_a", "band", "key")
-    val cBuckets = lshBuckets(sigsOf(corpus, idCol, textCol, k),
-      idCol, "sig", bands, rows).toDF("id_b", "band", "key")
-    val cands = bBuckets.join(cBuckets, Seq("band", "key"))
+    val cands = bBuckets.join(index.buckets, Seq("band", "key"))
       .select("id_a", "id_b").distinct()
-    val wsetsAll = wsetsOf(
-      b2.unionByName(corpus.select(col(idCol), col(textCol))),
-      idCol, textCol)
+    val wsetsAll = wsetsOf(b2, idCol, textCol).unionByName(index.wsets)
     val crossHits = verifyJaccard(cands, wsetsAll, minJ, keepCols = Seq.empty)
       .select(col("id_a").as(idCol)).distinct()
     val b3 = b2.join(crossHits, Seq(idCol), "left_anti")
