@@ -417,6 +417,23 @@ object RelationalPack extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // CUBE: all four grouping combinations of (lang, source) in the same
+    // single Expand-into-one-hash-aggregate pass as q33's rollup — the
+    // cross-tab face of the same surface.
+    "q37_cube" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          grouping(col("lang")).as("gl"),
+          grouping(col("source")).as("gs"))
+        .select(
+          when(col("gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          when(col("gs") === 1, lit("ALL")).otherwise(col("source"))
+            .as("source"),
+          col("n_docs"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Pivot reshape: daily event-type counts as columns. Values are
     // passed EXPLICITLY — without them Spark runs an extra distinct-values
     // job over the whole table before it can even plan (the 100 TB
@@ -698,6 +715,14 @@ object RelationalPack extends QueryPack {
         |FROM events GROUP BY user_id
         |HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
         |ORDER BY user_id""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT
+        |  CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin,
 
     "q33_rollup" ->
       """SELECT
