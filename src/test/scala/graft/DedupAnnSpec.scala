@@ -397,6 +397,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(again.isEmpty, s"re-ingest kept $again")
   }
 
+  test("dedupIncremental via a pre-built CorpusIndex equals the " +
+      "convenience overload on the fixture parity split") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val direct = Dedup.dedupIncremental(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val viaIndex = Dedup.dedupIncremental(
+        Dedup.buildCorpusIndex(corpus, "doc_id", "text"),
+        batch, "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(direct == viaIndex && direct.nonEmpty)
+  }
+
   test("dedupKeepBest keeps exactly the max-quality member per cluster " +
       "(ties to smallest id) and passes unclustered docs through") {
     import spark.implicits._
