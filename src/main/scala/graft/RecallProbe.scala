@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Knn}
+
+/** Dev tool: measure the ACTUAL recall@10 of every gated ANN tier on a
+  * fixture dir, so the `minRecall` floors in [[graft.queries.AnnPack]] can
+  * sit just below the measured value (a regressed index then actually
+  * fails the gate) instead of at a loose never-fires level. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Graft.init(spark)
+
+    dirs.foreach { dir =>
+      println(s"===== $dir =====")
+      val e = Tables.load(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val exact = Knn.topK(e, q.select(col("qvec")), k = 10)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      def hits(name: String, ann: org.apache.spark.sql.DataFrame,
+          ex: org.apache.spark.sql.DataFrame = exact): Unit = {
+        val n = ex.join(ann.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi").count()
+        println(f"$name%-22s n_hit=$n/10")
+      }
+
+      val ivfK = Ann.buildIvfKMeans(e, numCentroids = 32, maxIter = 5)
+      hits("ann_ivf_kmeans_topk", Ann.searchIvf(ivfK,
+          q.select(col("qvec")), nprobe = 4, k = 10)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      hits("ann_sq8_topk", Ann.searchSq8(e, Ann.quantizeSq8(e),
+          q.select(col("qvec")), k = 10, overfetch = 4)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val cb = Ann.buildPqCodebook(e, m = 16, ksub = 32)
+      hits("ann_pq_topk", Ann.searchPq(e, Ann.pqEncode(e, cb), cb,
+          q.select(col("qvec")), k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val (ivf, index, cb2) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32)
+      hits("ann_ivfpq_topk", Ann.searchIvfPq(ivf, index, cb2, e,
+          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val (model, withVec) = Ann.lshModel(e)
+      val key = org.apache.spark.ml.linalg.Vectors.dense(
+        e.filter(col("vec_id") === 0).head().getSeq[Float](1)
+          .map(_.toDouble).toArray)
+      val exLsh = Knn.topK(e.filter(col("vec_id") =!= 0),
+          q.select(col("qvec")), k = 10)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      hits("ann_lsh_topk", model
+        .approxNearestNeighbors(withVec.filter(col("vec_id") =!= 0), key, 10)
+        .select(lit(0L).as("qid"), col("vec_id")), exLsh)
+
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = e.filter(col("vec_id") >= 5)
+      val exJoin = Knn.topKPerQuery(base, qs, k = 10)
+      val annJoin = Ann.lshBatchTopK(base, qs, k = 10)
+      exJoin.join(annJoin.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .orderBy("qid").collect()
+        .foreach(r => println(
+          f"ann_lsh_join qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
+    }
+    spark.stop()
+  }
+}

@@ -215,16 +215,24 @@ object Ann {
     * quantize to all-zero with scale 1 (no division by zero); everything
     * is built-in HOFs (`transform`/`aggregate`), fully codegen.
     * Reconstruction error per component is ≤ amax/254 (half a quantization
-    * step) — spec-pinned. */
+    * step) — spec-pinned.
+    *
+    * Non-finite components (NaN/±Inf) are excluded from the scale and
+    * quantize to code 0 — the same degrade-don't-throw hardening as
+    * [[graft.functions.PqEncode]]'s code-0 fallback; without the guard a
+    * single bad vector would make the ANSI byte cast fail the whole
+    * quantize job. */
   def quantizeSq8(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    def finite(x: Column): Column = !isnan(x) && abs(x) <= lit(Float.MaxValue)
     val amax = aggregate(col(vecCol), lit(0.0f),
-      (acc, x) => greatest(acc, abs(x)))
+      (acc, x) => greatest(acc, when(finite(x), abs(x)).otherwise(lit(0.0f))))
     val scale = when(amax > 0.0f, amax / 127.0f).otherwise(lit(1.0f))
       .cast("float")
     emb.select(col(idCol),
       transform(col(vecCol),
-        x => round(x / scale).cast("byte")).as("q8"),
+        x => when(finite(x), round(x / scale)).otherwise(lit(0))
+          .cast("byte")).as("q8"),
       scale.as("scale"))
   }
 

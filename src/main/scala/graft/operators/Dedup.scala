@@ -792,9 +792,11 @@ object Dedup {
     * pipelines use (of N near-identical crawls, keep the highest-quality
     * one, e.g. the least boilerplate-damaged). Clusters come from
     * [[minhashNearDups]] → [[duplicateClusters]] (both oracle-proven
-    * shapes); the keep rule is one partial-aggregable `max_by` over
-    * `(quality, -id)` — quality ties break to the SMALLEST id, matching
-    * [[dedupCorpus]]'s convention. `quality` must be an engine-agnostic
+    * shapes); the keep rule is one partial-aggregable `min_by` over
+    * `(-quality, id)` — quality ties break to the SMALLEST id, matching
+    * [[dedupCorpus]]'s convention, and only the DOUBLE quality is negated
+    * (negating the id would fail on string ids and ANSI-overflow on
+    * `Long.MinValue`). `quality` must be an engine-agnostic
     * column (rounded via [[graft.Graft.roundExact]]) for the oracle to
     * reproduce the argmax; returns the surviving `(idCol)` rows. */
   def dedupKeepBest(docs: DataFrame, idCol: String, textCol: String,
@@ -806,7 +808,7 @@ object Dedup {
     val scored = docs.select(col(idCol), quality.as("q"))
     val best = comp.join(scored, Seq(idCol))
       .groupBy(col("cluster_rep"))
-      .agg(max_by(col(idCol), struct(col("q"), -col(idCol))).as(idCol))
+      .agg(min_by(col(idCol), struct(-col("q"), col(idCol))).as(idCol))
       .select(col(idCol))
     scored.select(col(idCol))
       .join(comp, Seq(idCol), "left_anti")

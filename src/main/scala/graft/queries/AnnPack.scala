@@ -43,8 +43,10 @@ object AnnPack extends QueryPack {
       val ivf = Ann.buildIvfKMeans(e, numCentroids = 32, maxIter = 5)
       val ann = Ann.searchIvf(ivf, q.select(col("qvec")), nprobe = 4, k = 10)
         .select(lit(0L).as("qid"), col("vec_id"))
-      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
-        k = 10, minRecall = 0.3)
+      // floor pinned at the measured fixture recall (6/10 at sf0.01, 4/10
+      // at sf0.1 — RecallProbe): the seeded fit is deterministic, so any
+      // index regression below the measured value fails the gate
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.4)
     }),
 
     // Int8 scalar-quantized tier + exact rescore: coarse top-40 on the
@@ -60,8 +62,7 @@ object AnnPack extends QueryPack {
       val ann = Ann.searchSq8(e, Ann.quantizeSq8(e),
           q.select(col("qvec")), k = 10, overfetch = 4)
         .select(lit(0L).as("qid"), col("vec_id"))
-      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
-        k = 10, minRecall = 0.9)
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.9)
     }),
 
     // Pre-ANN preprocessing: corpus mean-centering + L2 normalization.
@@ -90,8 +91,9 @@ object AnnPack extends QueryPack {
       val ann = Ann.searchIvfPq(ivf, index, cb, e,
           q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id"))
-      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
-        k = 10, minRecall = 0.5)
+      // measured fixture recall 7/10 (sf0.01) and 6/10 (sf0.1) —
+      // RecallProbe; the md5-deterministic index makes the floor exact
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.6)
     }),
 
     // Product quantization (16 subspaces x 32 codes — 16 B/vector, 16x
@@ -107,8 +109,9 @@ object AnnPack extends QueryPack {
       val ann = Ann.searchPq(e, Ann.pqEncode(e, cb), cb,
           q.select(col("qvec")), k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id"))
-      Ann.recallVsExact(Knn.topKPerQuery(e, q, k = 10), ann,
-        k = 10, minRecall = 0.5)
+      // measured fixture recall 10/10 (sf0.01) and 7/10 (sf0.1) —
+      // RecallProbe; md5-deterministic codebook, so the floor is exact
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
     }),
 
     // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors — the
@@ -120,10 +123,13 @@ object AnnPack extends QueryPack {
       val qs = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val base = e.filter(col("vec_id") >= 5)
+      // measured per-query fixture recall ≥ 9/10 at both sf0.01 and sf0.1
+      // (RecallProbe); one hit of slack under the minimum — the hashes are
+      // seeded but engine-internal, the one non-bit-pinned input here
       Ann.recallVsExact(
           Knn.topKPerQuery(base, qs, k = 10),
           Ann.lshBatchTopK(base, qs, k = 10),
-          k = 10, minRecall = 0.5)
+          k = 10, minRecall = 0.8)
         .orderBy(col("qid"))
     }),
 
@@ -141,11 +147,25 @@ object AnnPack extends QueryPack {
         .select(lit(0L).as("qid"), col("vec_id"))
       val q = e.filter(col("vec_id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      // measured fixture recall 9/10 (sf0.01) and 10/10 (sf0.1) —
+      // RecallProbe; one hit of slack under the minimum (seeded but
+      // engine-internal hashes)
       Ann.recallVsExact(
-        Knn.topKPerQuery(e.filter(col("vec_id") =!= 0), q, k = 10),
-        ann, k = 10, minRecall = 0.5)
+        exactSingle(e.filter(col("vec_id") =!= 0), q),
+        ann, k = 10, minRecall = 0.8)
     })
   )
+
+  /** Exact top-10 side for the single-query recall gates, via [[Knn.topK]]
+    * (TakeOrderedAndProject — partial per-partition top-k, driver merge)
+    * rather than [[Knn.topKPerQuery]]: with one LITERAL qid the window's
+    * partition spec constant-folds away and the plan degrades to an
+    * UNPARTITIONED WindowExec — a single-task global sort that would be
+    * the one non-scaling operator in the headline set (spec-asserted
+    * absent in PipelineSpec's window-plan probe). */
+  private def exactSingle(base: DataFrame, q: DataFrame): DataFrame =
+    Knn.topK(base, q.select(col("qvec")), k = 10)
+      .select(lit(0L).as("qid"), col("vec_id"), col("simil"))
 
   override def oracle: Map[String, String] = Map(
     "ann_ivf_topk" ->

@@ -220,6 +220,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaChat == direct && direct.size == 4)
   }
 
+  test("no headline bench query plans an UNPARTITIONED window " +
+      "(single-task global sort — the one shape that cannot scale out)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val qs = SparkEntry.queries
+    Bench.headline.filter(qs.contains).foreach { name =>
+      val plan = qs(name)(spark, TestSpark.sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned window (${bad.mkString(",")}) — " +
+          "a foldable partition key degraded the plan to one task")
+    }
+  }
+
   test("heavyHitters: every exact heavy hitter survives with " +
       "in_sketch=true on a skewed stream; light keys are excluded") {
     import spark.implicits._
