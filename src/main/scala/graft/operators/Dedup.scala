@@ -761,6 +761,61 @@ object Dedup {
       wsetsOf(corpus, idCol, textCol))
   }
 
+  /** Close the ingestion loop: fold a batch's ACCEPTED rows (the
+    * [[dedupIncremental]] survivors, with their texts) into the index so
+    * the NEXT batch dedups against them too — three unions, no join, no
+    * corpus re-scan: only the accepted rows are shingled/hashed.
+    *
+    * Equivalent to `buildCorpusIndex(corpus ∪ accepted)` — the property
+    * the incremental shape silently assumes, spec-proven on the fixture —
+    * PROVIDED `accepted` really is the survivor set: its texts are then
+    * disjoint from the index's (stage-1 anti-join) and distinct within the
+    * batch (keep-first per text), so plain unions preserve the build's
+    * `distinct()` invariant without re-shuffling the corpus side. Every
+    * per-doc artifact (band buckets, word sets) is deterministic per row,
+    * so union-of-builds IS build-of-union there.
+    *
+    * At 100 TB this is the whole point of the index: per-batch cost is
+    * batch-proportional (append), never corpus-proportional (rebuild).
+    * Persist the result with [[saveCorpusIndex]] between batches.
+    * MATERIALIZE `accepted` first (`localCheckpoint`, or it already sits
+    * in storage): it feeds all three index frames, and each downstream
+    * probe of the un-persisted index would re-run the whole batch-dedup
+    * lineage that produced the survivors. */
+  def appendCorpusIndex(index: CorpusIndex, accepted: DataFrame,
+      idCol: String, textCol: String, k: Int = 12,
+      bands: Int = 4): CorpusIndex = {
+    val rows = k / bands
+    CorpusIndex(
+      index.texts.unionByName(accepted.select(col(textCol))),
+      index.buckets.unionByName(
+        lshBuckets(sigsOf(accepted, idCol, textCol, k),
+          idCol, "sig", bands, rows).toDF("id_b", "band", "key")),
+      index.wsets.unionByName(wsetsOf(accepted, idCol, textCol)))
+  }
+
+  /** Materialize the three index frames as parquet under `dir` — the
+    * between-batches persistence of the ingestion loop (build or append
+    * once, write, reload for the next batch; reloading also truncates the
+    * ever-growing union lineage to a flat scan). Buckets are written
+    * partitioned by `band`: a batch probe equi-joins on (band, key), so
+    * at scale the shuffle reads only the matching band files. */
+  def saveCorpusIndex(index: CorpusIndex, dir: String): Unit = {
+    index.texts.write.mode("overwrite").parquet(s"$dir/texts")
+    index.buckets.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/buckets")
+    index.wsets.write.mode("overwrite").parquet(s"$dir/wsets")
+  }
+
+  /** Reload a [[saveCorpusIndex]] directory. */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): CorpusIndex =
+    CorpusIndex(
+      spark.read.parquet(s"$dir/texts"),
+      spark.read.parquet(s"$dir/buckets")
+        .select(col("id_b"), col("band"), col("key")),
+      spark.read.parquet(s"$dir/wsets"))
+
   /** [[dedupIncremental]] against pre-materialized corpus artifacts —
     * every stage here scales with the BATCH: the exact anti-join probes
     * `index.texts`, the batch's bands probe `index.buckets`, and

@@ -411,6 +411,68 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(direct == viaIndex && direct.nonEmpty)
   }
 
+  test("appendCorpusIndex: append-then-dedup over two sequential batches " +
+      "equals dedup against a full index rebuild AND dedupCorpus on the " +
+      "union; the parquet round-trip preserves the result") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    // split by ID RANGE (time-ordered ingestion: earlier ids arrived
+    // first), so the global min-id representative rule and the
+    // incremental keep-the-corpus-doc rule pick the same survivors
+    val n = d.agg(max(col("doc_id"))).head().getLong(0)
+    // the incremental contract assumes an already-CLEAN corpus — start
+    // from dedupCorpus survivors so both paths see identical inputs
+    val corpus = d.filter(col("doc_id") <= n / 3)
+    val corpusCleanDf = corpus
+      .join(Dedup.dedupCorpus(corpus, "doc_id", "text"),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val b1 = d.filter(col("doc_id") > n / 3 && col("doc_id") <= 2 * n / 3)
+    val b2 = d.filter(col("doc_id") > 2 * n / 3)
+    // batch 1: dedup against the built index, then APPEND the survivors
+    val idx0 = Dedup.buildCorpusIndex(corpusCleanDf, "doc_id", "text")
+    // materialize the survivors once (per the appendCorpusIndex contract)
+    // — every consumer of the appended index would otherwise re-run the
+    // whole batch-1 dedup lineage
+    val accepted1 = b1.join(
+        Dedup.dedupIncremental(idx0, b1, "doc_id", "text", 12, 4, 0.6),
+        Seq("doc_id"), "left_semi").select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val idx1 = Dedup.appendCorpusIndex(idx0, accepted1, "doc_id", "text")
+    // batch 2 against the appended index
+    val kept2 = Dedup.dedupIncremental(idx1, b2, "doc_id", "text",
+        12, 4, 0.6).collect().map(_.getLong(0)).toSet
+    // (a) the associativity the append assumes: appended index ≡ index
+    // rebuilt from corpus ∪ accepted — same batch-2 survivors
+    val rebuilt = Dedup.buildCorpusIndex(
+      corpusCleanDf.unionByName(accepted1), "doc_id", "text")
+    val kept2Rebuilt = Dedup.dedupIncremental(rebuilt, b2, "doc_id",
+        "text", 12, 4, 0.6).collect().map(_.getLong(0)).toSet
+    assert(kept2 == kept2Rebuilt && kept2.nonEmpty)
+    // (b) end-to-end: incremental survivors over the whole stream equal
+    // one-shot dedupCorpus on the union (corpus side pre-cleaned the same
+    // way, since the incremental contract assumes a clean corpus)
+    val corpusClean = corpusCleanDf.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val accepted1Ids = accepted1.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.dedupCorpus(
+        corpusCleanDf
+          .unionByName(b1.select(col("doc_id"), col("text")))
+          .unionByName(b2.select(col("doc_id"), col("text"))),
+        "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(corpusClean ++ accepted1Ids ++ kept2 == oneShot)
+    // (c) persist/reload the three artifact frames between batches — the
+    // ingestion loop's real shape — and get identical batch-2 survivors
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    Dedup.saveCorpusIndex(idx1, dir)
+    val kept2Loaded = Dedup.dedupIncremental(
+        Dedup.loadCorpusIndex(spark, dir), b2, "doc_id", "text",
+        12, 4, 0.6).collect().map(_.getLong(0)).toSet
+    assert(kept2Loaded == kept2)
+  }
+
   test("dedupKeepBest keeps exactly the max-quality member per cluster " +
       "(ties to smallest id) and passes unclustered docs through") {
     import spark.implicits._
