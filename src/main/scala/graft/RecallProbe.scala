@@ -51,9 +51,22 @@ object RecallProbe {
           q.select(col("qvec")), k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      val cbK = Ann.buildPqCodebookKMeans(e, m = 16, ksub = 32, maxIter = 5)
+      hits("ann_pq_kmeans_topk", Ann.searchPq(e, Ann.pqEncode(e, cbK), cbK,
+          q.select(col("qvec")), k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
       val (ivf, index, cb2) = Ann.buildIvfPq(e, numCentroids = 32,
         m = 16, ksub = 32)
       hits("ann_ivfpq_topk", Ann.searchIvfPq(ivf, index, cb2, e,
+          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val (ivfL, indexL, cbL) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32,
+        coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+        codebook = Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
+      hits("ann_ivfpq_kmeans_topk", Ann.searchIvfPq(ivfL, indexL, cbL, e,
           q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id")))
 

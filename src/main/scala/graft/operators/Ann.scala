@@ -313,6 +313,61 @@ object Ann {
       sample.toSeq.map(v => v.slice(j * dsub, (j + 1) * dsub).toSeq))
   }
 
+  /** LEARNED PQ codebooks: one seeded k-means per subspace (Jégou 2011
+    * §III trains exactly this — k-means on the subvectors, L2), replacing
+    * [[buildPqCodebook]]'s md5-sample entries. Sampled entries are real
+    * data points, so sparse regions of a subspace get no representative
+    * and dense ones get many identical-ish entries; Lloyd iterations
+    * spread the `ksub` entries by the subspace's own density, cutting
+    * per-subspace quantization error and raising ADC ranking quality at
+    * the SAME index size. The md5 sample stays the oracle default; this
+    * is the quality path, recall-gated (same split as [[buildIvfKMeans]]
+    * vs [[buildIvf]]).
+    *
+    * Scale shape, same bounds as [[buildIvfKMeans]]:
+    *  - the fit set is a deterministic `fitFraction` hash slice, sliced
+    *    ONCE into all m subvector columns, coalesced small and cached —
+    *    one materialization feeds every subspace fit;
+    *  - the m fits run CONCURRENTLY (each is a tiny k-means over
+    *    dsub-dim points; Spark schedules concurrent jobs from separate
+    *    threads) so the wall cost is ~one fit, not m sequential fits —
+    *    at bench scale each Lloyd round is scheduling-bound, and m=16
+    *    sequential fits would pay that latency 16×;
+    *  - only m·ksub·dsub floats (the codebook itself) reach the driver. */
+  def buildPqCodebookKMeans(emb: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 10, fitFraction: Double = 1.0,
+      fitPartitions: Int = 4): Seq[Seq[Seq[Float]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    require(ksub <= 256, s"ksub=$ksub exceeds what a byte code can index")
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val sampled =
+      if (fitFraction >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) < (fitFraction * 1e6).toLong)
+    val fitSet = sampled
+      .select((0 until m).map(j =>
+        array_to_vector(slice(col(vecCol), lit(j * dsub + 1), lit(dsub)))
+          .as(s"f$j")): _*)
+      .coalesce(fitPartitions)
+      .cache()
+    try {
+      fitSet.count() // materialize ONCE before the concurrent fits race
+      val fits = (0 until m).map(j => Future {
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(ksub).setSeed(42L + j).setMaxIter(maxIter)
+          .setInitMode("random").setFeaturesCol(s"f$j")
+          .fit(fitSet)
+          .clusterCenters.toSeq.map(_.toArray.map(_.toFloat).toSeq)
+      })
+      Await.result(Future.sequence(fits), Duration.Inf)
+    } finally fitSet.unpersist(blocking = false)
+  }
+
   /** PQ-encode every vector: `codes[j] = argmin_c ‖sub_j(v) − cb[j][c]‖²`
     * (ties to the smallest code). One map pass through the native
     * [[graft.functions.PqEncode]] expression — a flat whole-stage-codegen
@@ -372,9 +427,17 @@ object Ann {
     * rows, each row `m` bytes. */
   def buildIvfPq(emb: DataFrame, numCentroids: Int = 32, m: Int = 16,
       ksub: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
-    val ivf = buildIvf(emb, numCentroids, idCol, vecCol)
-    val cb = buildPqCodebook(emb, m, ksub, idCol, vecCol)
+      vecCol: String = "embedding",
+      coarse: (DataFrame, Int, String, String) => Ivf = buildIvf(_, _, _, _),
+      codebook: (DataFrame, Int, Int, String, String) => Seq[Seq[Seq[Float]]] =
+        buildPqCodebook(_, _, _, _, _))
+      : (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
+    // both quantizers are pluggable: the md5-sample defaults keep the
+    // oracle-reproducible build, while passing buildIvfKMeans /
+    // buildPqCodebookKMeans composes the learned quality path into the
+    // same IVFADC layout (recall-gated instead of hash-matched)
+    val ivf = coarse(emb, numCentroids, idCol, vecCol)
+    val cb = codebook(emb, m, ksub, idCol, vecCol)
     // assignments carry (idCol, vecCol, centroid_id); encoding keeps the
     // centroid so the index stays partition-prunable
     val index = pqEncode(ivf.assignments, cb, idCol, vecCol,

@@ -114,6 +114,47 @@ object AnnPack extends QueryPack {
       Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
     }),
 
+    // LEARNED PQ codebooks: per-subspace seeded k-means (Jégou 2011 §III)
+    // instead of the md5-sample entries — same m/ksub, same 16 B/vector
+    // index, better-spread codebook entries. Recall-gate grading (k-means
+    // float reductions are not hash-stable across engines).
+    "ann_pq_kmeans_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val cb = Ann.buildPqCodebookKMeans(e, m = 16, ksub = 32, maxIter = 5)
+      val ann = Ann.searchPq(e, Ann.pqEncode(e, cb), cb,
+          q.select(col("qvec")), k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      // measured fixture recall 10/10 (sf0.01) and 8/10 (sf0.1) —
+      // RecallProbe; one better than the md5-sample codebook at sf0.1,
+      // and the seeded fit is deterministic, so the floor is exact
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.8)
+    }),
+
+    // Fully-learned IVF-PQ: k-means coarse quantizer composed with
+    // k-means PQ codebooks through the same pluggable IVFADC build —
+    // the quality-path composition of the two learned tiers above.
+    "ann_ivfpq_kmeans_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32,
+        coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+        codebook = Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
+      val ann = Ann.searchIvfPq(ivf, index, cb, e,
+          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      // measured fixture recall 7/10 (sf0.01) and 4/10 (sf0.1) —
+      // RecallProbe: the balanced k-means coarse buckets spread the true
+      // neighbors across more cells at this nprobe, so the composition
+      // floor sits below the single-tier gates
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.4)
+    }),
+
     // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors — the
     // scale path (no driver-side per-query loop) — graded as recall vs the
     // relational exact top-10 (the oracle-checkable form of an ANN result).
@@ -252,6 +293,32 @@ object AnnPack extends QueryPack {
 
     // Same recall-gate shape: exact top-1 re-derived, gate must hold.
     "ann_pq_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Same recall-gate shape: exact top-1 re-derived, gate must hold.
+    "ann_pq_kmeans_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Same recall-gate shape: exact top-1 re-derived, gate must hold.
+    "ann_ivfpq_kmeans_topk" ->
       """WITH q AS (
         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -411,6 +411,69 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(direct == viaIndex && direct.nonEmpty)
   }
 
+  test("learned PQ codebook: per-subspace k-means beats the md5-sample " +
+      "entries on reconstruction MSE and matches its recall@10 " +
+      "(one-hit slack) at equal m/ksub") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, k = 10).select(col("vec_id"))
+      .localCheckpoint(true)
+    // ADC of a vector's own codes against itself IS the reconstruction
+    // error Σ_j ‖sub_j(v) − cb[j][codes_j]‖² — the quantity k-means
+    // minimizes per subspace (Jégou 2011 eq. 2)
+    def mse(cb: Seq[Seq[Seq[Float]]]): Double =
+      Ann.pqEncode(e, cb, keep = Seq("embedding"))
+        .select(Ann.adc(cb, col("codes"), col("embedding")).as("err"))
+        .agg(avg(col("err"))).head().getDouble(0)
+    def recall(cb: Seq[Seq[Seq[Float]]]): Long =
+      exact.join(
+        Ann.searchPq(e, Ann.pqEncode(e, cb), cb, q, k = 10, overfetch = 6)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+    val sample = Ann.buildPqCodebook(e, m = 16, ksub = 32)
+    val learned = Ann.buildPqCodebookKMeans(e, m = 16, ksub = 32, maxIter = 5)
+    val (mseS, mseL) = (mse(sample), mse(learned))
+    assert(mseL <= mseS,
+      f"learned codebook MSE $mseL%.5f worse than sample $mseS%.5f")
+    val (rS, rL) = (recall(sample), recall(learned))
+    // epsilon slack: recall@10 of one query is a coarse step function —
+    // equal-quality codebooks can differ by a boundary hit
+    assert(rL >= rS - 1, s"learned recall $rL vs sample $rS")
+  }
+
+  test("parameterized IVF-PQ composes the learned quantizers: same index " +
+      "shape as the md5 build, recall within slack of it, deterministic " +
+      "across rebuilds") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, k = 10).select(col("vec_id"))
+      .localCheckpoint(true)
+    def run(coarse: (org.apache.spark.sql.DataFrame, Int, String, String)
+          => Ann.Ivf,
+        codebook: (org.apache.spark.sql.DataFrame, Int, Int, String, String)
+          => Seq[Seq[Seq[Float]]]): (Long, Seq[Seq[Seq[Float]]]) = {
+      val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 8,
+        m = 16, ksub = 32, coarse = coarse, codebook = codebook)
+      assert(index.columns.toSet == Set("vec_id", "codes", "centroid_id"))
+      val hits = exact.join(
+        Ann.searchIvfPq(ivf, index, cb, e, q, nprobe = 4, k = 10,
+          overfetch = 6).select(col("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+      (hits, cb)
+    }
+    val (rMd5, _) = run(Ann.buildIvf(_, _, _, _),
+      Ann.buildPqCodebook(_, _, _, _, _))
+    val (rLearned, cb1) = run(
+      Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+      Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
+    assert(rLearned >= rMd5 - 2, s"learned composition $rLearned vs $rMd5")
+    // seeded fits: the learned codebook is bit-identical across rebuilds
+    val (_, cb2) = run(
+      Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+      Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
+    assert(cb1 == cb2, "learned codebook not deterministic across rebuilds")
+  }
+
   test("appendCorpusIndex: append-then-dedup over two sequential batches " +
       "equals dedup against a full index rebuild AND dedupCorpus on the " +
       "union; the parquet round-trip preserves the result") {
