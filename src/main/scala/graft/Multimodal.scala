@@ -84,6 +84,114 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Perceptual-hash grid contract: [[PixelDecoder]] emits a row-major
+    * `PhashGridRows × PhashGridCols` grayscale grid; [[dHash]] compares
+    * horizontally-adjacent pixels, giving `rows · (cols − 1)` = 60 bits —
+    * 60 (not 64) for the same reason as [[graft.operators.Dedup.SimhashBits]]:
+    * the value stays a non-negative BIGINT both engines parse identically. */
+  val PhashGridRows = 6
+  val PhashGridCols = 11
+  val PhashBits: Int = PhashGridRows * (PhashGridCols - 1)
+
+  /** Grayscale decode boundary for perceptual hashing — a real
+    * implementation wraps an image codec + resize-to-grid here. */
+  trait PixelDecoder extends Serializable {
+    /** @return row-major `PhashGridRows × PhashGridCols` pixel grid */
+    def decodeGray(kind: String, payload: Array[Byte]): Array[Int]
+  }
+
+  /** STUB grayscale decode: the payload (utf-8 text in the fixture) is cut
+    * into `rows·cols` even code-point slices and each cell's "pixel" is the
+    * first-4-hex-digit value of its md5 — deterministic, locality-preserving
+    * (an in-place byte edit perturbs exactly the cells covering it, the
+    * stub analog of re-encode noise touching a few pixels), and re-derivable
+    * bit-for-bit by the DuckDB oracle as
+    * `('0x' || substr(md5(substr(text, …)), 1, 4))::BIGINT`. Slicing is by
+    * code points to match DuckDB `substr` semantics beyond ASCII. */
+  class StubPixelDecoder extends PixelDecoder {
+    def decodeGray(kind: String, payload: Array[Byte]): Array[Int] = {
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      val n = PhashGridRows * PhashGridCols
+      val cp = s.codePointCount(0, s.length)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(n) { i =>
+        val a = s.offsetByCodePoints(0, ((i.toLong * cp) / n).toInt)
+        val b = s.offsetByCodePoints(0, (((i + 1).toLong * cp) / n).toInt)
+        md.reset()
+        val d = md.digest(s.substring(a, b)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ((d(0) & 0xff) << 8) | (d(1) & 0xff) // == first 4 hex digits
+      }
+    }
+  }
+
+  /** 60-bit difference hash (dHash) of a decoded grid: bit `r·10 + c` is
+    * set iff `px(r, c+1) > px(r, c)` — the standard gradient-sign
+    * perceptual hash (row-wise brightness deltas survive re-encoding;
+    * hamming distance between hashes ≈ fraction of gradients that
+    * flipped). */
+  def dHash(px: Array[Int]): Long = {
+    require(px.length == PhashGridRows * PhashGridCols,
+      s"expected ${PhashGridRows * PhashGridCols} pixels, got ${px.length}")
+    var h = 0L
+    var r = 0
+    while (r < PhashGridRows) {
+      var c = 0
+      while (c < PhashGridCols - 1) {
+        if (px(r * PhashGridCols + c + 1) > px(r * PhashGridCols + c))
+          h |= 1L << (r * (PhashGridCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Content-derived perceptual hash over the binary payload: batched
+    * partition-local decode → [[dHash]], same map-only shape as
+    * [[extractFeatures]] — payload bytes never shuffle; only the 8-byte
+    * hash (with the id) flows downstream into the banded pair join. */
+  def phash(media: DataFrame, decoder: PixelDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      media.schema("media_id"),
+      StructField("phash", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Row(r.get(idIdx), dHash(decoder.decodeGray(
+            r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))))
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-dup pairs: banded pigeonhole join over [[phash]] values —
+    * `bands > maxHamming` makes recall exact with NO all-pairs stage (see
+    * [[graft.operators.Dedup.bandedHammingPairs]]); the default 4 bands of
+    * 15 bits admit ~4·2⁻¹⁵ random-pair collisions, so candidate volume
+    * stays ~|near-dups| even at corpus scale. Returns
+    * (id_a, id_b, hamming). */
+  def phashPairs(hashed: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      idCol: String = "media_id", hashCol: String = "phash"): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      hashed, idCol, hashCol, PhashBits, maxHamming, bands)
+
+  /** Deterministic re-encode-noise variant of a payload text: one
+    * code-point substitution at the midpoint — same length, so the
+    * [[StubPixelDecoder]] cell boundaries are unchanged and exactly one
+    * cell's pixel moves (≤ 2 dHash bits). The fixture analog of saving the
+    * same image twice with different encoder settings. */
+  def midCharVariant(text: Column): Column = {
+    val half = floor(length(text) / 2).cast("int")
+    concat(text.substr(lit(1), half), lit("~"),
+      text.substr(half + lit(2), length(text)))
+  }
+
   /** Deterministic frame sampling plan for video rows: every `stride`-th
     * frame index, capped — pure column math, no decode needed. */
   def frameSamplePlan(media: DataFrame, stride: Int = 5, maxFrames: Int = 4): Column =

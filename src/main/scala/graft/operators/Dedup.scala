@@ -445,12 +445,26 @@ object Dedup {
     * maxHamming. */
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 12, bands: Int = 15): DataFrame = {
-    require(bands > maxHamming, s"need bands > maxHamming for exact recall")
-    require(SimhashBits % bands == 0, s"bands must divide $SimhashBits")
-    val width = SimhashBits / bands
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val h = docs.repartition(np)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    bandedHammingPairs(h, "id", "sh", SimhashBits, maxHamming, bands)
+  }
+
+  /** EXACT banded Hamming pair join over any precomputed bit-hash column —
+    * the pigeonhole machinery of [[simhashNearDupsBanded]] factored out so
+    * other fingerprint families (image dHash in [[graft.Multimodal]],
+    * audio fingerprints, ...) get the same no-all-pairs scale shape.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming.
+    *
+    * @param bits total hash width; every hash value must fit in `bits`
+    *             bits of a non-negative long (bands must divide it) */
+  def bandedHammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int, bands: Int): DataFrame = {
+    require(bands > maxHamming, s"need bands > maxHamming for exact recall")
+    require(bits % bands == 0, s"bands must divide $bits")
+    val width = bits / bands
+    val h = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val banded = h.select(col("id"), col("sh"), posexplode(
         array((0 until bands).map(b =>
           shiftrightunsigned(col("sh"), b * width)

@@ -51,6 +51,30 @@ object MultimodalPack extends QueryPack {
             c => concat_ws("-", c.getField("start"), c.getField("end"))),
             "|").as("chunks"))
         .orderBy(col("media_id"))
+    }),
+
+    // CONTENT-derived image near-dup: the corpus holds re-encoded variants
+    // of every 3rd image (deterministic one-character "encoder noise" at
+    // the payload midpoint — same length, so only one decoded cell moves).
+    // dHash over the stub-decoded pixel grid pairs each original with its
+    // variant at hamming ≤ 2 while unrelated images sit at background ~30;
+    // the pair join is banded-pigeonhole-exact (4 bands of 15 bits), never
+    // all-pairs, and the binary payload itself never shuffles — decode is
+    // map-only and only (media_id, phash) reaches the join.
+    "mm_phash_pairs" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+      val orig = docs.select(col("doc_id").as("media_id"), col("text"))
+      val reenc = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("media_id"),
+          Multimodal.midCharVariant(col("text")).as("text"))
+      val media = orig.union(reenc).select(
+        col("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("stub/v1").as("meta_format"))
+      val hashed = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
+      Multimodal.phashPairs(hashed, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -89,6 +113,44 @@ object MultimodalPack extends QueryPack {
         |    i -> CAST(25 * i AS VARCHAR) || '-' ||
         |         CAST(least(25 * i + 30, duration_sec) AS VARCHAR)), '|')
         |    AS chunks
-        |FROM a ORDER BY media_id""".stripMargin
+        |FROM a ORDER BY media_id""".stripMargin,
+
+    // Full re-derivation of decode + dHash + pair join: same media union
+    // (originals + midpoint-variant re-encodes), pixel = first-4-hex md5 of
+    // each of the 66 even text slices, bit r·10+c = px(r,c+1) > px(r,c),
+    // then BRUTE-FORCE all-pairs popcount ≤ 3 — the banded Spark plan must
+    // reproduce the exhaustive answer exactly (pigeonhole guarantee).
+    "mm_phash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |media AS (
+        |  SELECT doc_id AS media_id, text FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS media_id,
+        |    substr(text, 1, L // 2) || '~' || substr(text, L // 2 + 2) AS text
+        |  FROM docs WHERE doc_id % 9 = 0),
+        |m AS (SELECT media_id, text, length(text) AS L FROM media),
+        |cells AS (
+        |  SELECT media_id, i,
+        |    ('0x' || substr(md5(substr(text, CAST((i * L) // 66 AS INTEGER) + 1,
+        |       CAST(((i + 1) * L) // 66 AS INTEGER)
+        |         - CAST((i * L) // 66 AS INTEGER))), 1, 4))::BIGINT AS px
+        |  FROM m, range(0, 66) t(i)),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.px > a.px
+        |      THEN 1::BIGINT << CAST((a.i // 11) * 10 + (a.i % 11) AS INTEGER)
+        |      ELSE 0::BIGINT END AS p
+        |  FROM cells a JOIN cells b
+        |    ON b.media_id = a.media_id AND b.i = a.i + 1
+        |  WHERE a.i % 11 < 10),
+        |h AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS ph
+        |      FROM bits GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

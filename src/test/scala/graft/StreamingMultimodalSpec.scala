@@ -238,6 +238,78 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** The mm_phash_pairs media relation: fixture images plus the
+    * deterministic midpoint-variant "re-encode" of every 3rd image. */
+  private def phashMedia(dir: String) = {
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+    val orig = docs.select(col("doc_id").as("media_id"), col("text"))
+    val reenc = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + lit(1000000L)).as("media_id"),
+        Multimodal.midCharVariant(col("text")).as("text"))
+    orig.union(reenc).select(
+      col("media_id"), lit("image").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("stub/v1").as("meta_format"))
+  }
+
+  test("phash column twin: StubPixelDecoder decode + dHash equals the pure " +
+      "md5 column math (the engine-reproducibility contract the DuckDB " +
+      "oracle relies on)") {
+    val media = phashMedia(TestSpark.sfDir)
+    val viaDecoder = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // twin: identical bit math as column expressions over the payload text
+    val n = Multimodal.PhashGridRows * Multimodal.PhashGridCols
+    val txt = decode(col("payload"), "UTF-8")
+    val len = length(txt)
+    val pxArr = transform(sequence(lit(0), lit(n - 1)), i => {
+      val start = floor(i * len / n).cast("int")
+      val fin = floor((i + lit(1)) * len / n).cast("int")
+      conv(substring(md5(encode(txt.substr(start + 1, fin - start), "UTF-8")),
+        1, 4), 16, 10).cast("long")
+    })
+    val powers = array((0 until Multimodal.PhashBits).map(i =>
+      lit(1L << i)): _*)
+    val bools = transform(sequence(lit(0), lit(Multimodal.PhashBits - 1)),
+      i => {
+        val base = floor(i / (Multimodal.PhashGridCols - 1)).cast("int") *
+          Multimodal.PhashGridCols +
+          pmod(i, lit(Multimodal.PhashGridCols - 1)).cast("int")
+        element_at(col("px"), base + 2) > element_at(col("px"), base + 1)
+      })
+    val viaColumns = media.withColumn("px", pxArr)
+      .select(col("media_id"),
+        aggregate(zip_with(bools, powers, (b, p) => when(b, p).otherwise(0L)),
+          lit(0L), (a, b) => a + b).as("phash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDecoder.nonEmpty && viaDecoder == viaColumns)
+  }
+
+  test("phashPairs banded join reproduces the brute-force all-pairs answer; " +
+      "every re-encoded variant pairs with its original at hamming <= 2") {
+    val hashed = Multimodal.phash(phashMedia(TestSpark.sfDir),
+      new Multimodal.StubPixelDecoder).localCheckpoint(true)
+    val banded = Multimodal.phashPairs(hashed, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = hashed.toDF("id_a", "ph_a")
+    val b = hashed.toDF("id_b", "ph_b")
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute && banded.nonEmpty)
+    // construction guarantee: one substituted cell flips at most the two
+    // adjacent gradient bits, so (orig, orig+1e6) is always found
+    val variantIds = hashed.filter(col("media_id") >= 1000000L)
+      .collect().map(_.getLong(0)).toSet
+    variantIds.foreach { v =>
+      val hit = banded.find(p => p._1 == v - 1000000L && p._2 == v)
+      assert(hit.exists(_._3 <= 2), s"variant $v not paired: $hit")
+    }
+  }
+
   test("audio chunkPlan: covers [0, duration) with the configured overlap; " +
       "short durations get exactly one clipped chunk") {
     import spark.implicits._
