@@ -687,6 +687,58 @@ object Dedup {
           .as("ratio"))
   }
 
+  /** C4-style global SPAN dedup (Raffel et al. 2020 §2.2 removed any
+    * three-sentence span occurring more than once in the corpus; Lee et
+    * al. 2021 generalizes to exact substrings): cut every document into
+    * disjoint `spanTokens`-token spans, count each span ACROSS the whole
+    * corpus, delete every occurrence of any span seen more than once, and
+    * reassemble the survivors in document order. Unlike document-level
+    * dedup this removes boilerplate that recurs inside otherwise-unique
+    * documents (headers, disclaimers, templated paragraphs).
+    *
+    * Fixed-stride token spans stand in for sentence splits (the relational
+    * form scales where suffix arrays do not): span boundaries are
+    * deterministic, so a repeated paragraph produces identical span
+    * strings wherever it appears at the same phase; C4's sentence anchors
+    * have the same phase caveat.
+    *
+    * Scale shape: the span relation is |corpus tokens|/spanTokens rows;
+    * the duplicate-span set comes from one partially-aggregated count
+    * (map-side combine collapses each partition's repeats first), the
+    * delete is a shuffle ANTI-join against that (much smaller) set — AQE
+    * broadcasts it when it fits — and the ordered reassembly is one
+    * groupBy(id). No stage is quadratic and nothing touches the driver.
+    *
+    * @return (idCol, clean_text, n_removed) for EVERY input document —
+    *         fully-scrubbed documents keep their row with clean_text = "" */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5): DataFrame = {
+    val w = spanTokens
+    // materialize the token array once per row: referencing the split
+    // inside the transform lambda would re-split per span (see [[ngrams]])
+    val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+      .withColumn("n_spans",
+        ceil(size(col("toks")) / lit(w.toDouble)).cast("int"))
+    val spans = toked.select(col(idCol), col("n_spans"), posexplode(
+        transform(sequence(lit(0), col("n_spans") - 1),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .toDF(idCol, "n_spans", "pos", "span")
+    val dupSpans = spans.groupBy("span").count()
+      .filter(col("count") > 1).select("span")
+    val kept = spans.join(dupSpans, Seq("span"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol)).agg(
+      array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("span")))),
+          s => s.getField("span")), " ").as("clean_text"),
+      count(lit(1)).cast("int").as("n_kept"))
+    toked.select(col(idCol), col("n_spans"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0)))
+          .cast("int").as("n_removed"))
+  }
+
   /** The full corpus-cleaning composition — what a training-data pipeline
     * actually emits: exact dedup first (keep the smallest id per identical
     * text — one hash shuffle), then MinHash near-dup clustering over the

@@ -162,6 +162,17 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style global span dedup (Raffel 2020 / Lee 2021): every 5-token
+    // span occurring MORE THAN ONCE anywhere in the corpus is deleted from
+    // every document that contains it; documents reassemble from the
+    // surviving spans in order. Catches repeated boilerplate inside
+    // otherwise-unique documents — the intra-document complement of
+    // dd_exact/dd_minhash document-level dedup.
+    "dd_span_scrub" -> ((s, dir) => {
+      Dedup.spanScrub(docs(s, dir), "doc_id", "text", spanTokens = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): coarse-cluster embeddings, connect
     // within-cluster pairs with cosine >= eps, keep the member furthest
     // from its centroid per group. md5-deterministic centroids make the
@@ -814,6 +825,34 @@ object DedupTextPack extends QueryPack {
         |SELECT doc_id FROM b3
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
         |ORDER BY doc_id""".stripMargin,
+
+    // Full re-derivation: disjoint 5-token spans per doc, corpus-wide
+    // count, occurrences of any span with count > 1 deleted, ordered
+    // string_agg reassembly; fully-scrubbed docs keep an empty row.
+    "dd_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, t,
+        |    CAST(ceil(len(t) / 5.0) AS INTEGER) AS n_spans
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, n_spans, CAST(u.i AS INTEGER) AS pos,
+        |    array_to_string(t[u.i*5+1:u.i*5+5], ' ') AS span
+        |  FROM tk, LATERAL unnest(range(0, n_spans)) u(i)),
+        |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) > 1),
+        |kept AS (
+        |  SELECT * FROM spans
+        |  WHERE span NOT IN (SELECT span FROM dup)),
+        |re AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT k.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |  CAST(k.n_spans - coalesce(re.n_kept, 0) AS INTEGER) AS n_removed
+        |FROM tk k LEFT JOIN re ON re.doc_id = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
 
     // Clusters + quality independently re-derived; keeper = argmax
     // (quality, -id) per component via row_number.

@@ -536,6 +536,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept2Loaded == kept2)
   }
 
+  test("spanScrub: a corpus-repeated span is deleted from EVERY document " +
+      "containing it, unique docs reassemble to whitespace-normalized " +
+      "identity, fully-duplicated docs keep an empty row") {
+    import spark.implicits._
+    // "a b c d e" occurs 3x across docs 1, 2, 4 → deleted everywhere
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e x y z w v"),
+      (3L, "p q r s t"),
+      (4L, "  a b c d e ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanScrub(docs, "doc_id", "text", spanTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(out == Map(
+      1L -> (("f g h i j", 1)),
+      2L -> (("x y z w v", 1)),
+      3L -> (("p q r s t", 0)),
+      4L -> (("", 1))))
+    // fixture-level invariants: every doc keeps a row; untouched docs are
+    // exactly their whitespace-normalized text; spans removed across the
+    // corpus equal the total occurrences of spans seen more than once
+    val fixture = Tables.load(spark, TestSpark.sfDir, "documents")
+    val scrubbed = Dedup.spanScrub(fixture, "doc_id", "text", spanTokens = 5)
+      .localCheckpoint(true)
+    assert(scrubbed.count() == fixture.count())
+    val joined = scrubbed.join(fixture, Seq("doc_id")).collect()
+    joined.filter(_.getAs[Int]("n_removed") == 0).foreach { r =>
+      assert(r.getAs[String]("clean_text") ==
+        r.getAs[String]("text").trim.split("\\s+").mkString(" "))
+    }
+    val removedTotal = scrubbed.agg(sum(col("n_removed"))).head().getLong(0)
+    val dupOccurrences = fixture
+      .select(posexplode(transform(
+        sequence(lit(0), ceil(size(split(trim(col("text")), "\\s+")) / 5.0)
+          .cast("int") - 1),
+        i => array_join(slice(split(trim(col("text")), "\\s+"),
+          i * 5 + 1, lit(5)), " "))))
+      .groupBy("col").count().filter(col("count") > 1)
+      .agg(coalesce(sum("count"), lit(0L))).head().getLong(0)
+    assert(removedTotal == dupOccurrences && removedTotal > 0)
+  }
+
   test("dedupKeepBest keeps exactly the max-quality member per cluster " +
       "(ties to smallest id) and passes unclustered docs through") {
     import spark.implicits._
