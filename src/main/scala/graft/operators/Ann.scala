@@ -132,6 +132,85 @@ object Ann {
     Ivf(assignments, centroids)
   }
 
+  /** Incremental vector ingestion — the ANN analog of
+    * [[Dedup.appendCorpusIndex]] (and of FAISS add() after train()):
+    * assign ONLY the new batch to the EXISTING centroids and union the
+    * assignments. The corpus is never re-assigned and the quantizer never
+    * refit, so work ∝ |batch|; re-training on quantizer drift is the
+    * caller's trigger, exactly as with a FAISS index. Associative by
+    * construction (per-row assignment against a fixed centroid set):
+    * appending b1 then b2 ≡ appending b1 ∪ b2 — spec-pinned. The union
+    * keeps each side's centroid-clustered partitions (union is narrow),
+    * so the probe's semi-join prune still skips whole partitions. */
+  def appendIvf(ivf: Ivf, newEmb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Ivf = {
+    val add = assignToCentroids(newEmb, ivf.centroids, idCol, vecCol)
+    Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids)
+  }
+
+  /** Incremental IVF-PQ ingestion: the batch is assigned to the existing
+    * coarse centroids AND encoded with the existing codebook — both
+    * map-only over the batch — then each relation unions. */
+  def appendIvfPq(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      newEmb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Ivf, DataFrame) = {
+    val add = assignToCentroids(newEmb, ivf.centroids, idCol, vecCol)
+    val addIdx = pqEncode(add.assignments, cb, idCol, vecCol,
+      keep = Seq("centroid_id"))
+    (Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids),
+      index.unionByName(addIdx))
+  }
+
+  /** Persist an [[Ivf]] so build-once/query-many and ingestion loops
+    * ([[appendIvf]]) survive process restarts: assignments are written
+    * `partitionBy(centroid_id)` — on reload the probe's semi-join prunes
+    * whole FILES, the on-disk form of the nprobe/C scan bound
+    * (spec-asserted in ScaleSpec for exactly this layout). */
+  def saveIvf(ivf: Ivf, dir: String): Unit = {
+    ivf.assignments.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/assignments")
+    ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Reload a [[saveIvf]] directory. Partition-column values come back as
+    * the inferred integer type, so centroid_id is re-widened to long. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
+    val assignments = spark.read.parquet(s"$dir/assignments")
+      .select(col(idCol), col(vecCol), col("centroid_id").cast("long"))
+    Ivf(assignments, spark.read.parquet(s"$dir/centroids"))
+  }
+
+  /** Persist the full IVF-PQ artifact set: coarse index, 16 B/vector codes
+    * relation (also centroid-partitioned on disk), and the codebook as a
+    * tiny (subspace, code, entry) relation — m·ksub rows. */
+  def saveIvfPq(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      dir: String, idCol: String = "vec_id"): Unit = {
+    saveIvf(ivf, s"$dir/ivf")
+    index.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"$dir/codes")
+    val sp = ivf.centroids.sparkSession
+    sp.createDataFrame(cb.zipWithIndex.flatMap { case (entries, j) =>
+        entries.zipWithIndex.map { case (e, c) => (j, c, e) } })
+      .toDF("subspace", "code", "entry")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Reload a [[saveIvfPq]] directory. */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
+    val ivf = loadIvf(spark, s"$dir/ivf", idCol, vecCol)
+    val index = spark.read.parquet(s"$dir/codes")
+      .select(col(idCol), col("codes"), col("centroid_id").cast("long"))
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.toSeq.map(_._2.toSeq))
+    (ivf, index, cb)
+  }
+
   /** Probe the nprobe nearest centroid buckets, brute-force within them. */
   def searchIvf(ivf: Ivf, queryVec: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probed = ivf.centroids.crossJoin(broadcast(queryVec))

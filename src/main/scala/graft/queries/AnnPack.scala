@@ -26,6 +26,23 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
+    // Ingestion-loop IVF: the index is built on the EVEN half and the odd
+    // half is APPENDED against the frozen centroids (appendIvf — work is
+    // proportional to the batch, the corpus is never re-assigned, FAISS
+    // add()-after-train() shape). md5-deterministic throughout, so unlike
+    // the learned tiers this ingestion path is fully hash-matched.
+    "ann_ivf_append_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val ivf = Ann.appendIvf(
+        Ann.buildIvf(e.filter(pmod(col("vec_id"), lit(2)) === 0)),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      Ann.searchIvf(ivf, q, nprobe = 4, k = 10)
+        .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("simil").desc, col("vec_id"))
+    }),
+
     // LEARNED-centroid IVF (seeded KMeans, cosine): the quality path's
     // build + probe cost, benched alongside the md5-sample IVF. Graded as
     // recall vs the exact top-10 — KMeans float reduction order is not
@@ -213,6 +230,33 @@ object AnnPack extends QueryPack {
       """WITH c AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
         |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE centroid_id IN (
+        |    SELECT centroid_id FROM c CROSS JOIN q
+        |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
+        |    LIMIT 4) AND rn = 1),
+        |topk AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
+        |  FROM asg CROSS JOIN q
+        |  ORDER BY s DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(s, 4) AS simil FROM topk
+        |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // Identical IVF re-derivation, centroids drawn from the EVEN half only
+    // (the build set); assignment still covers every vector — append and
+    // build rows are indistinguishable downstream, which is the point.
+    "ann_ivf_append_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings WHERE vec_id % 2 = 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
         |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
         |asg AS (
         |  SELECT vec_id, embedding FROM (

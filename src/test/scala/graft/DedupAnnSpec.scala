@@ -536,6 +536,61 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept2Loaded == kept2)
   }
 
+  test("appendIvf/appendIvfPq: sequential appends equal one union append, " +
+      "cover every vector exactly once with its true nearest base " +
+      "centroid; PQ append matches a same-quantizer full encode; " +
+      "saveIvfPq/loadIvfPq round-trips the search result") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val base = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val b1 = e.filter(pmod(col("vec_id"), lit(3)) === 1)
+    val b2 = e.filter(pmod(col("vec_id"), lit(3)) === 2)
+    val ivf0 = Ann.buildIvf(base, numCentroids = 8)
+    val twoStep = Ann.appendIvf(Ann.appendIvf(ivf0, b1), b2)
+    val oneShot = Ann.appendIvf(ivf0, b1.unionByName(b2))
+    def asMap(i: Ann.Ivf) = i.assignments.select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ts = asMap(twoStep)
+    assert(ts == asMap(oneShot))
+    assert(ts.size == e.count(),
+      "append must cover every vector exactly once")
+    // every row (base and appended alike) carries the argmax-cosine
+    // centroid of the BASE centroid set, same tie-break as the builder
+    val recomputed = e.crossJoin(broadcast(ivf0.centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        Graft.cosine(col("embedding"), col("cvec")).as("cs"))
+      .groupBy("vec_id")
+      .agg(max_by(col("centroid_id"),
+        struct(col("cs"), col("centroid_id"))).as("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ts == recomputed)
+    // IVF-PQ append: encode-with-existing-codebook over the batch equals
+    // the full-relation encode under the same quantizers
+    val cb = Ann.buildPqCodebook(base, m = 16, ksub = 16)
+    val idx0 = Ann.pqEncode(ivf0.assignments, cb, keep = Seq("centroid_id"))
+    val (ivfA, idxA) = Ann.appendIvfPq(ivf0, idx0, cb, b1.unionByName(b2))
+    def codesSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Byte](1).toSeq, r.getLong(2))).toSet
+    assert(codesSet(idxA) ==
+      codesSet(Ann.pqEncode(oneShot.assignments, cb,
+        keep = Seq("centroid_id"))))
+    // persistence: reloaded artifacts give the identical search answer,
+    // and an appended vector queried exactly recovers itself at top-1
+    // (exact rescore of the probed bucket)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Ann.saveIvfPq(ivfA, idxA, cb, dir)
+    val (ivfL, idxL, cbL) = Ann.loadIvfPq(spark, dir)
+    assert(cbL == cb)
+    val q = e.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    def hits(ivf: Ann.Ivf, idx: org.apache.spark.sql.DataFrame,
+        c: Seq[Seq[Seq[Float]]]) =
+      Ann.searchIvfPq(ivf, idx, c, e, q, nprobe = 4, k = 5)
+        .collect().map(_.getLong(0)).toSeq
+    val mem = hits(ivfA, idxA, cb)
+    assert(mem == hits(ivfL, idxL, cbL))
+    assert(mem.head == 1L, s"appended vector not recovered: $mem")
+  }
+
   test("spanScrub: a corpus-repeated span is deleted from EVERY document " +
       "containing it, unique docs reassemble to whitespace-normalized " +
       "identity, fully-duplicated docs keep an empty row") {
