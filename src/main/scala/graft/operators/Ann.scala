@@ -514,9 +514,18 @@ object Ann {
     // both quantizers are pluggable: the md5-sample defaults keep the
     // oracle-reproducible build, while passing buildIvfKMeans /
     // buildPqCodebookKMeans composes the learned quality path into the
-    // same IVFADC layout (recall-gated instead of hash-matched)
-    val ivf = coarse(emb, numCentroids, idCol, vecCol)
-    val cb = codebook(emb, m, ksub, idCol, vecCol)
+    // same IVFADC layout (recall-gated instead of hash-matched). The two
+    // builds are independent, so they run as CONCURRENT Spark jobs — for
+    // the learned composition that overlaps the coarse KMeans fit with
+    // the m subspace fits (each scheduling-bound at bench scale) instead
+    // of paying the two fit latencies back-to-back.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ivfF = Future(coarse(emb, numCentroids, idCol, vecCol))
+    val cbF = Future(codebook(emb, m, ksub, idCol, vecCol))
+    val ivf = Await.result(ivfF, Duration.Inf)
+    val cb = Await.result(cbF, Duration.Inf)
     // assignments carry (idCol, vecCol, centroid_id); encoding keeps the
     // centroid so the index stays partition-prunable
     val index = pqEncode(ivf.assignments, cb, idCol, vecCol,

@@ -221,18 +221,24 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("no headline bench query plans an UNPARTITIONED window " +
-      "(single-task global sort — the one shape that cannot scale out)") {
+      "(single-task global sort) or a NON-BROADCAST cartesian product " +
+      "(all-pairs shuffle) — the two shapes that cannot scale out") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val qs = SparkEntry.queries
     Bench.headline.filter(qs.contains).foreach { name =>
       val plan = qs(name)(spark, TestSpark.sfDir).queryExecution.sparkPlan
       val bad = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+        // crossJoin(broadcast(...)) plans BroadcastNestedLoopJoin (fine —
+        // bounded build side); CartesianProductExec means two LARGE sides
+        // met with no join key at all
+        case c: CartesianProductExec => c.nodeName
       }
       assert(bad.isEmpty,
-        s"$name plans an unpartitioned window (${bad.mkString(",")}) — " +
-          "a foldable partition key degraded the plan to one task")
+        s"$name plans a non-scalable operator (${bad.mkString(",")}) — " +
+          "a foldable partition key or keyless join degraded the plan")
     }
   }
 

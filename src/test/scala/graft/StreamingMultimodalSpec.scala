@@ -336,6 +336,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch ANN ingestion: appendIvf per micro-batch equals one " +
+      "append of the union, and every streamed vector becomes searchable") {
+    import spark.implicits._
+    import graft.operators.Ann
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val seed = Seq((0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)),
+      (2L, vec(0, 0, 1, 0)), (3L, vec(0, 0, 0, 1)))
+    val batch1 = Seq((10L, vec(0.9, 0.1, 0, 0)), (11L, vec(0, 0.9, 0.1, 0)))
+    val batch2 = Seq((12L, vec(0, 0, 0.9, 0.1)), (13L, vec(0.1, 0, 0, 0.9)))
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    // the ANN ingestion loop: each micro-batch is assigned against the
+    // FROZEN seed centroids and appended; state lives in the index
+    // relation (localCheckpoint pins it), not executor memory
+    var ivf = Ann.buildIvf(seed.toDF("vec_id", "embedding"), numCentroids = 4)
+    val query = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val appended = Ann.appendIvf(ivf, batch)
+        ivf = Ann.Ivf(appended.assignments.localCheckpoint(true),
+          appended.centroids)
+      }
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+    val oneShot = Ann.appendIvf(
+      Ann.buildIvf(seed.toDF("vec_id", "embedding"), numCentroids = 4),
+      (batch1 ++ batch2).toDF("vec_id", "embedding"))
+    def asSet(i: Ann.Ivf) = i.assignments.select("vec_id", "centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asSet(ivf) == asSet(oneShot) && asSet(ivf).size == 8)
+    val q = Seq(Tuple1(vec(0, 0, 0.95, 0.05))).toDF("qvec")
+    val top = Ann.searchIvf(ivf, q, nprobe = 2, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.contains(12L), s"streamed vector not searchable: $top")
+  }
+
   test("foreachBatch ingestion: dedupIncremental per micro-batch equals " +
       "applying it sequentially batch-by-batch") {
     import spark.implicits._
