@@ -616,6 +616,50 @@ object Ann {
       .orderBy(col("dim"))
       .collect().map(_.getDouble(1))
 
+  /** Group-centroid ALIGNMENT filter — the relational analog of
+    * CLIP-score filtering (Schuhmann et al. 2021: LAION drops pairs whose
+    * embedding alignment falls below a floor), applied per group: every
+    * vector is scored by cosine against ITS group's mean vector, and rows
+    * below `minCos` are flagged as misaligned/outliers. Also the "remove
+    * embedding outliers before clustering" prefilter SemDeDup-style
+    * pipelines run.
+    *
+    * Scale shape: group means come from one posexplode + hash aggregate
+    * with DECIMAL(28,12) sums (summation-order-independent, so the means
+    * are engine-reproducible — same trick as [[dimMeans]]), collapsed to
+    * a #groups-row relation that broadcasts back onto the corpus; the
+    * scoring pass is map-only sequential-order HOFs (dot and norms reduce
+    * in array order, matching DuckDB's list functions bit-for-bit at the
+    * 4 dp gate). Nothing touches the driver.
+    *
+    * @return (idCol, groupCol, align: double 4 dp, keep: boolean) */
+  def alignmentFilter(emb: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minCos: Double): DataFrame = {
+    val dimMeansByGroup = emb
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val means = dimMeansByGroup.groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mu")))),
+        s => s.getField("mu")).as("mvec"))
+    val num = aggregate(
+      zip_with(col(vecCol), col("mvec"), (x, m) => x.cast("double") * m),
+      lit(0.0d), (s, v) => s + v)
+    val nv = sqrt(aggregate(col(vecCol), lit(0.0d),
+      (s, x) => s + x.cast("double") * x.cast("double")))
+    val nm = sqrt(aggregate(col("mvec"), lit(0.0d), (s, x) => s + x * x))
+    emb.join(broadcast(means), Seq(groupCol))
+      .withColumn("align",
+        // + 0.0 folds a -0.0 from rounding a tiny negative, same as the
+        // emb_normalize oracle convention
+        round(when(nv > 0.0d && nm > 0.0d, num / (nv * nm))
+          .otherwise(lit(0.0d)), 4) + 0.0d)
+      .select(col(idCol), col(groupCol), col("align"),
+        (col("align") >= minCos).as("keep"))
+  }
+
   /** Mean-center and L2-normalize an embedding column — the standard
     * preprocessing before cosine ANN / SemDeDup (centering removes the
     * corpus-wide offset that compresses cosine spread; normalizing makes

@@ -135,6 +135,38 @@ object TextAnalysis {
       .drop("__k")
   }
 
+  /** Source-weight corpus mixing with deterministic fractional epochs —
+    * the Dolma/Pile "mixing recipe" step: source `s` is traversed
+    * `epochs(s)` times per training pass (2.5 = every doc twice, half the
+    * docs a third time; 0.5 = downsample to half). The fractional part is
+    * realized PER DOCUMENT with the md5-uniform trick (`u < frac` keeps
+    * the extra epoch), so the expected per-source share matches the recipe
+    * exactly and the materialization is a pure function of doc_id —
+    * re-running the plan yields the identical mixture, and the oracle
+    * re-derives it row-for-row.
+    *
+    * Scale shape: one codegen map pass (map-literal lookup + md5 + the
+    * bounded `posexplode(sequence)` fan-out — max ⌈epochs⌉ rows per doc);
+    * no shuffle, no stored copies — upsampling happens at read time.
+    * Sources absent from the recipe default to one epoch.
+    *
+    * @return (idCol, sourceCol, epoch) — one row per (document, epoch) */
+  def mixEpochs(docs: DataFrame, idCol: String, sourceCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    require(epochs.values.forall(_ >= 0.0), "epochs must be >= 0")
+    val recipe = map(epochs.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val ep = coalesce(element_at(recipe, col(sourceCol)), lit(1.0d))
+    val u = conv(substring(md5(concat(lit("mix:"),
+        col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / 1152921504606846976.0d // 2^60
+    val n = (floor(ep) + when(u < ep - floor(ep), 1).otherwise(0)).cast("int")
+    docs.select(col(idCol), col(sourceCol), n.as("n_epochs"))
+      .filter(col("n_epochs") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
+  }
+
   /** Token-budgeted shard packing — the sharding step before training:
     * within each stream (e.g. language), documents in `idCol` order are
     * assigned `shard_id = floor(preceding_cum_tokens / budget)` (the

@@ -172,6 +172,20 @@ object AnnPack extends QueryPack {
       Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.4)
     }),
 
+    // CLIP-score-analog alignment filter (LAION pattern): score every
+    // embedding by cosine against its LANGUAGE group's mean vector and
+    // flag anti-aligned outliers (align < 0). Decimal-summed group means +
+    // sequential-order HOF cosine make the whole filter hash-matched.
+    "emb_align_filter" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      Ann.alignmentFilter(e.join(d, Seq("vec_id")), "vec_id", "embedding",
+          "lang", minCos = 0.0)
+        .orderBy(col("vec_id"))
+    }),
+
     // Batch LSH: ONE approxSimilarityJoin for all 5 query vectors — the
     // scale path (no driver-side per-query loop) — graded as recall vs the
     // relational exact top-10 (the oracle-checkable form of an ANN result).
@@ -321,6 +335,27 @@ object AnnPack extends QueryPack {
         |  round(CASE WHEN cnorm > 0 THEN cent[2] / cnorm ELSE 0.0 END, 4)
         |    + 0.0 AS n1
         |FROM n ORDER BY vec_id""".stripMargin,
+
+    // Per-lang decimal-summed mean vectors re-derived; cosine + keep flag
+    // row-for-row (the +0.0 folds -0.0, emb_normalize convention).
+    "emb_align_filter" ->
+      """WITH e AS (
+        |  SELECT em.vec_id, d.lang, em.embedding
+        |  FROM embeddings em JOIN documents d ON em.vec_id = d.doc_id),
+        |m AS (
+        |  SELECT lang, i AS dim,
+        |    CAST(sum(CAST(embedding[i] AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*) AS mu
+        |  FROM e, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |mv AS (SELECT lang, list(mu ORDER BY dim) AS mvec FROM m GROUP BY lang),
+        |s AS (
+        |  SELECT e.vec_id, e.lang,
+        |    round(list_cosine_similarity(e.embedding::DOUBLE[], mv.mvec), 4)
+        |      + 0.0 AS align
+        |  FROM e JOIN mv ON e.lang = mv.lang)
+        |SELECT vec_id, lang, align, align >= 0.0 AS keep
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // Same recall-gate shape: exact top-1 re-derived, gate must hold.
     "ann_ivfpq_topk" ->

@@ -162,6 +162,16 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Dolma/Pile-style mixing recipe: src0 runs 2.5 epochs, src1 2.0,
+    // src2 is DOWNSAMPLED to 0.5, everything else 1.0; fractional parts
+    // realize per-document via the md5-uniform trick, so the emitted
+    // (doc, epoch) mixture is deterministic and oracle-checkable.
+    "tx_mix_epochs" -> ((s, dir) => {
+      TextAnalysis.mixEpochs(docs(s, dir), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // C4-style global span dedup (Raffel 2020 / Lee 2021): every 5-token
     // span occurring MORE THAN ONCE anywhere in the corpus is deleted from
     // every document that contains it; documents reassemble from the
@@ -825,6 +835,26 @@ object DedupTextPack extends QueryPack {
         |SELECT doc_id FROM b3
         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same recipe re-derived: epoch count = floor(ep) + (u < frac), with
+    // the identical 60-bit md5 uniform; one row per (doc, epoch).
+    "tx_mix_epochs" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+        |                WHEN 'src2' THEN 0.5 ELSE 1.0 END AS ep,
+        |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(ep) +
+        |      CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END AS INTEGER)
+        |      AS n_epochs
+        |  FROM w)
+        |SELECT doc_id, source, CAST(u.i AS INTEGER) AS epoch
+        |FROM n, LATERAL unnest(range(0, n_epochs)) u(i)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // Full re-derivation: disjoint 5-token spans per doc, corpus-wide
     // count, occurrences of any span with count > 1 deleted, ordered

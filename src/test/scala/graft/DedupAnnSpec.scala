@@ -536,6 +536,40 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(kept2Loaded == kept2)
   }
 
+  test("alignmentFilter: a group's own mean scores 1.0, an anti-aligned " +
+      "vector is flagged dropped, a self-cancelling group degrades to the " +
+      "0.0 guard; fixture keep flags are consistent with the scores") {
+    import spark.implicits._
+    def vec(xs: Double*) = xs.map(_.toFloat)
+    val df = Seq(
+      (10L, "solo", vec(3, 4)),            // mean = itself → align 1.0
+      (20L, "anti", vec(1, 0)),            // mean (0,0) → zero-norm guard
+      (21L, "anti", vec(-1, 0)),
+      (30L, "mix", vec(1, 0)),             // mean (1/3, 0)
+      (31L, "mix", vec(1, 0)),
+      (32L, "mix", vec(-1, 0))
+    ).toDF("vec_id", "grp", "embedding")
+    val got = Ann.alignmentFilter(df, "vec_id", "embedding", "grp",
+        minCos = 0.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got(10L) == ((1.0, true)))
+    assert(got(20L) == ((0.0, true)) && got(21L) == ((0.0, true)))
+    assert(got(30L) == ((1.0, true)) && got(31L) == ((1.0, true)))
+    assert(got(32L) == ((-1.0, false)))
+    // fixture composition: one row per embedding, keep ⇔ align ≥ floor,
+    // and the 0-threshold actually separates the corpus
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val rows = Ann.alignmentFilter(e.join(d, Seq("vec_id")), "vec_id",
+        "embedding", "lang", minCos = 0.0)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length == e.count())
+    assert(rows.forall { case (a, k) => k == (a >= 0.0) })
+    assert(rows.exists(_._2) && rows.exists(!_._2))
+  }
+
   test("appendIvf/appendIvfPq: sequential appends equal one union append, " +
       "cover every vector exactly once with its true nearest base " +
       "centroid; PQ append matches a same-quantizer full encode; " +

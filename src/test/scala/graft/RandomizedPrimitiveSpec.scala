@@ -126,6 +126,30 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("mixEpochs: whole epochs are exact, fractional epochs realize as " +
+      "floor/ceil per document with both outcomes present, unlisted " +
+      "sources default to one epoch, and the plan is deterministic") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i < 100) "up" else if (i < 200) "down" else "other"))
+      .toDF("doc_id", "source")
+    val recipe = Map("up" -> 2.5, "down" -> 0.5)
+    val out = TextAnalysis.mixEpochs(docs, "doc_id", "source", recipe)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val perDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq)
+    // epochs are always the contiguous prefix 0..n-1
+    perDoc.foreach { case (_, es) => assert(es == (0 until es.length)) }
+    val bySource = out.groupBy(_._2).view
+      .mapValues(_.groupBy(_._1).map(_._2.length)).toMap
+    assert(bySource("up").forall(n => n == 2 || n == 3) &&
+      bySource("up").exists(_ == 2) && bySource("up").exists(_ == 3))
+    assert(bySource("down").forall(_ == 1)) // 0-epoch docs emit no rows
+    assert(bySource("down").size < 100 && bySource("down").size > 0)
+    assert(bySource("other").size == 100 && bySource("other").forall(_ == 1))
+    val again = TextAnalysis.mixEpochs(docs, "doc_id", "source", recipe)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("binnedIntervalJoin equals the naive range join on 300 random " +
       "intervals x 500 random points, several bin widths") {
     val rnd = new scala.util.Random(909)
