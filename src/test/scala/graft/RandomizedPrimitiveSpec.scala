@@ -126,6 +126,36 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("bandedHammingPairs equals brute-force all-pairs popcount across " +
+      "random hash corpora and (bands, maxHamming) geometries — the " +
+      "pigeonhole exactness property behind simhash AND phash near-dup") {
+    val rnd = new scala.util.Random(42)
+    // random 60-bit hashes plus planted near-pairs at controlled distances
+    val base = (0L until 150L).map(i => (i, rnd.nextLong() >>> 4))
+    val planted = base.take(30).zipWithIndex.map { case ((id, h), i) =>
+      val flips = i % 8 // hamming 0..7 from the partner
+      var v = h
+      (0 until flips).foreach { _ => v = v ^ (1L << rnd.nextInt(60)) }
+      (id + 1000L, v)
+    }
+    val hashed = (base ++ planted).toDF("id", "h")
+    for ((bands, maxH) <- Seq((15, 12), (4, 3), (10, 5), (6, 4))) {
+      val banded = Dedup.bandedHammingPairs(hashed, "id", "h",
+          bits = 60, maxHamming = maxH, bands = bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val a = hashed.toDF("id_a", "ha")
+      val brute = a.crossJoin(hashed.toDF("id_b", "hb"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .filter(col("hamming") <= maxH)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute,
+        s"bands=$bands maxH=$maxH: banded ${banded.size} vs brute ${brute.size}")
+      assert(brute.nonEmpty, "planted pairs must exercise the join")
+    }
+  }
+
   test("mixEpochs: whole epochs are exact, fractional epochs realize as " +
       "floor/ceil per document with both outcomes present, unlisted " +
       "sources default to one epoch, and the plan is deterministic") {
