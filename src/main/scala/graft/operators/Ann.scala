@@ -603,6 +603,17 @@ object Ann {
     rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
+  /** Degrade-don't-throw guard for float aggregation under ANSI: a
+    * non-finite component contributes 0 (the [[graft.functions.PqEncode]]
+    * sentinel convention) instead of failing the whole job on the
+    * NaN/Inf→DECIMAL cast. Finite corpora — the oracle precondition —
+    * are unaffected. */
+  private def finiteOrZero(x: Column): Column = {
+    val d = x.cast("double")
+    when(!isnan(d) && d.between(Double.MinValue, Double.MaxValue), d)
+      .otherwise(lit(0.0d))
+  }
+
   /** Per-dimension corpus means of an embedding column, as a bounded
     * Scala array (dim doubles — the PQ-codebook footprint). One
     * posexplode + hash aggregate; each float is cast to DECIMAL(28,12)
@@ -611,7 +622,7 @@ object Ann {
   def dimMeans(emb: DataFrame, vecCol: String = "embedding"): Array[Double] =
     emb.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col("dim"))
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+      .agg((sum(finiteOrZero(col("x")).cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("mu"))
       .orderBy(col("dim"))
       .collect().map(_.getDouble(1))
@@ -638,17 +649,19 @@ object Ann {
     val dimMeansByGroup = emb
       .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(groupCol), col("dim"))
-      .agg((sum(col("x").cast("decimal(28,12)")).cast("double") /
+      // finiteOrZero: one NaN component must degrade, not throw the ANSI
+      // decimal cast (and not null out its whole group's mean)
+      .agg((sum(finiteOrZero(col("x")).cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("mu"))
     val means = dimMeansByGroup.groupBy(col(groupCol))
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("mu")))),
         s => s.getField("mu")).as("mvec"))
     val num = aggregate(
-      zip_with(col(vecCol), col("mvec"), (x, m) => x.cast("double") * m),
+      zip_with(col(vecCol), col("mvec"), (x, m) => finiteOrZero(x) * m),
       lit(0.0d), (s, v) => s + v)
     val nv = sqrt(aggregate(col(vecCol), lit(0.0d),
-      (s, x) => s + x.cast("double") * x.cast("double")))
+      (s, x) => s + finiteOrZero(x) * finiteOrZero(x)))
     val nm = sqrt(aggregate(col("mvec"), lit(0.0d), (s, x) => s + x * x))
     emb.join(broadcast(means), Seq(groupCol))
       .withColumn("align",

@@ -557,6 +557,16 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(20L) == ((0.0, true)) && got(21L) == ((0.0, true)))
     assert(got(30L) == ((1.0, true)) && got(31L) == ((1.0, true)))
     assert(got(32L) == ((-1.0, false)))
+    // degrade-don't-throw: a NaN/Inf component scores as 0 (PqEncode
+    // sentinel convention) instead of failing the ANSI decimal cast or
+    // nulling its group's mean
+    val dirty = Seq(
+      (50L, "g", Array(Float.NaN, 1.0f)),
+      (51L, "g", Array(Float.PositiveInfinity, 1.0f))
+    ).toDF("vec_id", "grp", "embedding")
+    val g = Ann.alignmentFilter(dirty, "vec_id", "embedding", "grp", 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(g == Map(50L -> 1.0, 51L -> 1.0)) // both behave as (0, 1)
     // fixture composition: one row per embedding, keep ⇔ align ≥ floor,
     // and the 0-threshold actually separates the corpus
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
