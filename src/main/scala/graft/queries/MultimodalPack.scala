@@ -75,6 +75,29 @@ object MultimodalPack extends QueryPack {
       val hashed = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
       Multimodal.phashPairs(hashed, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Image duplicate GROUPS: the pairs above through the same proven
+    // connected-components path the text side uses (dd_clusters) — the
+    // media_id → representative mapping an image dedup pipeline acts on
+    // (keep the representative, drop the rest).
+    "mm_phash_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+      val orig = docs.select(col("doc_id").as("media_id"), col("text"))
+      val reenc = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("media_id"),
+          Multimodal.midCharVariant(col("text")).as("text"))
+      val media = orig.union(reenc).select(
+        col("media_id"), lit("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        lit("stub/v1").as("meta_format"))
+      val hashed = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
+      graft.operators.Dedup.duplicateClusters(
+          Multimodal.phashPairs(hashed, maxHamming = 3)
+            .select(col("id_a"), col("id_b")))
+        .toDF("media_id", "cluster_rep")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -151,6 +174,49 @@ object MultimodalPack extends QueryPack {
         |  CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same pair derivation + the recursive-CTE reachability twin that
+    // gates the text-side cluster engines (dd_clusters convention).
+    "mm_phash_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |media AS (
+        |  SELECT doc_id AS media_id, text FROM docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS media_id,
+        |    substr(text, 1, L // 2) || '~' || substr(text, L // 2 + 2) AS text
+        |  FROM docs WHERE doc_id % 9 = 0),
+        |m AS (SELECT media_id, text, length(text) AS L FROM media),
+        |cells AS (
+        |  SELECT media_id, i,
+        |    ('0x' || substr(md5(substr(text, CAST((i * L) // 66 AS INTEGER) + 1,
+        |       CAST(((i + 1) * L) // 66 AS INTEGER)
+        |         - CAST((i * L) // 66 AS INTEGER))), 1, 4))::BIGINT AS px
+        |  FROM m, range(0, 66) t(i)),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.px > a.px
+        |      THEN 1::BIGINT << CAST((a.i // 11) * 10 + (a.i % 11) AS INTEGER)
+        |      ELSE 0::BIGINT END AS p
+        |  FROM cells a JOIN cells b
+        |    ON b.media_id = a.media_id AND b.i = a.i + 1
+        |  WHERE a.i % 11 < 10),
+        |h AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS ph
+        |      FROM bits GROUP BY media_id),
+        |pairs AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM h a JOIN h b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        |sym AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT id_a, id_a FROM sym
+        |  UNION
+        |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id)
+        |SELECT id AS media_id, min(r) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY media_id""".stripMargin
   )
 }

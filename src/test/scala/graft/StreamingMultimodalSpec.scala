@@ -308,6 +308,16 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       val hit = banded.find(p => p._1 == v - 1000000L && p._2 == v)
       assert(hit.exists(_._3 <= 2), s"variant $v not paired: $hit")
     }
+    // pairs → groups through the shared connected-components path: every
+    // variant lands in its original's cluster, represented by the original
+    val clusters = graft.operators.Dedup.duplicateClusters(
+        Multimodal.phashPairs(hashed, maxHamming = 3)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    variantIds.foreach { v =>
+      assert(clusters(v) == v - 1000000L &&
+        clusters(v - 1000000L) == v - 1000000L)
+    }
   }
 
   test("audio chunkPlan: covers [0, duration) with the configured overlap; " +
