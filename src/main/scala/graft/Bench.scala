@@ -131,10 +131,13 @@ object Bench {
       "/root/testdata/sf0.001")
 
     val qs = SparkEntry.queries
-    // dev knob: SPARK_GRAFT_BENCH_ONLY=q1_agg,knn_topk limits the set
+    // dev knob: SPARK_GRAFT_BENCH_ONLY=q1_agg,knn_topk limits the set —
+    // any SparkEntry.queries name works (headline order first, so
+    // non-headline components can be profiled in isolation)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet)
-    val selected = only.fold(headline)(f => headline.filter(f))
+    val benchable = headline ++ qs.keys.toSeq.sorted.filterNot(headline.contains)
+    val selected = only.fold(headline)(f => benchable.filter(f))
     selected.filter(qs.contains).foreach { name =>
       try qs(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
@@ -165,11 +168,19 @@ object Bench {
       // queries) so neither the accumulation nor the periodic GC's own
       // pause lands inside a timed run
       System.gc()
+      // the canary gets its OWN try: a canary failure must not record the
+      // query under test as failed (-1) when that query never ran — it
+      // reports -1 canary (= unadjudicable run) and the timed run proceeds
       def canary(): Double = canaryQ.fold(-1.0) { f =>
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        f(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          f(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] canary failed: ${e.getMessage}")
+          -1.0
+        }
       }
       def once(): (Double, Vector[St]) = {
         // cold-cache per run: operators may cache() intra-query (their own
@@ -261,7 +272,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,""" +
       f""""total_adjudicated":$totalAdj%.3f,"queries_adjudicated":$qAdjJson,""" +
       f""""queries_min":$qMinJson,"spread":$spreadJson,""" +
-      f""""canary":{"name":"$canaryName","floor":${fmt(canaryFloor)},"times":$canaryJson},""" +
+      f""""canary":{"name":"$canaryName","floor":${fmt(canaryFloor)},""" +
+      // a session degraded THROUGHOUT has an inflated floor, which would
+      // silently classify every run as clean — flag it so the adjudicated
+      // numbers carry a visible caveat (q1_agg floor is ~0.2-0.4 s here)
+      s""""floor_degraded":${canaryFloor > 1.0},"times":$canaryJson},""" +
       f""""runs":$runsPerQuery,"sf":"$sfDir"}"""
     println(json)
     // Also drop the line in a bare file: the driver invokes this through

@@ -36,8 +36,12 @@ object Dedup {
     * with nulls (it does not truncate), so the zipped array is sliced to
     * the first `len−n+1` entries — exactly the full n-grams; a document
     * with fewer than n tokens yields none. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def ngrams(text: Column, n: Int): Column = ngramsOf(tokens(text), n)
+
+  /** [[ngrams]] over an already-tokenized array column — lets pipelines
+    * that materialize one shared token array (tx_corpus_ready) reuse it
+    * instead of re-splitting the text for every n-gram consumer. */
+  def ngramsOf(toks: Column, n: Int): Column = {
     val shifted = (0 until n).map { i =>
       (if (i == 0) toks
        else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0))))
@@ -513,13 +517,17 @@ object Dedup {
     while (changed > 0 && i < maxIters) {
       val nbMin = sym.join(lab.toDF("nb", "rep"), Seq("nb"))
         .groupBy(col("id")).agg(min(col("rep")).as("nbrep"))
+      // carry the OLD label through the checkpoint so the convergence
+      // check is a filter-count over the checkpointed rows — the previous
+      // shape re-joined next⋈lab, a whole extra shuffle per round whose
+      // only output was the `changed` counter
       val next = lab.join(nbMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("rep"), coalesce(col("nbrep"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nbrep"), col("rep"))).as("rep"),
+          col("rep").as("old"))
         .localCheckpoint(true)
-      changed = next.join(lab.toDF("id", "old"), Seq("id"))
-        .filter(col("rep") =!= col("old")).count()
-      lab = next
+      changed = next.filter(col("rep") =!= col("old")).count()
+      lab = next.select(col("id"), col("rep"))
       i += 1
     }
     sym.unpersist()

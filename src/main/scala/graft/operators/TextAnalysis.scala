@@ -14,10 +14,25 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Spread a frame across the cluster before a Generate (explode) stage.
+    * A small/consolidated parquet source is often ONE input split; without
+    * this the whole explode + downstream hash-map work serializes onto a
+    * single task (the trap documented at [[Dedup.minhashNearDups]] —
+    * bench_stages showed 5–18 s single-task scan+Generate stages in
+    * tx_corpus_ready before this was applied here). At 100 TB a many-split
+    * scan usually masks it, but a compacted partition or single ingest
+    * file re-serializes — so every fan-out below pays the one cheap
+    * round-robin shuffle unconditionally. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Quality features + composite score: token count, unique-token ratio,
     * stopword ratio, capped-length factor. */
-  def qualityFeatures(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def qualityFeatures(text: Column): Seq[(String, Column)] =
+    qualityFeaturesOf(tokens(text))
+
+  /** [[qualityFeatures]] over an already-tokenized array column. */
+  def qualityFeaturesOf(toks: Column): Seq[(String, Column)] = {
     val n = size(toks).cast("double")
     val uniq = size(array_distinct(toks)).cast("double") / n
     val stop = size(array_intersect(toks, array(Stopwords.map(lit): _*)))
@@ -87,21 +102,37 @@ object TextAnalysis {
     * DISTINCT bigram occurrence, the summation is exact decimal (the
     * engine-agnostic trick the money sums use). Docs with <2 tokens have
     * no bigrams and drop out. Returns (idCol, n_bigrams, lm_score). */
-  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("w"))
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScoreOf(spread(docs)
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("__toks")),
+      idCol, "__toks")
+
+  /** [[lmScore]] over an already-tokenized (and already-spread) frame —
+    * the form tx_corpus_ready shares one materialized token array with
+    * quality scoring and shard packing instead of re-splitting the corpus
+    * three times. Caller owns the partitioning of `tokenized`. */
+  def lmScoreOf(tokenized: DataFrame, idCol: String,
+      toksCol: String): DataFrame = {
+    val toks = tokenized.select(col(idCol), col(toksCol).as("w"))
     val uniCounts = toks.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c1"))
     val vocab = uniCounts.agg(count(lit(1)).as("v"))
-    val bi = docs.select(col(idCol),
-      explode(Dedup.ngrams(col(textCol), 2)).as("g"))
+    val bi = tokenized.select(col(idCol),
+      explode(Dedup.ngramsOf(col(toksCol), 2)).as("g"))
     val biCounts = bi.groupBy(col("g")).agg(count(lit(1)).as("c12"))
-    bi.join(biCounts, Seq("g"))
+    // score each DISTINCT bigram once against the count tables, then join
+    // the instance stream to the scored dictionary — the instance frame
+    // (corpus-sized) crosses ONE hash join on `g` instead of two chained
+    // joins (g then w1); the dictionary side is |distinct bigrams| rows,
+    // the quantity that stays small relative to the corpus at scale
+    val dict = biCounts
       .withColumn("t", split(col("g"), " ").getItem(0))
       .join(uniCounts, Seq("t"))
       .crossJoin(broadcast(vocab))
-      .select(col(idCol),
+      .select(col("g"),
         log((col("c12") + lit(1.0d)) / (col("c1") + col("v")))
           .cast("decimal(28,12)").as("lp"))
+    bi.join(dict, Seq("g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         graft.Graft.roundExact(
@@ -161,7 +192,7 @@ object TextAnalysis {
         col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long").cast("double") / 1152921504606846976.0d // 2^60
     val n = (floor(ep) + when(u < ep - floor(ep), 1).otherwise(0)).cast("int")
-    docs.select(col(idCol), col(sourceCol), n.as("n_epochs"))
+    spread(docs).select(col(idCol), col(sourceCol), n.as("n_epochs"))
       .filter(col("n_epochs") > 0)
       .select(col(idCol), col(sourceCol),
         explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
@@ -185,11 +216,17 @@ object TextAnalysis {
     * is (lang, date-bucket) so each window partition stays executor-sized,
     * and shard ids are made globally unique by prefixing the stream key. */
   def packShards(docs: DataFrame, streamCol: String, idCol: String,
-      textCol: String, tokenBudget: Long): DataFrame = {
+      textCol: String, tokenBudget: Long): DataFrame =
+    packShardsOf(docs.withColumn("__toks", tokens(col(textCol))),
+      streamCol, idCol, "__toks", tokenBudget)
+
+  /** [[packShards]] over an already-tokenized frame. */
+  def packShardsOf(tokenized: DataFrame, streamCol: String, idCol: String,
+      toksCol: String, tokenBudget: Long): DataFrame = {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(streamCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    tokenized.select(col(streamCol), col(idCol),
+        size(col(toksCol)).cast("long").as("n_tokens"))
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
@@ -209,7 +246,7 @@ object TextAnalysis {
       minWords: Int = 5, maxWords: Int = 100000,
       minMeanLen: Double = 1.0, maxMeanLen: Double = 12.0,
       maxTopFrac: Double = 0.5): DataFrame = {
-    val words = docs.select(col(idCol),
+    val words = spread(docs).select(col(idCol),
       explode(tokens(col(textCol))).as("word"))
     val perWord = words.groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("cnt"), sum(length(col("word"))).as("chars"))
@@ -243,7 +280,8 @@ object TextAnalysis {
     * vocabulary, no per-pair work. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       topN: Int = 3): DataFrame = {
-    val terms = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val terms = spread(docs)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -265,7 +303,7 @@ object TextAnalysis {
   def langProfiles(docs: DataFrame, langCol: String, textCol: String,
       topK: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
-    docs.select(col(langCol).as("lang"),
+    spread(docs).select(col(langCol).as("lang"),
         explode(tokens(col(textCol))).as("word"))
       .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(w))
@@ -280,7 +318,7 @@ object TextAnalysis {
   def langIdAccuracy(docs: DataFrame, idCol: String, langCol: String,
       textCol: String, topK: Int = 10): DataFrame = {
     val profiles = langProfiles(docs, langCol, textCol, topK)
-    val docWords = docs.select(col(idCol).as("doc_id"),
+    val docWords = spread(docs).select(col(idCol).as("doc_id"),
         col(langCol).as("true_lang"),
         explode(array_distinct(tokens(col(textCol)))).as("word"))
     val scores = docWords.join(broadcast(profiles), Seq("word"))

@@ -273,16 +273,28 @@ object DedupTextPack extends QueryPack {
     // full prepare-for-training flow, every stage a proven oracle shape.
     "tx_corpus_ready" -> ((s, dir) => {
       val d = docs(s, dir)
+      // Tokenize ONCE, spread across the cluster, and pin the result:
+      // quality scoring, LM scoring and shard packing all read this
+      // intermediate instead of re-splitting the corpus three times (the
+      // round-8 capstone paid the scan+tokenize 3x, serialized on a
+      // single-split parquet source). localCheckpoint (not cache) —
+      // caching relations that feed minhash planning destabilizes the
+      // planner (Dedup.minhashNearDups scaladoc); the dedup path below
+      // intentionally keeps its own tokenization.
+      val tok = d.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          Dedup.tokens(col("text")).as("toks"))
+        .localCheckpoint(true)
       val kept = Dedup.dedupCorpus(d, "doc_id", "text",
         k = 12, bands = 4, minJ = 0.6)
-      val q = TextAnalysis.qualityFeatures(col("text"))
+      val q = TextAnalysis.qualityFeaturesOf(col("toks"))
         .collectFirst { case ("quality", c) => c }.get
-      val lmOk = TextAnalysis.lmScore(d, "doc_id", "text")
+      val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
         .filter(col("lm_score") >= -3.45).select("doc_id")
-      val ready = d.join(kept, Seq("doc_id"), "left_semi")
+      val ready = tok.join(kept, Seq("doc_id"), "left_semi")
         .filter(q >= 0.55)
         .join(lmOk, Seq("doc_id"), "left_semi")
-      TextAnalysis.packShards(ready, "lang", "doc_id", "text",
+      TextAnalysis.packShardsOf(ready, "lang", "doc_id", "toks",
           tokenBudget = 1000L)
         .orderBy(col("lang"), col("doc_id"))
     }),
