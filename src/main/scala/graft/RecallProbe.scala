@@ -59,7 +59,7 @@ object RecallProbe {
       val (ivf, index, cb2) = Ann.buildIvfPq(e, numCentroids = 32,
         m = 16, ksub = 32)
       hits("ann_ivfpq_topk", Ann.searchIvfPq(ivf, index, cb2, e,
-          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+          q.select(col("qvec")), nprobe = 16, k = 10, overfetch = 16)
         .select(lit(0L).as("qid"), col("vec_id")))
 
       val (ivfL, indexL, cbL) = Ann.buildIvfPq(e, numCentroids = 32,
@@ -67,7 +67,7 @@ object RecallProbe {
         coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
         codebook = Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
       hits("ann_ivfpq_kmeans_topk", Ann.searchIvfPq(ivfL, indexL, cbL, e,
-          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+          q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id")))
 
       val (model, withVec) = Ann.lshModel(e)

@@ -103,6 +103,51 @@ case class PqAdc(left: Expression, right: Expression, cb: Array[Float],
     copy(left = newLeft, right = newRight)
 }
 
+/** Native inner-product ADC over PQ codes — the IP twin of [[PqAdc]]:
+  * `Σ_j ⟨sub_j(q), cb[j][codes_j]⟩`. This is the kernel cosine/IP-metric
+  * IVFADC ranks by (FAISS METRIC_INNER_PRODUCT): inner product is linear,
+  * so for residual codes `⟨q, x⟩ ≈ ⟨q, centroid⟩ + Σ_j ⟨sub_j(q), e_j⟩` —
+  * the caller adds the per-centroid `⟨q, c⟩` term and divides by the
+  * stored vector norm to estimate the cosine. Same float semantics
+  * discipline as [[PqAdc]]: per-dim product in FLOAT, widened to double,
+  * summed per subspace, subtotals summed in order
+  * ([[graft.operators.Ann.adcIpHof]] is the executable spec). */
+case class PqAdcIp(left: Expression, right: Expression, cb: Array[Float],
+    m: Int, ksub: Int, dsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(cb.length == m * ksub * dsub,
+    s"codebook length ${cb.length} != m*ksub*dsub = ${m * ksub * dsub}")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_ip expects (array<tinyint> codes, array<float> query), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def prettyName: String = "pq_adc_ip"
+
+  override protected def nullSafeEval(codes: Any, qvec: Any): Any =
+    PqUtil.adcIp(codes.asInstanceOf[ArrayData], qvec.asInstanceOf[ArrayData],
+      cb, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "float[]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.PqUtil.adcIp($c, $q, $cbRef, $m, $ksub, $dsub)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static helper shared by [[PqEncode]]'s interpreted and generated paths. */
 object PqUtil {
   def encode(vec: ArrayData, cb: Array[Float], m: Int, ksub: Int,
@@ -154,6 +199,29 @@ object PqUtil {
         // FLOAT subtract and square, THEN widen — matches the HOF twin
         val diff = qvec.getFloat(j * dsub + i) - cb(base + i)
         d += (diff * diff).toDouble
+        i += 1
+      }
+      total += d
+      j += 1
+    }
+    total
+  }
+
+  def adcIp(codes: ArrayData, qvec: ArrayData, cb: Array[Float], m: Int,
+      ksub: Int, dsub: Int): Double = {
+    require(codes.numElements() == m && qvec.numElements() == m * dsub,
+      s"pq_adc_ip: got ${codes.numElements()} codes / " +
+        s"${qvec.numElements()} query dims, expected $m / ${m * dsub}")
+    var total = 0.0d
+    var j = 0
+    while (j < m) {
+      val c = codes.getByte(j) & 0xff
+      val base = (j * ksub + c) * dsub
+      var d = 0.0d
+      var i = 0
+      while (i < dsub) {
+        // FLOAT product, THEN widen — matches the HOF twin
+        d += (qvec.getFloat(j * dsub + i) * cb(base + i)).toDouble
         i += 1
       }
       total += d

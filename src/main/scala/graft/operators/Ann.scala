@@ -149,17 +149,49 @@ object Ann {
   }
 
   /** Incremental IVF-PQ ingestion: the batch is assigned to the existing
-    * coarse centroids AND encoded with the existing codebook — both
-    * map-only over the batch — then each relation unions. */
+    * coarse centroids AND residual-encoded with the existing codebook —
+    * both map-only over the batch — then each relation unions. Residuals
+    * depend only on the FROZEN centroid set, so append stays associative
+    * (b1 then b2 ≡ b1 ∪ b2, spec-pinned). */
   def appendIvfPq(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
       newEmb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): (Ivf, DataFrame) = {
     val add = assignToCentroids(newEmb, ivf.centroids, idCol, vecCol)
-    val addIdx = pqEncode(add.assignments, cb, idCol, vecCol,
-      keep = Seq("centroid_id"))
+    val addIdx = encodeIvfPq(add, cb, idCol, vecCol)
     (Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids),
       index.unionByName(addIdx))
   }
+
+  /** Residual-encode an [[Ivf]]'s assignments into the IVFADC codes
+    * relation `(idCol, codes, centroid_id, vnorm)` — the encode step
+    * [[buildIvfPq]] and [[appendIvfPq]] share (public so rebuild-vs-append
+    * parity is assertable from outside). */
+  def encodeIvfPq(ivf: Ivf, cb: Seq[Seq[Seq[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncode(withResiduals(ivf.assignments, ivf.centroids, idCol, vecCol),
+      cb, idCol, "residual", keep = Seq("centroid_id", "vnorm"))
+
+  /** Residual view of an assignments relation: `x − centroid(x)` as
+    * `(idCol, residual: array<float>, centroid_id)`. Jégou et al. 2011 §IV
+    * (the IVFADC layout FAISS defaults to) PQ-encodes residuals, not raw
+    * vectors: within a coarse cell the residual energy is far smaller than
+    * the vector energy, so the same m·ksub code budget quantizes finer and
+    * ADC ranks better at identical index size. One broadcast join + a
+    * map-only zip_with — no extra shuffle (the centroid relation is C
+    * rows). */
+  private def withResiduals(asg: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    asg.join(broadcast(centroids), Seq("centroid_id"))
+      .select(col(idCol),
+        zip_with(col(vecCol), col("cvec"),
+          (x, c) => (x - c).cast("float")).as("residual"),
+        // the raw vector's norm rides into the index (4 B/row next to the
+        // m-byte codes): the cosine-metric ADC divides the estimated inner
+        // product by it, the piece a pure-residual code cannot reconstruct
+        sqrt(aggregate(col(vecCol), lit(0.0d),
+          (a, x) => a + x.cast("double") * x.cast("double")))
+          .cast("float").as("vnorm"),
+        col("centroid_id"))
 
   /** Persist an [[Ivf]] so build-once/query-many and ingestion loops
     * ([[appendIvf]]) survive process restarts: assignments are written
@@ -202,7 +234,8 @@ object Ann {
       : (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
     val ivf = loadIvf(spark, s"$dir/ivf", idCol, vecCol)
     val index = spark.read.parquet(s"$dir/codes")
-      .select(col(idCol), col("codes"), col("centroid_id").cast("long"))
+      .select(col(idCol), col("codes"),
+        col("centroid_id").cast("long"), col("vnorm"))
     val cb = spark.read.parquet(s"$dir/codebook")
       .orderBy(col("subspace"), col("code")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](2)))
@@ -374,11 +407,17 @@ object Ann {
     * floats, broadcast as a literal into codegen'd HOF expressions.
     * Returns `[m][ksub][dsub]`. */
   def buildPqCodebook(emb: DataFrame, m: Int, ksub: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding")
-      : Seq[Seq[Seq[Float]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      salt: String = ""): Seq[Seq[Seq[Float]]] = {
     require(ksub <= 256, s"ksub=$ksub exceeds what a byte code can index")
+    // `salt` decorrelates this sample from OTHER md5-ordered picks over the
+    // same ids. The residual IVFADC build needs it: with numCentroids ==
+    // ksub the unsalted sample selects exactly the coarse-centroid rows,
+    // whose residuals are identically ZERO — every codebook entry collapses
+    // to the origin and ADC degenerates to a constant (measured: recall@10
+    // fell to 3/10 before the salt, 9/10 after).
     val sample = emb
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string"))), col(idCol))
       .limit(ksub)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toIndexedSeq)
@@ -503,54 +542,86 @@ object Ann {
     * `(idCol, codes, centroid_id)`, partitioned by centroid_id and 16×
     * smaller than the vectors. At 100 TB this is the only relation a
     * query's coarse phase touches: partition-pruned to nprobe/C of the
-    * rows, each row `m` bytes. */
+    * rows, each row `m` bytes.
+    *
+    * True IVFADC (Jégou 2011 §IV, the FAISS default): the PQ codebook is
+    * trained on and encodes RESIDUALS `x − centroid(x)`, not raw vectors —
+    * the residual quantizer sees the small within-cell offsets, so the
+    * same code budget carries more ranking information (measured here:
+    * recall@10 rose from 6/10 to 9/10 at sf0.1 on the md5 build at
+    * identical index bytes). The residual dependency makes coarse → PQ
+    * inherently sequential (the overlap the raw-vector form enjoyed is
+    * gone), which is the standard train-time price of the layout. */
   def buildIvfPq(emb: DataFrame, numCentroids: Int = 32, m: Int = 16,
       ksub: Int = 32, idCol: String = "vec_id",
       vecCol: String = "embedding",
       coarse: (DataFrame, Int, String, String) => Ivf = buildIvf(_, _, _, _),
       codebook: (DataFrame, Int, Int, String, String) => Seq[Seq[Seq[Float]]] =
-        buildPqCodebook(_, _, _, _, _))
+        buildPqCodebook(_, _, _, _, _, salt = "pq:"))
       : (Ivf, DataFrame, Seq[Seq[Seq[Float]]]) = {
     // both quantizers are pluggable: the md5-sample defaults keep the
     // oracle-reproducible build, while passing buildIvfKMeans /
     // buildPqCodebookKMeans composes the learned quality path into the
-    // same IVFADC layout (recall-gated instead of hash-matched). The two
-    // builds are independent, so they run as CONCURRENT Spark jobs — for
-    // the learned composition that overlaps the coarse KMeans fit with
-    // the m subspace fits (each scheduling-bound at bench scale) instead
-    // of paying the two fit latencies back-to-back.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val ivfF = Future(coarse(emb, numCentroids, idCol, vecCol))
-    val cbF = Future(codebook(emb, m, ksub, idCol, vecCol))
-    val ivf = Await.result(ivfF, Duration.Inf)
-    val cb = Await.result(cbF, Duration.Inf)
-    // assignments carry (idCol, vecCol, centroid_id); encoding keeps the
-    // centroid so the index stays partition-prunable
-    val index = pqEncode(ivf.assignments, cb, idCol, vecCol,
-      keep = Seq("centroid_id"))
+    // same IVFADC layout (recall-gated instead of hash-matched). The
+    // default codebook sample is SALTED — see buildPqCodebook: unsalted it
+    // would sample the coarse-centroid rows themselves, whose residuals
+    // are zero.
+    val ivf = coarse(emb, numCentroids, idCol, vecCol)
+    // materialize the residual relation ONCE (eager localCheckpoint):
+    // both the codebook training sample and the encode pass read it, and
+    // each would otherwise re-run the full N·C assignment join — measured
+    // 2× the build cost at sf0.1. At 100 TB the same holds: FAISS-style
+    // train+add also materializes its training view of the data rather
+    // than recomputing the coarse assignment per consumer.
+    val res = withResiduals(ivf.assignments, ivf.centroids, idCol, vecCol)
+      .localCheckpoint(true)
+    val cb = codebook(res, m, ksub, idCol, "residual")
+    // the index keeps the centroid (partition pruning) and the norm (the
+    // cosine denominator ADC needs) — same arithmetic as encodeIvfPq,
+    // which append/rebuild parity is spec-asserted against
+    val index = pqEncode(res, cb, idCol, "residual",
+      keep = Seq("centroid_id", "vnorm"))
     (ivf, index, cb)
   }
 
-  /** IVF-PQ search: centroid prune (broadcast semi-join — the partition-
-    * prune shape) → ADC over the surviving codes → exact rescore of the
-    * `k·overfetch` candidates from the full-precision vectors. */
+  /** IVF-PQ search: centroid prune (broadcast join on centroid_id — the
+    * partition-prune shape) → cosine-estimating ADC over the surviving
+    * codes → exact rescore of the `k·overfetch` candidates from the
+    * full-precision vectors.
+    *
+    * The final metric is COSINE, so the coarse rank must estimate cosine,
+    * not euclidean (on non-normalized corpora an L2 ADC ranks by a
+    * different order than the rescore and recall collapses — measured
+    * 2/10 at sf0.1). Codes are residual codes ([[buildIvfPq]]); inner
+    * product is linear, so
+    * `⟨q, x⟩ ≈ ⟨q, c⟩ + Σ_j ⟨sub_j(q), cb_j[codes_j]⟩` — the first term
+    * is one number per PROBED centroid (computed once, broadcast), the
+    * second is the codegen [[adcIp]] kernel over the code rows, and
+    * dividing by the stored `vnorm` (‖q‖ is constant per query — dropped)
+    * makes the rank a cosine estimate. FAISS METRIC_INNER_PRODUCT IVFPQ
+    * is this exact layout. */
   def searchIvfPq(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
       emb: DataFrame, queryVec: DataFrame, nprobe: Int, k: Int,
       overfetch: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val probed = ivf.centroids.crossJoin(broadcast(queryVec))
       .select(col("centroid_id"),
-        Graft.cosine(col("cvec"), col("qvec")).as("cs"))
+        Graft.cosine(col("cvec"), col("qvec")).as("cs"),
+        aggregate(zip_with(col("qvec"), col("cvec"),
+            (q, c) => q.cast("double") * c),
+          lit(0.0d), (a, v) => a + v).as("qc"))
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nprobe)
-      .select(col("centroid_id"))
+      .select(col("centroid_id"), col("qc"))
     val cands = index
-      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(broadcast(queryVec))
-      .select(col(idCol), adc(cb, col("codes"), col("qvec")).as("adist"))
-      .orderBy(col("adist").asc, col(idCol))
+      .select(col(idCol),
+        // zero-norm rows estimate 0 — the Graft.cosine convention
+        when(col("vnorm") > 0.0f,
+          (col("qc") + adcIp(cb, col("codes"), col("qvec"))) / col("vnorm"))
+          .otherwise(lit(0.0d)).as("est"))
+      .orderBy(col("est").desc, col(idCol))
       .limit(k * overfetch)
       .select(col(idCol))
     rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
@@ -565,6 +636,31 @@ object Ann {
         org.apache.spark.sql.GraftSqlBridge.expression(qvec),
         cb.flatten.flatten.toArray,
         cb.length, cb.head.length, cb.head.head.length))
+
+  /** Native codegen inner-product ADC — see [[graft.functions.PqAdcIp]];
+    * [[adcIpHof]] is its executable spec. */
+  def adcIp(cb: Seq[Seq[Seq[Float]]], codes: Column, qvec: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqAdcIp(
+        org.apache.spark.sql.GraftSqlBridge.expression(codes),
+        org.apache.spark.sql.GraftSqlBridge.expression(qvec),
+        cb.flatten.flatten.toArray,
+        cb.length, cb.head.length, cb.head.head.length))
+
+  /** Interpreted HOF twin of [[adcIp]] (spec-checked equal). */
+  def adcIpHof(cb: Seq[Seq[Seq[Float]]], codes: Column,
+      qvec: Column): Column = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val cbLit = typedlit(cb)
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d), (acc, j) => {
+      val sub = slice(qvec, j * dsub + 1, lit(dsub))
+      val cv = element_at(element_at(cbLit, j + 1),
+        pmod(element_at(codes, j + 1).cast("int"), lit(256)) + 1)
+      acc + aggregate(zip_with(sub, cv, (x, y) => x * y),
+        lit(0.0d), (a, t) => a + t.cast("double"))
+    })
+  }
 
   /** Interpreted HOF twin of [[adc]] (spec-checked equal). */
   def adcHof(cb: Seq[Seq[Seq[Float]]], codes: Column,

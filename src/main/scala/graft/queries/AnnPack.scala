@@ -60,10 +60,13 @@ object AnnPack extends QueryPack {
       val ivf = Ann.buildIvfKMeans(e, numCentroids = 32, maxIter = 5)
       val ann = Ann.searchIvf(ivf, q.select(col("qvec")), nprobe = 4, k = 10)
         .select(lit(0L).as("qid"), col("vec_id"))
-      // floor pinned at the measured fixture recall (6/10 at sf0.01, 4/10
-      // at sf0.1 — RecallProbe): the seeded fit is deterministic, so any
-      // index regression below the measured value fails the gate
-      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.4)
+      // measured fixture recall 6/10 at sf0.01, 4/10 at sf0.1
+      // (RecallProbe); the floor leaves one hit of slack under the
+      // measurement — the seeded fit is deterministic only for a fixed
+      // partition layout, so an environment change (core count, split
+      // size) can move one hit without a real index regression (r8
+      // advisory; same slack convention as the LSH gates)
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.3)
     }),
 
     // Int8 scalar-quantized tier + exact rescore: coarse top-40 on the
@@ -106,11 +109,13 @@ object AnnPack extends QueryPack {
       val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
         m = 16, ksub = 32)
       val ann = Ann.searchIvfPq(ivf, index, cb, e,
-          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+          q.select(col("qvec")), nprobe = 16, k = 10, overfetch = 16)
         .select(lit(0L).as("qid"), col("vec_id"))
-      // measured fixture recall 7/10 (sf0.01) and 6/10 (sf0.1) —
-      // RecallProbe; the md5-deterministic index makes the floor exact
-      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.6)
+      // residual (IVFADC) encoding + cosine-metric IP ADC: measured
+      // fixture recall 8/10 (sf0.01) and 10/10 (sf0.1) — RecallProbe; the
+      // md5-deterministic index makes the floor exact (raw-vector L2-ADC
+      // encoding measured 7/10 and 6/10 at the r8 parameters)
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.75)
     }),
 
     // Product quantization (16 subspaces x 32 codes — 16 B/vector, 16x
@@ -145,9 +150,10 @@ object AnnPack extends QueryPack {
           q.select(col("qvec")), k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id"))
       // measured fixture recall 10/10 (sf0.01) and 8/10 (sf0.1) —
-      // RecallProbe; one better than the md5-sample codebook at sf0.1,
-      // and the seeded fit is deterministic, so the floor is exact
-      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.8)
+      // RecallProbe; one better than the md5-sample codebook at sf0.1.
+      // One hit of slack under the measurement (r8 advisory: KMeans
+      // determinism is layout-dependent, see ann_ivf_kmeans_topk)
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
     }),
 
     // Fully-learned IVF-PQ: k-means coarse quantizer composed with
@@ -163,13 +169,15 @@ object AnnPack extends QueryPack {
         coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
         codebook = Ann.buildPqCodebookKMeans(_, _, _, _, _, maxIter = 5))
       val ann = Ann.searchIvfPq(ivf, index, cb, e,
-          q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 6)
+          q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id"))
-      // measured fixture recall 7/10 (sf0.01) and 4/10 (sf0.1) —
-      // RecallProbe: the balanced k-means coarse buckets spread the true
-      // neighbors across more cells at this nprobe, so the composition
-      // floor sits below the single-tier gates
-      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.4)
+      // residual (IVFADC) encoding + cosine-metric IP ADC: measured
+      // fixture recall 8/10 (sf0.01) and 7/10 (sf0.1) — RecallProbe. The
+      // floor leaves one+ hit of slack UNDER the measured value: KMeans
+      // determinism holds only for a fixed partition layout, so an
+      // environment change (core count, split size) may move one hit
+      // without any real index regression (r8 advisory)
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.6)
     }),
 
     // CLIP-score-analog alignment filter (LAION pattern): score every

@@ -454,7 +454,8 @@ class DedupAnnSpec extends AnyFunSuite {
           => Seq[Seq[Seq[Float]]]): (Long, Seq[Seq[Seq[Float]]]) = {
       val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 8,
         m = 16, ksub = 32, coarse = coarse, codebook = codebook)
-      assert(index.columns.toSet == Set("vec_id", "codes", "centroid_id"))
+      assert(index.columns.toSet ==
+        Set("vec_id", "codes", "vnorm", "centroid_id"))
       val hits = exact.join(
         Ann.searchIvfPq(ivf, index, cb, e, q, nprobe = 4, k = 10,
           overfetch = 6).select(col("vec_id")),
@@ -607,17 +608,18 @@ class DedupAnnSpec extends AnyFunSuite {
         struct(col("cs"), col("centroid_id"))).as("centroid_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ts == recomputed)
-    // IVF-PQ append: encode-with-existing-codebook over the batch equals
-    // the full-relation encode under the same quantizers
+    // IVF-PQ append: residual-encode-with-existing-codebook over the
+    // batch equals the full-relation residual encode under the same
+    // quantizers (both through the shared public encodeIvfPq step)
     val cb = Ann.buildPqCodebook(base, m = 16, ksub = 16)
-    val idx0 = Ann.pqEncode(ivf0.assignments, cb, keep = Seq("centroid_id"))
+    val idx0 = Ann.encodeIvfPq(ivf0, cb)
     val (ivfA, idxA) = Ann.appendIvfPq(ivf0, idx0, cb, b1.unionByName(b2))
     def codesSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0),
         r.getSeq[Byte](1).toSeq, r.getLong(2))).toSet
     assert(codesSet(idxA) ==
-      codesSet(Ann.pqEncode(oneShot.assignments, cb,
-        keep = Seq("centroid_id"))))
+      codesSet(Ann.encodeIvfPq(
+        Ann.Ivf(oneShot.assignments, ivf0.centroids), cb)))
     // persistence: reloaded artifacts give the identical search answer,
     // and an appended vector queried exactly recovers itself at top-1
     // (exact rescore of the probed bucket)
@@ -769,8 +771,11 @@ class DedupAnnSpec extends AnyFunSuite {
     val adcDiff = Ann.pqEncode(e, cb).crossJoin(broadcast(q0))
       .select(
         Ann.adc(cb, col("codes"), col("qvec")).as("native"),
-        Ann.adcHof(cb, col("codes"), col("qvec")).as("hof"))
-      .filter(!(col("native") <=> col("hof"))).count()
+        Ann.adcHof(cb, col("codes"), col("qvec")).as("hof"),
+        Ann.adcIp(cb, col("codes"), col("qvec")).as("native_ip"),
+        Ann.adcIpHof(cb, col("codes"), col("qvec")).as("hof_ip"))
+      .filter(!(col("native") <=> col("hof")) ||
+        !(col("native_ip") <=> col("hof_ip"))).count()
     assert(adcDiff == 0)
     // plain-Scala reference encode over every fixture vector
     val vecs = e.select("vec_id", "embedding")
@@ -798,31 +803,52 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"PQ recall@10 = $recall")
   }
 
-  test("IVF-PQ: the index is one (id, codes, centroid) relation whose " +
-      "codes equal plain PQ encoding; all-buckets probe equals plain PQ " +
-      "search; pruned probe keeps decent recall") {
+  test("IVF-PQ (residual IVFADC): the index is one (id, codes, vnorm, " +
+      "centroid) relation whose codes equal PQ-encoding the coarse " +
+      "residuals; with a codebook covering every residual the ADC ranking " +
+      "reproduces the exact top-10; pruned probe keeps decent recall") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
       m = 16, ksub = 32)
-    // codes in the fused index == standalone pqEncode codes
+    // codes in the fused index == standalone pqEncode over the residuals
+    // x − centroid(x), re-derived here from the public index relations
+    val res = ivf.assignments
+      .join(broadcast(ivf.centroids), Seq("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cvec"),
+          (x, c) => (x - c).cast("float")).as("residual"))
     val fused = index.select("vec_id", "codes")
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
-    val plain = Ann.pqEncode(e, cb)
+    val plain = Ann.pqEncode(res, cb, "vec_id", "residual")
       .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
     assert(fused == plain)
-    // probing EVERY bucket must reproduce the unpartitioned PQ search
+    // vnorm stores the RAW vector norm (the cosine denominator a residual
+    // code cannot reconstruct)
+    val v0 = e.filter(col("vec_id") === 0)
+      .select(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (a, x) => a + x.cast("double") * x.cast("double"))))
+      .head().getDouble(0)
+    val n0 = index.filter(col("vec_id") === 0).head()
+      .getAs[Float]("vnorm")
+    assert(math.abs(n0 - v0) < 1e-4, s"vnorm $n0 vs $v0")
+    // exactness invariant: on a ≤ksub-row corpus the salted sample takes
+    // EVERY row, so each residual is itself a codebook entry, encoding is
+    // lossless, and the cosine-estimating ADC ranks exactly — the est
+    // top-10 (overfetch=1: no rescue from the rescore) equals exact KNN
+    val small = e.filter(col("vec_id") < 32)
+    val (ivfS, idxS, cbS) = Ann.buildIvfPq(small, numCentroids = 8,
+      m = 16, ksub = 32)
     val q = e.filter(col("vec_id") === 0)
       .select(lit(0L).as("qid"), col("embedding").as("qvec"))
-    val all = Ann.searchIvfPq(ivf, index, cb, e, q.select(col("qvec")),
-        nprobe = 32, k = 10)
+    val got = Ann.searchIvfPq(ivfS, idxS, cbS, small,
+        q.select(col("qvec")), nprobe = 8, k = 10, overfetch = 1)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
-    val pq = Ann.searchPq(e, Ann.pqEncode(e, cb), cb, q.select(col("qvec")),
-        k = 10)
+    val exactSmall = Knn.topK(small, q.select(col("qvec")), k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
-    assert(all == pq)
-    // pruned to 8/32 buckets: recall@10 stays useful (deterministic here)
+    assert(got == exactSmall)
+    // pruned to 16/32 buckets on the full fixture: recall@10 stays useful
     val ann = Ann.searchIvfPq(ivf, index, cb, e, q.select(col("qvec")),
-        nprobe = 8, k = 10)
+        nprobe = 16, k = 10, overfetch = 16)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val exact = Knn.topKPerQuery(e, q, k = 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -868,10 +894,12 @@ class DedupAnnSpec extends AnyFunSuite {
     val qv = typedlit(e.filter(col("vec_id") === 0)
       .head.getSeq[Float](1).toSeq)
     val pqScan = Ann.pqEncode(e, cb)
-      .select(Ann.adc(cb, col("codes"), qv).as("adist"))
+      .select(Ann.adc(cb, col("codes"), qv).as("adist"),
+        Ann.adcIp(cb, col("codes"), qv).as("aip"))
     val pqGen = codegenString(pqScan.queryExecution.executedPlan)
     assert(pqGen.contains("graft.functions.PqUtil.encode"), pqGen.take(500))
     assert(pqGen.contains("graft.functions.PqUtil.adc"), pqGen.take(500))
+    assert(pqGen.contains("graft.functions.PqUtil.adcIp"), pqGen.take(500))
     // materialize the quantized relation first (as the real tier does —
     // quantize once, scan many): the quantize transform is an interpreted
     // HOF and would otherwise knock its whole Project out of codegen
