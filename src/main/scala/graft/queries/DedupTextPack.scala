@@ -151,6 +151,23 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING ingestion dedup (oracle-gated Structured Streaming): the
+    // documents fixture is re-sharded into 4 parquet files and streamed
+    // back with maxFilesPerTrigger=1, so the foreachBatch state fold runs
+    // over MULTIPLE real micro-batches; the per-batch merge (min id / sum
+    // count per text) is associative+commutative, which is what lets the
+    // batch oracle re-derive the streaming final state row-for-row (the
+    // dd_incremental grading pattern applied to a live stream).
+    "stream_ingest_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_in").toString
+      d.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStream.ingestDedupExact(s, tmp, d.schema)
+        .orderBy(col("doc_id"))
+    }),
+
     // Curation keep-rule: near-dup clusters keep their HIGHEST-QUALITY
     // member (ties to smallest id), not the smallest id — survivors a
     // quality-aware pipeline retains.
@@ -785,6 +802,13 @@ object DedupTextPack extends QueryPack {
         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s::BIT, b.s::BIT)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // The streaming fold's final state re-derived in one batch GROUP BY:
+    // valid because the per-batch merge is associative+commutative, so
+    // micro-batch boundaries and file order cannot change the result.
+    "stream_ingest_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
     // Full independent re-derivation of the three incremental stages
     // (exact anti-join, cross-side band probe + verify, within-batch

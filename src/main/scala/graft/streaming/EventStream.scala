@@ -120,6 +120,63 @@ object EventStream {
       .select(l("ts"), l("k"), col("value"), col("rts"), col("label"))
   }
 
+  /** Streaming ingestion dedup via foreachBatch — the ORACLE-GATED
+    * streaming entry (driver query `stream_ingest_dedup`): documents
+    * arrive as a file stream in multiple micro-batches, and each batch
+    * folds into a persistent exact-dedup state (per distinct text: the
+    * minimum doc_id seen and the copy count) — the
+    * [[graft.operators.Dedup.dedupIncremental]] merge discipline on the
+    * exact tier, driven by Structured Streaming.
+    *
+    * The state merge (`min` ids, `sum` counts, grouped by text hash) is
+    * ASSOCIATIVE AND COMMUTATIVE, so the final state is independent of
+    * file listing order and micro-batch boundaries — which is exactly what
+    * makes the streaming result re-derivable by a batch oracle
+    * (`GROUP BY text` over the same rows), the dd_incremental grading
+    * pattern. Per batch the work is one hash agg over the BATCH plus a
+    * merge against the state relation (localCheckpointed each round — the
+    * iterative-lineage rule); at scale the state side would be bucketed by
+    * the text hash so the merge join stays co-partitioned.
+    *
+    * @param docsSrcDir directory of parquet files to stream in (the test
+    *                   fixture re-sharded so `maxFilesPerTrigger=1` yields
+    *                   one micro-batch per file)
+    * @param onBatch    test hook: observes each micro-batch id
+    * @return final state `(doc_id, n_copies)` — keeper id per distinct
+    *         text and how many copies streamed in */
+  def ingestDedupExact(spark: org.apache.spark.sql.SparkSession,
+      docsSrcDir: String, schema: org.apache.spark.sql.types.StructType,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    var state: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsSrcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(id)
+        val b = batch.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+        state = state.unionByName(b)
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n"))
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.select(col("doc_id"), col("n").as("n_copies"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSummary(user_id: Long, n: Long, total: Double)

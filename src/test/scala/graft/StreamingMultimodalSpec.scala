@@ -33,6 +33,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("foreachBatch ingestion dedup: the stream really runs in multiple " +
+      "micro-batches and its final state equals the batch GROUP BY twin") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_spec").toString
+    d.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = EventStream.ingestDedupExact(spark, tmp, d.schema,
+        onBatch = batches += _)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // maxFilesPerTrigger=1 over 4 files → one micro-batch per file; a
+    // single-batch run would make the fold trivially correct without
+    // testing cross-batch state merging
+    assert(batches.distinct.size >= 4,
+      s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+    val want = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val input = MemoryStream[EventStream.UserEvent](spark)
