@@ -185,11 +185,16 @@ object Multimodal {
     * code-point substitution at the midpoint — same length, so the
     * [[StubPixelDecoder]] cell boundaries are unchanged and exactly one
     * cell's pixel moves (≤ 2 dHash bits). The fixture analog of saving the
-    * same image twice with different encoder settings. */
+    * same image twice with different encoder settings.
+    *
+    * The same-length/≤2-bit contract needs at least 2 chars to substitute
+    * around; empty and 1-char payloads pass through unchanged (r8
+    * advisory: the naive concat would GROW an empty string to "~"). */
   def midCharVariant(text: Column): Column = {
     val half = floor(length(text) / 2).cast("int")
-    concat(text.substr(lit(1), half), lit("~"),
-      text.substr(half + lit(2), length(text)))
+    when(length(text) < 2, text)
+      .otherwise(concat(text.substr(lit(1), half), lit("~"),
+        text.substr(half + lit(2), length(text))))
   }
 
   /** Deterministic frame sampling plan for video rows: every `stride`-th

@@ -775,8 +775,16 @@ object Dedup {
     val toked = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
       .withColumn("n_spans",
         ceil(size(col("toks")) / lit(w.toDouble)).cast("int"))
-    val spans = toked.select(col(idCol), col("n_spans"), posexplode(
-        transform(sequence(lit(0), col("n_spans") - 1),
+    // zero-span guard (r8 advisory): sequence(0, -1) auto-steps DOWN,
+    // so an n_spans = 0 row would fan out two phantom spans [0, -1] —
+    // unreachable while tokens() never returns an empty array, but that
+    // invariant must not be load-bearing here. The filter excludes the
+    // case (such docs still exit via the left join: clean_text "",
+    // n_removed 0); the explicit +1 step turns any regression into a
+    // loud ILLEGAL_SEQUENCE error instead of silent phantom spans
+    val spans = toked.filter(col("n_spans") > 0)
+      .select(col(idCol), col("n_spans"), posexplode(
+        transform(sequence(lit(0), col("n_spans") - 1, lit(1)),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
       .toDF(idCol, "n_spans", "pos", "span")
     val dupSpans = spans.groupBy("span").count()

@@ -691,7 +691,11 @@ class DedupAnnSpec extends AnyFunSuite {
       (1L, "a b c d e f g h i j"),
       (2L, "a b c d e x y z w v"),
       (3L, "p q r s t"),
-      (4L, "  a b c d e ")
+      (4L, "  a b c d e "),
+      // empty text: tokens("") is [""] (one empty token → one span unique
+      // to no other doc... unless another doc is also empty); the row must
+      // survive with no phantom spans from the zero-span guard path
+      (5L, "")
     ).toDF("doc_id", "text")
     val out = Dedup.spanScrub(docs, "doc_id", "text", spanTokens = 5)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
@@ -700,7 +704,8 @@ class DedupAnnSpec extends AnyFunSuite {
       1L -> (("f g h i j", 1)),
       2L -> (("x y z w v", 1)),
       3L -> (("p q r s t", 0)),
-      4L -> (("", 1))))
+      4L -> (("", 1)),
+      5L -> (("", 0))))
     // fixture-level invariants: every doc keeps a row; untouched docs are
     // exactly their whitespace-normalized text; spans removed across the
     // corpus equal the total occurrences of spans seen more than once

@@ -277,6 +277,17 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       lit("stub/v1").as("meta_format"))
   }
 
+  test("midCharVariant: same length always (empty and 1-char pass through " +
+      "unchanged, the substitution starts at 2 chars)") {
+    import spark.implicits._
+    val got = Seq("", "x", "xy", "xyz", "abcdef").toDF("text")
+      .select(col("text"), Multimodal.midCharVariant(col("text")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("" -> "", "x" -> "x", "xy" -> "x~",
+      "xyz" -> "x~z", "abcdef" -> "abc~ef"))
+    got.foreach { case (t, v) => assert(t.length == v.length) }
+  }
+
   test("phash column twin: StubPixelDecoder decode + dHash equals the pure " +
       "md5 column math (the engine-reproducibility contract the DuckDB " +
       "oracle relies on)") {
