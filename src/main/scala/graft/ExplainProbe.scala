@@ -9,16 +9,17 @@ import org.apache.spark.sql.SparkSession
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // default = the FULL Bench.headline set (so the plan-quality evidence
+    // always covers every benched query) plus non-headline plan anchors
+    // worth keeping an eye on (pushdown, LSH joins, streaming-adjacent).
     val names = if (args.length > 1) args(1).split(",").toSeq
-      else Seq("q2_filter_pushdown", "q3_join_agg", "knn_topk", "knn_fusion",
-        "q22_recommend_audience", "dd_minhash_lsh", "dd_jaccard_pairs",
-        "dd_simhash_pairs", "ix_condition_meta", "nl_target_from_text",
-        "ann_lsh_join", "mm_frame_plan", "ann_ivf_kmeans_topk",
+      else (Bench.headline ++ Seq(
+        "q2_filter_pushdown", "dd_simhash_pairs", "ix_condition_meta",
+        "nl_target_from_text", "ann_lsh_join", "mm_frame_plan",
         "dd_contamination_bloom", "tx_sample_stratified", "tx_shard_pack",
         "tx_repetition", "q27_sessionize", "q28_funnel",
         "tx_pii_scrub", "tx_tfidf", "q29_retention", "q30_asof_attribution",
-        "dd_semantic", "dd_keep_best", "ann_sq8_topk", "q31_range_join",
-        "ann_pq_topk", "ann_ivfpq_topk")
+        "dd_semantic", "dd_keep_best", "q31_range_join")).distinct
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

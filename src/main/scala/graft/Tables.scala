@@ -71,17 +71,25 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = loadSource(spark, registry(sfDir)(name))
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true —
-    // set by Verify/Bench/Smoke/tests). Normalize to a micros timestamp so
-    // downstream code sees a plain TimestampType column.
-    // Integer division: `/` on longs is double division, and nanos
-    // (~1.7e18) exceed double's 2^53 exact range — `div` stays exact.
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    // Normalize events.ts to a plain TimestampType column whatever the
+    // fixture's physical type is — the generator has shipped it both ways:
+    //  - TIMESTAMP(NANOS): Spark only reads it as a nanos-since-epoch long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    //    Verify/Bench/Smoke/tests). Integer division: `/` on longs is
+    //    double division, and nanos (~1.7e18) exceed double's 2^53 exact
+    //    range — `div` stays exact.
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): read as TIMESTAMP_NTZ;
+    //    a cast under the fixed UTC session timezone keeps the wall-clock
+    //    value and gives downstream code the same TimestampType.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
+    } else df
   }
 
   /** Register every fixture as a temp view so `spark.sql` works too

@@ -259,6 +259,44 @@ object Ann {
       .limit(k)
   }
 
+  /** Batch IVF: one plan answers a whole query SET — the IVF twin of
+    * [[lshBatchTopK]] (no driver-side per-query loop). Per-query centroid
+    * probe first: queries × broadcast centroids is |Q|·C rows distributed
+    * with the queries, ranked within each qid to its nprobe nearest
+    * buckets. Candidates then come from ONE join of the assignment table
+    * against the probe set on centroid_id — the assignments are already
+    * clustered by centroid_id ([[assignToCentroids]]), so the join is
+    * co-located and each query scores only its nprobe/C slice. Final
+    * top-k per query is a qid-partitioned window (never a global sort).
+    *
+    * The probe set (|Q|·nprobe rows + one qvec each) is broadcast: the
+    * scale contract is C and nprobe bounded and |Q| ≪ corpus (a query
+    * BATCH, not a second corpus — for corpus×corpus similarity use
+    * [[Dedup.embeddingTopPairs]] / [[lshBatchTopK]]).
+    *
+    * @param queries (qid: long, qvec: array<float>)
+    */
+  def searchIvfBatch(ivf: Ivf, queries: DataFrame, nprobe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probed = queries.crossJoin(broadcast(ivf.centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        Graft.cosine(col("cvec"), col("qvec")).as("cs"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id"))
+    val kw = Window.partitionBy(col("qid"))
+      .orderBy(col("simil").desc, col(idCol))
+    ivf.assignments
+      .join(broadcast(probed), Seq("centroid_id"))
+      .select(col("qid"), col(idCol),
+        Graft.cosine(col(vecCol), col("qvec")).as("simil"))
+      .withColumn("rn", row_number().over(kw))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Batch ANN: one `approxSimilarityJoin` for a whole query SET — no
     * driver-side per-query loop, no `.head`. Both sides are hashed once;
     * the join runs bucket-co-located on the LSH keys, then each query

@@ -43,6 +43,21 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
+    // BATCH IVF: one plan answers 5 queries at once (the IVF twin of
+    // ann_lsh_join's batch path — per-query centroid probe, ONE
+    // co-located candidate join, qid-partitioned top-k window; no
+    // driver-side per-query loop). md5-deterministic index, so unlike
+    // the LSH batch this one is fully hash-matched.
+    "ann_ivf_batch_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.searchIvfBatch(Ann.buildIvf(e), qs, nprobe = 4, k = 10)
+        .select(col("qid"), col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("qid"), col("simil").desc, col("vec_id"))
+    }),
+
     // LEARNED-centroid IVF (seeded KMeans, cosine): the quality path's
     // build + probe cost, benched alongside the md5-sample IVF. Graded as
     // recall vs the exact top-10 — KMeans float reduction order is not
@@ -297,6 +312,42 @@ object AnnPack extends QueryPack {
         |  ORDER BY s DESC, vec_id LIMIT 10)
         |SELECT vec_id, round(s, 4) AS simil FROM topk
         |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // Full batch-IVF re-derivation: same centroid pick + assignment as
+    // ann_ivf_topk, then a PER-QUERY probe (rank within qid) and a
+    // per-query top-10 window over the probed buckets' members.
+    "ann_ivf_batch_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |asg AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probed AS (
+        |  SELECT qid, qvec, centroid_id FROM (
+        |    SELECT q.qid, q.qvec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.cvec, q.qvec) DESC,
+        |                 c.centroid_id) AS rn
+        |    FROM c CROSS JOIN q)
+        |  WHERE rn <= 4),
+        |topk AS (
+        |  SELECT p.qid, a.vec_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[], p.qvec) AS s,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], p.qvec) DESC,
+        |               a.vec_id) AS rn
+        |  FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id)
+        |SELECT qid, vec_id, round(s, 4) AS simil FROM topk WHERE rn <= 10
+        |ORDER BY qid, simil DESC, vec_id""".stripMargin,
 
     // Same recall-gate oracle shape as the LSH queries: re-derive the
     // exact top-1 (vec_id 0 matches itself) and assert the gate held.

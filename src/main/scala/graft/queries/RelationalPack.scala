@@ -284,6 +284,24 @@ object RelationalPack extends QueryPack {
         .orderBy(col("hour"))
     }),
 
+    // STREAMING hourly rollup (oracle-gated Structured Streaming): the
+    // events fixture re-sharded into 4 time-range parquet files and
+    // streamed back one file per micro-batch into a stateful
+    // window+event_type aggregation (Spark's own streaming-agg state,
+    // Complete-mode memory sink). Decimal sums make the final table
+    // micro-batch-order independent, so the batch oracle re-derives it
+    // hash-exactly — the stream_ingest_dedup grading pattern applied to
+    // the OTHER half of the streaming surface.
+    "stream_hourly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_ev").toString
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(tmp)
+      graft.streaming.EventStream.streamHourlyExact(s, tmp, ev.schema)
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // W2-adjacent: running (prefix) sum per key — the windowed running
     // weight the sweep-line consensus builds on (SURVEY W2).
     "q17_running_window" -> ((s, dir) => {
@@ -616,6 +634,17 @@ object RelationalPack extends QueryPack {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // Batch twin of the streaming rollup: same GROUP BY over the same
+    // rows — associative/commutative decimal merges are what make the
+    // streaming state's final value re-derivable here.
+    "stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q17_running_window" ->
       """SELECT o_custkey, o_orderkey,

@@ -177,6 +177,49 @@ object EventStream {
     state.select(col("doc_id"), col("n").as("n_copies"))
   }
 
+  private val memorySinkRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Oracle-gated streaming rollup (driver query `stream_hourly`): the
+    * q16 hourly rollup run as a REAL stateful streaming aggregation —
+    * a file stream in multiple micro-batches feeding ONE
+    * `groupBy(window(ts), event_type)` whose state merges across
+    * batches, landed in a Complete-mode memory sink. Unlike
+    * [[ingestDedupExact]] (a foreachBatch fold this code merges by
+    * hand), the state here is Spark's own streaming-agg store — the
+    * other half of the streaming surface under the same oracle gate.
+    *
+    * The value sum goes through DECIMAL, so the final table is
+    * independent of micro-batch boundaries and merge order — which is
+    * what lets the batch oracle (same GROUP BY over the same rows in
+    * DuckDB) re-derive it hash-exactly. Complete mode keeps every
+    * window's state until the stream drains; the unbounded-horizon
+    * variant for continuous production is watermark + Append, which
+    * trades replayable totals for bounded state ([[hourlyCounts]]).
+    *
+    * @param srcDir directory of parquet shards streamed one per
+    *               micro-batch (`maxFilesPerTrigger=1`)
+    * @return final rollup `(hour, event_type, n_events, sum_value)` */
+  def streamHourlyExact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_hourly_${memorySinkRuns.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSummary(user_id: Long, n: Long, total: Double)
