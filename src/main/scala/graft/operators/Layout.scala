@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** File-layout control for parquet data skipping — the write-side half of
+  * scan performance. Parquet readers prune whole files/row-groups from
+  * footer min/max stats, but stats only prune if the writer CLUSTERED the
+  * data so each file covers a narrow value range. A single-column sort
+  * gives that for one column and destroys it for every other;
+  * [[zorderBy]] interleaves several columns' range-bits into one Morton
+  * key (the Z-ORDER layout public lakehouse engines ship) so every
+  * participating column's per-file range stays narrow at once.
+  *
+  * At 100 TB this is the difference between a predicate on a secondary
+  * column scanning every file and scanning ~`1/2^bits` of them; the
+  * cluster pass itself is one range-shuffle over the data — the same cost
+  * as the single-column sort it replaces.
+  */
+object Layout {
+
+  /** Morton (Z-order) clustering key over `cols`, each reduced to a
+    * `bits`-bit equi-width bin between its own min and max (one bounded
+    * stats pass, broadcast as literals), bits interleaved
+    * least-significant-first. Null or non-finite values bin to 0, the
+    * degenerate min==max column contributes a constant 0 — both keep the
+    * key total-ordered and the write deterministic. */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits*cols must fit a long, got $bits x ${cols.size}")
+    // bounded driver collect: 2 doubles per column, the zorder analog of
+    // a broadcast-join build side
+    val stats = df.select(
+      cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))): _*).head()
+    val nBins = (1L << bits) - 1L
+    val binCols = cols.zipWithIndex.map { case (c, j) =>
+      val mn = Option(stats.getAs[Any](s"mn_$c"))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val mx = Option(stats.getAs[Any](s"mx_$c"))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val bin =
+        if (mx <= mn) lit(0L)
+        else least(lit(nBins), greatest(lit(0L),
+          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * nBins)
+            .cast("long")))
+      coalesce(bin, lit(0L))
+    }
+    // interleave: output bit (i*ncols + j) = bit i of column j's bin
+    val terms = for {
+      i <- 0 until bits
+      (bin, j) <- binCols.zipWithIndex
+    } yield shiftleft(
+      shiftright(bin, i).bitwiseAND(lit(1L)), i * cols.size + j)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Re-layout `df` into `numFiles` range-clustered output partitions on
+    * the Z-order key of `cols`: `repartitionByRange` gives each output
+    * file a disjoint key range (so parquet footer stats prune files for
+    * predicates on ANY participating column), `sortWithinPartitions`
+    * clusters row-groups inside each file the same way. Write the result
+    * with `.write.parquet(...)` — the layout survives because Spark
+    * writes partitions in iterator order. */
+  def zorderBy(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    val key = zorderKey(df, cols, bits)
+    df.withColumn("__z", key)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Per-file min/max spread of `valueCol` relative to its global range —
+    * the quantity parquet data skipping actually prunes on. Returns one
+    * row per file: `(file, lo, hi, spread)` with spread in [0, 1]; the
+    * mean spread is what a predicate's expected scan fraction tracks.
+    * Diagnostic for specs/audits of a written layout. */
+  def fileSpread(written: DataFrame, valueCol: String): DataFrame = {
+    val g = written.agg(
+      min(col(valueCol).cast("double")).as("gmn"),
+      max(col(valueCol).cast("double")).as("gmx")).head()
+    val (gmn, gmx) = (g.getDouble(0), g.getDouble(1))
+    val range = math.max(gmx - gmn, Double.MinPositiveValue)
+    written
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(valueCol).cast("double")).as("lo"),
+        max(col(valueCol).cast("double")).as("hi"))
+      .select(col("file"), col("lo"), col("hi"),
+        ((col("hi") - col("lo")) / lit(range)).as("spread"))
+  }
+}

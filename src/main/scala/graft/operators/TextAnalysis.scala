@@ -231,6 +231,46 @@ object TextAnalysis {
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget))
   }
 
+  /** Sequence packing — the step below [[packShards]] in a pretraining
+    * pipeline: concatenate each stream's documents (in id order) into
+    * fixed-length training sequences of `seqLen` tokens, documents
+    * SPANNING sequence boundaries (GPT-style packing, no padding waste).
+    * Each output row is one document slice landing in one sequence:
+    * `(streamCol, idCol, seq_id, begin_pos, end_pos, doc_offset)` —
+    * `[begin_pos, end_pos)` the slice's position inside the sequence,
+    * `doc_offset` where the slice starts inside the document. Empty
+    * documents (0 tokens) pack nowhere and are dropped.
+    *
+    * Scale shape: one shuffle on the stream column, one running-sum
+    * window pass for the global token offset, then a BOUNDED explode
+    * (a document overlaps at most n_tokens/seqLen + 1 sequences). At
+    * 100 TB the stream key is (lang, shard) so each window partition
+    * stays executor-sized — same contract as [[packShardsOf]]. */
+  def packSequences(docs: DataFrame, streamCol: String, idCol: String,
+      textCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = spread(docs)
+      .select(col(streamCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("b", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("n_tokens") > 0)
+    val L = lit(seqLen)
+    // seq ids this doc touches: floor(b/L) .. floor((b+n-1)/L) — integer
+    // `div` (not `/`: double division) keeps offsets exact at any scale
+    withOff
+      .withColumn("seq_id",
+        explode(sequence(expr(s"b div $seqLen"),
+          expr(s"(b + n_tokens - 1) div $seqLen"))))
+      .select(col(streamCol), col(idCol), col("seq_id"),
+        (greatest(col("b"), col("seq_id") * L) - col("seq_id") * L)
+          .as("begin_pos"),
+        (least(col("b") + col("n_tokens"), (col("seq_id") + 1) * L)
+          - col("seq_id") * L).as("end_pos"),
+        (greatest(col("b"), col("seq_id") * L) - col("b")).as("doc_offset"))
+  }
+
   /** Repetition/shape quality signals per document, after the published
     * large-corpus filter rules (word-count bounds, mean-word-length band,
     * max-repeated-unigram fraction): returns

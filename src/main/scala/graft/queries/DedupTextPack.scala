@@ -284,6 +284,17 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Sequence packing one level below the shards: each lang stream's
+    // documents concatenate (in id order) into fixed 128-token training
+    // sequences, documents SPANNING sequence boundaries (GPT-style
+    // packing) — one window pass for global token offsets, then a
+    // bounded explode over the sequences each document touches.
+    "tx_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(docs(s, dir), "lang", "doc_id", "text",
+          seqLen = 128L)
+        .orderBy(col("lang"), col("doc_id"), col("seq_id"))
+    }),
+
     // The training-corpus capstone: dedupCorpus survivors, filtered by
     // BOTH quality signals (heuristic composite >= 0.55 AND bigram-LM
     // score >= -3.45), packed into token-budgeted shards per lang — the
@@ -683,6 +694,28 @@ object DedupTextPack extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
         |FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // Same prefix-sum offsets, then one row per (doc, touched sequence)
+    // via range() — integer // division matches Spark's `div` exactly.
+    "tx_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b
+        |  FROM t WHERE n_tokens > 0),
+        |s AS (
+        |  SELECT lang, doc_id, b, n_tokens,
+        |    unnest(range(b // 128, (b + n_tokens - 1) // 128 + 1)) AS seq_id
+        |  FROM o)
+        |SELECT lang, doc_id, seq_id,
+        |  GREATEST(b, seq_id * 128) - seq_id * 128 AS begin_pos,
+        |  LEAST(b + n_tokens, (seq_id + 1) * 128) - seq_id * 128 AS end_pos,
+        |  GREATEST(b, seq_id * 128) - b AS doc_offset
+        |FROM s ORDER BY lang, doc_id, seq_id""".stripMargin,
 
     // boolean-oracled like q12_audience_approx: the oracle asserts the
     // gate held; a sketch answer outside the rank window breaks the hash

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+/** Z-order layout: the written files must give NARROW per-file ranges on
+  * every participating column at once — the property parquet footer
+  * pruning needs — where a single-column sort gives it for one column and
+  * destroys it for the rest. */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nFiles = 16
+
+  /** 20k rows over two INDEPENDENT uniform dimensions — the layout can't
+    * ride a correlation; it has to interleave. */
+  private def data() = {
+    val rnd = new scala.util.Random(1207)
+    (0 until 20000).map { i =>
+      (i.toLong, rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong)
+    }.toDF("id", "a", "b")
+  }
+
+  private def meanSpread(written: org.apache.spark.sql.DataFrame,
+      c: String): Double =
+    Layout.fileSpread(written, c).agg(avg(col("spread"))).head().getDouble(0)
+
+  test("zorderKey is deterministic, non-negative, and fits bits*cols bits") {
+    val df = data()
+    val k1 = df.select(Layout.zorderKey(df, Seq("a", "b"), bits = 8).as("z"))
+      .agg(min(col("z")), max(col("z"))).head()
+    assert(k1.getLong(0) >= 0L)
+    assert(k1.getLong(1) < (1L << 16))
+    val again = df.select(Layout.zorderKey(df, Seq("a", "b"), bits = 8).as("z"))
+      .agg(sum(col("z"))).head().getLong(0)
+    val first = df.select(Layout.zorderKey(df, Seq("a", "b"), bits = 8).as("z"))
+      .agg(sum(col("z"))).head().getLong(0)
+    assert(again == first)
+  }
+
+  test("z-order layout keeps BOTH columns' per-file spread narrow; " +
+      "single-column sort leaves the other column at full spread") {
+    val df = data()
+    val tmpZ = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val tmpS = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    Layout.zorderBy(df, Seq("a", "b"), numFiles = nFiles)
+      .write.mode("overwrite").parquet(tmpZ)
+    df.repartitionByRange(nFiles, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(tmpS)
+    val z = spark.read.parquet(tmpZ)
+    val s = spark.read.parquet(tmpS)
+    val (za, zb) = (meanSpread(z, "a"), meanSpread(z, "b"))
+    val (sa, sb) = (meanSpread(s, "a"), meanSpread(s, "b"))
+    // single-column layout: perfect on a, useless on b
+    assert(sa < 0.15, s"sorted layout spread on a = $sa")
+    assert(sb > 0.8, s"sorted layout spread on b = $sb (expected ~1)")
+    // z-order: materially narrow on BOTH (16 files over an 8-bit x 8-bit
+    // Morton curve -> each file covers ~1/4 of each axis)
+    assert(za < 0.5, s"zorder spread on a = $za")
+    assert(zb < 0.5, s"zorder spread on b = $zb")
+    // and the layout didn't lose or duplicate rows
+    assert(z.count() == df.count())
+    assert(z.agg(sum(col("id"))).head().getLong(0) ==
+      df.agg(sum(col("id"))).head().getLong(0))
+  }
+
+  test("degenerate columns are safe: constant column contributes zero " +
+      "bits, nulls bin to zero, single-column zorder equals range layout") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "c")
+      .withColumn("n", when(col("x") === 2L, null.asInstanceOf[java.lang.Long])
+        .otherwise(col("x")))
+    // constant + nullable columns: key still computes, stays bounded
+    val k = df.select(Layout.zorderKey(df, Seq("c", "n"), bits = 4).as("z"))
+      .agg(min(col("z")), max(col("z"))).head()
+    assert(k.getLong(0) >= 0L && k.getLong(1) < (1L << 8))
+    // one column: the key is just the column's own bin — monotone in x
+    val ks = df.orderBy(col("x"))
+      .select(Layout.zorderKey(df, Seq("x"), bits = 4).as("z"))
+      .collect().map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted), "single-column key must be monotone")
+  }
+}

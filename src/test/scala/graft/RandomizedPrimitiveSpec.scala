@@ -273,6 +273,54 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences tiles each stream's token stream exactly: slices " +
+      "cover every doc contiguously and sequences fill back-to-back") {
+    val rnd = new scala.util.Random(606)
+    val docs = (0L until 300L).map { i =>
+      val words = Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")
+      (i, s"s${rnd.nextInt(3)}", words)
+    }
+    val L = 32L
+    val got = TextAnalysis.packSequences(
+        docs.toDF("doc_id", "stream", "text"), "stream", "doc_id", "text", L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // reference: walk each stream in id order with a global token cursor,
+    // slicing each doc at every sequence boundary it crosses
+    val byStream = docs.groupBy(_._2)
+    got.groupBy(_._1).foreach { case (stream, rows) =>
+      val ordered = byStream(stream).sortBy(_._1)
+      var cursor = 0L
+      val want = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      ordered.foreach { case (id, _, text) =>
+        val n = text.split("\\s+").length.toLong
+        var off = 0L
+        while (off < n) {
+          val pos = cursor + off
+          val seq = pos / L
+          val endOff = math.min(n, (seq + 1) * L - cursor)
+          want += ((id, seq, pos - seq * L, cursor + endOff - seq * L, off))
+          off = endOff
+        }
+        cursor += n
+      }
+      assert(rows.sortBy(r => (r._2, r._3))
+        .map(r => (r._2, r._3, r._4, r._5, r._6)).toList ==
+        want.sortBy(r => (r._1, r._2)).toList, s"stream $stream")
+    }
+    // sequences fill back-to-back: per (stream, seq) the slices tile
+    // [0, x) with no gaps (x = L except possibly the stream's last seq)
+    got.groupBy(r => (r._1, r._3)).foreach { case ((stream, seq), slices) =>
+      val sorted = slices.sortBy(_._4).map(r => (r._4, r._5))
+      assert(sorted.head._1 == 0L, s"$stream seq $seq starts at ${sorted.head._1}")
+      sorted.zip(sorted.drop(1)).foreach { case ((_, e), (b2, _)) =>
+        assert(e == b2, s"$stream seq $seq gap at $e")
+      }
+      assert(sorted.forall { case (b, e) => b < e && e <= L })
+    }
+  }
+
   test("minhash HOF signature equals the explode+min-agg signature on " +
       "random docs with >= 3 tokens") {
     // the exploded path only emits rows for docs that HAVE shingles; the
