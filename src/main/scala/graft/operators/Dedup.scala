@@ -814,9 +814,15 @@ object Dedup {
     * its oracle re-derives the same survivors with a recursive CTE. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, minJ: Double = 0.6): DataFrame = {
+    // pin the exact-dedup survivors once: the relation feeds the
+    // signature build AND the final anti-join, and without the checkpoint
+    // each consumer re-runs the text-hash shuffle over the full corpus
+    // (localCheckpoint, not cache — caching relations that feed minhash
+    // planning destabilizes the planner, see minhashNearDups)
     val exactKept = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
     val pairs = minhashNearDups(exactKept, idCol, textCol, k, bands, minJ)
     val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_rep"))
