@@ -271,6 +271,40 @@ object TextAnalysis {
         (greatest(col("b"), col("seq_id") * L) - col("b")).as("doc_offset"))
   }
 
+  /** Hashed-feature linear classifier inference — the fasttext-style
+    * quality-model pass production pipelines run over every document
+    * (score with a trained linear model over hashed bag-of-words
+    * features, keep above a margin). The MODEL here is a fixed
+    * deterministic weight table (this library ships engines, not
+    * weights): feature j's weight is the integer
+    * `((j·37 + 11) mod 201) − 100 ∈ [−100, 100]`, feature index is the
+    * md5 token hash mod `dim` — both closed-form and engine-exact, so
+    * the whole inference is DuckDB-oracle-checkable (a trained model
+    * drops in by replacing the weight expression with a broadcast
+    * lookup; the plan shape is identical).
+    *
+    * Score is the mean feature weight scaled to [−1, 1] — integer sums,
+    * one exact double division, NO transcendental link function (a
+    * sigmoid is monotone, so the keep margin is the same decision
+    * boundary) — and `keep` is `score ≥ 0`.
+    *
+    * Scale shape: pure per-row column math riding the scan (one
+    * `aggregate` HOF over the token array — sequential, order-exact);
+    * no shuffle, no UDF, no driver state. Returns
+    * `(idCol, model_score, keep)`. */
+  def modelScore(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    val toks = tokens(col(textCol))
+    val wsum = aggregate(toks, lit(0L), (acc, t) => {
+      val h = pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(dim))
+      acc + (pmod(h * 37 + 11, lit(201)) - 100)
+    })
+    val raw = wsum.cast("double") / (lit(100.0) * size(toks))
+    docs.select(col(idCol),
+      round(raw, 4).as("model_score"),
+      (raw >= 0.0).as("keep"))
+  }
+
   /** Repetition/shape quality signals per document, after the published
     * large-corpus filter rules (word-count bounds, mean-word-length band,
     * max-repeated-unigram fraction): returns

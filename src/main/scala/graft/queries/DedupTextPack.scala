@@ -300,6 +300,9 @@ object DedupTextPack extends QueryPack {
     // score >= -3.45), packed into token-budgeted shards per lang — the
     // full prepare-for-training flow, every stage a proven oracle shape.
     "tx_corpus_ready" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val d = docs(s, dir)
       // Tokenize ONCE, spread across the cluster, and pin the result:
       // quality scoring, LM scoring and shard packing all read this
@@ -309,22 +312,65 @@ object DedupTextPack extends QueryPack {
       // caching relations that feed minhash planning destabilizes the
       // planner (Dedup.minhashNearDups scaladoc); the dedup path below
       // intentionally keeps its own tokenization.
-      val tok = d.repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"),
-          Dedup.tokens(col("text")).as("toks"))
-        .localCheckpoint(true)
-      val kept = Dedup.dedupCorpus(d, "doc_id", "text",
-        k = 12, bands = 4, minJ = 0.6)
+      //
+      // The three materialization chains — the tokenized intermediate
+      // (+ the LM gate over it), and the dedup path's own checkpointed
+      // stages — are INDEPENDENT until the final semi-joins, but each
+      // localCheckpoint/cluster round blocks the driver thread; run the
+      // chains as concurrent jobs so the cluster-iteration rounds overlap
+      // the tokenize+LM work (the buildIvfPq concurrent-quantizer shape;
+      // Spark schedules concurrent jobs from one session fine).
+      val tokLmF = Future {
+        val tok = d.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            Dedup.tokens(col("text")).as("toks"))
+          .localCheckpoint(true)
+        val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
+          .filter(col("lm_score") >= -3.45).select("doc_id")
+          .localCheckpoint(true)
+        (tok, lmOk)
+      }
+      val keptF = Future {
+        Dedup.dedupCorpus(d, "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+      }
+      val (tok, lmOk) = Await.result(tokLmF, Duration.Inf)
+      val kept = Await.result(keptF, Duration.Inf)
       val q = TextAnalysis.qualityFeaturesOf(col("toks"))
         .collectFirst { case ("quality", c) => c }.get
-      val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
-        .filter(col("lm_score") >= -3.45).select("doc_id")
       val ready = tok.join(kept, Seq("doc_id"), "left_semi")
         .filter(q >= 0.55)
         .join(lmOk, Seq("doc_id"), "left_semi")
       TextAnalysis.packShardsOf(ready, "lang", "doc_id", "toks",
           tokenBudget = 1000L)
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Curriculum ordering (quality-first training schedule): per-lang
+    // quality deciles via ntile plus the within-lang training position —
+    // the data-ordering step curriculum-learning pipelines emit. One
+    // lang-partitioned window pass; ordering key is the ROUNDED quality
+    // (engine-exact) with doc_id tie-break, so ranks are deterministic.
+    "tx_curriculum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis.qualityFeatures(col("text"))
+        .collectFirst { case ("quality", c) => c }.get
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.select(col("doc_id"), col("lang"), col("quality"),
+          ntile(10).over(w).as("decile"),
+          row_number().over(w).as("curriculum_pos"))
+        .orderBy(col("lang"), col("curriculum_pos"))
+    }),
+
+    // Hashed-feature linear classifier inference (fasttext-style quality
+    // model): md5 feature hash mod 1024, fixed integer weight table,
+    // mean-weight margin score — model inference as pure column math
+    // riding the scan, engine-exact end to end.
+    "tx_model_score" -> ((s, dir) => {
+      TextAnalysis.modelScore(docs(s, dir), "doc_id", "text", dim = 1024)
+        .orderBy(col("doc_id"))
     }),
 
     // Approximate-quantile gate (the percentile analog of the HLL audience
@@ -716,6 +762,42 @@ object DedupTextPack extends QueryPack {
         |  LEAST(b + n_tokens, (seq_id + 1) * 128) - seq_id * 128 AS end_pos,
         |  GREATEST(b, seq_id * 128) - b AS doc_offset
         |FROM s ORDER BY lang, doc_id, seq_id""".stripMargin,
+
+    // Same decimal-rounded quality composite as tx_quality, then the two
+    // standard-SQL rank functions over the identical total order.
+    "tx_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  round(CAST(len(list_distinct(w))::DOUBLE / len(w) * 0.4
+        |    + (1.0 - len(list_filter(w, t -> list_contains(
+        |        ['the','a','of','and','to','in'], t)))::DOUBLE / len(w)) * 0.3
+        |    + least(len(w) / 100.0, 1.0) * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE
+        |    AS quality
+        |  FROM base)
+        |SELECT doc_id, lang, quality,
+        |  ntile(10) OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id) AS decile,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY quality DESC, doc_id) AS curriculum_pos
+        |FROM f ORDER BY lang, curriculum_pos""".stripMargin,
+
+    // Same md5 bucket, same integer weight table, same sequential
+    // list_reduce sum — the inference re-derived end to end.
+    "tx_model_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+        |      t -> (((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+        |             * 37 + 11) % 201 - 100)::BIGINT)),
+        |      (a, x) -> a + x)::DOUBLE / (100.0 * len(toks)) AS raw
+        |  FROM t)
+        |SELECT doc_id, round(raw, 4) AS model_score, raw >= 0.0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // boolean-oracled like q12_audience_approx: the oracle asserts the
     // gate held; a sketch answer outside the rank window breaks the hash

@@ -302,6 +302,26 @@ object RelationalPack extends QueryPack {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // STREAM-STREAM inner join under the oracle gate: purchases and
+    // clicks stream in as two file sources (2 micro-batches each, split
+    // on different axes so matches cross batch boundaries), joined on
+    // user within a 30-minute look-back. Join state buffers across
+    // micro-batches; the drained Append-mode sink equals the batch join.
+    "stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("value"), col("event_type"))
+      val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+      val r = ev.filter(col("event_type") === "click").drop("event_type")
+      val lDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_l").toString
+      val rDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_r").toString
+      l.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(lDir)
+      r.repartitionByRange(2, col("user_id")).write.mode("overwrite").parquet(rDir)
+      graft.streaming.EventStream.streamJoinExact(s, lDir, rDir, l.schema)
+        .orderBy(col("user_id"), col("p_ts"), col("c_ts"))
+    }),
+
     // W2-adjacent: running (prefix) sum per key — the windowed running
     // weight the sweep-line consensus builds on (SURVEY W2).
     "q17_running_window" -> ((s, dir) => {
@@ -645,6 +665,20 @@ object RelationalPack extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Batch twin of the stream-stream join: inner joins emit every match
+    // exactly once regardless of micro-batch boundaries, so the same
+    // join over the same rows re-derives the drained sink row-for-row.
+    "stream_join" ->
+      """SELECT l.user_id,
+        |  CAST(floor(epoch(l.ts)) AS BIGINT) AS p_ts,
+        |  CAST(floor(epoch(r.ts)) AS BIGINT) AS c_ts,
+        |  l.value
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'click'
+        | AND r.ts >= l.ts - INTERVAL 30 MINUTE AND r.ts <= l.ts
+        |ORDER BY l.user_id, p_ts, c_ts""".stripMargin,
 
     "q17_running_window" ->
       """SELECT o_custkey, o_orderkey,

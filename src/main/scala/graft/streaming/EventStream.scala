@@ -220,6 +220,51 @@ object EventStream {
         col("sum_dec").cast("double").as("sum_value"))
   }
 
+  /** Oracle-gated stream-stream INNER join (driver query `stream_join`):
+    * two file streams (purchases, clicks) in multiple micro-batches,
+    * joined on user within a 30-minute look-back. Inner-join matches are
+    * emitted in the micro-batch that completes them — the watermark +
+    * range predicate only bound the buffered state, they hold nothing
+    * back — so once the stream drains, the Append-mode memory sink holds
+    * exactly the batch join's rows and the batch oracle re-derives the
+    * result row-for-row. The third streaming state kind under the gate
+    * (agg state: stream_hourly; keyed fold: stream_ingest_dedup; join
+    * buffers: here).
+    *
+    * Timestamps come back as epoch seconds (the q27 convention — engine-
+    * neutral, no timezone/format drift). Input schemas must carry
+    * `ts, user_id, value`. */
+  def streamJoinExact(spark: org.apache.spark.sql.SparkSession,
+      leftDir: String, rightDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      lookBack: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_join_${memorySinkRuns.incrementAndGet()}"
+    val l = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(leftDir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .withWatermark("ts", "2 hours")
+    val r = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(rightDir)
+      .select(col("ts").as("rts"), col("user_id").as("ruid"),
+        col("value").as("rvalue"))
+      .withWatermark("rts", "2 hours")
+    val q = l.join(r,
+        col("user_id") === col("ruid") &&
+          col("rts") >= col("ts") - expr(s"INTERVAL $lookBack") &&
+          col("rts") <= col("ts"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("p_ts"),
+        unix_timestamp(col("rts")).as("c_ts"),
+        col("value"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserState(n: Long, total: Double)
   case class UserSummary(user_id: Long, n: Long, total: Double)

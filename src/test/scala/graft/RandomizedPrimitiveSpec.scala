@@ -273,6 +273,29 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     }
   }
 
+  test("modelScore equals a plain-Scala md5-hash + weight-table reference " +
+      "on 400 random docs; keep flips exactly at the zero margin") {
+    val docs = randomDocs(seed = 707).filter(_._2.nonEmpty)
+    val got = TextAnalysis
+      .modelScore(docs.toDF("doc_id", "text"), "doc_id", "text", dim = 1024)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.split("\\s+").toSeq
+      val wsum = toks.map(t => ((h(t) % 1024) * 37 + 11) % 201 - 100).sum
+      val raw = wsum.toDouble / (100.0 * toks.size)
+      val want = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+      assert(got(id) == ((want, raw >= 0.0)), s"doc $id text '$text'")
+    }
+  }
+
   test("packSequences tiles each stream's token stream exactly: slices " +
       "cover every doc contiguously and sequences fill back-to-back") {
     val rnd = new scala.util.Random(606)
