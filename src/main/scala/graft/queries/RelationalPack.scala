@@ -302,6 +302,19 @@ object RelationalPack extends QueryPack {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // Z-order clustering key under the gate: the Morton key Layout.zorderBy
+    // writes by (8-bit equi-width bins over (user_id, value), bits
+    // interleaved) re-derived per row — closed-form IEEE arithmetic plus
+    // integer bit ops, so the layout's clustering function itself is
+    // hash-matched, not just spec-checked.
+    "layout_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+          graft.operators.Layout.zorderKey(ev, Seq("user_id", "value"),
+            bits = 8).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // STREAM-STREAM inner join under the oracle gate: purchases and
     // clicks stream in as two file sources (2 micro-batches each, split
     // on different axes so matches cross batch boundaries), joined on
@@ -665,6 +678,33 @@ object RelationalPack extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // Same equi-width bins ((v-mn)/(mx-mn)*255, floored, capped) and the
+    // same 16-term bit interleave — every operation IEEE/integer-exact.
+    "layout_zorder" ->
+      """WITH st AS (
+        |  SELECT min(user_id)::DOUBLE AS amn, max(user_id)::DOUBLE AS amx,
+        |         min(value)::DOUBLE AS bmn, max(value)::DOUBLE AS bmx
+        |  FROM events),
+        |b AS (
+        |  SELECT e.event_id,
+        |    CAST(LEAST(255, GREATEST(0,
+        |      floor((e.user_id::DOUBLE - st.amn) / (st.amx - st.amn) * 255)))
+        |      AS BIGINT) AS ba,
+        |    CAST(LEAST(255, GREATEST(0,
+        |      floor((e.value - st.bmn) / (st.bmx - st.bmn) * 255)))
+        |      AS BIGINT) AS bb
+        |  FROM events e, st)
+        |SELECT event_id,
+        |  (((ba >> 0) & 1) << 0) + (((bb >> 0) & 1) << 1) +
+        |  (((ba >> 1) & 1) << 2) + (((bb >> 1) & 1) << 3) +
+        |  (((ba >> 2) & 1) << 4) + (((bb >> 2) & 1) << 5) +
+        |  (((ba >> 3) & 1) << 6) + (((bb >> 3) & 1) << 7) +
+        |  (((ba >> 4) & 1) << 8) + (((bb >> 4) & 1) << 9) +
+        |  (((ba >> 5) & 1) << 10) + (((bb >> 5) & 1) << 11) +
+        |  (((ba >> 6) & 1) << 12) + (((bb >> 6) & 1) << 13) +
+        |  (((ba >> 7) & 1) << 14) + (((bb >> 7) & 1) << 15) AS z
+        |FROM b ORDER BY event_id""".stripMargin,
 
     // Batch twin of the stream-stream join: inner joins emit every match
     // exactly once regardless of micro-batch boundaries, so the same
