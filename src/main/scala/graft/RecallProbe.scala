@@ -70,6 +70,18 @@ object RecallProbe {
           q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      val qsAll = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exAll = Knn.topKPerQuery(e, qsAll, k = 10)
+      val annPqBatch = Ann.searchIvfPqBatch(ivf, index, cb2, e, qsAll,
+        nprobe = 16, k = 10, overfetch = 16)
+      exAll.join(annPqBatch.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .orderBy("qid").collect()
+        .foreach(r => println(
+          f"ann_ivfpq_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
+
       val (model, withVec) = Ann.lshModel(e)
       val key = org.apache.spark.ml.linalg.Vectors.dense(
         e.filter(col("vec_id") === 0).head().getSeq[Float](1)

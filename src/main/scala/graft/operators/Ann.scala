@@ -665,6 +665,55 @@ object Ann {
     rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
+  /** Batch IVF-PQ: one plan answers a whole query SET over the fused
+    * index — [[searchIvfPq]]'s per-query probe/ADC/rescore stages
+    * re-expressed with qid-partitioned windows (the [[searchIvfBatch]]
+    * shape applied to the compressed tier). The candidate join stays
+    * co-located on the centroid-clustered codes relation; every
+    * per-query relation (probe set, candidate ids) is bounded by
+    * |Q|·nprobe / |Q|·k·overfetch rows and broadcast. Same scale
+    * contract as [[searchIvfBatch]]: C, nprobe, k bounded and |Q| ≪
+    * corpus.
+    *
+    * @param queries (qid: long, qvec: array<float>)
+    */
+  def searchIvfPqBatch(ivf: Ivf, index: DataFrame, cb: Seq[Seq[Seq[Float]]],
+      emb: DataFrame, queries: DataFrame, nprobe: Int, k: Int,
+      overfetch: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pw = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probed = queries.crossJoin(broadcast(ivf.centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        Graft.cosine(col("cvec"), col("qvec")).as("cs"),
+        aggregate(zip_with(col("qvec"), col("cvec"),
+            (q, c) => q.cast("double") * c),
+          lit(0.0d), (a, v) => a + v).as("qc"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("centroid_id"), col("qc"))
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("est").desc, col(idCol))
+    val cands = index
+      .join(broadcast(probed), Seq("centroid_id"))
+      .select(col("qid"), col(idCol),
+        when(col("vnorm") > 0.0f,
+          (col("qc") + adcIp(cb, col("codes"), col("qvec"))) / col("vnorm"))
+          .otherwise(lit(0.0d)).as("est"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("qid"), col(idCol))
+    val kw = Window.partitionBy(col("qid"))
+      .orderBy(col("simil").desc, col(idCol))
+    emb.join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col(idCol),
+        Graft.cosine(col(vecCol), col("qvec")).as("simil"))
+      .withColumn("rn", row_number().over(kw))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Native whole-stage-codegen ADC column over (codes, query vector) —
     * see [[graft.functions.PqAdc]]; [[adcHof]] is its executable spec. */
   def adc(cb: Seq[Seq[Seq[Float]]], codes: Column, qvec: Column): Column =

@@ -58,6 +58,27 @@ object AnnPack extends QueryPack {
         .orderBy(col("qid"), col("simil").desc, col("vec_id"))
     }),
 
+    // BATCH IVF-PQ: the searchIvfBatch shape applied to the fused
+    // compressed index — per-query probe, ONE co-located ADC pass over
+    // the codes, per-query bounded rescore; 5 queries in one plan.
+    // Graded per-query as recall vs the exact top-10.
+    "ann_ivfpq_batch_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32)
+      val ann = Ann.searchIvfPqBatch(ivf, index, cb, e, qs,
+        nprobe = 16, k = 10, overfetch = 16)
+      // measured per-query fixture recall (RecallProbe): min 6/10 at
+      // sf0.01 (8,9,6,8,8), min 7/10 at sf0.1 (10,7,9,8,8) — the
+      // md5-deterministic index makes the floor exact
+      Ann.recallVsExact(Knn.topKPerQuery(e, qs, k = 10), ann,
+          k = 10, minRecall = 0.6)
+        .orderBy(col("qid"))
+    }),
+
     // LEARNED-centroid IVF (seeded KMeans, cosine): the quality path's
     // build + probe cost, benched alongside the md5-sample IVF. Graded as
     // recall vs the exact top-10 — KMeans float reduction order is not
@@ -348,6 +369,22 @@ object AnnPack extends QueryPack {
         |  FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id)
         |SELECT qid, vec_id, round(s, 4) AS simil FROM topk WHERE rn <= 10
         |ORDER BY qid, simil DESC, vec_id""".stripMargin,
+
+    // Per-query recall-gate oracle (the ann_lsh_join shape over the full
+    // corpus): each query's exact top-1 is itself (queries are corpus
+    // vectors), and the gate boolean must come back true.
+    "ann_ivfpq_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1 ORDER BY qid""".stripMargin,
 
     // Same recall-gate oracle shape as the LSH queries: re-derive the
     // exact top-1 (vec_id 0 matches itself) and assert the gate held.
