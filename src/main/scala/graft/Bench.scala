@@ -22,7 +22,8 @@ object Bench {
     "tx_langid", "ann_ivf_topk", "ann_ivf_append_topk", "ann_ivf_batch_topk",
     "ann_ivf_kmeans_topk", "ann_sq8_topk",
     "ann_pq_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
-    "ann_ivfpq_kmeans_topk", "emb_align_filter", "mm_phash_pairs",
+    "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
+    "emb_align_filter", "mm_phash_pairs",
     "tx_mix_epochs", "tx_pack_sequences", "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow

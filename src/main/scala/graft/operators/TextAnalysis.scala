@@ -300,8 +300,11 @@ object TextAnalysis {
       acc + (pmod(h * 37 + 11, lit(201)) - 100)
     })
     val raw = wsum.cast("double") / (lit(100.0) * size(toks))
+    // integer/100n rationals land exactly on round-half knife edges —
+    // decimal-path rounding (Graft.roundExact) keeps both engines on the
+    // same side, as in qualityFeaturesOf
     docs.select(col(idCol),
-      round(raw, 4).as("model_score"),
+      graft.Graft.roundExact(raw, 4).as("model_score"),
       (raw >= 0.0).as("keep"))
   }
 

@@ -796,7 +796,9 @@ object DedupTextPack extends QueryPack {
         |             * 37 + 11) % 201 - 100)::BIGINT)),
         |      (a, x) -> a + x)::DOUBLE / (100.0 * len(toks)) AS raw
         |  FROM t)
-        |SELECT doc_id, round(raw, 4) AS model_score, raw >= 0.0 AS keep
+        |SELECT doc_id,
+        |  round(CAST(raw AS DECIMAL(28,12)), 4)::DOUBLE AS model_score,
+        |  raw >= 0.0 AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
 
     // boolean-oracled like q12_audience_approx: the oracle asserts the

@@ -290,8 +290,9 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
       val toks = text.trim.split("\\s+").toSeq
       val wsum = toks.map(t => ((h(t) % 1024) * 37 + 11) % 201 - 100).sum
       val raw = wsum.toDouble / (100.0 * toks.size)
-      val want = BigDecimal(raw).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+      // mirror Graft.roundExact: decimal(28,12) first, then round to 4
+      val want = BigDecimal(raw).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(got(id) == ((want, raw >= 0.0)), s"doc $id text '$text'")
     }
   }
