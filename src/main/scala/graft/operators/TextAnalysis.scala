@@ -198,6 +198,40 @@ object TextAnalysis {
         explode(sequence(lit(0), col("n_epochs") - 1)).as("epoch"))
   }
 
+  /** Temperature-based source weights (the Pile/Dolma α-sampling recipe):
+    * source s with `T_s` tokens samples with probability `p_s ∝ T_s^α`
+    * (α < 1 upweights small sources), realized as fractional EPOCHS
+    * `e_s = p_s · B / T_s` for a token budget `B` — computed here, fed
+    * through [[mixEpochs]]'s md5-uniform realization by
+    * [[mixTemperature]].
+    *
+    * Determinism contract (what makes the result oracle-checkable): the
+    * per-source totals are exact longs; the α-power uses `sqrt` when
+    * α = 0.5 (IEEE correctly-rounded in every engine, unlike general
+    * `pow`); and the normalizer folds the totals in SOURCE-NAME ORDER,
+    * so another engine repeating the same IEEE ops in the same order
+    * reproduces the epochs bit-for-bit. The driver-side collect is one
+    * row per SOURCE (bounded metadata, the zorderKey-stats class). */
+  def temperatureEpochs(docs: DataFrame, sourceCol: String,
+      textCol: String, alpha: Double, budgetTokens: Long): Map[String, Double] = {
+    val totals = docs.groupBy(col(sourceCol))
+      .agg(sum(size(tokens(col(textCol)))).cast("long").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    def powA(t: Double): Double =
+      if (alpha == 0.5) math.sqrt(t) else math.pow(t, alpha)
+    val denom = totals.foldLeft(0.0d) { case (a, (_, t)) => a + powA(t.toDouble) }
+    totals.map { case (s, t) =>
+      s -> powA(t.toDouble) / denom * budgetTokens / t.toDouble }.toMap
+  }
+
+  /** [[temperatureEpochs]] composed with [[mixEpochs]] — the full
+    * α-temperature mixing pass. */
+  def mixTemperature(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, alpha: Double, budgetTokens: Long): DataFrame =
+    mixEpochs(docs, idCol, sourceCol,
+      temperatureEpochs(docs, sourceCol, textCol, alpha, budgetTokens))
+
   /** Token-budgeted shard packing — the sharding step before training:
     * within each stream (e.g. language), documents in `idCol` order are
     * assigned `shard_id = floor(preceding_cum_tokens / budget)` (the

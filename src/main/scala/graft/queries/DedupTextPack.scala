@@ -284,6 +284,16 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Temperature-based mixing (Pile/Dolma α-sampling): per-source
+    // epochs derived from token totals at α = 0.5 against a 30k-token
+    // budget — small sources upweight, large ones downsample — realized
+    // through the same md5-uniform fractional machinery as tx_mix_epochs.
+    "tx_mix_temperature" -> ((s, dir) => {
+      TextAnalysis.mixTemperature(docs(s, dir), "doc_id", "source", "text",
+          alpha = 0.5, budgetTokens = 30000L)
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Sequence packing one level below the shards: each lang stream's
     // documents concatenate (in id order) into fixed 128-token training
     // sequences, documents SPANNING sequence boundaries (GPT-style
@@ -740,6 +750,39 @@ object DedupTextPack extends QueryPack {
         |SELECT lang, doc_id, n_tokens,
         |  CAST(floor(prev / 1000.0) AS BIGINT) AS shard_id
         |FROM s ORDER BY lang, doc_id""".stripMargin,
+
+    // Epochs re-derived: exact long totals, sqrt (correctly rounded in
+    // every IEEE engine), normalizer folded in SOURCE-NAME ORDER, the
+    // identical left-associated arithmetic — then the tx_mix_epochs
+    // realization verbatim.
+    "tx_mix_temperature" ->
+      """WITH tot AS (
+        |  SELECT source,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS t
+        |  FROM documents GROUP BY source),
+        |den AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list(t ORDER BY source), x -> sqrt(x::DOUBLE))),
+        |    (a, b) -> a + b) AS d
+        |  FROM tot),
+        |ep AS (
+        |  SELECT tot.source,
+        |    sqrt(tot.t::DOUBLE) / den.d * 30000 / tot.t::DOUBLE AS e
+        |  FROM tot, den),
+        |w AS (
+        |  SELECT doc.doc_id, doc.source, ep.e,
+        |    ('0x' || substr(md5('mix:' || CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents doc JOIN ep ON doc.source = ep.source),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(e) +
+        |      CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS INTEGER)
+        |      AS n_epochs
+        |  FROM w)
+        |SELECT doc_id, source, CAST(u.i AS INTEGER) AS epoch
+        |FROM n, LATERAL unnest(range(0, n_epochs)) u(i)
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // Same prefix-sum offsets, then one row per (doc, touched sequence)
     // via range() — integer // division matches Spark's `div` exactly.

@@ -302,6 +302,21 @@ object RelationalPack extends QueryPack {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // W-series: RANGE-frame window (vs q17's ROWS frame) — trailing
+    // 30-day revenue per customer, the frame bounded by the ORDER-BY
+    // VALUE (epoch seconds), so date ties share one frame and the result
+    // is row-order independent. Same one-shuffle window shape as q17.
+    "q38_range_window" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("d", unix_timestamp(col("o_orderdate")))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+        .rangeBetween(-30L * 86400L, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec2)).over(w)
+            .cast("double").as("sum_30d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Z-order clustering key under the gate: the Morton key Layout.zorderBy
     // writes by (8-bit equi-width bins over (user_id, value), bits
     // interleaved) re-derived per row — closed-form IEEE arithmetic plus
@@ -678,6 +693,16 @@ object RelationalPack extends QueryPack {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // RANGE frame over the same epoch values — DuckDB's epoch() doubles
+    // and Spark's unix_timestamp longs agree on midnight timestamps.
+    "q38_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sum_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // Same equi-width bins ((v-mn)/(mx-mn)*255, floored, capped) and the
     // same 16-term bit interleave — every operation IEEE/integer-exact.

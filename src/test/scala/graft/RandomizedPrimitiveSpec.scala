@@ -273,6 +273,32 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureEpochs conserves the token budget, upweights small " +
+      "sources at alpha < 1, and degenerates to uniform epochs at alpha = 1") {
+    val rnd = new scala.util.Random(808)
+    val docs = (0L until 400L).map { i =>
+      val src = s"s${i % 4}"
+      val n = 1 + (if (src == "s0") rnd.nextInt(5) else 20 + rnd.nextInt(40))
+      (i, src, Seq.fill(n)("w").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val totals = docs.groupBy(_._2)
+      .map { case (s, rows) =>
+        s -> rows.map(_._3.split("\\s+").length.toLong).sum }
+    val B = 10000L
+    val eps = TextAnalysis.temperatureEpochs(df, "source", "text",
+      alpha = 0.5, budgetTokens = B)
+    // sum over sources of epochs*tokens = the budget (p_s sums to 1)
+    val spent = eps.map { case (s, e) => e * totals(s) }.sum
+    assert(math.abs(spent - B) < 1e-6 * B, s"spent $spent of $B")
+    // the small source gets MORE epochs than every big one at alpha<1
+    assert(Seq("s1", "s2", "s3").forall(s => eps("s0") > eps(s)), eps.toString)
+    // alpha=1: every source runs the same fraction of an epoch
+    val e1 = TextAnalysis.temperatureEpochs(df, "source", "text",
+      alpha = 1.0, budgetTokens = B).values.toSeq
+    assert(e1.forall(v => math.abs(v - e1.head) < 1e-12), e1.toString)
+  }
+
   test("modelScore equals a plain-Scala md5-hash + weight-table reference " +
       "on 400 random docs; keep flips exactly at the zero margin") {
     val docs = randomDocs(seed = 707).filter(_._2.nonEmpty)
