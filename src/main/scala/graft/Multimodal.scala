@@ -181,6 +181,81 @@ object Multimodal {
     graft.operators.Dedup.bandedHammingPairs(
       hashed, idCol, hashCol, PhashBits, maxHamming, bands)
 
+  /** Pure column-math twin of [[StubPixelDecoder]].decodeGray + [[dHash]]
+    * over the payload TEXT: per-cell pixel = first-4-hex md5 of the cell's
+    * text slice, bit r·(C−1)+c set when px(r,c+1) > px(r,c). This is the
+    * engine-reproducibility contract the DuckDB oracles re-derive
+    * (StreamingMultimodalSpec pins it equal to the JVM decoder on every
+    * fixture row); use it when the hash must ride a codegen plan — e.g.
+    * per-frame hashing after an explode — instead of a mapPartitions
+    * decode pass. */
+  def phashColumn(txt: Column): Column = {
+    val n = PhashGridRows * PhashGridCols
+    val len = length(txt)
+    val pxArr = transform(sequence(lit(0), lit(n - 1)), i => {
+      val start = floor(i * len / n).cast("int")
+      val fin = floor((i + lit(1)) * len / n).cast("int")
+      conv(substring(md5(encode(txt.substr(start + 1, fin - start), "UTF-8")),
+        1, 4), 16, 10).cast("long")
+    })
+    val powers = array((0 until PhashBits).map(i => lit(1L << i)): _*)
+    val bools = (px: Column) =>
+      transform(sequence(lit(0), lit(PhashBits - 1)), i => {
+        val base = floor(i / (PhashGridCols - 1)).cast("int") *
+          PhashGridCols + pmod(i, lit(PhashGridCols - 1)).cast("int")
+        element_at(px, base + 2) > element_at(px, base + 1)
+      })
+    // single expression: bind px via a one-element transform (no
+    // intermediate column needed at call sites)
+    element_at(transform(array(pxArr), px =>
+      aggregate(zip_with(bools(px), powers,
+          (b, p) => when(b, p).otherwise(0L)),
+        lit(0L), (a, b) => a + b)), 1)
+  }
+
+  /** Deterministic per-(frame-scene) variant of a payload text: replace
+    * ONE char at a scene-dependent position (same length — the
+    * [[midCharVariant]] contract generalized), so frames inside a scene
+    * decode identically and scene boundaries move a bounded number of
+    * dHash cells. The fixture analog of a video whose content holds for a
+    * few frames and then cuts. */
+  def frameVariant(text: Column, scene: Column): Column = {
+    val pos = pmod(scene * 7, greatest(length(text) - 1, lit(1))).cast("int")
+    when(length(text) < 2, text)
+      .otherwise(concat(text.substr(lit(1), pos), lit("~"),
+        text.substr(pos + lit(2), length(text))))
+  }
+
+  /** Scene-change keyframe selection — the standard shot-boundary pass a
+    * video ingestion pipeline runs before captioning/embedding: hash
+    * every sampled frame (here the [[phashColumn]] stub-decode twin so
+    * the whole pass is one codegen plan), compare each frame to its
+    * predecessor per media (lag window), and flag frames whose hamming
+    * distance jumps. Frame 0 is always a keyframe (hamming reported −1).
+    *
+    * Scale shape: bounded explode (n_frames per video), map-side
+    * per-frame hashing — the payload column never shuffles; only
+    * (media_id, frame, 8-byte hash) enters the lag window's single
+    * media-partitioned shuffle. Input: `(media_id, text, n_frames)`.
+    * Returns `(media_id, f, hamming, is_key)`. */
+  def keyframes(videos: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = videos
+      .repartition(videos.sparkSession.sparkContext.defaultParallelism)
+      .select(col("media_id"), col("text"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("f"))
+      .withColumn("scene", floor(col("f") / 5).cast("int"))
+      .withColumn("ph", phashColumn(frameVariant(col("text"), col("scene"))))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("f"))
+    frames.withColumn("prev", lag(col("ph"), 1).over(w))
+      .select(col("media_id"), col("f"),
+        when(col("prev").isNull, lit(-1))
+          .otherwise(bit_count(col("ph").bitwiseXOR(col("prev"))))
+          .cast("int").as("hamming"),
+        (col("prev").isNull ||
+          col("ph").bitwiseXOR(col("prev")) =!= 0L).as("is_key"))
+  }
+
   /** Deterministic re-encode-noise variant of a payload text: one
     * code-point substitution at the midpoint — same length, so the
     * [[StubPixelDecoder]] cell boundaries are unchanged and exactly one

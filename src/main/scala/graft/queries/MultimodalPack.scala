@@ -77,6 +77,21 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Scene-change keyframes: every video's sampled frames hashed with
+    // the stub-decode COLUMN twin (one codegen plan, no mapPartitions),
+    // lag-compared per media, boundary frames flagged — the shot-boundary
+    // pass before captioning/embedding. Scenes are 5 frames of identical
+    // content with a one-char "cut" between them, so keys land at scene
+    // starts.
+    "mm_keyframes" -> ((s, dir) => {
+      val v = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id").as("media_id"), col("text"),
+          (pmod(length(encode(col("text"), "UTF-8")), lit(30)) + 1)
+            .cast("int").as("n_frames"))
+      Multimodal.keyframes(v).orderBy(col("media_id"), col("f"))
+    }),
+
     // Image duplicate GROUPS: the pairs above through the same proven
     // connected-components path the text side uses (dd_clusters) — the
     // media_id → representative mapping an image dedup pipeline acts on
@@ -175,6 +190,51 @@ object MultimodalPack extends QueryPack {
         |FROM h a JOIN h b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Frame fan-out, scene variant, the same md5-cell dHash as the phash
+    // oracles keyed (media_id, frame), then the lag comparison.
+    "mm_keyframes" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, text, CAST(u.i AS INTEGER) AS f,
+        |    CAST(u.i // 5 AS INTEGER) AS scene
+        |  FROM v, LATERAL unnest(range(0, n_frames)) u(i)),
+        |ft AS (
+        |  SELECT media_id, f,
+        |    CASE WHEN length(text) < 2 THEN text
+        |      ELSE substr(text, 1, pos) || '~' || substr(text, pos + 2) END
+        |      AS ftext
+        |  FROM (SELECT *, CAST((scene * 7) % greatest(length(text) - 1, 1)
+        |          AS INTEGER) AS pos FROM fr)),
+        |m AS (SELECT media_id, f, ftext AS text, length(ftext) AS L FROM ft),
+        |cells AS (
+        |  SELECT media_id, f, i,
+        |    ('0x' || substr(md5(substr(text, CAST((i * L) // 66 AS INTEGER) + 1,
+        |       CAST(((i + 1) * L) // 66 AS INTEGER)
+        |         - CAST((i * L) // 66 AS INTEGER))), 1, 4))::BIGINT AS px
+        |  FROM m, range(0, 66) t(i)),
+        |bits AS (
+        |  SELECT a.media_id, a.f,
+        |    CASE WHEN b.px > a.px
+        |      THEN 1::BIGINT << CAST((a.i // 11) * 10 + (a.i % 11) AS INTEGER)
+        |      ELSE 0::BIGINT END AS p
+        |  FROM cells a JOIN cells b
+        |    ON b.media_id = a.media_id AND b.f = a.f AND b.i = a.i + 1
+        |  WHERE a.i % 11 < 10),
+        |h AS (SELECT media_id, f, CAST(sum(p) AS BIGINT) AS ph
+        |      FROM bits GROUP BY media_id, f),
+        |lagged AS (
+        |  SELECT media_id, f, ph,
+        |    lag(ph) OVER (PARTITION BY media_id ORDER BY f) AS prev
+        |  FROM h)
+        |SELECT media_id, f,
+        |  CAST(CASE WHEN prev IS NULL THEN -1
+        |    ELSE bit_count(xor(ph, prev)) END AS INTEGER) AS hamming,
+        |  (prev IS NULL OR xor(ph, prev) <> 0) AS is_key
+        |FROM lagged ORDER BY media_id, f""".stripMargin,
 
     // Same pair derivation + the recursive-CTE reachability twin that
     // gates the text-side cluster engines (dd_clusters convention).

@@ -294,29 +294,11 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val media = phashMedia(TestSpark.sfDir)
     val viaDecoder = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    // twin: identical bit math as column expressions over the payload text
-    val n = Multimodal.PhashGridRows * Multimodal.PhashGridCols
-    val txt = decode(col("payload"), "UTF-8")
-    val len = length(txt)
-    val pxArr = transform(sequence(lit(0), lit(n - 1)), i => {
-      val start = floor(i * len / n).cast("int")
-      val fin = floor((i + lit(1)) * len / n).cast("int")
-      conv(substring(md5(encode(txt.substr(start + 1, fin - start), "UTF-8")),
-        1, 4), 16, 10).cast("long")
-    })
-    val powers = array((0 until Multimodal.PhashBits).map(i =>
-      lit(1L << i)): _*)
-    val bools = transform(sequence(lit(0), lit(Multimodal.PhashBits - 1)),
-      i => {
-        val base = floor(i / (Multimodal.PhashGridCols - 1)).cast("int") *
-          Multimodal.PhashGridCols +
-          pmod(i, lit(Multimodal.PhashGridCols - 1)).cast("int")
-        element_at(col("px"), base + 2) > element_at(col("px"), base + 1)
-      })
-    val viaColumns = media.withColumn("px", pxArr)
+    // twin: the SAME column expression production code ships
+    // (Multimodal.phashColumn — the mm_keyframes per-frame hash path)
+    val viaColumns = media
       .select(col("media_id"),
-        aggregate(zip_with(bools, powers, (b, p) => when(b, p).otherwise(0L)),
-          lit(0L), (a, b) => a + b).as("phash"))
+        Multimodal.phashColumn(decode(col("payload"), "UTF-8")).as("phash"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaDecoder.nonEmpty && viaDecoder == viaColumns)
   }
