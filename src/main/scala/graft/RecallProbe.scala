@@ -73,6 +73,14 @@ object RecallProbe {
       val qsAll = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exAll = Knn.topKPerQuery(e, qsAll, k = 10)
+      val annSq8Batch = Ann.searchSq8Batch(e, Ann.quantizeSq8(e), qsAll,
+        k = 10, overfetch = 4)
+      exAll.join(annSq8Batch.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .orderBy("qid").collect()
+        .foreach(r => println(
+          f"ann_sq8_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
       val annPqBatch = Ann.searchIvfPqBatch(ivf, index, cb2, e, qsAll,
         nprobe = 16, k = 10, overfetch = 16)
       exAll.join(annPqBatch.select(col("qid"), col("vec_id")),

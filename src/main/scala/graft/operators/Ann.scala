@@ -703,6 +703,15 @@ object Ann {
       .withColumn("rn", row_number().over(cw))
       .filter(col("rn") <= k * overfetch)
       .select(col("qid"), col(idCol))
+    rescoreExactBatch(emb, cands, queries, k, idCol, vecCol)
+  }
+
+  /** Per-query exact rescore shared by the batch tiers: candidates
+    * `(qid, idCol)` joined back to the full-precision vectors, scored,
+    * top-k per qid. Both join sides the big relation sees are bounded
+    * (|Q|·k·overfetch candidate ids, |Q| query vectors) and broadcast. */
+  private def rescoreExactBatch(emb: DataFrame, cands: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
     val kw = Window.partitionBy(col("qid"))
       .orderBy(col("simil").desc, col(idCol))
     emb.join(broadcast(cands), Seq(idCol))
@@ -712,6 +721,26 @@ object Ann {
       .withColumn("rn", row_number().over(kw))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** Batch SQ8: the int8 coarse-scan tier for a whole query SET — one
+    * codegen [[sq8Cosine]] pass over the 4×-smaller quantized relation
+    * scores |corpus|·|Q| pairs (the scan reads the codes ONCE; the
+    * query side is broadcast), a qid-partitioned window keeps each
+    * query's k·overfetch, and the shared exact rescore finishes. The
+    * batch twin of [[searchSq8]]. */
+  def searchSq8Batch(emb: DataFrame, quantized: DataFrame,
+      queries: DataFrame, k: Int, overfetch: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col(idCol))
+    val cands = quantized.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol),
+        sq8Cosine(col("q8"), col("scale"), col("qvec")).as("qsim"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= k * overfetch)
+      .select(col("qid"), col(idCol))
+    rescoreExactBatch(emb, cands, queries, k, idCol, vecCol)
   }
 
   /** Native whole-stage-codegen ADC column over (codes, query vector) —

@@ -121,6 +121,25 @@ object AnnPack extends QueryPack {
       Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.9)
     }),
 
+    // Batch SQ8: the int8 coarse tier for 5 queries in one plan — the
+    // quantized relation scans ONCE, the query side broadcasts, each
+    // query keeps its own overfetch + exact rescore. Per-query recall
+    // grading like the other quantized tiers.
+    "ann_sq8_batch_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ann = Ann.searchSq8Batch(e, Ann.quantizeSq8(e), qs,
+        k = 10, overfetch = 4)
+      // measured per-query fixture recall 10/10 for every query at BOTH
+      // sf0.01 and sf0.1 (RecallProbe); floor at 0.9 = one hit of slack,
+      // the single-query sq8 convention (float32 quantization boundary)
+      Ann.recallVsExact(Knn.topKPerQuery(e, qs, k = 10), ann,
+          k = 10, minRecall = 0.9)
+        .orderBy(col("qid"))
+    }),
+
     // Pre-ANN preprocessing: corpus mean-centering + L2 normalization.
     // Output is boundary-safe: the centered norm and the first two
     // normalized components, rounded (the full array is spec-checked).
@@ -374,6 +393,20 @@ object AnnPack extends QueryPack {
     // corpus): each query's exact top-1 is itself (queries are corpus
     // vectors), and the gate boolean must come back true.
     "ann_ivfpq_batch_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // Per-query recall-gate oracle, the ann_ivfpq_batch_topk shape.
+    "ann_sq8_batch_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
         |  FROM embeddings WHERE vec_id < 5),
