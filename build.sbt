@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the r9 bench degraded progressively on an 8g heap —
+  // localCheckpoint blocks of the tokenized sf0.1 corpus from prior runs
+  // pile into a 4.6 GiB storage budget until GC thrash inflates the last
+  // queries' canaries (BENCH_r09 tx_corpus_ready canaries [0.32,2.39,…]
+  // vs floor 0.169). The box has 128 GiB; 24g keeps block storage and
+  // execution comfortably clear of the collector.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

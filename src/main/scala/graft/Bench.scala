@@ -20,7 +20,7 @@ object Bench {
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs", "dd_span_scrub",
     "tx_langid", "ann_ivf_topk", "ann_ivf_append_topk", "ann_ivf_batch_topk",
-    "ann_ivf_kmeans_topk", "ann_sq8_topk",
+    "ann_ivf_kmeans_topk", "ann_sq8_topk", "ann_sq8_batch_topk",
     "ann_pq_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
     "emb_align_filter", "mm_phash_pairs",
@@ -164,11 +164,6 @@ object Bench {
     val allRunsJson = mutable.ArrayBuffer.empty[String]
     val slowRunsJson = mutable.ArrayBuffer.empty[String]
     val results = selected.filter(qs.contains).map { name =>
-      // deterministic cleanup OUTSIDE the timed path: flushes the
-      // ContextCleaner's reference queue (shuffles/broadcasts of previous
-      // queries) so neither the accumulation nor the periodic GC's own
-      // pause lands inside a timed run
-      System.gc()
       // the canary gets its OWN try: a canary failure must not record the
       // query under test as failed (-1) when that query never ran — it
       // reports -1 canary (= unadjudicable run) and the timed run proceeds
@@ -203,6 +198,15 @@ object Bench {
         (dt, snap)
       }
       val runs = try (1 to runsPerQuery).map { _ =>
+          // deterministic cleanup OUTSIDE the timed path, before EVERY
+          // run (not once per query): localCheckpoint blocks of the
+          // previous run are freed by the ContextCleaner only after the
+          // RDDs are GC'd, and checkpoint-heavy queries (tx_corpus_ready
+          // pins several tokenized-corpus copies per run) otherwise
+          // accumulate run-over-run until storage eviction + GC thrash
+          // degrade the session's tail — BENCH_r09's last-query canaries
+          // hit 2.4 s against a 0.169 s floor exactly this way.
+          System.gc()
           val c = canary()
           val (dt, snap) = once()
           System.err.println(f"[bench] $name run: $dt%.3f s (canary $c%.3f s)")

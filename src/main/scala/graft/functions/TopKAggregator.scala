@@ -42,6 +42,8 @@ class TopKAggregator(k: Int)
   override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
     Encoders.kryo[Seq[(Long, Double)]]
 
+  // a structural (not kryo) encoder so the untyped-udaf form yields a
+  // real array<struct<_1,_2>> column that explode/getField can consume
   override def outputEncoder: Encoder[Seq[(Long, Double)]] =
-    Encoders.kryo[Seq[(Long, Double)]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }

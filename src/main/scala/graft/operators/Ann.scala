@@ -286,15 +286,12 @@ object Ann {
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id"))
-    val kw = Window.partitionBy(col("qid"))
-      .orderBy(col("simil").desc, col(idCol))
-    ivf.assignments
-      .join(broadcast(probed), Seq("centroid_id"))
-      .select(col("qid"), col(idCol),
-        Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-      .withColumn("rn", row_number().over(kw))
-      .filter(col("rn") <= k)
-      .drop("rn")
+    Knn.groupedTopK(
+      ivf.assignments
+        .join(broadcast(probed), Seq("centroid_id"))
+        .select(col("qid"), col(idCol),
+          Graft.cosine(col(vecCol), col("qvec")).as("simil")),
+      k, idCol, "simil")
   }
 
   /** Batch ANN: one `approxSimilarityJoin` for a whole query SET — no
@@ -588,8 +585,9 @@ object Ann {
     * same code budget carries more ranking information (measured here:
     * recall@10 rose from 6/10 to 9/10 at sf0.1 on the md5 build at
     * identical index bytes). The residual dependency makes coarse → PQ
-    * inherently sequential (the overlap the raw-vector form enjoyed is
-    * gone), which is the standard train-time price of the layout. */
+    * sequential (the overlap the raw-vector form enjoyed is gone) — the
+    * recoverable concurrency is codebook-fit ∥ encode-input
+    * materialization, which the build below runs as two concurrent jobs. */
   def buildIvfPq(emb: DataFrame, numCentroids: Int = 32, m: Int = 16,
       ksub: Int = 32, idCol: String = "vec_id",
       vecCol: String = "embedding",
@@ -604,16 +602,25 @@ object Ann {
     // default codebook sample is SALTED — see buildPqCodebook: unsalted it
     // would sample the coarse-centroid rows themselves, whose residuals
     // are zero.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val ivf = coarse(emb, numCentroids, idCol, vecCol)
-    // materialize the residual relation ONCE (eager localCheckpoint):
-    // both the codebook training sample and the encode pass read it, and
-    // each would otherwise re-run the full N·C assignment join — measured
-    // 2× the build cost at sf0.1. At 100 TB the same holds: FAISS-style
-    // train+add also materializes its training view of the data rather
-    // than recomputing the coarse assignment per consumer.
-    val res = withResiduals(ivf.assignments, ivf.centroids, idCol, vecCol)
-      .localCheckpoint(true)
-    val cb = codebook(res, m, ksub, idCol, "residual")
+    // the ENCODE pass reads a materialized residual relation (eager
+    // localCheckpoint) so it never re-runs the N·C assignment join; the
+    // codebook FIT takes its own residual view and runs CONCURRENTLY with
+    // that materialization (the fit bounds its input itself — hash-slice
+    // sample, coalesce, cache — so the only duplicated work is one
+    // assignment pass, paid in parallel instead of serially; r9 verdict:
+    // the fit was serialized behind the checkpoint for no dependency
+    // reason). The coarse → residual dependency itself is real (true
+    // IVFADC trains on x − centroid(x)) — the overlap is fit ∥ encode-
+    // input materialization, not fit ∥ coarse.
+    val resView = withResiduals(ivf.assignments, ivf.centroids, idCol, vecCol)
+    val resF = Future { resView.localCheckpoint(true) }
+    val cbF = Future { codebook(resView, m, ksub, idCol, "residual") }
+    val res = Await.result(resF, Duration.Inf)
+    val cb = Await.result(cbF, Duration.Inf)
     // the index keeps the centroid (partition pruning) and the norm (the
     // cosine denominator ADC needs) — same arithmetic as encodeIvfPq,
     // which append/rebuild parity is spec-asserted against
@@ -692,16 +699,14 @@ object Ann {
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id"), col("qc"))
-    val cw = Window.partitionBy(col("qid"))
-      .orderBy(col("est").desc, col(idCol))
-    val cands = index
-      .join(broadcast(probed), Seq("centroid_id"))
-      .select(col("qid"), col(idCol),
-        when(col("vnorm") > 0.0f,
-          (col("qc") + adcIp(cb, col("codes"), col("qvec"))) / col("vnorm"))
-          .otherwise(lit(0.0d)).as("est"))
-      .withColumn("rn", row_number().over(cw))
-      .filter(col("rn") <= k * overfetch)
+    val cands = Knn.groupedTopK(
+      index
+        .join(broadcast(probed), Seq("centroid_id"))
+        .select(col("qid"), col(idCol),
+          when(col("vnorm") > 0.0f,
+            (col("qc") + adcIp(cb, col("codes"), col("qvec"))) / col("vnorm"))
+            .otherwise(lit(0.0d)).as("est")),
+      k * overfetch, idCol, "est")
       .select(col("qid"), col(idCol))
     rescoreExactBatch(emb, cands, queries, k, idCol, vecCol)
   }
@@ -711,17 +716,13 @@ object Ann {
     * top-k per qid. Both join sides the big relation sees are bounded
     * (|Q|·k·overfetch candidate ids, |Q| query vectors) and broadcast. */
   private def rescoreExactBatch(emb: DataFrame, cands: DataFrame,
-      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame = {
-    val kw = Window.partitionBy(col("qid"))
-      .orderBy(col("simil").desc, col(idCol))
-    emb.join(broadcast(cands), Seq(idCol))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col(idCol),
-        Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-      .withColumn("rn", row_number().over(kw))
-      .filter(col("rn") <= k)
-      .drop("rn")
-  }
+      queries: DataFrame, k: Int, idCol: String, vecCol: String): DataFrame =
+    Knn.groupedTopK(
+      emb.join(broadcast(cands), Seq(idCol))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col(idCol),
+          Graft.cosine(col(vecCol), col("qvec")).as("simil")),
+      k, idCol, "simil")
 
   /** Batch SQ8: the int8 coarse-scan tier for a whole query SET — one
     * codegen [[sq8Cosine]] pass over the 4×-smaller quantized relation
@@ -732,13 +733,11 @@ object Ann {
   def searchSq8Batch(emb: DataFrame, quantized: DataFrame,
       queries: DataFrame, k: Int, overfetch: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cw = Window.partitionBy(col("qid"))
-      .orderBy(col("qsim").desc, col(idCol))
-    val cands = quantized.crossJoin(broadcast(queries))
-      .select(col("qid"), col(idCol),
-        sq8Cosine(col("q8"), col("scale"), col("qvec")).as("qsim"))
-      .withColumn("rn", row_number().over(cw))
-      .filter(col("rn") <= k * overfetch)
+    val cands = Knn.groupedTopK(
+      quantized.crossJoin(broadcast(queries))
+        .select(col("qid"), col(idCol),
+          sq8Cosine(col("q8"), col("scale"), col("qvec")).as("qsim")),
+      k * overfetch, idCol, "qsim")
       .select(col("qid"), col(idCol))
     rescoreExactBatch(emb, cands, queries, k, idCol, vecCol)
   }

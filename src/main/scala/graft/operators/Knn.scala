@@ -39,14 +39,38 @@ object Knn {
   /** Top-k per query for a small set of query vectors
     * (`qid: long, qvec: array<float>`). One scan of `emb` total. */
   def topKPerQuery(emb: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = emb.crossJoin(broadcast(queries))
-      .select(col("qid"), col(idCol),
-        Graft.cosine(col(vecCol), col("qvec")).as("simil"))
-    val w = Window.partitionBy(col("qid")).orderBy(desc("simil"), col(idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    groupedTopK(
+      emb.crossJoin(broadcast(queries))
+        .select(col("qid"), col(idCol),
+          Graft.cosine(col(vecCol), col("qvec")).as("simil")),
+      k, idCol, "simil")
+
+  /** Grouped top-k over `(qid, idCol, scoreCol)` rows as a PARTIAL-
+    * aggregable bounded-heap aggregate ([[graft.functions.TopKAggregator]])
+    * instead of a `row_number` window: each map partition reduces to ≤k
+    * rows per qid BEFORE the shuffle, and the per-qid reducer merges
+    * partitions·k candidates — so no single task ever sorts a query's
+    * whole corpus scan (the window form funnels |corpus| rows per qid
+    * into one task; r9 advisory). Shuffle volume is k·|Q|·partitions,
+    * independent of corpus size. Ordering contract matches the window
+    * form exactly: score desc, id asc (spec-checked equal).
+    *
+    * Output: `(qid, idCol, scoreCol)` with idCol/scoreCol types restored
+    * to the input's. */
+  def groupedTopK(scored: DataFrame, k: Int, idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    val idType = scored.schema(idCol).dataType
+    val scoreType = scored.schema(scoreCol).dataType
+    val topk = F.udaf(new graft.functions.TopKAggregator(k),
+      Encoders.product[(Long, Double)])
+    scored
+      .groupBy(col("qid"))
+      .agg(topk(col(idCol).cast("long"), col(scoreCol).cast("double")).as("tops"))
+      .select(col("qid"), explode(col("tops")).as("p"))
+      .select(col("qid"), col("p._1").cast(idType).as(idCol),
+        col("p._2").cast(scoreType).as(scoreCol))
   }
 
   /** Score fusion: sum similarity per candidate across query expansions,
