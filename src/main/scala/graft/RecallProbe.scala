@@ -70,6 +70,19 @@ object RecallProbe {
           q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      val cbLl = Ann.buildPqCodebookLloyd(e, m = 16, ksub = 32, maxIter = 5)
+      hits("ann_pq_lloyd(fused)", Ann.searchPq(e, Ann.pqEncode(e, cbLl), cbLl,
+          q.select(col("qvec")), k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val (ivfF, indexF, cbF) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32,
+        coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+        codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
+      hits("ann_ivfpq_lloyd(fused)", Ann.searchIvfPq(ivfF, indexF, cbF, e,
+          q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
       val qsAll = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exAll = Knn.topKPerQuery(e, qsAll, k = 10)

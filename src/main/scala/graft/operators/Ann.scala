@@ -521,6 +521,87 @@ object Ann {
     } finally fitSet.unpersist(blocking = false)
   }
 
+  /** LEARNED PQ codebooks, all `m` subspace fits FUSED into one plan per
+    * Lloyd round — same objective as [[buildPqCodebookKMeans]] (per-
+    * subspace k-means on the subvectors, squared L2, Jégou 2011 §III) but
+    * a different execution shape: instead of m concurrent MLlib fits
+    * (each init + maxIter rounds = its own job chain; ~7·m tiny jobs
+    * serialized through one DAGScheduler — measured a 1.4 s floor at
+    * sf0.1 for m=16, pure scheduling), every round here is ONE job whose
+    * assignment step IS the production encoder:
+    *
+    *  - assignment: the native whole-stage-codegen [[pqEncode]] pass
+    *    against the current centers (argmin per subspace, first-on-tie —
+    *    exactly the cluster assignment Lloyd needs, already proven
+    *    against its HOF twin);
+    *  - update: `posexplode` the vector, recover `(j = pos / dsub,
+    *    p = pos mod dsub, c = codes[j])`, one hash-agg `avg` over the
+    *    m·ksub·dsub bounded groups; empty clusters keep their previous
+    *    center (the MLlib convention).
+    *
+    * Init is the salted-md5 deterministic row sample sliced into every
+    * subspace ([[buildPqCodebook]]'s exact convention — so iteration 0
+    * equals the sample codebook and each round only improves it).
+    * Total jobs: checkpoint + init + maxIter — independent of m.
+    * Learned-center quality is spec-gated (plain-Scala Lloyd reference +
+    * reconstruction-MSE vs the sample codebook) and the composed index
+    * recall-gated, like every learned tier.
+    *
+    * Scale shape: the fit set is a bounded hash slice (`fitFraction`)
+    * materialized once; each round scans it with codegen map work and
+    * shuffles only the m·ksub·dsub partial means. The collect is the
+    * codebook itself (bounded), exactly the [[buildPqCodebookKMeans]]
+    * boundary. */
+  def buildPqCodebookLloyd(emb: DataFrame, m: Int, ksub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 5, fitFraction: Double = 1.0,
+      fitPartitions: Int = 4, salt: String = "lloyd:"): Seq[Seq[Seq[Float]]] = {
+    require(ksub <= 256, s"ksub=$ksub exceeds what a byte code can index")
+    val sampled =
+      if (fitFraction >= 1.0) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) < (fitFraction * 1e6).toLong)
+    // materialize the bounded fit slice once; init + every round read it.
+    // The dim probe reads the CHECKPOINTED slice — probing `emb` first
+    // would run the upstream plan (a full residual-assignment pass in the
+    // IVFADC composition) for a single head() row.
+    val fit = sampled
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .coalesce(fitPartitions)
+      .localCheckpoint(true)
+    val dim = fit.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+    val dsub = dim / m
+    val sample = fit
+      .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
+      .limit(ksub)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    require(sample.length == ksub,
+      s"fit set too small: need $ksub rows, got ${sample.length}")
+    var centers: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) {
+      (j, c) => sample(c).slice(j * dsub, (j + 1) * dsub).toArray }
+    val j = (col("pos") / lit(dsub)).cast("int")
+    for (_ <- 1 to maxIter) {
+      val cb = centers.map(_.map(_.toSeq).toSeq).toSeq
+      val means = pqEncode(fit, cb, "id", "v", keep = Seq("v"))
+        .select(col("codes"), posexplode(col("v")))
+        .select(j.as("j"), pmod(col("pos"), lit(dsub)).as("p"),
+          pmod(element_at(col("codes"), j + 1).cast("int"), lit(256)).as("c"),
+          col("col").cast("double").as("x"))
+        .groupBy(col("j"), col("c"), col("p"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val next = centers.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3).toFloat
+      }
+      centers = next
+    }
+    centers.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
   /** PQ-encode every vector: `codes[j] = argmin_c ‖sub_j(v) − cb[j][c]‖²`
     * (ties to the smallest code). One map pass through the native
     * [[graft.functions.PqEncode]] expression — a flat whole-stage-codegen

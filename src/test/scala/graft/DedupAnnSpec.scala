@@ -441,6 +441,75 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rL >= rS - 1, s"learned recall $rL vs sample $rS")
   }
 
+  test("fused-Lloyd PQ codebook: equals a plain-Scala Lloyd reference " +
+      "component-wise, and matches the MLlib per-subspace fit's quality " +
+      "(MSE within 5%, recall within one hit)") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val m = 16; val ksub = 32; val maxIter = 5
+    val fused = Ann.buildPqCodebookLloyd(e, m, ksub, maxIter = maxIter)
+
+    // plain-Scala reference: identical init (salted-md5 row sample,
+    // buildPqCodebook's convention), argmin first-on-tie, empty cluster
+    // keeps its center, means as double sums
+    val rows = e.select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = rows.head._2.length; val dsub = dim / m
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sample = rows.sortBy { case (id, _) => (md5hex(s"lloyd:$id"), id) }
+      .take(ksub).map(_._2)
+    var ref: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) {
+      (j, c) => sample(c).slice(j * dsub, (j + 1) * dsub) }
+    for (_ <- 1 to maxIter) {
+      val sums = Array.fill(m, ksub)(new Array[Double](dsub))
+      val counts = Array.ofDim[Long](m, ksub)
+      rows.foreach { case (_, v) =>
+        for (j <- 0 until m) {
+          val sub = v.slice(j * dsub, (j + 1) * dsub)
+          var bestC = 0; var bestD = Double.MaxValue
+          for (c <- 0 until ksub) {
+            var d = 0.0
+            for (p <- 0 until dsub) {
+              val t = (sub(p) - ref(j)(c)(p)).toDouble; d += t * t
+            }
+            if (d < bestD) { bestD = d; bestC = c }
+          }
+          counts(j)(bestC) += 1
+          for (p <- 0 until dsub) sums(j)(bestC)(p) += sub(p)
+        }
+      }
+      ref = Array.tabulate(m, ksub) { (j, c) =>
+        if (counts(j)(c) == 0) ref(j)(c)
+        else Array.tabulate(dsub)(p => (sums(j)(c)(p) / counts(j)(c)).toFloat)
+      }
+    }
+    for (j <- 0 until m; c <- 0 until ksub; p <- 0 until dsub)
+      assert(math.abs(fused(j)(c)(p) - ref(j)(c)(p)) < 1e-4f,
+        s"center[$j][$c][$p]: fused ${fused(j)(c)(p)} vs ref ${ref(j)(c)(p)}")
+
+    // quality parity with the MLlib execution of the same objective
+    def mse(cb: Seq[Seq[Seq[Float]]]): Double =
+      Ann.pqEncode(e, cb, keep = Seq("embedding"))
+        .select(Ann.adc(cb, col("codes"), col("embedding")).as("err"))
+        .agg(avg(col("err"))).head().getDouble(0)
+    val mllib = Ann.buildPqCodebookKMeans(e, m, ksub, maxIter = maxIter)
+    val (mseF, mseM) = (mse(fused), mse(mllib))
+    assert(mseF <= mseM * 1.05,
+      f"fused MSE $mseF%.5f vs MLlib $mseM%.5f (different inits; " +
+        "5% band, both spec-bounded below the sample codebook)")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.topK(e, q, k = 10).select(col("vec_id"))
+      .localCheckpoint(true)
+    def recall(cb: Seq[Seq[Seq[Float]]]): Long =
+      exact.join(
+        Ann.searchPq(e, Ann.pqEncode(e, cb), cb, q, k = 10, overfetch = 6)
+          .select(col("vec_id")),
+        Seq("vec_id"), "left_semi").count()
+    assert(recall(fused) >= recall(mllib) - 1,
+      s"fused recall ${recall(fused)} vs MLlib ${recall(mllib)}")
+  }
+
   test("parameterized IVF-PQ composes the learned quantizers: same index " +
       "shape as the md5 build, recall within slack of it, deterministic " +
       "across rebuilds") {
