@@ -21,31 +21,40 @@ object Layout {
 
   /** Morton (Z-order) clustering key over `cols`, each reduced to a
     * `bits`-bit equi-width bin between its own min and max (one bounded
-    * stats pass, broadcast as literals), bits interleaved
-    * least-significant-first. Null or non-finite values bin to 0, the
-    * degenerate min==max column contributes a constant 0 — both keep the
-    * key total-ordered and the write deterministic. */
+    * stats pass over the FINITE values only, broadcast as literals), bits
+    * interleaved least-significant-first. Null and non-finite row values
+    * bin to 0 explicitly (r9 advisory: +Inf used to land in the max bin
+    * via the Long cast, and one NaN poisoned the min/max stats into
+    * degenerating EVERY row's bin to 0); the degenerate min==max column
+    * contributes a constant 0 — all of which keeps the key total-ordered
+    * and the write deterministic. */
   def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 8): Column = {
     require(cols.nonEmpty, "zorderKey needs at least one column")
     require(bits >= 1 && bits * cols.size <= 62,
       s"bits*cols must fit a long, got $bits x ${cols.size}")
+    def finite(c: Column): Column =
+      !isnan(c) && c > Double.NegativeInfinity && c < Double.PositiveInfinity
     // bounded driver collect: 2 doubles per column, the zorder analog of
     // a broadcast-join build side
     val stats = df.select(
-      cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))): _*).head()
+      cols.flatMap { c =>
+        val d = col(c).cast("double")
+        Seq(min(when(finite(d), d)).as(s"mn_$c"),
+          max(when(finite(d), d)).as(s"mx_$c"))
+      }: _*).head()
     val nBins = (1L << bits) - 1L
     val binCols = cols.zipWithIndex.map { case (c, j) =>
       val mn = Option(stats.getAs[Any](s"mn_$c"))
         .map(_.asInstanceOf[Double]).getOrElse(0.0)
       val mx = Option(stats.getAs[Any](s"mx_$c"))
         .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val d = col(c).cast("double")
       val bin =
         if (mx <= mn) lit(0L)
-        else least(lit(nBins), greatest(lit(0L),
-          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * nBins)
-            .cast("long")))
+        else when(finite(d),
+          least(lit(nBins), greatest(lit(0L),
+            floor((d - lit(mn)) / lit(mx - mn) * nBins).cast("long"))))
+          .otherwise(lit(0L))
       coalesce(bin, lit(0L))
     }
     // interleave: output bit (i*ncols + j) = bit i of column j's bin

@@ -298,8 +298,11 @@ object RelationalPack extends QueryPack {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_ev").toString
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(tmp)
-      graft.streaming.EventStream.streamHourlyExact(s, tmp, ev.schema)
+      // the helper drains AvailableNow and materializes before returning,
+      // so the temp shards can go immediately (r9 advisory: leak per run)
+      try graft.streaming.EventStream.streamHourlyExact(s, tmp, ev.schema)
         .orderBy(col("hour"), col("event_type"))
+      finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // W-series: RANGE-frame window (vs q17's ROWS frame) — trailing
@@ -346,8 +349,12 @@ object RelationalPack extends QueryPack {
         .createTempDirectory("graft_stream_r").toString
       l.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(lDir)
       r.repartitionByRange(2, col("user_id")).write.mode("overwrite").parquet(rDir)
-      graft.streaming.EventStream.streamJoinExact(s, lDir, rDir, l.schema)
+      try graft.streaming.EventStream.streamJoinExact(s, lDir, rDir, l.schema)
         .orderBy(col("user_id"), col("p_ts"), col("c_ts"))
+      finally {
+        graft.streaming.EventStream.deleteDir(lDir)
+        graft.streaming.EventStream.deleteDir(rDir)
+      }
     }),
 
     // W2-adjacent: running (prefix) sum per key — the windowed running

@@ -68,6 +68,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(j.numPartitions == 32 && j.partitionColumn.contains("camp_id"))
   }
 
+  test("conditionIndexFromMeta builds ONE subplan per distinct routed " +
+      "source: plan size is constant in condition count (r9 verdict #5)") {
+    def metaWith(n: Int): IndexBuild.ConditionMeta = {
+      val ql = spark.createDataFrame(Seq(
+        ("Q1", "SELECT c_custkey, c_mktsegment FROM customer")))
+        .toDF("qry_id", "qry_meta")
+      val qp = spark.createDataFrame((1 to n).map(i =>
+        ("Q1", s"c$i", "AND c_mktsegment = ::op::",
+          s"""{"label":{"kr":"조건$i"},"input":"select","values":[]}""")))
+        .toDF("qry_id", "prmp_kwd", "prmp_string", "prmp_json_info")
+      // every condition routes to the SAME stored dimension SQL
+      val dl = spark.createDataFrame((1 to n).map(i =>
+        (s"c$i", "DS", "QUADMAX_SDZ",
+          "SELECT c_mktsegment AS code, c_mktsegment AS code_nm " +
+            "FROM customer GROUP BY c_mktsegment ;")))
+        .toDF("prmp_kwd", "ml_ds_div_cd", "dbms_id", "ds_sql")
+      val hl = spark.createDataFrame(Seq(
+        ("ML01", 1, "QUADMAX_SDZ", "SELECT 'X' AS code, 'X' AS code_nm")))
+        .toDF("ml_id", "ml_seq", "ml_dbms_id", "ml_qry")
+      IndexBuild.ConditionMeta(ql, qp, dl, hl)
+    }
+    def build(n: Int) =
+      IndexBuild.conditionIndexFromMeta(spark, TestSpark.sfDir, metaWith(n))
+    val (small, big) = (build(2), build(8))
+    // correctness: 5 segments x n conditions x 3 paraphrases
+    assert(small.count() == 5 * 2 * 3)
+    assert(big.count() == 5 * 8 * 3)
+    // scale: the stored-SQL subplan appears ONCE regardless of how many
+    // conditions route to it — leaf count (scans) must not grow with n
+    def leaves(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collectLeaves().size
+    assert(leaves(big) == leaves(small),
+      s"plan leaves grew with condition count: ${leaves(small)} -> " +
+        s"${leaves(big)} (per-condition subplans are back)")
+  }
+
   test("parquet sink round-trip (S5): index write + read back") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val ix = IndexBuild.campaignIndex(spark, TestSpark.sfDir)

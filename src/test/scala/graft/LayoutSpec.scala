@@ -82,4 +82,28 @@ class LayoutSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(ks.sameElements(ks.sorted), "single-column key must be monotone")
   }
+
+  test("non-finite values: NaN/Inf rows bin to 0 and do NOT poison the " +
+      "finite rows' stats (r9 advisory: one NaN degenerated every bin)") {
+    val df = Seq(0.0, 25.0, 50.0, 75.0, 100.0,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+      .toDF("x").withColumn("id", monotonically_increasing_id())
+    val keyed = df.select(col("x"),
+      Layout.zorderKey(df, Seq("x"), bits = 4).as("z")).collect()
+    val finiteBins = keyed.filter(r => java.lang.Double.isFinite(r.getDouble(0)))
+      .map(r => r.getDouble(0) -> r.getLong(1)).sortBy(_._1).map(_._2)
+    // stats come from the finite values only: 0..100 spreads over the
+    // full 4-bit range, monotone — a NaN-poisoned stats pass would
+    // collapse every bin to 0
+    assert(finiteBins.head == 0L && finiteBins.last == 15L,
+      s"finite rows did not span the bin range: ${finiteBins.toSeq}")
+    assert(finiteBins.sameElements(finiteBins.sorted))
+    assert(finiteBins.distinct.length == finiteBins.length,
+      s"expected distinct bins for spread finite values: ${finiteBins.toSeq}")
+    // every non-finite row lands in bin 0 — including +Inf (used to hit
+    // the max bin through the Long cast)
+    keyed.filter(r => !java.lang.Double.isFinite(r.getDouble(0)))
+      .foreach(r => assert(r.getLong(1) == 0L,
+        s"non-finite ${r.getDouble(0)} binned to ${r.getLong(1)}, not 0"))
+  }
 }

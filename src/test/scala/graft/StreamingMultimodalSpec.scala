@@ -233,6 +233,157 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streamJoinExact stays batch-exact with >=3 micro-batches per side " +
+      "(r9 advisory: the fixed 2h watermark dropped cross-batch matches)") {
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("ts"), col("user_id"), col("value"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val r = ev.filter(col("event_type") === "click").drop("event_type")
+    val lDir = java.nio.file.Files.createTempDirectory("graft_sj_l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft_sj_r").toString
+    try {
+      // 4 time-ranged left batches x 3 user-split right batches: matches
+      // cross batch boundaries in BOTH directions, and right user-shards
+      // span the whole time axis — the shape the old watermark lost 6 of
+      // 23 sf0.01 matches on once a third batch advanced it
+      l.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(lDir)
+      r.repartitionByRange(3, col("user_id")).write.mode("overwrite").parquet(rDir)
+      val got = EventStream.streamJoinExact(spark, lDir, rDir, l.schema)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val lb = l.select(col("ts"), col("user_id"), col("value"))
+      val rb = r.select(col("ts").as("rts"), col("user_id").as("ruid"))
+      val want = lb.join(rb,
+          col("user_id") === col("ruid") &&
+            col("rts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+            col("rts") <= col("ts"))
+        .select(col("user_id"), unix_timestamp(col("ts")),
+          unix_timestamp(col("rts")))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(want.nonEmpty, "fixture produced no matches — spec is vacuous")
+      assert(got == want,
+        s"stream join diverged from batch: missing ${(want -- got).size}, " +
+          s"extra ${(got -- want).size} of ${want.size}")
+    } finally {
+      EventStream.deleteDir(lDir); EventStream.deleteDir(rDir)
+    }
+  }
+
+  test("streamJoinExact with a finite watermark and time-ordered sources " +
+      "keeps join state BOUNDED: the state store evicts as batches drain") {
+    val ev = Tables.load(spark, TestSpark.sfDir, "events")
+      .select(col("ts"), col("user_id"), col("value"), col("event_type"))
+    val l = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val r = ev.filter(col("event_type") === "click").drop("event_type")
+    val lDir = java.nio.file.Files.createTempDirectory("graft_sb_l").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft_sb_r").toString
+    try {
+      // BOTH sides time-ranged (roughly ordered arrival) — the production
+      // configuration the finite watermark is for
+      l.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(lDir)
+      r.repartitionByRange(6, col("ts")).write.mode("overwrite").parquet(rDir)
+      val nInput = l.count() + r.count()
+      var progresses: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+        Seq.empty
+      val got = EventStream.streamJoinExact(spark, lDir, rDir, l.schema,
+        watermark = Some("1 hour"),
+        onDrained = q => progresses = q.recentProgress.toSeq)
+      val stateTotals = progresses.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatMap(_.map(_.numRowsTotal)))
+      val removed = progresses.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatMap(_.map(_.numRowsRemoved))).sum
+      assert(stateTotals.nonEmpty, "no state-operator progress recorded")
+      // eviction fired AND the buffered state never approached the
+      // full-stream footprint (each side's span/6 per batch vs a 1h+30m
+      // retention horizon)
+      assert(removed > 0, "watermark eviction never removed a state row")
+      assert(stateTotals.max < nInput / 2,
+        s"state peaked at ${stateTotals.max} rows of $nInput streamed — " +
+          "watermark is not bounding the join buffers")
+      // and the production config still emits only true pairs
+      val want = l.select(col("ts"), col("user_id"), col("value"))
+        .join(r.select(col("ts").as("rts"), col("user_id").as("ruid")),
+          col("user_id") === col("ruid") &&
+            col("rts") >= col("ts") - expr("INTERVAL 30 minutes") &&
+            col("rts") <= col("ts"))
+        .select(col("user_id"), unix_timestamp(col("ts")),
+          unix_timestamp(col("rts")))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val gotSet = got.collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(gotSet.subsetOf(want),
+        s"bounded config emitted ${(gotSet -- want).size} non-matches")
+    } finally {
+      EventStream.deleteDir(lDir); EventStream.deleteDir(rDir)
+    }
+  }
+
+  // ---- pluggable-decoder seam (r9 verdict #9) -------------------------
+  // A REAL pixel decoder — minimal uncompressed 24-bit BMP with
+  // area-average resize to the phash grid — implemented test-side against
+  // the public PixelDecoder trait, proving a JVM codec drops into
+  // phash/phashPairs without touching the hash/band plumbing or the plan.
+
+  /** Writes a w×h 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up,
+    * 4-byte row padding) with per-pixel RGB from `px(x, y)` (top-down). */
+  private def bmpBytes(w: Int, h: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    for (y <- h - 1 to 0 by -1) {
+      for (x <- 0 until w) {
+        val (r, g, bl) = px(x, y)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+      }
+      (0 until rowSize - w * 3).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  test("pluggable decoder seam: a real BMP decoder slots into phash/" +
+      "phashPairs unchanged — map-only plan, re-encode noise stays near, " +
+      "distinct content stays far") {
+    def tex(x: Int, y: Int): Int = (x * x * 7 + y * 13 * x + y * y * 3) % 251
+    val base = bmpBytes(33, 18, (x, y) => { val v = tex(x, y); (v, v, v) })
+    // re-encode analog: +4 brightness on a sparse pixel subset — most
+    // horizontal gradient signs survive
+    val noisy = bmpBytes(33, 18, (x, y) => {
+      val v = math.min(tex(x, y) + (if ((x + 3 * y) % 13 == 0) 4 else 0), 255)
+      (v, v, v)
+    })
+    val other = bmpBytes(33, 18, (x, y) => { val v = tex(y * 2, x); (v, v, v) })
+    val media = spark.createDataFrame(Seq(
+      (1L, "image", base), (2L, "image", noisy), (3L, "image", other)))
+      .toDF("media_id", "kind", "payload")
+    val hashed = Multimodal.phash(media, new BmpPixelDecoder)
+    // the seam contract: same entry point, same output schema, and the
+    // decode stays MAP-ONLY — no shuffle anywhere in the hash lineage,
+    // payload bytes never leave their partition
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    assert(!hasShuffle(hashed.rdd), "phash decode lineage contains a shuffle")
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.size == 3)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 8,
+      s"re-encode noise moved ${ham(hs(1L), hs(2L))} of 60 bits")
+    assert(ham(hs(1L), hs(3L)) > 8,
+      s"distinct content only ${ham(hs(1L), hs(3L))} bits apart")
+    // and the banded pair join consumes the real-decoder hashes as-is
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 8, bands = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the (base, noisy) pair, got $pairs")
+  }
+
   test("multimodal: stubbed decode keeps schema, determinism, no payload loss") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(30)
     val media = Multimodal.mediaFromDocuments(docs)
@@ -442,5 +593,35 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val sequential = ref.collect().map(_.getLong(0)).toSet
     assert(streamed == sequential)
     assert(streamed == Set(0L, 3L, 7L), s"got $streamed")
+  }
+}
+
+/** Test-side REAL decoder for the pluggable seam spec: minimal
+  * uncompressed 24-bit BMP parse + area-average resize to the phash grid.
+  * Top-level (not an inner class) so the mapPartitions closure serializes
+  * without dragging the suite along. */
+private class BmpPixelDecoder extends Multimodal.PixelDecoder {
+  def decodeGray(kind: String, payload: Array[Byte]): Array[Int] = {
+    val b = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte, "not BMP")
+    val off = b.getInt(10); val w = b.getInt(18); val h = b.getInt(22)
+    require(b.getShort(28) == 24 && b.getInt(30) == 0,
+      "need 24-bit uncompressed BMP")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    def gray(x: Int, y: Int): Int = {
+      val p = off + (h - 1 - y) * rowSize + x * 3
+      ((payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+        (payload(p + 2) & 0xff)) / 3
+    }
+    val (rr, cc) = (Multimodal.PhashGridRows, Multimodal.PhashGridCols)
+    Array.tabulate(rr * cc) { i =>
+      val r = i / cc; val c = i % cc
+      val y0 = r * h / rr; val y1 = math.max((r + 1) * h / rr, y0 + 1)
+      val x0 = c * w / cc; val x1 = math.max((c + 1) * w / cc, x0 + 1)
+      var s = 0; var n = 0
+      for (y <- y0 until y1; x <- x0 until x1) { s += gray(x, y); n += 1 }
+      s / n
+    }
   }
 }
