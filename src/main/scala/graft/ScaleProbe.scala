@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10× scale probe for the ITERATIVE paths (r9 verdict #7):
+  * the two fixed-overhead suspects — connected-components rounds in the
+  * dedup capstone and the k-means fits in the learned IVF-PQ build —
+  * need a measured point above sf0.1 to show their round overhead
+  * amortizes (sub-linear wall growth) instead of compounding.
+  *
+  * The probe explodes the sf0.1 fixtures ×`factor` IN MEMORY with
+  * content perturbed per copy (docs get a per-copy suffix token so the
+  * near-dup structure replicates instead of going quadratic across
+  * copies; embeddings get a per-copy component offset so centroids
+  * spread), times each path at 1× and at `factor`×, and prints one JSON
+  * line per probe: {"probe":…,"base_sec":…,"scaled_sec":…,"factor":…,
+  * "ratio":…}. ratio ≪ factor ⇒ the fixed per-round/job overhead
+  * dominates at sf0.1 and amortizes with data — the scale story the
+  * bench alone cannot show. Results land in `scale_probe.json` at the
+  * repo root (same pathing rules as Bench).
+  */
+object ScaleProbe {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Union of `factor` perturbed copies, ids offset per copy. */
+  private def explodeDocs(d: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"),
+        concat(col("text"), lit(s" probecopy$i")).as("text"))
+    }.reduce(_ unionByName _)
+
+  private def explodeEmb(e: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      e.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => when(j === 0, x + lit(i * 0.01f)).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Graft.init(spark)
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // materialize the exploded inputs OUTSIDE the timed region — the
+    // probe measures the operators, not the synthetic explode
+    val docsX = explodeDocs(docs, factor).localCheckpoint(true)
+    val embX = explodeEmb(emb, factor).localCheckpoint(true)
+    val docs1 = explodeDocs(docs, 1).localCheckpoint(true)
+    val emb1 = explodeEmb(emb, 1).localCheckpoint(true)
+
+    import graft.operators.{Ann, Dedup}
+    def ivfpqBuild(e: DataFrame): Unit = {
+      val (_, index, _) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32,
+        coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),
+        codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
+      index.count()
+    }
+    val probes: Seq[(String, DataFrame => Unit)] = Seq(
+      ("dd_corpus", (d: DataFrame) =>
+        Dedup.dedupCorpus(d, "doc_id", "text",
+          k = 12, bands = 4, minJ = 0.6).count(): Unit),
+      ("tx_corpus_ready", (d: DataFrame) =>
+        graft.queries.DedupTextPack.corpusReady(spark, d).count(): Unit),
+      ("ann_ivfpq_kmeans_build", (e: DataFrame) => ivfpqBuild(e)))
+
+    val results = probes.map { case (name, f) =>
+      val (base, scaled) =
+        if (name.startsWith("ann")) (emb1, embX) else (docs1, docsX)
+      f(base) // warm the operator path once (codegen/JIT)
+      System.gc()
+      val b = time(f(base))
+      System.gc()
+      val x = time(f(scaled))
+      val line = f"""{"probe":"$name","base_sec":$b%.3f,""" +
+        f""""scaled_sec":$x%.3f,"factor":$factor,"ratio":${x / b}%.2f}"""
+      println(line)
+      line
+    }
+    val out = "[" + results.mkString(",") + "]"
+    def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
+      if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
+      else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
+      else repoRoot(p.getParent)
+    val path = repoRoot(java.nio.file.Paths.get(sys.props("user.dir"))
+      .toAbsolutePath).resolve("scale_probe.json")
+    java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
+    System.err.println(s"[scale-probe] wrote $path")
+    spark.stop()
+  }
+}

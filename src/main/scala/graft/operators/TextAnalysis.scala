@@ -281,13 +281,24 @@ object TextAnalysis {
     * 100 TB the stream key is (lang, shard) so each window partition
     * stays executor-sized — same contract as [[packShardsOf]]. */
   def packSequences(docs: DataFrame, streamCol: String, idCol: String,
-      textCol: String, seqLen: Long): DataFrame = {
+      textCol: String, seqLen: Long): DataFrame =
+    packSequencesOf(
+      spread(docs).select(col(streamCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("__n")),
+      streamCol, idCol, "__n", seqLen)
+
+  /** [[packSequences]] parameterized by the TOKENIZER: packs from a
+    * precomputed per-document token-count column instead of the
+    * whitespace count — the entry the BPE accounting ([[Bpe]]) plugs
+    * into. Same window + bounded-explode machinery. */
+  def packSequencesOf(counted: DataFrame, streamCol: String, idCol: String,
+      nTokensCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withOff = spread(docs)
+    val withOff = counted
       .select(col(streamCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("b", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .filter(col("n_tokens") > 0)
     val L = lit(seqLen)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Graft, Tables}
-import graft.operators.{Dedup, Pii, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Pii, TextAnalysis}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine)
@@ -12,6 +12,56 @@ import graft.operators.{Dedup, Pii, TextAnalysis}
   * MinHash and SimHash are md5-based so even the LSH banding and the
   * per-bit vote math are reproduced exactly by the DuckDB oracle. */
 object DedupTextPack extends QueryPack {
+
+  /** The tx_corpus_ready body over ANY documents frame (the ScaleProbe
+    * entry): dedupCorpus survivors, filtered by BOTH quality signals
+    * (heuristic composite >= 0.55 AND bigram-LM score >= -3.45), packed
+    * into token-budgeted shards per lang.
+    *
+    * Tokenize ONCE, spread across the cluster, and pin the result:
+    * quality scoring, LM scoring and shard packing all read this
+    * intermediate instead of re-splitting the corpus three times (the
+    * round-8 capstone paid the scan+tokenize 3x, serialized on a
+    * single-split parquet source). localCheckpoint (not cache) — caching
+    * relations that feed minhash planning destabilizes the planner
+    * (Dedup.minhashNearDups scaladoc); the dedup path below intentionally
+    * keeps its own tokenization.
+    *
+    * The three materialization chains — the tokenized intermediate
+    * (+ the LM gate over it), and the dedup path's own checkpointed
+    * stages — are INDEPENDENT until the final semi-joins, but each
+    * localCheckpoint/cluster round blocks the driver thread; run the
+    * chains as concurrent jobs so the cluster-iteration rounds overlap
+    * the tokenize+LM work (the buildIvfPq concurrent-quantizer shape;
+    * Spark schedules concurrent jobs from one session fine). */
+  def corpusReady(s: SparkSession, d: DataFrame): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tokLmF = Future {
+      val tok = d.repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          Dedup.tokens(col("text")).as("toks"))
+        .localCheckpoint(true)
+      val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
+        .filter(col("lm_score") >= -3.45).select("doc_id")
+        .localCheckpoint(true)
+      (tok, lmOk)
+    }
+    val keptF = Future {
+      Dedup.dedupCorpus(d, "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+    }
+    val (tok, lmOk) = Await.result(tokLmF, Duration.Inf)
+    val kept = Await.result(keptF, Duration.Inf)
+    val q = TextAnalysis.qualityFeaturesOf(col("toks"))
+      .collectFirst { case ("quality", c) => c }.get
+    val ready = tok.join(kept, Seq("doc_id"), "left_semi")
+      .filter(q >= 0.55)
+      .join(lmOk, Seq("doc_id"), "left_semi")
+    TextAnalysis.packShardsOf(ready, "lang", "doc_id", "toks",
+        tokenBudget = 1000L)
+      .orderBy(col("lang"), col("doc_id"))
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -164,8 +214,11 @@ object DedupTextPack extends QueryPack {
         .createTempDirectory("graft_stream_in").toString
       d.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
-      graft.streaming.EventStream.ingestDedupExact(s, tmp, d.schema)
+      // ingestDedupExact's state is localCheckpointed (source-independent)
+      // by the time it returns, so the temp shards can go (r9 advisory)
+      try graft.streaming.EventStream.ingestDedupExact(s, tmp, d.schema)
         .orderBy(col("doc_id"))
+      finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // Curation keep-rule: near-dup clusters keep their HIGHEST-QUALITY
@@ -305,55 +358,39 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("lang"), col("doc_id"), col("seq_id"))
     }),
 
+    // SUBWORD token accounting (Sennrich 2016 BPE, trained on this
+    // corpus's own word dictionary — 8 merges, vocab top-1000): per-doc
+    // tokenizer token counts. The DuckDB oracle re-derives the ENTIRE
+    // pipeline — word dict, all 8 merge rounds (pair counts + argmax,
+    // unrolled CTEs), the merge-chain application, the counts — so the
+    // gate covers training determinism, not just encoding.
+    "tx_bpe_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, "text", numMerges = 8, maxVocab = 1000)
+      Bpe.docTokenCounts(d, "doc_id", "text", merges, keep = Seq("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The packing budget parameterized by the TOKENIZER (r9 verdict #6):
+    // same GPT-style spanning-sequence machinery as tx_pack_sequences,
+    // but offsets/budgets counted in BPE tokens — sequence boundaries
+    // land differently wherever subword fan-out diverges from the
+    // whitespace count, and the oracle re-derives that end to end.
+    "tx_pack_sequences_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, "text", numMerges = 8, maxVocab = 1000)
+      val counted = Bpe.docTokenCounts(d, "doc_id", "text", merges,
+        keep = Seq("lang"))
+      TextAnalysis.packSequencesOf(counted, "lang", "doc_id",
+          "n_bpe_tokens", seqLen = 128L)
+        .orderBy(col("lang"), col("doc_id"), col("seq_id"))
+    }),
+
     // The training-corpus capstone: dedupCorpus survivors, filtered by
     // BOTH quality signals (heuristic composite >= 0.55 AND bigram-LM
     // score >= -3.45), packed into token-budgeted shards per lang — the
     // full prepare-for-training flow, every stage a proven oracle shape.
-    "tx_corpus_ready" -> ((s, dir) => {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val d = docs(s, dir)
-      // Tokenize ONCE, spread across the cluster, and pin the result:
-      // quality scoring, LM scoring and shard packing all read this
-      // intermediate instead of re-splitting the corpus three times (the
-      // round-8 capstone paid the scan+tokenize 3x, serialized on a
-      // single-split parquet source). localCheckpoint (not cache) —
-      // caching relations that feed minhash planning destabilizes the
-      // planner (Dedup.minhashNearDups scaladoc); the dedup path below
-      // intentionally keeps its own tokenization.
-      //
-      // The three materialization chains — the tokenized intermediate
-      // (+ the LM gate over it), and the dedup path's own checkpointed
-      // stages — are INDEPENDENT until the final semi-joins, but each
-      // localCheckpoint/cluster round blocks the driver thread; run the
-      // chains as concurrent jobs so the cluster-iteration rounds overlap
-      // the tokenize+LM work (the buildIvfPq concurrent-quantizer shape;
-      // Spark schedules concurrent jobs from one session fine).
-      val tokLmF = Future {
-        val tok = d.repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("lang"),
-            Dedup.tokens(col("text")).as("toks"))
-          .localCheckpoint(true)
-        val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
-          .filter(col("lm_score") >= -3.45).select("doc_id")
-          .localCheckpoint(true)
-        (tok, lmOk)
-      }
-      val keptF = Future {
-        Dedup.dedupCorpus(d, "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
-      }
-      val (tok, lmOk) = Await.result(tokLmF, Duration.Inf)
-      val kept = Await.result(keptF, Duration.Inf)
-      val q = TextAnalysis.qualityFeaturesOf(col("toks"))
-        .collectFirst { case ("quality", c) => c }.get
-      val ready = tok.join(kept, Seq("doc_id"), "left_semi")
-        .filter(q >= 0.55)
-        .join(lmOk, Seq("doc_id"), "left_semi")
-      TextAnalysis.packShardsOf(ready, "lang", "doc_id", "toks",
-          tokenBudget = 1000L)
-        .orderBy(col("lang"), col("doc_id"))
-    }),
+    "tx_corpus_ready" -> ((s, dir) => corpusReady(s, docs(s, dir))),
 
     // Curriculum ordering (quality-first training schedule): per-lang
     // quality deciles via ntile plus the within-lang training position —
@@ -786,6 +823,30 @@ object DedupTextPack extends QueryPack {
 
     // Same prefix-sum offsets, then one row per (doc, touched sequence)
     // via range() — integer // division matches Spark's `div` exactly.
+    "tx_bpe_tokens" ->
+      (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) +
+        "\nSELECT doc_id, lang, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"),
+
+    "tx_pack_sequences_bpe" ->
+      (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) +
+        """,
+          |o AS (
+          |  SELECT lang, doc_id, n_bpe_tokens AS n_tokens,
+          |    COALESCE(sum(n_bpe_tokens) OVER (PARTITION BY lang
+          |      ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+          |      AS b
+          |  FROM bpe_counts WHERE n_bpe_tokens > 0),
+          |s AS (
+          |  SELECT lang, doc_id, b, n_tokens,
+          |    unnest(range(b // 128, (b + n_tokens - 1) // 128 + 1)) AS seq_id
+          |  FROM o)
+          |SELECT lang, doc_id, seq_id,
+          |  GREATEST(b, seq_id * 128) - seq_id * 128 AS begin_pos,
+          |  LEAST(b + n_tokens, (seq_id + 1) * 128) - seq_id * 128 AS end_pos,
+          |  GREATEST(b, seq_id * 128) - b AS doc_offset
+          |FROM s ORDER BY lang, doc_id, seq_id""".stripMargin),
+
     "tx_pack_sequences" ->
       """WITH t AS (
         |  SELECT lang, doc_id,
