@@ -21,10 +21,10 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs", "dd_span_scrub",
     "tx_langid", "ann_ivf_topk", "ann_ivf_append_topk", "ann_ivf_batch_topk",
     "ann_ivf_kmeans_topk", "ann_sq8_topk", "ann_sq8_batch_topk",
-    "ann_pq_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_pq_batch_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
     "emb_align_filter", "mm_phash_pairs",
-    "tx_mix_epochs", "tx_pack_sequences", "tx_corpus_ready")
+    "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens", "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /

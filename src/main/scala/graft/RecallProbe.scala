@@ -70,6 +70,19 @@ object RecallProbe {
           q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      val ivfLl = Ann.buildIvfKMeansLloyd(e, numCentroids = 32, maxIter = 5)
+      hits("ann_ivf_lloyd(fused)", Ann.searchIvf(ivfLl,
+          q.select(col("qvec")), nprobe = 4, k = 10)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
+      val (ivfF2, indexF2, cbF2) = Ann.buildIvfPq(e, numCentroids = 32,
+        m = 16, ksub = 32,
+        coarse = Ann.buildIvfKMeansLloyd(_, _, _, _, maxIter = 5),
+        codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
+      hits("ann_ivfpq_lloyd2(fused)", Ann.searchIvfPq(ivfF2, indexF2, cbF2, e,
+          q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
       val cbLl = Ann.buildPqCodebookLloyd(e, m = 16, ksub = 32, maxIter = 5)
       hits("ann_pq_lloyd(fused)", Ann.searchPq(e, Ann.pqEncode(e, cbLl), cbLl,
           q.select(col("qvec")), k = 10, overfetch = 6)
@@ -94,6 +107,14 @@ object RecallProbe {
         .orderBy("qid").collect()
         .foreach(r => println(
           f"ann_sq8_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
+      val annPurePqBatch = Ann.searchPqBatch(e, Ann.pqEncode(e, cb), cb,
+        qsAll, k = 10, overfetch = 6)
+      exAll.join(annPurePqBatch.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .orderBy("qid").collect()
+        .foreach(r => println(
+          f"ann_pq_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
       val annPqBatch = Ann.searchIvfPqBatch(ivf, index, cb2, e, qsAll,
         nprobe = 16, k = 10, overfetch = 16)
       exAll.join(annPqBatch.select(col("qid"), col("vec_id")),

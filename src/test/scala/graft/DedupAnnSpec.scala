@@ -284,6 +284,38 @@ class DedupAnnSpec extends AnyFunSuite {
       s"only ${sizes.length} of $c learned buckets are non-empty")
   }
 
+  test("fused-Lloyd coarse centroids: quality parity with the MLlib " +
+      "cosine fit (recall within epsilon, buckets bounded-balanced) and " +
+      "zero-norm rows excluded from the fit but still assigned") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val n = e.count()
+    val c = 16
+    val lloyd = Ann.buildIvfKMeansLloyd(e, numCentroids = c)
+    val mllib = Ann.buildIvfKMeans(e, numCentroids = c)
+    val qids = (0L until 8L)
+    def meanRecall(ivf: Ann.Ivf): Double = qids.map { qid =>
+      val q = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Knn.topK(e, q, 10).collect().map(_.getLong(0)).toSet
+      val approx = Ann.searchIvf(ivf, q, nprobe = 4, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      (exact & approx).size / 10.0
+    }.sum / qids.size
+    val (rL, rM) = (meanRecall(lloyd), meanRecall(mllib))
+    // different inits (salted-md5 sample vs MLlib random) — same epsilon
+    // contract as the learned-vs-sample spec: never materially worse,
+    // usable in absolute terms
+    assert(rL >= rM - 0.05, s"Lloyd recall $rL < MLlib recall $rM - 0.05")
+    assert(rL >= 0.5, s"Lloyd recall $rL below absolute floor")
+    val sizes = lloyd.assignments.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("sz")).collect().map(_.getLong(1))
+    assert(sizes.max <= 4L * n / c,
+      s"largest Lloyd bucket ${sizes.max} > 4x even share ${n / c}")
+    assert(sizes.length >= c / 2,
+      s"only ${sizes.length} of $c Lloyd buckets are non-empty")
+    // every row (zero-norm included) is assigned exactly once
+    assert(lloyd.assignments.count() == n)
+  }
+
   test("batch LSH similarity join matches exact top-k with decent recall") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val qs = e.filter(col("vec_id") < 3)
