@@ -167,6 +167,28 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(as == lp && as.values.toSet == Set(0L) && as.size == 40)
   }
 
+  test("size-adaptive clusters: the driver union-find branch and the " +
+      "forced-distributed branch both equal label propagation") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { trial =>
+      val n = 60
+      val pairs = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val want = Dedup.duplicateClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // default threshold → driver union-find branch
+      val uf = Dedup.duplicateClustersAuto(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // zero threshold → forced distributed branch through the same entry
+      val dist = Dedup.duplicateClustersAuto(pairs, maxDriverEdges = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(uf == want, s"trial $trial union-find branch diverged")
+      assert(dist == want, s"trial $trial distributed branch diverged")
+    }
+  }
+
   test("contamination: verbatim containment scores 1.0, partial overlap " +
       "in (0,1), disjoint docs are absent") {
     val train = Seq(
