@@ -423,6 +423,41 @@ object Ann {
           math.ceil(minRecall * k).toLong).as("recall_ok"))
   }
 
+  /** Retrieval-quality EVALUATION metrics — the measurement loop every
+    * ANN deployment runs against a ground-truth set: per query,
+    * `rr` = reciprocal rank of the exact top-1 inside the ANN ranking
+    * (0.0 if missed; mean over queries = MRR@k) and `n_hit` = |ANN ∩
+    * exact top-k| (recall@k·k). Both inputs carry `(qid, idCol, simil)`;
+    * the ANN side is re-ranked by (simil desc, id) — identical to the
+    * order its top-k was taken in, so ranks are 1..k.
+    *
+    * Scale shape: every relation here is ≤ k·|Q| rows (the ANN/exact
+    * RESULTS, not the corpus) — window + joins on result-sized frames.
+    * Returns `(qid, rr, n_hit)`; rr rounded to 4 (engine-exact — 1/rank
+    * has no half-ulp-at-scale-4 ties for k ≤ 100). */
+  def retrievalMetrics(exact: DataFrame, ann: DataFrame, k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("simil").desc, col(idCol))
+    val ranked = ann.select(col("qid"), col(idCol), col("simil"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val top1 = exact.groupBy(col("qid"))
+      .agg(max_by(col(idCol), struct(col("simil"), -col(idCol))).as(idCol))
+    val rr = top1
+      .join(ranked.select(col("qid"), col(idCol), col("rank")),
+        Seq("qid", idCol), "left_outer")
+      .select(col("qid"),
+        round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 4).as("rr"))
+    val hits = exact.select(col("qid"), col(idCol))
+      .join(ranked.select(col("qid"), col(idCol)), Seq("qid", idCol),
+        "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    rr.join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("rr"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization (the SQ8 scheme public
     * vector engines use for their compressed scan tier): scale each vector
     * by `127 / max|x_i|` and round each component to a byte. 64-dim float

@@ -136,6 +136,15 @@ object Bpe {
       .groupBy(col(idCol) +: keep.map(col): _*)
       .agg(sum(wordTokenCount(col("w"), merges)).as("n_bpe_tokens"))
 
+  /** The trained merge table as a relation `(rank, a, b, merged)` — the
+    * tokenizer ARTIFACT a pipeline persists next to its corpus (the
+    * merges.txt of a Sennrich BPE run). Rank is 1-based merge order. */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): DataFrame =
+    spark.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) =>
+      (i + 1L, a, b, a + b) })
+      .toDF("rank", "a", "b", "merged")
+
   // ---------------------------------------------------------------- SQL
 
   /** DuckDB re-derivation of the whole train+apply pipeline, rounds

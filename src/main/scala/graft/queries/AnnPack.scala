@@ -161,6 +161,22 @@ object AnnPack extends QueryPack {
         .orderBy(col("qid"))
     }),
 
+    // Retrieval EVALUATION under the gate: MRR/recall@10 of the md5-IVF
+    // tier against the exact ground truth for a 5-query set — the
+    // measurement loop an ANN deployment runs, fully hash-matched (the
+    // oracle re-derives the index, the search, the exact ranking, AND
+    // the metrics).
+    "ann_eval_mrr" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val ann = Ann.searchIvfBatch(Ann.buildIvf(e, numCentroids = 32), qs,
+        nprobe = 4, k = 10)
+      Ann.retrievalMetrics(Knn.topKPerQuery(e, qs, k = 10), ann, k = 10)
+        .orderBy(col("qid"))
+    }),
+
     // Pre-ANN preprocessing: corpus mean-centering + L2 normalization.
     // Output is boundary-safe: the centered norm and the first two
     // normalized components, rounded (the full array is spec-checked).
@@ -424,6 +440,58 @@ object AnnPack extends QueryPack {
         |  FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id)
         |SELECT qid, vec_id, round(s, 4) AS simil FROM topk WHERE rn <= 10
         |ORDER BY qid, simil DESC, vec_id""".stripMargin,
+
+    // Full metric re-derivation: the md5-IVF index + batch search (the
+    // ann_ivf_batch_topk machinery), the exact ranking, and MRR/recall
+    // arithmetic — all in SQL, hash-matched.
+    "ann_eval_mrr" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |asg AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1),
+        |probed AS (
+        |  SELECT qid, qvec, centroid_id FROM (
+        |    SELECT q.qid, q.qvec, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(c.cvec, q.qvec) DESC,
+        |                 c.centroid_id) AS rn
+        |    FROM c CROSS JOIN q)
+        |  WHERE rn <= 4),
+        |annk AS (
+        |  SELECT qid, vec_id, rn AS rank FROM (
+        |    SELECT p.qid, a.vec_id,
+        |      row_number() OVER (PARTITION BY p.qid
+        |        ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], p.qvec) DESC,
+        |                 a.vec_id) AS rn
+        |    FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id)
+        |  WHERE rn <= 10),
+        |exact AS (
+        |  SELECT q.qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q),
+        |t1 AS (SELECT qid, vec_id FROM exact WHERE rn = 1),
+        |rr AS (
+        |  SELECT t1.qid, COALESCE(round(1.0 / a.rank, 4), 0.0) AS rr
+        |  FROM t1 LEFT JOIN annk a ON a.qid = t1.qid AND a.vec_id = t1.vec_id),
+        |hits AS (
+        |  SELECT ex.qid, count(*)::BIGINT AS n_hit
+        |  FROM (SELECT qid, vec_id FROM exact WHERE rn <= 10) ex
+        |  JOIN annk a ON a.qid = ex.qid AND a.vec_id = ex.vec_id
+        |  GROUP BY ex.qid)
+        |SELECT rr.qid, rr.rr, COALESCE(h.n_hit, 0)::BIGINT AS n_hit
+        |FROM rr LEFT JOIN hits h ON h.qid = rr.qid ORDER BY rr.qid""".stripMargin,
 
     // Per-query recall-gate oracle (the ann_lsh_join shape over the full
     // corpus): each query's exact top-1 is itself (queries are corpus

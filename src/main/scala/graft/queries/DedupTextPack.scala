@@ -371,6 +371,36 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus datasheet (the "data card" summary a pipeline publishes
+    // with a release): per-lang document/token volumes, exact-dup rate,
+    // and the median document length — one grouped pass over the corpus,
+    // every number engine-exact.
+    "tx_corpus_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("lang"), col("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+          sum(col("n")).as("n_tokens"),
+          expr("percentile(n, 0.5)").as("p50_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_dup_docs"),
+          Graft.roundExact(col("n_dup_docs").cast("double") /
+            col("n_docs"), 4).as("dup_rate"),
+          col("n_tokens"), col("p50_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // The tokenizer ARTIFACT itself under the gate: the ordered merge
+    // table (the merges.txt a BPE run persists). The oracle re-derives
+    // each round's argmax pair independently, so a single mis-ordered or
+    // mis-tie-broken merge breaks the hash.
+    "tx_bpe_vocab" -> ((s, dir) => {
+      val merges = Bpe.train(docs(s, dir), "text", numMerges = 8,
+        maxVocab = 1000)
+      Bpe.mergeTable(s, merges).orderBy(col("rank"))
+    }),
+
     // The packing budget parameterized by the TOKENIZER (r9 verdict #6):
     // same GPT-style spanning-sequence machinery as tx_pack_sequences,
     // but offsets/budgets counted in BPE tokens — sequence boundaries
@@ -826,6 +856,25 @@ object DedupTextPack extends QueryPack {
     "tx_bpe_tokens" ->
       (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) +
         "\nSELECT doc_id, lang, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"),
+
+    "tx_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  (count(*) - count(DISTINCT text))::BIGINT AS n_dup_docs,
+        |  round(CAST((count(*) - count(DISTINCT text))::DOUBLE / count(*)
+        |    AS DECIMAL(28,12)), 4)::DOUBLE AS dup_rate,
+        |  sum(n)::BIGINT AS n_tokens,
+        |  quantile_cont(n, 0.5) AS p50_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx_bpe_vocab" ->
+      (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) + "\n" +
+        (1 to 8).map(i =>
+          s"SELECT ${i}::BIGINT AS rank, a, b, a || b AS merged FROM m$i")
+          .mkString("", " UNION ALL ", " ORDER BY rank")),
 
     "tx_pack_sequences_bpe" ->
       (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) +

@@ -338,6 +338,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(lloyd.assignments.count() == n)
   }
 
+  test("retrievalMetrics: perfect retrieval scores rr=1/full hits, a " +
+      "missed top-1 scores rr=0, and a shifted ranking scores 1/rank") {
+    import spark.implicits._
+    def df(rows: (Long, Long, Double)*) =
+      rows.toDF("qid", "vec_id", "simil")
+    val exact = df((1L, 10L, 0.9), (1L, 11L, 0.8),
+      (2L, 20L, 0.9), (2L, 21L, 0.8),
+      (3L, 30L, 0.9), (3L, 31L, 0.8))
+    // q1: identical; q2: top-1 missing entirely; q3: top-1 at rank 2
+    val ann = df((1L, 10L, 0.9), (1L, 11L, 0.8),
+      (2L, 21L, 0.8), (2L, 22L, 0.7),
+      (3L, 31L, 0.95), (3L, 30L, 0.9))
+    val got = Ann.retrievalMetrics(exact, ann, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1.0, 2L), (2L, 0.0, 1L), (3L, 0.5, 2L)),
+      s"got ${got.toSeq}")
+  }
+
   test("batch LSH similarity join matches exact top-k with decent recall") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val qs = e.filter(col("vec_id") < 3)
