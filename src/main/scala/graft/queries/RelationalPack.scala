@@ -376,6 +376,24 @@ object RelationalPack extends QueryPack {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // STREAMING sessionization under the oracle gate: the q27 rollup as
+    // a real session-window streaming aggregation across 4 micro-batches
+    // split ON THE TIME AXIS — a user's in-gap events land in different
+    // batches, so session state must MERGE across batches (the fourth
+    // streaming state kind under the gate, after tumbling-agg / keyed
+    // fold / join buffers). Complete-mode drain + decimal sums make the
+    // final table equal the batch gaps-and-islands derivation.
+    "stream_sessionize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_sess").toString
+      ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(tmp)
+      try graft.streaming.EventStream.streamSessionizeExact(s, tmp, ev.schema)
+        .orderBy(col("user_id"), col("session_start"))
+      finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // Ordered-step conversion funnel (view -> click -> purchase, each
     // step within 24h of the previous): per-step reach counts.
     "q28_funnel" -> ((s, dir) => {
@@ -764,6 +782,27 @@ object RelationalPack extends QueryPack {
     // inter-event gap is >= 2h (Spark's window is [start, last+gap), so an
     // event at exactly prev+gap starts a new session — hence >=, not >).
     "q27_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same gaps-and-islands twin as q27 — the streaming drain must land
+    // on the identical session set.
+    "stream_sessionize" ->
       """WITH m AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL

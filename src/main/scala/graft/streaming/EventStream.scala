@@ -58,6 +58,42 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Oracle-gated STREAMING sessionization (driver query
+    * `stream_sessionize`): the q27 session rollup run as a real
+    * session-window streaming aggregation — a file stream in multiple
+    * micro-batches feeding `groupBy(user_id, session_window(ts, gap))`,
+    * whose per-key session state MERGES across micro-batches (two
+    * in-gap events arriving in different batches must fuse into one
+    * session — a different state kind from the tumbling-window agg,
+    * keyed fold, and join buffers already under the gate). Complete
+    * output mode keeps every session's state until the stream drains
+    * (no watermark needed — the replayable-totals trade documented at
+    * [[streamHourlyExact]]), so the drained sink equals the batch
+    * [[sessionize]] row-for-row and the gaps-and-islands oracle
+    * re-derives it. Decimal sums make the values batch-order
+    * independent. Input schema: `ts, user_id, value`. */
+  def streamSessionizeExact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      gap: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_sess_${memorySinkRuns.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_dec"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    materializeAndDrop(spark, name, spark.table(name)
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_dec").cast("double").as("total_value")))
+  }
+
   /** Streaming exact dedup (the streaming twin of `dd_exact`):
     * watermarked `dropDuplicates` on a content key — state holds one entry
     * per key inside the watermark horizon, so memory is bounded by the
