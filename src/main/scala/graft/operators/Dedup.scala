@@ -397,7 +397,6 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, minJ: Double = 0.6,
       maxBucket: Int = 4096): DataFrame = {
-    val rows = k / bands
     // Signature via explode + k codegen'd min-aggregates, NOT the
     // higher-order-function form: HOFs are interpreted (nested lambdas ×
     // k permutations was ~100x slower at sf0.1), while the flat exploded
@@ -407,24 +406,33 @@ object Dedup {
     // same signatures as the HOF twin, spec-checked).
     // The repartition spreads the hash map work: a small parquet source is
     // one input split, which would otherwise serialize the whole scan.
-    val sigs = sigsOf(docs, idCol, textCol, k)
-    // repartitioned (the parquet source is often one split); NOT cached —
-    // recomputing the tokenize is cheaper than the cross-run planner
-    // instability a leaked InMemoryRelation causes (measured: alternating
-    // 4 s / 60 s runs with a cache here, stable without). verifyJaccard
-    // semi-join-prunes this relation to candidate ids before tokenizing,
-    // so the corpus is tokenized ONCE (signatures) plus candidates only.
+    // NOT cached (the wsets side): recomputing the tokenize is cheaper
+    // than the cross-run planner instability a leaked InMemoryRelation
+    // causes (measured: alternating 4 s / 60 s runs with a cache here,
+    // stable without). verifyJaccard semi-join-prunes this relation to
+    // candidate ids before tokenizing, so the corpus is tokenized ONCE
+    // (signatures) plus candidates only.
     val wsets = wsetsOf(docs, idCol, textCol)
+    verifyJaccard(minhashCandidates(docs, idCol, textCol, k, bands,
+        maxBucket), wsets, minJ, keepCols = Seq.empty)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** The BANDING stage alone: LSH candidate pairs BEFORE verification —
+    * the relation an evaluation ([[graft.queries.DedupTextPack]]
+    * `dd_eval_lsh`) or a custom verifier consumes. Same signature/bucket/
+    * hot-bucket-cap machinery [[minhashNearDups]] verifies from. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
+    val rows = k / bands
     val buckets = capBuckets(
-      lshBuckets(sigs, idCol, "sig", bands, rows),
+      lshBuckets(sigsOf(docs, idCol, textCol, k), idCol, "sig", bands, rows),
       Seq("band", "key"), idCol, maxBucket)
     val a = buckets.toDF("id_a", "band", "key", "salt")
     val b = buckets.toDF("id_b", "band", "key", "salt")
-    val cands = a.join(b, Seq("band", "key", "salt"))
+    a.join(b, Seq("band", "key", "salt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    verifyJaccard(cands, wsets, minJ, keepCols = Seq.empty)
-      .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** Bit width of [[simhash]] — 60 because the per-token hash is the

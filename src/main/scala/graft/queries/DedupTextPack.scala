@@ -91,6 +91,36 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Dedup-side EVALUATION (the ann_eval_mrr pattern on the near-dup
+    // tier): recall of the BANDING stage against the exact all-pairs
+    // SHINGLE-set Jaccard ground truth at the signature threshold —
+    // i.e. does 4 bands × 3 rows catch the pairs MinHash theory says it
+    // models (P ≥ 1−(1−J³)⁴ ≈ 0.62 at J=0.6, →1 as J→1)? Truth is
+    // computed by feeding the shingle stream (underscore-joined so each
+    // 3-gram is one token) through the exact jaccardPairs machinery.
+    // Both sides are deterministic, so the metric row itself
+    // hash-matches — the measurement loop that justifies banding
+    // parameters (k, bands) on a real corpus.
+    "dd_eval_lsh" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = Dedup.shingles(col("text"))
+      val shingleText = d.filter(size(sh) > 0)
+        .select(col("doc_id"),
+          array_join(transform(sh, g => translate(g, " ", "_")), " ")
+            .as("text"))
+      val truth = Dedup.jaccardPairs(shingleText.withColumn("blk", lit(1)),
+          "doc_id", "text", "blk", minJ = 0.6)
+        .select(col("id_a"), col("id_b"))
+      val cands = Dedup.minhashCandidates(d, "doc_id", "text",
+        k = 12, bands = 4)
+      val hit = truth.join(cands, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          Graft.roundExact(col("n_found").cast("double") / col("n_true"), 4)
+            .as("recall"))
+    }),
+
     // Exact dedup OUTPUT (not just stats): keep the smallest doc_id per
     // identical text — one hash shuffle, the rows a pipeline would retain.
     "dd_keep_first" -> ((s, dir) => {
@@ -609,6 +639,33 @@ object DedupTextPack extends QueryPack {
       s"""WITH ${minhashPairsCte()}
          |SELECT id_a, id_b, jac FROM mh_pairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Banding-recall metric: candidates from the full minhash
+    // re-derivation (the cands CTE — BEFORE verification), truth from
+    // unblocked all-pairs jaccard over underscore-joined 3-gram shingle
+    // sets at the same rounded threshold.
+    "dd_eval_lsh" ->
+      s"""WITH ${minhashPairsCte()},
+         |sh2 AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || '_' || w[i+1] || '_' || w[i+2])) AS g
+         |  FROM base WHERE len(w) >= 3),
+         |truth AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(CAST(len(list_intersect(a.g, b.g))::DOUBLE /
+         |        len(list_distinct(list_cat(a.g, b.g)))
+         |        AS DECIMAL(28,12)), 4)::DOUBLE AS jac
+         |    FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id)
+         |  WHERE jac >= 0.6),
+         |hit AS (
+         |  SELECT t.id_a FROM truth t
+         |  JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+         |  (SELECT count(*) FROM hit)::BIGINT AS n_found,
+         |  round(CAST((SELECT count(*) FROM hit)::DOUBLE /
+         |    (SELECT count(*) FROM truth) AS DECIMAL(28,12)), 4)::DOUBLE
+         |    AS recall""".stripMargin,
 
     "dd_keep_first" ->
       """SELECT min(doc_id) AS doc_id FROM documents
