@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Graft, Tables}
-import graft.operators.{Ann, Knn}
+import graft.operators.{Ann, Knn, TextAnalysis}
 
 /** Approximate-nearest-neighbor scale paths. The IVF index is built from
   * md5-deterministic centroids, so the ENTIRE pipeline (centroid pick →
@@ -175,6 +175,23 @@ object AnnPack extends QueryPack {
         nprobe = 4, k = 10)
       Ann.retrievalMetrics(Knn.topKPerQuery(e, qs, k = 10), ann, k = 10)
         .orderBy(col("qid"))
+    }),
+
+    // Cluster-balanced DIVERSITY sampling (the embedding-space analog of
+    // per-lang stratified sampling, the "semantic diversity" selection
+    // step curation pipelines run after dedup): assign every vector to
+    // its md5-IVF cluster, then keep a deterministic md5-ranked quota
+    // per cluster — dense regions are capped, sparse regions survive
+    // whole. One broadcast assignment pass + one WindowGroupLimit;
+    // everything md5-derived, so the sample itself hash-matches.
+    "emb_diverse_sample" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val asg = Ann.buildIvf(e, numCentroids = 32).assignments
+        .select(col("vec_id"), col("centroid_id"))
+      TextAnalysis.stratifiedSample(asg, "centroid_id", "vec_id", quota = 10)
+        .select(col("centroid_id"), col("vec_id"))
+        .orderBy(col("centroid_id"), col("vec_id"))
     }),
 
     // Pre-ANN preprocessing: corpus mean-centering + L2 normalization.
@@ -440,6 +457,26 @@ object AnnPack extends QueryPack {
         |  FROM asg a JOIN probed p ON a.centroid_id = p.centroid_id)
         |SELECT qid, vec_id, round(s, 4) AS simil FROM topk WHERE rn <= 10
         |ORDER BY qid, simil DESC, vec_id""".stripMargin,
+
+    // md5-IVF assignment + md5-ranked per-cluster quota, all re-derived.
+    "emb_diverse_sample" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE rn = 1)
+        |SELECT centroid_id, vec_id FROM (
+        |  SELECT centroid_id, vec_id,
+        |    row_number() OVER (PARTITION BY centroid_id
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM asg)
+        |WHERE rn <= 10 ORDER BY centroid_id, vec_id""".stripMargin,
 
     // Full metric re-derivation: the md5-IVF index + batch search (the
     // ann_ivf_batch_topk machinery), the exact ranking, and MRR/recall
