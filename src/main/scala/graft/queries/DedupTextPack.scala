@@ -100,7 +100,11 @@ object DedupTextPack extends QueryPack {
     // 3-gram is one token) through the exact jaccardPairs machinery.
     // Both sides are deterministic, so the metric row itself
     // hash-matches — the measurement loop that justifies banding
-    // parameters (k, bands) on a real corpus.
+    // parameters (k, bands) on a real corpus. Scale note: the ground
+    // truth is an exact all-pairs computation by definition — at 100 TB
+    // an evaluation like this runs on a bounded sample (the
+    // jaccardPairs probeFraction pattern), never the full corpus; the
+    // BANDING side it grades stays corpus-scale.
     "dd_eval_lsh" -> ((s, dir) => {
       val d = docs(s, dir)
       val sh = Dedup.shingles(col("text"))
