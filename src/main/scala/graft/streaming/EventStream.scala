@@ -318,9 +318,11 @@ object EventStream {
     import org.apache.spark.sql.streaming.Trigger
     val name = s"graft_stream_join_${memorySinkRuns.incrementAndGet()}"
     val wm = watermark.getOrElse {
+      // coalesce: empty sources aggregate to null, and the join of two
+      // empty streams should still drain (span 0) rather than NPE here
       val span = spark.read.schema(schema).parquet(leftDir, rightDir)
-        .agg((unix_timestamp(max(col("ts"))) -
-          unix_timestamp(min(col("ts")))).as("s"))
+        .agg(coalesce(unix_timestamp(max(col("ts"))) -
+          unix_timestamp(min(col("ts"))), lit(0L)).as("s"))
         .head().getLong(0)
       s"${span + 86400} seconds"
     }
