@@ -19,7 +19,9 @@ object ExplainProbe {
         "dd_contamination_bloom", "tx_sample_stratified", "tx_shard_pack",
         "tx_repetition", "q27_sessionize", "q28_funnel",
         "tx_pii_scrub", "tx_tfidf", "q29_retention", "q30_asof_attribution",
-        "dd_semantic", "dd_keep_best", "q31_range_join")).distinct
+        "dd_semantic", "dd_keep_best", "q31_range_join",
+        "ann_eval_mrr", "dd_eval_lsh", "emb_diverse_sample",
+        "tx_corpus_stats", "tx_bpe_vocab")).distinct
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

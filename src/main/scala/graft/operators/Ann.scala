@@ -444,16 +444,18 @@ object Ann {
       .filter(col("rank") <= k)
     val top1 = exact.groupBy(col("qid"))
       .agg(max_by(col(idCol), struct(col("simil"), -col(idCol))).as(idCol))
+    // every join side is <= k·|Q| rows by construction — broadcast
+    // explicitly rather than letting stats-blind planning pick SMJ
     val rr = top1
-      .join(ranked.select(col("qid"), col(idCol), col("rank")),
+      .join(broadcast(ranked.select(col("qid"), col(idCol), col("rank"))),
         Seq("qid", idCol), "left_outer")
       .select(col("qid"),
         round(coalesce(lit(1.0) / col("rank"), lit(0.0)), 4).as("rr"))
     val hits = exact.select(col("qid"), col(idCol))
-      .join(ranked.select(col("qid"), col(idCol)), Seq("qid", idCol),
-        "left_semi")
+      .join(broadcast(ranked.select(col("qid"), col(idCol))),
+        Seq("qid", idCol), "left_semi")
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
-    rr.join(hits, Seq("qid"), "left_outer")
+    rr.join(broadcast(hits), Seq("qid"), "left_outer")
       .select(col("qid"), col("rr"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"))
   }
