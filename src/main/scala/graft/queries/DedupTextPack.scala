@@ -405,6 +405,30 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Pipeline ATTRITION funnel (the stage-survivor report every
+    // curation pipeline publishes): raw → exact keep-first → near-dup
+    // survivors → quality gate → LM gate, as one row of counts — each
+    // stage the exact relation the capstone (tx_corpus_ready) flows
+    // through, so the funnel IS the capstone's audit trail.
+    "tx_dedup_funnel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val kept = Dedup.dedupCorpus(d, "doc_id", "text",
+        k = 12, bands = 4, minJ = 0.6)
+      val q = TextAnalysis.qualityFeatures(col("text"))
+        .collectFirst { case ("quality", c) => c }.get
+      val qualOk = d.filter(q >= 0.55).select("doc_id")
+      val lmOk = TextAnalysis.lmScore(d, "doc_id", "text")
+        .filter(col("lm_score") >= -3.45).select("doc_id")
+      val afterQual = kept.join(qualOk, Seq("doc_id"), "left_semi")
+      val afterLm = afterQual.join(lmOk, Seq("doc_id"), "left_semi")
+      d.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(kept.agg(count(lit(1)).as("n_neardup")))
+        .crossJoin(afterQual.agg(count(lit(1)).as("n_quality")))
+        .crossJoin(afterLm.agg(count(lit(1)).as("n_lm")))
+    }),
+
     // Corpus datasheet (the "data card" summary a pipeline publishes
     // with a release): per-lang document/token volumes, exact-dup rate,
     // and the median document length — one grouped pass over the corpus,
@@ -553,6 +577,59 @@ object DedupTextPack extends QueryPack {
     * dd_clusters. `len(shingles) > 0` mirrors Spark's explode dropping
     * sub-shingle (<3-token) docs; without it the all-NULL signatures of
     * short docs hash to one shared bucket key here but never in Spark. */
+  /** The corpus-curation stage CTEs shared by tx_corpus_ready and
+    * tx_dedup_funnel: keepfirst → minhash pairs → recursive components →
+    * `survivors`, plus `qual` (quality composite) and `lm` (bigram LM
+    * score) trained on ALL documents (the Spark side scores the raw
+    * corpus, not the keepfirst set the minhash `base` uses). Callers
+    * prepend `WITH RECURSIVE ` and append their own tail CTEs/SELECT. */
+  private def corpusStageCtes: String =
+    s"""keepfirst AS (
+       |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |${minhashPairsCte("keepfirst")},
+       |sym AS (
+       |  SELECT id_a, id_b FROM mh_pairs
+       |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT id_a, id_a FROM sym
+       |  UNION
+       |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+       |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |survivors AS (
+       |  SELECT doc_id FROM keepfirst
+       |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)),
+       |alltoks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |qf AS (
+       |  SELECT doc_id,
+       |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
+       |    len(list_filter(w, t -> list_contains(
+       |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
+       |    least(len(w) / 100.0, 1.0) AS lenf
+       |  FROM alltoks),
+       |qual AS (
+       |  SELECT doc_id, round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 +
+       |    lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
+       |  FROM qf),
+       |uc AS (
+       |  SELECT t, count(*) AS c1 FROM (
+       |    SELECT unnest(w) AS t FROM alltoks) GROUP BY t),
+       |v AS (SELECT count(*) AS v FROM uc),
+       |big AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM alltoks),
+       |bc AS (SELECT g, count(*) AS c12 FROM big GROUP BY g),
+       |lm AS (
+       |  SELECT doc_id,
+       |    round(CAST(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + v))
+       |      AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+       |      AS DECIMAL(28,12)), 4)::DOUBLE AS lm_score
+       |  FROM big JOIN bc USING (g)
+       |  JOIN uc ON split_part(g, ' ', 1) = uc.t
+       |  CROSS JOIN v GROUP BY doc_id)""".stripMargin
+
   private def minhashPairsCte(source: String = "documents"): String =
     s"""base AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM $source),
@@ -801,53 +878,7 @@ object DedupTextPack extends QueryPack {
     // quality (tx_quality), bigram LM (tx_lm_score), prefix-sum shards
     // (tx_shard_pack) over the surviving set.
     "tx_corpus_ready" ->
-      s"""WITH RECURSIVE keepfirst AS (
-         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
-         |${minhashPairsCte("keepfirst")},
-         |sym AS (
-         |  SELECT id_a, id_b FROM mh_pairs
-         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT id_a, id_a FROM sym
-         |  UNION
-         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
-         |clusters AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-         |survivors AS (
-         |  SELECT doc_id FROM keepfirst
-         |  WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> rep)),
-         |-- quality + LM train on ALL documents (the Spark side scores the
-         |-- raw corpus), not on keepfirst like the minhash `base` above
-         |alltoks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |qf AS (
-         |  SELECT doc_id,
-         |    len(list_distinct(w))::DOUBLE / len(w) AS uniq,
-         |    len(list_filter(w, t -> list_contains(
-         |      ['the','a','of','and','to','in'], t)))::DOUBLE / len(w) AS stop,
-         |    least(len(w) / 100.0, 1.0) AS lenf
-         |  FROM alltoks),
-         |qual AS (
-         |  SELECT doc_id, round(CAST(uniq * 0.4 + (1.0 - stop) * 0.3 +
-         |    lenf * 0.3 AS DECIMAL(28,12)), 4)::DOUBLE AS q
-         |  FROM qf),
-         |uc AS (
-         |  SELECT t, count(*) AS c1 FROM (
-         |    SELECT unnest(w) AS t FROM alltoks) GROUP BY t),
-         |v AS (SELECT count(*) AS v FROM uc),
-         |big AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-         |    i -> w[i] || ' ' || w[i+1])) AS g
-         |  FROM alltoks),
-         |bc AS (SELECT g, count(*) AS c12 FROM big GROUP BY g),
-         |lm AS (
-         |  SELECT doc_id,
-         |    round(CAST(CAST(sum(CAST(ln((c12 + 1.0) / (c1 + v))
-         |      AS DECIMAL(28,12))) AS DOUBLE) / count(*)
-         |      AS DECIMAL(28,12)), 4)::DOUBLE AS lm_score
-         |  FROM big JOIN bc USING (g)
-         |  JOIN uc ON split_part(g, ' ', 1) = uc.t
-         |  CROSS JOIN v GROUP BY doc_id),
+      s"""WITH RECURSIVE $corpusStageCtes,
          |ready AS (
          |  SELECT d.lang, d.doc_id,
          |    len(string_split_regex(trim(d.text), '\\s+'))::BIGINT AS n_tokens
@@ -917,6 +948,21 @@ object DedupTextPack extends QueryPack {
     "tx_bpe_tokens" ->
       (Bpe.oracleRoundsSql(numMerges = 8, maxVocab = 1000) +
         "\nSELECT doc_id, lang, n_bpe_tokens FROM bpe_counts ORDER BY doc_id"),
+
+    // The same stage CTEs as tx_corpus_ready, folded to stage counts.
+    "tx_dedup_funnel" ->
+      s"""WITH RECURSIVE $corpusStageCtes,
+         |after_qual AS (
+         |  SELECT s.doc_id FROM survivors s
+         |  JOIN qual USING (doc_id) WHERE qual.q >= 0.55),
+         |after_lm AS (
+         |  SELECT a.doc_id FROM after_qual a
+         |  JOIN lm USING (doc_id) WHERE lm.lm_score >= -3.45)
+         |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_raw,
+         |  (SELECT count(*) FROM keepfirst)::BIGINT AS n_exact,
+         |  (SELECT count(*) FROM survivors)::BIGINT AS n_neardup,
+         |  (SELECT count(*) FROM after_qual)::BIGINT AS n_quality,
+         |  (SELECT count(*) FROM after_lm)::BIGINT AS n_lm""".stripMargin,
 
     "tx_corpus_stats" ->
       """WITH t AS (
