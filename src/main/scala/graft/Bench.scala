@@ -23,6 +23,10 @@ object Bench {
     "ann_ivf_kmeans_topk", "ann_sq8_topk", "ann_sq8_batch_topk",
     "ann_pq_topk", "ann_pq_batch_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
+    "ann_bq_topk", "ann_bq_batch_topk",
+    "ann_ivf_filtered_topk", "ann_mmr_rerank",
+    "tx_bm25_topk", "tx_bm25_batch_topk", "ann_hybrid_rrf",
+    "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
     "mm_phash_pairs", "tx_corpus_stats",
     "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens", "tx_corpus_ready")

@@ -15,6 +15,7 @@ object SparkEntry {
     PipelinePack,
     DedupTextPack,
     AnnPack,
+    RetrievalPack,
     ParsingPack,
     MultimodalPack
   )

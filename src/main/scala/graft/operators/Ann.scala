@@ -1121,6 +1121,90 @@ object Ann {
             .otherwise(lit(0.0d))).as("normalized"))
   }
 
+  /** Binary quantization: sign-bit binarize every dimension (`x ≥ 0 → 1`)
+    * and pack 32 dims per 64-bit word (`array<long>` of `⌈d/32⌉` words,
+    * each in `[0, 2³²)` — 32-bit packing sidesteps the sign-bit overflow
+    * a full 64-bit pack would hit at `1 << 63`). 1 bit/dim = 32× smaller
+    * than the floats (dim 64 → two words), the most compressed tier in
+    * the family (SQ8 4×, PQ 16×). The Hamming pre-rank below is pure
+    * integer ALU work (`xor` + `bit_count`), and — unlike SQ8/PQ — the
+    * whole tier is float-arithmetic-free, so the oracle hash-matches the
+    * FULL result (no recall-gate grading needed: sign extraction is an
+    * exact comparison, Hamming is integer).
+    *
+    * Sign binarization of (roughly centered) vectors is the 1-bit
+    * degenerate case of Charikar 2002's sign-random-projection sketch
+    * with the identity projection; cosine ≈ 1 − 2·ham/d on normalized
+    * data, which is all the pre-rank needs.
+    *
+    * Everything is built-in codegen HOFs; the word fold is MSB-first
+    * `acc·2 + bit` so no variable-distance shift is required. Out-of-range
+    * bit positions (d not a multiple of 32) read null via `try_element_at`
+    * and contribute 0 on both engines. */
+  def binarize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nWords = ((size(col(vecCol)) + lit(31)) / lit(32)).cast("int")
+    emb.select(col(idCol),
+      transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L), (acc, b) =>
+          acc * 2 + when(
+            try_element_at(col(vecCol), w * 32 + b + 1) >= lit(0.0f),
+            lit(1L)).otherwise(lit(0L)))).as("bits"))
+  }
+
+  /** Hamming distance between two packed-word arrays from [[binarize]]. */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** ANN via the 1-bit tier + exact rescore: Hamming pre-rank over the
+    * 32×-smaller packed-bits relation (top `k·overfetch` by Hamming asc,
+    * id asc — `TakeOrderedAndProject`, partial per-partition top-k), then
+    * the shared exact-cosine rescore on the bounded candidate set. The
+    * coarse scan reads 8 bytes + an id per vector and does two xors and
+    * two popcounts per row — at 100 TB of float vectors the bit relation
+    * is ~3 TB and the scan is memory-bandwidth-bound, not FLOP-bound.
+    *
+    * @param bin output of [[binarize]] (pre-materialized at scale:
+    *            binarize once, write, serve many queries) */
+  def searchBq(emb: DataFrame, bin: DataFrame, queryVec: DataFrame,
+      k: Int, overfetch: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qbits = binarize(
+        queryVec.select(lit(0L).as("__qid"), col("qvec").as(vecCol)),
+        "__qid", vecCol)
+      .select(col("bits").as("qbits"))
+    val cands = bin.crossJoin(broadcast(qbits))
+      .select(col(idCol), hammingWords(col("bits"), col("qbits")).as("ham"))
+      .orderBy(col("ham").asc, col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol))
+    rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
+  }
+
+  /** Batch twin of [[searchBq]]: the packed-bits relation scans ONCE for
+    * the whole query set (query bits broadcast), per-query candidates via
+    * the partial-aggregable grouped top-k on negated Hamming (desc on
+    * `-ham` ≡ asc on `ham`, ties id asc — the single-query order), then
+    * the shared per-query exact rescore. Shuffle volume k·overfetch·|Q|·
+    * partitions, corpus-size-independent. */
+  def searchBqBatch(emb: DataFrame, bin: DataFrame, queries: DataFrame,
+      k: Int, overfetch: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qbits = binarize(
+        queries.select(col("qid"), col("qvec").as(vecCol)), "qid", vecCol)
+      .select(col("qid"), col("bits").as("qbits"))
+    val cands = Knn.groupedTopK(
+      bin.crossJoin(broadcast(qbits))
+        .select(col("qid"), col(idCol),
+          (-hammingWords(col("bits"), col("qbits"))).cast("double")
+            .as("nham")),
+      k * overfetch, idCol, "nham")
+      .select(col("qid"), col(idCol))
+    rescoreExactBatch(emb, cands, queries, k, idCol, vecCol)
+  }
+
   /** Fit an MLlib LSH model over the embedding column (converted to ml
     * Vector at this boundary only, per SURVEY §1.2). */
   def lshModel(emb: DataFrame, vecCol: String = "embedding",

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword (BM25) retrieval and hybrid rank fusion — the lexical
+  * counterpart of the vector search the reference is built around
+  * (`/root/reference/camp_vec_rcmn.py:44` scores by embedding only; a
+  * production retrieval deployment runs BOTH modalities and fuses).
+  *
+  * Scale design:
+  *  - The query-term set is tiny and ALWAYS broadcast; the posting
+  *    explode filters to query terms BEFORE any shuffle, so the grouped
+  *    term-frequency work is ∝ matching tokens, not corpus tokens.
+  *  - Document length (`dl`) is `size(tokens)` — a map-only pass, no
+  *    explode; corpus stats (N, avgdl) are a 1-row broadcast.
+  *  - Per-term contributions are cast to DECIMAL(28,12) before the
+  *    per-doc sum, so the score is order-independent (the repo's
+  *    decimal-sum convention) and the whole ranking hash-matches.
+  *  - Final top-k is `orderBy.limit` → TakeOrderedAndProject (partial
+  *    per-partition top-k, driver merges k·partitions rows).
+  *
+  * BM25 per Robertson–Spärck Jones with the +1 idf form (as used by
+  * Lucene): `idf = ln(1 + (N − df + ½)/(df + ½))`,
+  * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))`.
+  */
+object Retrieval {
+
+  /** "More-like-this" query terms from a seed document: the first `n`
+    * DISTINCT tokens in order of first appearance. Bounded output
+    * (`limit n`), meant to be broadcast into [[bm25TopK]]. */
+  def seedTerms(docs: DataFrame, idCol: String, textCol: String,
+      seedId: Long, n: Int): DataFrame =
+    docs.filter(col(idCol) === seedId)
+      .select(posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "term")))
+      .groupBy(col("term")).agg(min(col("pos")).as("first_pos"))
+      .orderBy(col("first_pos"), col("term"))
+      .limit(n)
+      .select(col("term"))
+
+  /** [[seedTerms]] for a SET of seed documents at once: `(qid, term)`,
+    * `n` first-appearance-distinct terms per seed, the rank window
+    * partitioned by seed. The batch-retrieval twin of the single form. */
+  def seedTermsBatch(docs: DataFrame, idCol: String, textCol: String,
+      seedIds: Seq[Long], n: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("first_pos"), col("term"))
+    docs.filter(col(idCol).isin(seedIds: _*))
+      .select(col(idCol).as("qid"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy(col("qid"), col("term")).agg(min(col("pos")).as("first_pos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select(col("qid"), col("term"))
+  }
+
+  /** Per-(qid, doc) BM25 scores for a (small, broadcast) query-term
+    * relation `(qid, term)`. The per-(doc, term) tf/df work happens ONCE
+    * over the DISTINCT term set regardless of how many queries share a
+    * term; the bounded `(qid, term)` relation then fans contributions out
+    * to query ids — so a whole query batch costs one corpus pass plus
+    * broadcast joins. Returns `(qid, idCol, score)` (decimal-summed,
+    * rounded — hash-stable). */
+  private def bm25Scored(docs: DataFrame, qterms: DataFrame,
+      k1: Double, b: Double, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.spread(docs)
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+        .as("term"))
+    val dl = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val uniq = qterms.select(col("term")).distinct()
+    val tf = toks.join(broadcast(uniq), Seq("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df is bounded by |terms| — broadcast back into the contribution join
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val contrib = tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), Seq("term"))
+      .select(col("qid"), col(idCol),
+        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1)
+            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("c"))
+    contrib.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("c").cast("decimal(28,12)")).as("sdec"))
+      .select(col("qid"), col(idCol),
+        round(col("sdec"), 4).cast("double").as("score"))
+  }
+
+  /** BM25 top-`k` documents for a (small, broadcast) query-term relation
+    * `(term: string)`. Returns `(idCol, score)` ordered score desc, id —
+    * only documents containing ≥1 query term appear. Final top-k is
+    * `orderBy.limit` → TakeOrderedAndProject. */
+  def bm25TopK(docs: DataFrame, terms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Scored(docs, terms.select(lit(0L).as("qid"), col("term")),
+        k1, b, idCol, textCol)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Batch BM25: top-`k` per query for a `(qid, term)` relation — one
+    * corpus pass for the whole query set, per-query top-k via the
+    * partial-aggregable [[Knn.groupedTopK]] (score desc, id asc — no
+    * task ever sorts a query's whole match set). The lexical twin of the
+    * batch ANN tiers. */
+  def bm25BatchTopK(docs: DataFrame, qterms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Knn.groupedTopK(
+      bm25Scored(docs, qterms, k1, b, idCol, textCol), k, idCol, "score")
+
+  /** Maximal-marginal-relevance diversified reranking (Carbonell &
+    * Goldstein 1998): greedily select `argmax_d λ·rel(d) − (1−λ)·
+    * max_{s∈S} sim(d, s)` for `k` steps — relevance traded against
+    * redundancy with what is already selected.
+    *
+    * Candidates are a bounded top-m list (k·overfetch of an upstream
+    * retriever), so the m² pairwise-sim relation and the k greedy steps
+    * are all bounded-size plans; each step's 1-row pick is eagerly
+    * localCheckpoint-ed so lineage stays linear in k. MMR scores go
+    * through [[graft.Graft.roundExact]] before each argmax: λ·rel with
+    * short-decimal rel lands exactly ON round-half boundaries, where
+    * plain double rounding diverges between engines. Use a λ whose
+    * `1−λ` is binary-exact (0.75, 0.5, 0.25…) so the oracle's literals
+    * mean the same doubles.
+    *
+    * @param cands `(idCol, relCol, vecCol)` — relevance already rounded
+    * @return `(rank, idCol, mmr)` — the k picks in selection order */
+  def mmrRerank(cands: DataFrame, k: Int, lam: Double = 0.75,
+      idCol: String = "doc_id", relCol: String = "rel",
+      vecCol: String = "embedding"): DataFrame = {
+    val sims = cands.select(col(idCol).as("ia"), col(vecCol).as("va"))
+      .join(broadcast(cands.select(col(idCol).as("ib"), col(vecCol).as("vb"))),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(graft.Graft.cosine(col("va"), col("vb")), 4).as("sim"))
+      .localCheckpoint(true) // m² rows, computed once, reused k times
+    var rest = cands.select(col(idCol), col(relCol))
+    var selected: Option[DataFrame] = None
+    for (t <- 1 to k) {
+      val withPen = selected match {
+        case None => rest.withColumn("pen", lit(0.0d))
+        case Some(sel) =>
+          val penTbl = sims
+            .join(broadcast(sel.select(col(idCol).as("ib"))), Seq("ib"))
+            .groupBy(col("ia")).agg(max(col("sim")).as("pen"))
+            .withColumnRenamed("ia", idCol)
+          rest.join(penTbl, Seq(idCol), "left")
+            .withColumn("pen", coalesce(col("pen"), lit(0.0d)))
+      }
+      val pick = withPen
+        .select(col(idCol), graft.Graft.roundExact(
+          lit(lam) * col(relCol) - lit(1.0 - lam) * col("pen"), 4).as("mmr"))
+        .orderBy(col("mmr").desc, col(idCol)).limit(1)
+        .withColumn("rank", lit(t))
+        .localCheckpoint(true)
+      selected = Some(selected.fold(pick)(_ unionByName pick))
+      rest = rest.join(pick.select(col(idCol)), Seq(idCol), "left_anti")
+    }
+    selected.get.select(col("rank"), col(idCol), col("mmr"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of several
+    * already-truncated result lists: each `(tag, df)` holds `(idCol,
+    * score)` rows with higher-is-better scores; every list is re-ranked
+    * by `(score desc, id)` under a window PARTITIONED by its tag (never
+    * unpartitioned — the lists are the partitions), then
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, decimal-summed so list
+    * order never matters. Input lists are bounded (top-m each), so the
+    * whole fusion is driver-light and the output hash-matches. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k: Int, c: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    val tagged = lists.map { case (tag, df) =>
+      df.select(lit(tag).as("src"), col(idCol),
+        col("score").cast("double").as("s"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("s").desc, col(idCol))
+    tagged.withColumn("rank", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum((lit(1.0) / (lit(c.toDouble) + col("rank")))
+        .cast("decimal(28,12)")).as("rdec"))
+      .select(col(idCol), round(col("rdec"), 6).cast("double").as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -23,7 +23,7 @@ object TextAnalysis {
     * scan usually masks it, but a compacted partition or single ingest
     * file re-serializes — so every fan-out below pays the one cheap
     * round-robin shuffle unconditionally. */
-  private def spread(df: DataFrame): DataFrame =
+  private[operators] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Quality features + composite score: token count, unique-token ratio,

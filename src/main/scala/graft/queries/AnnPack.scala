@@ -161,6 +161,64 @@ object AnnPack extends QueryPack {
         .orderBy(col("qid"))
     }),
 
+    // FILTERED vector search (metadata predicate ∧ ANN — the vector-DB
+    // "filtered search" feature): the predicate (documents.lang = 'en')
+    // prunes the ASSIGNMENTS relation via an id semi-join BEFORE any
+    // scoring, composing with the centroid prune — probe still touches
+    // nprobe/C of the index, and only predicate-passing rows are ever
+    // cosine-scored. At 100 TB the predicate attribute belongs IN the
+    // index relation (one scan, pushdown); expressed here as the
+    // id-join form a separate attribute table needs. Pure composition
+    // of existing pieces; md5-deterministic → fully hash-matched.
+    "ann_ivf_filtered_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val keep = Tables.load(s, dir, "documents")
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val ivf = Ann.buildIvf(e)
+      val filtered = Ann.Ivf(
+        ivf.assignments.join(keep, Seq("vec_id"), "left_semi"),
+        ivf.centroids)
+      Ann.searchIvf(filtered, q, nprobe = 8, k = 10)
+        .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("simil").desc, col("vec_id"))
+    }),
+
+    // 1-BIT binary-quantization tier (32× compression — the SQ8/PQ
+    // family's coarsest member): sign-binarize, Hamming pre-rank over
+    // packed 32-bit words (pure integer xor+popcount), exact rescore of
+    // the k·overfetch candidates. Float-arithmetic-free coarse stage →
+    // the oracle re-derives the WHOLE tier and the result is fully
+    // hash-matched (stronger than the recall-gate grading the float
+    // tiers need). Quality is disclosed, not gated: measured candidate
+    // recall@10 at 80 cands is 10,10,6,6,10 (sf0.01) and 6,6,6,4,4
+    // (sf0.1) per query — 1 bit/dim is the cheapest, coarsest pre-rank;
+    // raise overfetch (cands stay ≪ corpus) or compose it as a
+    // pre-filter ahead of SQ8/PQ when quality matters.
+    "ann_bq_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Ann.searchBq(e, Ann.binarize(e), q, k = 10, overfetch = 8)
+        .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("simil").desc, col("vec_id"))
+    }),
+
+    // Batch BQ: the packed-bits relation scans once for 5 queries
+    // (query words broadcast), per-query grouped top-k on negated
+    // Hamming, shared exact rescore — fully hash-matched like the
+    // single-query form.
+    "ann_bq_batch_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Ann.searchBqBatch(e, Ann.binarize(e), qs, k = 10, overfetch = 8)
+        .select(col("qid"), col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("qid"), col("simil").desc, col("vec_id"))
+    }),
+
     // Retrieval EVALUATION under the gate: MRR/recall@10 of the md5-IVF
     // tier against the exact ground truth for a 5-query set — the
     // measurement loop an ANN deployment runs, fully hash-matched (the
@@ -372,6 +430,106 @@ object AnnPack extends QueryPack {
       .select(lit(0L).as("qid"), col("vec_id"), col("simil"))
 
   override def oracle: Map[String, String] = Map(
+    // ann_ivf_topk's re-derivation with the lang predicate applied to
+    // the assignment relation and the wider probe.
+    "ann_ivf_filtered_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |keep AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en'),
+        |asg AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE centroid_id IN (
+        |    SELECT centroid_id FROM c CROSS JOIN q
+        |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
+        |    LIMIT 8) AND rn = 1
+        |    AND vec_id IN (SELECT vec_id FROM keep)),
+        |topk AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
+        |  FROM asg CROSS JOIN q
+        |  ORDER BY s DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(s, 4) AS simil FROM topk
+        |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // FULL re-derivation of the 1-bit tier: sign-bit word packing
+    // (32 dims per word, `1::BIGINT << (b-1)` ≡ Spark's MSB-first
+    // `acc·2 + bit` fold), integer Hamming via bit_count(xor), the
+    // (ham, vec_id) candidate cut, and the exact-cosine rescore —
+    // hash-matched end to end, no recall gate.
+    "ann_bq_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |qw AS (
+        |  SELECT w, CAST(sum(CASE WHEN embedding[w*32 + b] >= 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER)
+        |    ELSE 0 END) AS BIGINT) AS qword
+        |  FROM q, range(0, 2) t(w), range(1, 33) u(b)
+        |  GROUP BY w),
+        |cw AS (
+        |  SELECT vec_id, w, CAST(sum(CASE WHEN embedding[w*32 + b] >= 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER)
+        |    ELSE 0 END) AS BIGINT) AS word
+        |  FROM embeddings, range(0, 2) t(w), range(1, 33) u(b)
+        |  GROUP BY vec_id, w),
+        |ham AS (
+        |  SELECT c.vec_id,
+        |    CAST(sum(bit_count(xor(c.word, q.qword))) AS BIGINT) AS ham
+        |  FROM cw c JOIN qw q USING (w) GROUP BY c.vec_id),
+        |cands AS (SELECT vec_id FROM ham ORDER BY ham, vec_id LIMIT 80),
+        |qv AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |topk AS (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec) AS s
+        |  FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN qv
+        |  ORDER BY s DESC, e.vec_id LIMIT 10)
+        |SELECT vec_id, round(s, 4) AS simil FROM topk
+        |ORDER BY simil DESC, vec_id""".stripMargin,
+
+    // The batch twin: per-qid Hamming rank + per-qid rescore window.
+    "ann_bq_batch_topk" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5),
+        |qw AS (
+        |  SELECT qid, w, CAST(sum(CASE WHEN embedding[w*32 + b] >= 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER)
+        |    ELSE 0 END) AS BIGINT) AS qword
+        |  FROM qs, range(0, 2) t(w), range(1, 33) u(b)
+        |  GROUP BY qid, w),
+        |cw AS (
+        |  SELECT vec_id, w, CAST(sum(CASE WHEN embedding[w*32 + b] >= 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b - 1 AS INTEGER)
+        |    ELSE 0 END) AS BIGINT) AS word
+        |  FROM embeddings, range(0, 2) t(w), range(1, 33) u(b)
+        |  GROUP BY vec_id, w),
+        |ham AS (
+        |  SELECT q.qid, c.vec_id,
+        |    CAST(sum(bit_count(xor(c.word, q.qword))) AS BIGINT) AS ham
+        |  FROM cw c JOIN qw q USING (w) GROUP BY q.qid, c.vec_id),
+        |cands AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY ham, vec_id) AS rn
+        |    FROM ham) WHERE rn <= 80),
+        |qv AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |topk AS (
+        |  SELECT cd.qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec) AS s,
+        |    row_number() OVER (PARTITION BY cd.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec)
+        |        DESC, e.vec_id) AS rn
+        |  FROM cands cd JOIN embeddings e USING (vec_id)
+        |  JOIN qv ON qv.qid = cd.qid)
+        |SELECT qid, vec_id, round(s, 4) AS simil FROM topk WHERE rn <= 10
+        |ORDER BY qid, simil DESC, vec_id""".stripMargin,
+
     "ann_ivf_topk" ->
       """WITH c AS (
         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec

@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Graft, Tables}
+import graft.operators.{Knn, Retrieval, TextAnalysis}
+
+/** Lexical (BM25) retrieval, hybrid lexical+vector rank fusion, and
+  * retrieve-then-rerank — the production-retrieval surface around the
+  * reference's vector-only search (`/root/reference/camp_vec_rcmn.py:44`):
+  * real deployments answer a query from BOTH an inverted-index ranking
+  * and an embedding ranking, fuse by reciprocal rank, and often rerank a
+  * bounded candidate list with an expensive model. Everything here is
+  * decimal-summed or integer-ranked, so every query hash-matches. */
+object RetrievalPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-10 for a "more-like-this" query: the first 4 distinct
+    // tokens of document 0. Posting explode filters to the broadcast
+    // query terms BEFORE any shuffle; dl is a map-only size(); the
+    // decimal-summed per-doc score hash-matches.
+    "tx_bm25_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      Retrieval.bm25TopK(d, terms, k = 10)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Batch BM25: 3 more-like-this queries (seeds 0,1,2 × 4 terms) in
+    // ONE corpus pass — tf/df computed once over the distinct term set,
+    // contributions fanned to qids by the bounded (qid, term) broadcast,
+    // per-query top-k partial-aggregable. The lexical twin of
+    // ann_ivf_batch_topk.
+    "tx_bm25_batch_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val qt = Retrieval.seedTermsBatch(d, "doc_id", "text",
+        seedIds = Seq(0L, 1L, 2L), n = 4)
+      Retrieval.bm25BatchTopK(d, qt, k = 10)
+        .select(col("qid"), col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("score").desc, col("doc_id"))
+    }),
+
+    // Hybrid retrieval: exact-cosine top-20 for doc 0's embedding and
+    // BM25 top-20 for doc 0's seed terms, fused by reciprocal rank
+    // (1/(60+rank), Cormack 2009). Rank-only fusion makes the hybrid
+    // MORE oracle-stable than either score space: only the orderings
+    // cross the engine boundary.
+    "ann_hybrid_rrf" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val vec = Knn.topK(e, q, k = 20)
+        .select(col("vec_id").as("doc_id"), col("simil").as("score"))
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val bm = Retrieval.bm25TopK(d, terms, k = 20)
+      Retrieval.rrfFuse(Seq(("vec", vec), ("bm25", bm)), k = 10)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // MMR diversified reranking (Carbonell 1998): exact-cosine top-20
+    // candidates, then 5 greedy picks trading relevance against
+    // redundancy (λ=0.75). The k steps are bounded 20-row plans; the
+    // whole greedy trajectory — pairwise sims, per-step penalties,
+    // every argmax — is re-derived by the oracle's 5 unrolled step
+    // CTEs (the BPE-rounds convention), so one divergent pick anywhere
+    // breaks the hash.
+    "ann_mmr_rerank" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val cands = Knn.topK(e, q, k = 20)
+        .select(col("vec_id"), round(col("simil"), 4).as("rel"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      Retrieval.mmrRerank(cands, k = 5, lam = 0.75, idCol = "vec_id",
+          relCol = "rel", vecCol = "embedding")
+        .orderBy(col("rank"))
+    }),
+
+    // Retrieve-then-rerank: BM25 generates 20 candidates, the (stub)
+    // model scorer — tx_model_score's deterministic hashed linear model,
+    // standing in for a cross-encoder — scores ONLY the candidate set
+    // (left-semi prune before the scorer: the expensive stage touches
+    // k·overfetch docs, never the corpus), final order by model score.
+    "tx_retrieve_rerank" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val cands = Retrieval.bm25TopK(d, terms, k = 20)
+      val ms = TextAnalysis.modelScore(
+        d.join(broadcast(cands.select(col("doc_id"))), Seq("doc_id"),
+          "left_semi"),
+        "doc_id", "text", dim = 1024)
+      cands.join(broadcast(ms), Seq("doc_id"))
+        .select(col("doc_id"), col("score").as("bm25"), col("model_score"))
+        .orderBy(col("model_score").desc, col("doc_id"))
+        .limit(10)
+    })
+  )
+
+  /** The BM25 pipeline as DuckDB CTEs ending in `bm25(qid, doc_id,
+    * score)` — callers define `qt(qid, term)` first. Query terms,
+    * document lengths, corpus stats, per-(doc, term) tf, per-term df,
+    * and the decimal-summed score are each re-derived; the arithmetic
+    * is written in the exact association order of the Spark column
+    * expressions so the doubles match bitwise before the decimal
+    * cast. */
+  private def bm25Ctes: String =
+    raw"""dl AS (
+       |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
+       |  FROM dl),
+       |uq AS (SELECT DISTINCT term FROM qt),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\s+')) AS term
+       |        FROM documents) t
+       |  JOIN uq USING (term)
+       |  GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |contrib AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |      * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats s
+       |  JOIN qt ON qt.term = tf.term),
+       |bm25 AS (
+       |  SELECT qid, doc_id,
+       |    CAST(round(sum(CAST(c AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
+       |  FROM contrib GROUP BY qid, doc_id)""".stripMargin
+
+  /** Single-seed `qt` (constant qid 0): the first-appearance-distinct
+    * top-4 tokens of document 0. */
+  private def seedQtCte: String =
+    raw"""qt AS (
+       |  SELECT CAST(0 AS BIGINT) AS qid, term FROM (
+       |    SELECT unnest(toks) AS term, unnest(range(1, len(toks) + 1)) AS pos
+       |    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks
+       |          FROM documents WHERE doc_id = 0))
+       |  GROUP BY term ORDER BY min(pos), term LIMIT 4)""".stripMargin
+
+  /** MMR greedy steps 2..k as unrolled CTEs (the BPE-rounds convention):
+    * step t's penalty is max sim to the union of picks 1..t−1, its
+    * candidate pool excludes them, and its argmax is decimal-path
+    * rounded — literals 0.75/0.25 are binary-exact doubles in both
+    * engines. */
+  private def mmrStepCtes(k: Int): String =
+    (2 to k).map { t =>
+      val selUnion = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""s$t AS (
+         |  SELECT vec_id, mmr, $t AS rank FROM (
+         |    SELECT c.vec_id,
+         |      round(CAST(0.75 * c.rel - 0.25 * COALESCE(p.pen, 0.0)
+         |        AS DECIMAL(28,12)), 4)::DOUBLE AS mmr
+         |    FROM cands c LEFT JOIN (
+         |      SELECT ia AS vec_id, max(sim) AS pen FROM sims
+         |      WHERE ib IN ($selUnion) GROUP BY ia) p USING (vec_id)
+         |    WHERE c.vec_id NOT IN ($selUnion))
+         |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+
+  override def oracle: Map[String, String] = Map(
+    "ann_mmr_rerank" ->
+      (s"""WITH q AS (
+         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+         |  WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT vec_id, round(s, 4) AS rel, embedding FROM (
+         |    SELECT e.vec_id, e.embedding,
+         |      list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS s
+         |    FROM embeddings e CROSS JOIN q
+         |    ORDER BY s DESC, e.vec_id LIMIT 20)),
+         |sims AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+         |      b.embedding::DOUBLE[]), 4) AS sim
+         |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+         |s1 AS (
+         |  SELECT vec_id, mmr, 1 AS rank FROM (
+         |    SELECT vec_id,
+         |      round(CAST(0.75 * rel - 0.25 * 0.0 AS DECIMAL(28,12)), 4)::DOUBLE
+         |        AS mmr
+         |    FROM cands)
+         |  ORDER BY mmr DESC, vec_id LIMIT 1),
+         |""".stripMargin + mmrStepCtes(5) + """
+        |SELECT rank, vec_id, mmr FROM (
+        |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |ORDER BY rank""".stripMargin),
+    "tx_bm25_topk" ->
+      s"""WITH $seedQtCte,
+         |$bm25Ctes
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Batch form: per-seed qt via a seed-partitioned rank window, then
+    // a per-qid top-10 window over the shared bm25 relation.
+    "tx_bm25_batch_topk" ->
+      (raw"""WITH qt AS (
+         |  SELECT qid, term FROM (
+         |    SELECT qid, term, row_number() OVER (PARTITION BY qid
+         |      ORDER BY first_pos, term) AS rn
+         |    FROM (
+         |      SELECT doc_id AS qid, term, min(pos) AS first_pos FROM (
+         |        SELECT doc_id, unnest(toks) AS term,
+         |          unnest(range(1, len(toks) + 1)) AS pos
+         |        FROM (SELECT doc_id,
+         |                string_split_regex(trim(text), '\s+') AS toks
+         |              FROM documents WHERE doc_id < 3))
+         |      GROUP BY doc_id, term))
+         |  WHERE rn <= 4),
+         |""".stripMargin + bm25Ctes +
+      """
+        |SELECT qid, doc_id, score FROM (
+        |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rn
+        |  FROM bm25)
+        |WHERE rn <= 10 ORDER BY qid, score DESC, doc_id""".stripMargin),
+
+    // Both rankings re-derived (BM25 ranks over the rounded scores with
+    // doc_id ties, vector ranks over the exact cosine ordering), then
+    // the decimal-summed 1/(60+rank) fusion.
+    "ann_hybrid_rrf" ->
+      s"""WITH $seedQtCte,
+         |$bm25Ctes,
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+         |    AS rank
+         |  FROM (SELECT doc_id, score FROM bm25
+         |        ORDER BY score DESC, doc_id LIMIT 20)),
+         |qv AS (
+         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings
+         |  WHERE vec_id = 0),
+         |vecr AS (
+         |  SELECT vec_id AS doc_id, rn AS rank FROM (
+         |    SELECT e.vec_id, row_number() OVER (
+         |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec)
+         |        DESC, e.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN qv)
+         |  WHERE rn <= 20),
+         |uni AS (
+         |  SELECT doc_id, rank FROM vecr
+         |  UNION ALL SELECT doc_id, rank FROM bmr),
+         |fused AS (
+         |  SELECT doc_id,
+         |    CAST(round(sum(CAST(1.0 / (60 + rank) AS DECIMAL(28,12))), 6)
+         |      AS DOUBLE) AS rrf
+         |  FROM uni GROUP BY doc_id)
+         |SELECT doc_id, rrf FROM fused
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // BM25 candidates + the tx_model_score arithmetic restricted to the
+    // candidate set, final order by model score.
+    "tx_retrieve_rerank" ->
+      s"""WITH $seedQtCte,
+         |$bm25Ctes,
+         |cands AS (
+         |  SELECT doc_id, score FROM bm25
+         |  ORDER BY score DESC, doc_id LIMIT 20),
+         |t AS (
+         |  SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS toks
+         |  FROM documents d JOIN cands USING (doc_id)),
+         |ms AS (
+         |  SELECT doc_id,
+         |    round(CAST(
+         |      list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+         |        t -> (((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024)
+         |               * 37 + 11) % 201 - 100)::BIGINT)),
+         |        (a, x) -> a + x)::DOUBLE / (100.0 * len(toks))
+         |      AS DECIMAL(28,12)), 4)::DOUBLE AS model_score
+         |  FROM t)
+         |SELECT c.doc_id, c.score AS bm25, ms.model_score
+         |FROM cands c JOIN ms USING (doc_id)
+         |ORDER BY model_score DESC, doc_id LIMIT 10""".stripMargin
+  )
+}
