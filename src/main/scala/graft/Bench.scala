@@ -159,8 +159,9 @@ object Bench {
     // query (q1_agg, plan never changes round-over-round). A slow canary
     // means the BOX was degraded (scheduler steal) during that window, so
     // the paired run's wall time is environment, not plan; the
-    // adjudicated per-query number below is the median over clean-canary
-    // runs only. The canary costs ~0.3 s per timed run.
+    // adjudicated per-query number below is the median over runs whose
+    // BRACKETING canaries (before and after) were both clean. The canary
+    // costs ~0.3 s per timed run plus one closer per query.
     val canaryName = "q1_agg"
     val canaryQ = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_CANARY", "1") != "0")
       qs.get(canaryName) else None
@@ -202,7 +203,7 @@ object Bench {
         } else Vector.empty[St]
         (dt, snap)
       }
-      val runs = try (1 to runsPerQuery).map { _ =>
+      val runsRaw = try (1 to runsPerQuery).map { _ =>
           // deterministic cleanup OUTSIDE the timed path, before EVERY
           // run (not once per query): localCheckpoint blocks of the
           // previous run are freed by the ContextCleaner only after the
@@ -220,14 +221,26 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Vector((-1.0, -1.0, Vector.empty[St])) }
+      // CLOSING canary: contention that starts DURING a run is invisible
+      // to that run's (pre-)canary and only shows in the NEXT one — a
+      // clean-pre + degraded-mid run then pollutes the clean median (one
+      // 16 s dd_minhash_lsh run adjudicated in exactly this way). Each
+      // run is therefore BRACKETED: its post-canary is the next run's
+      // pre-canary, and the last run gets this dedicated closer.
+      val closingC =
+        if (runsRaw.exists(_._2 >= 0) && canaryQ.nonEmpty) canary() else -1.0
+      val runs = runsRaw.zipWithIndex.map { case ((c, dt, snap), i) =>
+        val cPost = if (i + 1 < runsRaw.length) runsRaw(i + 1)._1 else closingC
+        (c, cPost, dt, snap)
+      }
       // stage-evidence dump: any run >3x the query's fastest run gets its
       // top stages printed AND persisted so a bad median is attributable
       // (low run_ms vs wall = tasks parked → environment; high run_ms =
       // compute degraded → plan) instead of adjudicated on faith.
-      val minT = runs.map(_._2).filter(_ >= 0).minOption.getOrElse(-1.0)
+      val minT = runs.map(_._3).filter(_ >= 0).minOption.getOrElse(-1.0)
       allRunsJson += "\"" + name + "\":[" +
-        runs.map(r => f"${r._2}%.3f").mkString(",") + "]"
-      if (stagesOn && minT > 0) runs.zipWithIndex.foreach { case ((_, dt, snap), i) =>
+        runs.map(r => f"${r._3}%.3f").mkString(",") + "]"
+      if (stagesOn && minT > 0) runs.zipWithIndex.foreach { case ((_, _, dt, snap), i) =>
         if (dt > 3 * minT && dt > 1.0) {
           System.err.println(
             f"[bench-stages] $name run ${i + 1} SLOW: $dt%.3f s (min $minT%.3f s)")
@@ -243,40 +256,48 @@ object Bench {
             f""""min_sec":$minT%.3f,"stages":[${top.map(_.json).mkString(",")}]}"""
         }
       }
-      name -> runs.map(r => (r._1, r._2))
+      name -> runs.map(r => (r._1, r._2, r._3))
     }
     def fmt(d: Double) = f"$d%.3f"
     def median(ts: Seq[Double]): Double =
       if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
-    // box-state classification: a run is CLEAN if its canary stayed within
-    // 2x the session-wide canary minimum; a stolen canary marks the paired
-    // run environment-degraded. With no canary every run counts as clean.
-    val canaryFloor = results.flatMap(_._2.map(_._1)).filter(_ >= 0)
+    // box-state classification: a run is CLEAN if BOTH its bracketing
+    // canaries (the one before it and the one before the NEXT run / the
+    // closing one) stayed within 2x the session-wide canary minimum — a
+    // degraded post-canary means contention started mid-run and the wall
+    // time is environment, not plan. With no canary every run counts as
+    // clean.
+    val canaryFloor = results
+      .flatMap(_._2.flatMap(r => Seq(r._1, r._2))).filter(_ >= 0)
       .minOption.getOrElse(-1.0)
-    def clean(c: Double): Boolean = canaryFloor < 0 || (c >= 0 && c <= 2 * canaryFloor)
+    def cOk(c: Double): Boolean = c >= 0 && c <= 2 * canaryFloor
+    def clean(r: (Double, Double, Double)): Boolean =
+      canaryFloor < 0 || (cOk(r._1) && cOk(r._2))
     val qJson = results.map { case (k, rs) =>
-      "\"" + k + "\":" + fmt(median(rs.map(_._2))) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + fmt(median(rs.map(_._3))) }.mkString("{", ",", "}")
     val qAdjJson = results.map { case (k, rs) =>
-      val cleanTs = rs.filter(r => clean(r._1)).map(_._2)
+      val cleanTs = rs.filter(clean).map(_._3)
       val adj = if (cleanTs.nonEmpty) median(cleanTs)
-        else rs.map(_._2).filter(_ >= 0).minOption.getOrElse(-1.0)
+        else rs.map(_._3).filter(_ >= 0).minOption.getOrElse(-1.0)
       "\"" + k + "\":" + fmt(adj) }.mkString("{", ",", "}")
     val qMinJson = results.map { case (k, rs) =>
-      "\"" + k + "\":" + fmt(rs.map(_._2).filter(_ >= 0).minOption.getOrElse(-1.0)) }
+      "\"" + k + "\":" + fmt(rs.map(_._3).filter(_ >= 0).minOption.getOrElse(-1.0)) }
       .mkString("{", ",", "}")
     val spreadJson = results.map { case (k, rs) =>
-      val ts = rs.map(_._2).sorted
+      val ts = rs.map(_._3).sorted
       "\"" + k + "\":[" + fmt(ts.head) + "," + fmt(ts.last) + "]" }
       .mkString("{", ",", "}")
+    // pre-canaries of the 5 runs plus the closing canary (6 values/query)
     val canaryJson = results.map { case (k, rs) =>
-      "\"" + k + "\":[" + rs.map(r => fmt(r._1)).mkString(",") + "]" }
+      "\"" + k + "\":[" +
+        (rs.map(r => fmt(r._1)) :+ fmt(rs.last._2)).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, rs) => median(rs.map(_._2)) }
+    val total = results.map { case (_, rs) => median(rs.map(_._3)) }
       .filter(_ >= 0).sum
     val totalAdj = results.map { case (k, rs) =>
-      val cleanTs = rs.filter(r => clean(r._1)).map(_._2)
+      val cleanTs = rs.filter(clean).map(_._3)
       if (cleanTs.nonEmpty) median(cleanTs)
-      else rs.map(_._2).filter(_ >= 0).minOption.getOrElse(-1.0) }
+      else rs.map(_._3).filter(_ >= 0).minOption.getOrElse(-1.0) }
       .filter(_ >= 0).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,""" +

@@ -124,6 +124,18 @@ object RecallProbe {
         .foreach(r => println(
           f"ann_ivfpq_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
 
+      hits("ann_bq_topk", Ann.searchBq(e, Ann.binarize(e),
+          q.select(col("qvec")), k = 10, overfetch = 8)
+        .select(lit(0L).as("qid"), col("vec_id")))
+      val annBqBatch = Ann.searchBqBatch(e, Ann.binarize(e), qsAll,
+        k = 10, overfetch = 8)
+      exAll.join(annBqBatch.select(col("qid"), col("vec_id")),
+          Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+        .orderBy("qid").collect()
+        .foreach(r => println(
+          f"ann_bq_batch qid=${r.getLong(0)} n_hit=${r.getLong(1)}/10"))
+
       val (model, withVec) = Ann.lshModel(e)
       val key = org.apache.spark.ml.linalg.Vectors.dense(
         e.filter(col("vec_id") === 0).head().getSeq[Float](1)

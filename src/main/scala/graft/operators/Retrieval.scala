@@ -145,7 +145,10 @@ object Retrieval {
       .select(col("ia"), col("ib"),
         round(graft.Graft.cosine(col("va"), col("vb")), 4).as("sim"))
       .localCheckpoint(true) // m² rows, computed once, reused k times
-    var rest = cands.select(col(idCol), col(relCol))
+    // pin the m-row (id, rel) base too: without this every greedy step's
+    // pick and anti-join re-derives `cands` — i.e. re-runs the upstream
+    // retriever's corpus scan — once or twice per step
+    var rest = cands.select(col(idCol), col(relCol)).localCheckpoint(true)
     var selected: Option[DataFrame] = None
     for (t <- 1 to k) {
       val withPen = selected match {
