@@ -84,16 +84,37 @@ object ScaleProbe {
           k = 12, bands = 4, minJ = 0.6).count(): Unit),
       ("tx_corpus_ready", (d: DataFrame) =>
         graft.queries.DedupTextPack.corpusReady(spark, d).count(): Unit),
-      ("ann_ivfpq_kmeans_build", (e: DataFrame) => ivfpqBuild(e)))
+      ("ann_ivfpq_kmeans_build", (e: DataFrame) => ivfpqBuild(e)),
+      // scan-shaped newcomers: expected ~linear in data (no iterative
+      // fixed overhead) — the probe pins that the batch forms' wall is
+      // data-proportional, not query-set-proportional
+      ("ann_bq_batch_topk", (e: DataFrame) => {
+        val qs = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        Ann.searchBqBatch(e, Ann.binarize(e), qs, k = 10, overfetch = 8)
+          .count(): Unit
+      }),
+      ("tx_bm25_batch_topk", (d: DataFrame) => {
+        val qt = graft.operators.Retrieval.seedTermsBatch(
+          d, "doc_id", "text", seedIds = Seq(0L, 1L, 2L), n = 4)
+        graft.operators.Retrieval.bm25BatchTopK(d, qt, k = 10)
+          .count(): Unit
+      }))
 
+    // min-of-N per point: this box shows intermittent multi-second
+    // scheduler stalls (the bench adjudicates them away with bracketing
+    // canaries); a single timed run here produced a 35× dd_corpus
+    // "ratio" and a base slower than its own 10× run. The MINIMUM is the
+    // stall-robust statistic for a scaling ratio.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    def best(f: => Unit): Double =
+      (1 to reps).map { _ => System.gc(); time(f) }.min
     val results = probes.map { case (name, f) =>
       val (base, scaled) =
         if (name.startsWith("ann")) (emb1, embX) else (docs1, docsX)
       f(base) // warm the operator path once (codegen/JIT)
-      System.gc()
-      val b = time(f(base))
-      System.gc()
-      val x = time(f(scaled))
+      val b = best(f(base))
+      val x = best(f(scaled))
       val line = f"""{"probe":"$name","base_sec":$b%.3f,""" +
         f""""scaled_sec":$x%.3f,"factor":$factor,"ratio":${x / b}%.2f}"""
       println(line)

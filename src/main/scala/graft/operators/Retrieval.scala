@@ -70,12 +70,84 @@ object Retrieval {
         .as("term"))
     val dl = docs.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val uniq = qterms.select(col("term")).distinct()
     val tf = toks.join(broadcast(uniq), Seq("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // df is bounded by |terms| — broadcast back into the contribution join
+    scoreTf(tf, dl, qterms, k1, b, idCol)
+  }
+
+  /** Persisted inverted-index form of the BM25 corpus state: the posting
+    * relation `(term, idCol, tf)` and the document-length relation
+    * `(idCol, dl)`. Everything a query needs — per-term df, corpus N,
+    * avgdl — derives from these two with bounded aggregations, so the
+    * index is built ONCE (one tokenize+group pass over the corpus) and
+    * serves any number of queries that never touch the raw text again
+    * (the `saveIvf` build-once/serve-many shape, lexical edition). */
+  case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+
+  /** One corpus pass: explode → (idCol, term, tf) postings + map-only
+    * doc lengths. */
+  def buildBm25Index(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Bm25Index =
+    Bm25Index(
+      TextAnalysis.spread(docs)
+        .select(col(idCol), explode(TextAnalysis.tokens(col(textCol)))
+          .as("term"))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf")),
+      docs.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).as("dl")))
+
+  /** Ingestion append: tokenize ONLY the new batch and union — work ∝
+    * batch, the corpus postings are never rebuilt (the `appendIvf`
+    * contract). Caller guarantees the batch's ids are new. */
+  def appendBm25Index(index: Bm25Index, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
+    val b = buildBm25Index(newDocs, idCol, textCol)
+    Bm25Index(index.postings.unionByName(b.postings),
+      index.docLens.unionByName(b.docLens))
+  }
+
+  /** Persist the index term-range-clustered: postings sorted by term
+    * within term-range files, so a query-term probe prunes to the files
+    * whose [min, max] term ranges cover its terms (parquet footer
+    * stats) — the on-disk analog of a posting-list seek. */
+  def saveBm25Index(index: Bm25Index, dir: String): Unit = {
+    index.postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    index.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/doclens"))
+
+  /** Score from a prebuilt [[Bm25Index]]: the query-term filter prunes
+    * the postings scan (term-range files when loaded from
+    * [[saveBm25Index]]); df/stats are bounded aggregations. Identical
+    * scores to [[bm25TopK]] by construction (spec-pinned). */
+  def bm25IndexTopK(index: Bm25Index, terms: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val qterms = terms.select(lit(0L).as("qid"), col("term"))
+    val uniq = qterms.select(col("term")).distinct()
+    val tf = index.postings.join(broadcast(uniq), Seq("term"))
+    scoreTf(tf, index.docLens, qterms, k1, b, idCol)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** The shared BM25 scoring tail over a pre-filtered `(idCol, term,
+    * tf)` relation — the arithmetic both the ad-hoc and the
+    * index-backed paths route through (one association order, one
+    * oracle). */
+  private def scoreTf(tf: DataFrame, dl: DataFrame, qterms: DataFrame,
+      k1: Double, b: Double, idCol: String): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val contrib = tf.join(broadcast(df), Seq("term"))

@@ -62,6 +62,68 @@ object RetrievalPack extends QueryPack {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // Build-once / serve-many: the BM25 inverted index is BUILT, SAVED
+    // term-range-clustered, LOADED back, and searched — the full
+    // persistence round trip (the rcmn_top5_built_index convention,
+    // lexical edition). Scores ≡ the ad-hoc path by construction, so
+    // the tx_bm25_topk oracle gates the whole trip.
+    "tx_bm25_built_index" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25_ix").toString
+      try {
+        Retrieval.saveBm25Index(Retrieval.buildBm25Index(d), tmp)
+        Retrieval.bm25IndexTopK(Retrieval.loadBm25Index(s, tmp), terms,
+            k = 10)
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          // the index files are deleted on return — pin the result first
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
+    // Ingestion append: index built on the EVEN docs, the odd half
+    // APPENDED (tokenize work ∝ batch, corpus postings never rebuilt —
+    // the appendIvf contract) — then searched. Union stats ≡ full-corpus
+    // stats, so the tx_bm25_topk oracle gates the append path too.
+    "tx_bm25_append" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val ix = Retrieval.appendBm25Index(
+        Retrieval.buildBm25Index(d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1))
+      Retrieval.bm25IndexTopK(ix, terms, k = 10)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // Streaming TOP-K retrieval — the 5th streaming state kind under the
+    // gate and the first with ARBITRARY keyed state (mapGroupsWithState
+    // bounded heap; the others ride built-in agg/dedup/join/session
+    // state): the corpus streams in 4 micro-batches, each vector is
+    // cosine-scored inline against 3 broadcast queries, and a ≤k-row
+    // per-query heap folds across batches. Final state ≡ the batch
+    // exact top-k (top-k under a total order is assoc+comm), which the
+    // oracle re-derives; n_seen pins that all rows passed the fold.
+    "stream_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_topk").toString
+      e.repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+      try graft.streaming.EventStream
+        .streamTopKExact(s, tmp, e.schema, qs, k = 10)
+        .select(col("qid"), col("n_seen"), col("vec_id"),
+          round(col("simil"), 4).as("simil"))
+        .orderBy(col("qid"), col("simil").desc, col("vec_id"))
+      finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // MMR diversified reranking (Carbonell 1998): exact-cosine top-20
     // candidates, then 5 greedy picks trading relevance against
     // redundancy (λ=0.75). The k steps are bounded 20-row plans; the
@@ -170,6 +232,40 @@ object RetrievalPack extends QueryPack {
     }.mkString(",\n")
 
   override def oracle: Map[String, String] = Map(
+    // Identical scores to the ad-hoc path by construction: the same
+    // tx_bm25_topk re-derivation gates the save/load round trip…
+    "tx_bm25_built_index" ->
+      s"""WITH $seedQtCte,
+         |$bm25Ctes
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // …and the even-build + odd-append composition (union stats ≡
+    // full-corpus stats).
+    "tx_bm25_append" ->
+      s"""WITH $seedQtCte,
+         |$bm25Ctes
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // The streaming fold's fixed point: per-query exact top-10 over the
+    // whole corpus, plus the total row count every fold step summed to.
+    "stream_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 3),
+        |n AS (SELECT count(*) AS n_seen FROM embeddings),
+        |topk AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS s,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec)
+        |        DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT qid, n.n_seen, vec_id, round(s, 4) AS simil
+        |FROM topk CROSS JOIN n
+        |WHERE rn <= 10 ORDER BY qid, simil DESC, vec_id""".stripMargin,
+
     "ann_mmr_rerank" ->
       (s"""WITH q AS (
          |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings

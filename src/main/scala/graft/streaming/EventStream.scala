@@ -213,6 +213,72 @@ object EventStream {
     state.select(col("doc_id"), col("n").as("n_copies"))
   }
 
+  /** Per-query bounded top-k fold state for [[streamTopKExact]]: rows
+    * scored so far and the current top-k, ids/sims parallel. */
+  case class TopKFold(seen: Long, ids: Seq[Long], sims: Seq[Double])
+
+  /** Oracle-gated streaming TOP-K retrieval (driver query `stream_topk`)
+    * — the FIFTH streaming state kind under the gate, and the first with
+    * ARBITRARY keyed state (`mapGroupsWithState` + a custom fold; the
+    * other four ride built-in agg / dedup / join-buffer / session-window
+    * state): the embedding corpus arrives as a file stream in 4
+    * micro-batches, each arriving vector is scored against the broadcast
+    * query literals inline (map-only — the codegen cosine runs in the
+    * stream), and a per-query bounded heap folds across micro-batches in
+    * GroupState.
+    *
+    * State is ≤ k (id, simil) pairs per query FOREVER — independent of
+    * stream length, the boundedness that makes continuous index refresh
+    * viable. The fold is merge-order independent: top-k under the total
+    * order (simil desc, id asc) is associative+commutative, so the final
+    * state ≡ the batch [[graft.operators.Knn.topKPerQuery]] over the full
+    * corpus, which the DuckDB oracle re-derives (`n_seen` additionally
+    * pins that every corpus row passed through the fold).
+    *
+    * Update output emits each query's running state per trigger; the
+    * final state is the row with the highest `seen` per qid. */
+  def streamTopKExact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      queries: Seq[(Long, Seq[Float])], k: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    val name = s"graft_stream_topk_${memorySinkRuns.incrementAndGet()}"
+    val qlit = typedlit(queries)
+    val scoredDs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("vec_id"), col("embedding"), explode(qlit).as("q"))
+      .select(col("q._1").as("qid"), col("vec_id"),
+        graft.Graft.cosine(col("embedding"), col("q._2")).as("simil"))
+      .as[(Long, Long, Double)]
+    val folded = scoredDs.groupByKey(_._1)
+      .mapGroupsWithState[TopKFold, (Long, Long, Seq[Long], Seq[Double])](
+        GroupStateTimeout.NoTimeout) { (qid, rows, state) =>
+        val prev = state.getOption.getOrElse(TopKFold(0L, Nil, Nil))
+        val incoming = rows.map(r => (r._2, r._3)).toVector
+        val merged = (prev.ids.zip(prev.sims) ++ incoming)
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+        val next = TopKFold(prev.seen + incoming.size,
+          merged.map(_._1), merged.map(_._2))
+        state.update(next)
+        (qid, next.seen, next.ids, next.sims)
+      }
+    val q = folded.toDF("qid", "seen", "ids", "sims")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy(col("qid")).orderBy(col("seen").desc)
+    materializeAndDrop(spark, name, spark.table(name)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("seen").as("n_seen"),
+        explode(arrays_zip(col("ids"), col("sims"))).as("p"))
+      .select(col("qid"), col("n_seen"),
+        col("p.ids").as("vec_id"), col("p.sims").as("simil")))
+  }
+
   private val memorySinkRuns = new java.util.concurrent.atomic.AtomicLong()
 
   /** Materialize the bounded memory-sink result locally, then DROP the

@@ -85,6 +85,62 @@ class RetrievalSpec extends AnyFunSuite {
     bin.unpersist()
   }
 
+  test("Bm25Index: save/load round trip and even+odd append both equal " +
+      "the ad-hoc bm25TopK") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val terms = Retrieval.seedTerms(d, "doc_id", "text", 0L, 4)
+    val adhoc = Retrieval.bm25TopK(d, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec").toString
+    try {
+      Retrieval.saveBm25Index(Retrieval.buildBm25Index(d), tmp)
+      val loaded = Retrieval.bm25IndexTopK(
+          Retrieval.loadBm25Index(spark, tmp), terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(loaded == adhoc)
+    } finally graft.streaming.EventStream.deleteDir(tmp)
+    val appended = Retrieval.bm25IndexTopK(
+        Retrieval.appendBm25Index(
+          Retrieval.buildBm25Index(d.filter(col("doc_id") % 2 === 0)),
+          d.filter(col("doc_id") % 2 === 1)),
+        terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(appended == adhoc)
+  }
+
+  test("streamTopKExact: 4-micro-batch bounded-heap fold equals the " +
+      "batch exact top-k; n_seen proves every batch folded") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val total = e.count()
+    val qs = e.filter(col("vec_id") < 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_topk_spec").toString
+    e.repartitionByRange(4, col("vec_id")).write.mode("overwrite").parquet(tmp)
+    try {
+      val got = graft.streaming.EventStream
+        .streamTopKExact(spark, tmp, e.schema, qs, k = 5)
+      // every corpus row passed through the fold (a last-batch-only
+      // result would carry seen ≈ |batch|)
+      assert(got.select(col("n_seen")).distinct().collect()
+        .map(_.getLong(0)).toSeq == Seq(total))
+      // bounded state: ≤ k rows per query survive
+      val perQ = got.groupBy(col("qid")).count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(perQ.values.forall(_ <= 5) && perQ.keySet == Set(0L, 1L))
+      val gotSet = got.select(col("qid"), col("vec_id"), col("simil"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.operators.Knn.topKPerQuery(e,
+          e.filter(col("vec_id") < 2)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(gotSet == batch)
+    } finally graft.streaming.EventStream.deleteDir(tmp)
+  }
+
   test("seedTerms: first-n distinct tokens in order of first appearance") {
     val d = Seq((0L, "b a b c a d e"), (1L, "z z z")).toDF("doc_id", "text")
     val got = Retrieval.seedTerms(d, "doc_id", "text", 0L, 3)
