@@ -13,8 +13,10 @@ object Bench {
 
   /** Headline set: one per operator family (scan-agg, join-agg, window,
     * KNN, fusion, full E1, sweep-line, minhash LSH, jaccard pairs,
-    * lang-ID, IVF ANN, quantized/learned ANN tiers, embed near-dup, and
-    * the end-to-end corpus-prep capstone). */
+    * lang-ID, IVF ANN, quantized/learned/1-bit ANN tiers with batch
+    * forms, filtered search, BM25 lexical retrieval, hybrid RRF fusion,
+    * rerankers, embed near-dup, and the end-to-end corpus-prep
+    * capstone). */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q17_running_window", "q20_sweepline_consensus",
     "knn_topk", "knn_fusion", "q22_recommend_audience",
@@ -25,7 +27,7 @@ object Bench {
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
     "ann_bq_topk", "ann_bq_batch_topk",
     "ann_ivf_filtered_topk", "ann_mmr_rerank",
-    "tx_bm25_topk", "tx_bm25_batch_topk", "ann_hybrid_rrf",
+    "tx_bm25_topk", "tx_bm25_batch_topk", "ann_hybrid_rrf", "ann_hybrid_batch_rrf",
     "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
     "mm_phash_pairs", "tx_corpus_stats",

@@ -1140,7 +1140,10 @@ object Ann {
     * Everything is built-in codegen HOFs; the word fold is MSB-first
     * `acc·2 + bit` so no variable-distance shift is required. Out-of-range
     * bit positions (d not a multiple of 32) read null via `try_element_at`
-    * and contribute 0 on both engines. */
+    * and contribute 0 on both engines. Non-finite components follow SQL
+    * comparison semantics, which Spark and DuckDB share: NaN orders
+    * GREATER than every value, so NaN ≥ 0 binarizes to 1 (spec-pinned);
+    * ±Inf follow their sign. */
   def binarize(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val nWords = ((size(col(vecCol)) + lit(31)) / lit(32)).cast("int")

@@ -191,6 +191,29 @@ object Retrieval {
     Knn.groupedTopK(
       bm25Scored(docs, qterms, k1, b, idCol, textCol), k, idCol, "score")
 
+  /** Batch twin of [[rrfFuse]]: every input list carries `(qid, idCol,
+    * score)` rows for a whole query set; ranks are per (list, qid) —
+    * the window partitions by both — and the fused per-(qid, doc) sums
+    * reduce to top-k per query through the partial-aggregable
+    * [[Knn.groupedTopK]]. One plan fuses the entire batch. */
+  def rrfFuseBatch(lists: Seq[(String, DataFrame)], k: Int, c: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    val tagged = lists.map { case (tag, df) =>
+      df.select(lit(tag).as("src"), col("qid"), col(idCol),
+        col("score").cast("double").as("s"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("src"), col("qid"))
+      .orderBy(col("s").desc, col(idCol))
+    val summed = tagged.withColumn("rank", row_number().over(w))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum((lit(1.0) / (lit(c.toDouble) + col("rank")))
+        .cast("decimal(28,12)")).as("rdec"))
+      .select(col("qid"), col(idCol),
+        round(col("rdec"), 6).cast("double").as("rrf"))
+    Knn.groupedTopK(summed, k, idCol, "rrf")
+      .select(col("qid"), col(idCol), col("rrf"))
+  }
+
   /** Maximal-marginal-relevance diversified reranking (Carbonell &
     * Goldstein 1998): greedily select `argmax_d λ·rel(d) − (1−λ)·
     * max_{s∈S} sim(d, s)` for `k` steps — relevance traded against

@@ -144,6 +144,27 @@ object RetrievalPack extends QueryPack {
         .orderBy(col("rank"))
     }),
 
+    // BATCH hybrid retrieval: 3 queries' vector top-20s (one corpus
+    // scan via topKPerQuery) and 3 BM25 top-20s (one corpus pass via
+    // bm25BatchTopK) fused per query in ONE plan — ranks windowed per
+    // (list, qid), fused sums reduced through the partial-aggregable
+    // grouped top-k. The batch-family completion of ann_hybrid_rrf.
+    "ann_hybrid_batch_rrf" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Knn.topKPerQuery(e, qs, k = 20)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("simil").as("score"))
+      val bm = Retrieval.bm25BatchTopK(d,
+        Retrieval.seedTermsBatch(d, "doc_id", "text",
+          seedIds = Seq(0L, 1L, 2L), n = 4), k = 20)
+      Retrieval.rrfFuseBatch(Seq(("vec", vec), ("bm25", bm)), k = 10)
+        .orderBy(col("qid"), col("rrf").desc, col("doc_id"))
+    }),
+
     // Retrieve-then-rerank: BM25 generates 20 candidates, the (stub)
     // model scorer — tx_model_score's deterministic hashed linear model,
     // standing in for a cross-encoder — scores ONLY the candidate set
@@ -199,6 +220,24 @@ object RetrievalPack extends QueryPack {
        |  SELECT qid, doc_id,
        |    CAST(round(sum(CAST(c AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
        |  FROM contrib GROUP BY qid, doc_id)""".stripMargin
+
+  /** Per-seed `qt(qid, term)` for seeds 0..2: first-appearance-distinct
+    * top-4 tokens per seed, rank window partitioned by seed (the
+    * seedTermsBatch twin). */
+  private def batchQtCte: String =
+    raw"""qt AS (
+       |  SELECT qid, term FROM (
+       |    SELECT qid, term, row_number() OVER (PARTITION BY qid
+       |      ORDER BY first_pos, term) AS rn
+       |    FROM (
+       |      SELECT doc_id AS qid, term, min(pos) AS first_pos FROM (
+       |        SELECT doc_id, unnest(toks) AS term,
+       |          unnest(range(1, len(toks) + 1)) AS pos
+       |        FROM (SELECT doc_id,
+       |                string_split_regex(trim(text), '\s+') AS toks
+       |              FROM documents WHERE doc_id < 3))
+       |      GROUP BY doc_id, term))
+       |  WHERE rn <= 4)""".stripMargin
 
   /** Single-seed `qt` (constant qid 0): the first-appearance-distinct
     * top-4 tokens of document 0. */
@@ -303,19 +342,7 @@ object RetrievalPack extends QueryPack {
     // Batch form: per-seed qt via a seed-partitioned rank window, then
     // a per-qid top-10 window over the shared bm25 relation.
     "tx_bm25_batch_topk" ->
-      (raw"""WITH qt AS (
-         |  SELECT qid, term FROM (
-         |    SELECT qid, term, row_number() OVER (PARTITION BY qid
-         |      ORDER BY first_pos, term) AS rn
-         |    FROM (
-         |      SELECT doc_id AS qid, term, min(pos) AS first_pos FROM (
-         |        SELECT doc_id, unnest(toks) AS term,
-         |          unnest(range(1, len(toks) + 1)) AS pos
-         |        FROM (SELECT doc_id,
-         |                string_split_regex(trim(text), '\s+') AS toks
-         |              FROM documents WHERE doc_id < 3))
-         |      GROUP BY doc_id, term))
-         |  WHERE rn <= 4),
+      (s"""WITH $batchQtCte,
          |""".stripMargin + bm25Ctes +
       """
         |SELECT qid, doc_id, score FROM (
@@ -323,6 +350,43 @@ object RetrievalPack extends QueryPack {
         |    ORDER BY score DESC, doc_id) AS rn
         |  FROM bm25)
         |WHERE rn <= 10 ORDER BY qid, score DESC, doc_id""".stripMargin),
+
+    // Batch hybrid: per-qid BM25 and vector rankings (both limit-20 per
+    // query) re-derived, decimal-summed 1/(60+rank) fusion, per-qid
+    // top-10.
+    "ann_hybrid_batch_rrf" ->
+      (s"""WITH $batchQtCte,
+         |""".stripMargin + bm25Ctes +
+      """,
+        |bmr AS (
+        |  SELECT qid, doc_id, rn AS rank FROM (
+        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM bm25)
+        |  WHERE rn <= 20),
+        |qv AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 3),
+        |vecr AS (
+        |  SELECT qid, vec_id AS doc_id, rn AS rank FROM (
+        |    SELECT qv.qid, e.vec_id, row_number() OVER (PARTITION BY qv.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.qvec)
+        |        DESC, e.vec_id) AS rn
+        |    FROM embeddings e CROSS JOIN qv)
+        |  WHERE rn <= 20),
+        |uni AS (
+        |  SELECT qid, doc_id, rank FROM vecr
+        |  UNION ALL SELECT qid, doc_id, rank FROM bmr),
+        |fused AS (
+        |  SELECT qid, doc_id,
+        |    CAST(round(sum(CAST(1.0 / (60 + rank) AS DECIMAL(28,12))), 6)
+        |      AS DOUBLE) AS rrf
+        |  FROM uni GROUP BY qid, doc_id)
+        |SELECT qid, doc_id, rrf FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rn
+        |  FROM fused)
+        |WHERE rn <= 10 ORDER BY qid, rrf DESC, doc_id""".stripMargin),
 
     // Both rankings re-derived (BM25 ranks over the rounded scores with
     // doc_id ties, vector ranks over the exact cosine ordering), then

@@ -218,6 +218,81 @@ class RetrievalSpec extends AnyFunSuite {
     assert(reranked.map(_._2).toSeq == reranked.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("bm25TopK equals a plain-Scala BM25 reference on 200 seeded " +
+      "random docs (randomized property)") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "cd", "efg", "hij", "k", "lm", "nop", "q9")
+    val corpus = (0L until 200L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val terms = Seq("cd", "nop", "a")
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+        terms.map(Tuple1(_)).toDF("term"), k = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val df = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    corpus.foreach { case (id, _) =>
+      val ws = toks(id)
+      val s = terms.map { t =>
+        val tf = ws.count(_ == t)
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ws.size / avgdl))
+      }.sum
+      if (s > 0)
+        assert(math.abs(got(id) - s) < 1e-4, s"doc $id: ${got(id)} vs $s")
+      else assert(!got.contains(id))
+    }
+  }
+
+  test("binarize equals the pack reference on 100 seeded random vectors " +
+      "including NaN/Inf components (randomized property)") {
+    val rnd = new scala.util.Random(77)
+    val rows = (0L until 100L).map { i =>
+      (i, Seq.tabulate(64) { _ =>
+        rnd.nextInt(20) match {
+          case 0 => Float.NaN
+          case 1 => Float.PositiveInfinity
+          case 2 => Float.NegativeInfinity
+          case _ => (rnd.nextFloat() - 0.5f) * 4f
+        }
+      })
+    }
+    val got = Ann.binarize(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      // SQL comparison semantics, NOT Scala's IEEE: both Spark and
+      // DuckDB order NaN GREATER than every value, so NaN >= 0 is true
+      // and a NaN component binarizes to bit 1 (cross-engine consistent,
+      // which is what the hash-matched oracle needs); ±Inf follow sign
+      val ref = packRef(v.map(x => if (x.isNaN) 1.0f else x))
+      assert(got(id) == ref, s"id=$id")
+    }
+  }
+
+  test("rrfFuseBatch equals per-qid rrfFuse singles on the fixture") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val vec = Knn.topKPerQuery(e, qs, k = 8)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("simil").as("score"))
+    val bm = Retrieval.bm25BatchTopK(d,
+      Retrieval.seedTermsBatch(d, "doc_id", "text", Seq(0L, 1L, 2L), 4), k = 8)
+    val batch = Retrieval.rrfFuseBatch(Seq(("vec", vec), ("bm25", bm)), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val singles = (0L until 3L).flatMap { q =>
+      val v1 = vec.filter(col("qid") === q).select(col("doc_id"), col("score"))
+      val b1 = bm.filter(col("qid") === q).select(col("doc_id"), col("score"))
+      Retrieval.rrfFuse(Seq(("vec", v1), ("bm25", b1)), k = 5)
+        .collect().map(r => (q, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch == singles)
+  }
+
   test("mmrRerank equals a plain-Scala greedy MMR reference on the " +
       "fixture candidates") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
