@@ -109,6 +109,42 @@ class RetrievalSpec extends AnyFunSuite {
     assert(appended == adhoc)
   }
 
+  test("streaming BM25 index maintenance: 4 foreachBatch appends build " +
+      "the same index as one batch build (ingest-forever, lexical)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val terms = Retrieval.seedTerms(d, "doc_id", "text", 0L, 4)
+    val adhoc = Retrieval.bm25TopK(d, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25_stream").toString
+    d.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(tmp)
+    try {
+      // empty index seeded from a 0-row slice; each micro-batch appends
+      // (tokenize work ∝ batch, postings never rebuilt)
+      var ix = Retrieval.buildBm25Index(d.filter(lit(false)))
+      val q = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            ix = Retrieval.appendBm25Index(ix, batch)
+            // pin each increment: state must be source-independent by
+            // the time the next batch lands (the ingestDedupExact shape)
+            ix = Retrieval.Bm25Index(ix.postings.localCheckpoint(true),
+              ix.docLens.localCheckpoint(true))
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = Retrieval.bm25IndexTopK(ix, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(streamed == adhoc)
+    } finally graft.streaming.EventStream.deleteDir(tmp)
+  }
+
   test("streamTopKExact: 4-micro-batch bounded-heap fold equals the " +
       "batch exact top-k; n_seen proves every batch folded") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
