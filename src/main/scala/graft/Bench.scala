@@ -31,7 +31,8 @@ object Bench {
     "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
     "mm_phash_pairs", "tx_corpus_stats",
-    "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens", "tx_corpus_ready")
+    "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens",
+    "tx_chunk_retrieve", "q39_merge_upsert", "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /

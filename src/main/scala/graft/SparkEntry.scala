@@ -17,7 +17,8 @@ object SparkEntry {
     AnnPack,
     RetrievalPack,
     ParsingPack,
-    MultimodalPack
+    MultimodalPack,
+    MaintenancePack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators: CDC upsert/delete apply (the lakehouse
+  * MERGE shape) and SCD-2 dimension-history interval building.
+  *
+  * The reference keeps its serving tables fresh by re-running full INSERT
+  * pipelines (`/root/reference/nl_targeting_save.py:52-66` truncates and
+  * reloads); at 100 TB a snapshot is maintained incrementally — a small
+  * change batch is merged into the big table, and attribute history is
+  * tracked as validity intervals. Both shapes below are pure column
+  * plans the driver's DuckDB oracle re-derives row for row.
+  */
+object Cdc {
+
+  /** Apply a CDC change batch to a snapshot, latest-wins per key.
+    *
+    * `changes` carries the snapshot's columns plus `opCol` (`"U"` upsert
+    * / `"D"` delete) and `seqCol` (a per-key strictly-increasing change
+    * sequence — the resolution order; ties are contract-violating).
+    * Result = snapshot rows whose key is untouched, plus the
+    * latest-by-seq image of every touched key that isn't a delete.
+    *
+    * Scale design: the big snapshot NEVER shuffles — with
+    * `broadcastChanges` (the normal regime: a change batch is tiny
+    * relative to a 100 TB snapshot) the touched-key set is broadcast and
+    * the snapshot streams through a map-side `BroadcastHashJoin
+    * LeftAnti`; the per-key latest-wins resolution aggregates only the
+    * change batch (partial-aggregable `max_by`). For a change batch too
+    * big to broadcast, pass `broadcastChanges = false` and the anti-join
+    * falls back to a key shuffle. A copy-on-write writer would pair this
+    * with a key-clustered layout ([[Layout.zorderBy]]) so only files
+    * containing touched keys rewrite. */
+  def applyBatch(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+      seqCol: String = "seq", opCol: String = "op",
+      broadcastChanges: Boolean = true): DataFrame = {
+    val dataCols = snapshot.columns.toSeq
+    val payload = dataCols.filterNot(_ == keyCol)
+    val latest = changes
+      .groupBy(col(keyCol))
+      .agg(max_by(struct((payload :+ opCol).map(col): _*), col(seqCol))
+        .as("_w"))
+      .select(col(keyCol) +:
+        (payload :+ opCol).map(c => col(s"_w.$c").as(c)): _*)
+    val keys0 = latest.select(col(keyCol))
+    val keys = if (broadcastChanges) broadcast(keys0) else keys0
+    snapshot.join(keys, Seq(keyCol), "left_anti")
+      .unionByName(latest.filter(col(opCol) =!= lit("D"))
+        .select(dataCols.map(col): _*))
+  }
+
+  /** Collapse a keyed, timestamped attribute track into SCD-2 validity
+    * intervals: one row per run of consecutive equal `attrCol` values,
+    * `[valid_from, valid_to)` half-open, `valid_to` NULL (and
+    * `is_current` true) on each key's last run.
+    *
+    * Row order within a key is `(tsCol, tieCol)` — `tieCol` must make
+    * the order total (a unique event id); `attrCol` must be non-null.
+    *
+    * Scale design: one window pass partitioned by key (the
+    * change-marker lag and the running island sum share a single
+    * ordered window), a hash aggregate per island, and a second
+    * (island-count-sized) window for the interval chaining — no
+    * self-joins, no driver state. Skewed keys are bounded by per-key
+    * history length, not table size. */
+  def scd2Intervals(rows: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val marked = rows.withColumn("_chg",
+      when(lag(col(attrCol), 1).over(wOrd).isNull ||
+        lag(col(attrCol), 1).over(wOrd) =!= col(attrCol), lit(1L))
+        .otherwise(lit(0L)))
+    val islands = marked.withColumn("_island",
+      sum(col("_chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = islands.groupBy(col(keyCol), col("_island"))
+      .agg(min(col(attrCol)).as(attrCol), // constant within a run
+        min(col(tsCol)).as("valid_from"))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col("_island"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("_island")
+  }
+}

@@ -180,6 +180,55 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Every matching document's BM25 score, un-truncated — `(idCol,
+    * score)` for each document containing ≥1 query term (the relation
+    * [[bm25TopK]] takes its top-k of). Output is bounded by the query
+    * terms' posting sizes, never the corpus, so a downstream aggregation
+    * (e.g. [[chunkDocs]] passage scores max-reduced per parent document)
+    * stays proportional to matches. */
+  def bm25Scores(docs: DataFrame, terms: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25Scored(docs, terms.select(lit(0L).as("qid"), col("term")),
+      k1, b, idCol, textCol).drop("qid")
+
+  /** Fixed-size overlapping token-window chunks — the RAG passage split.
+    * Each document becomes `ceil((n − chunk)/stride) + 1` chunks (one
+    * when `n ≤ chunk`); chunk `i` holds tokens `[i·stride+1, i·stride
+    * +chunk]`, so consecutive chunks overlap by `chunk − stride` tokens
+    * and every token position is covered. Returns `(idCol, chunk_id,
+    * textCol)` with `chunk_id = id·idScale + i` (caller guarantees
+    * per-doc chunk counts stay under `idScale`).
+    *
+    * Scale design: pure column math — one bounded `sequence` explode
+    * (fan-out ≤ n/stride per doc, spread across the cluster first per
+    * the repo's Generate convention) and closed-form slicing; no
+    * shuffles beyond the spread, no per-row UDFs. The chunk relation
+    * feeds any retriever unchanged (BM25 here; an embedding index would
+    * encode the same rows). */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int, idScale: Long = 1000L): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got ($chunkTokens, $stride)")
+    TextAnalysis.spread(docs)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_nc",
+        when(col("_n") <= chunkTokens, lit(1L))
+          .otherwise(lit(1L) + floor(
+            (col("_n") - lit(chunkTokens.toLong) + lit(stride - 1L))
+              .cast("double") / lit(stride.toDouble)).cast("long")))
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("_nc") - 1)).as("_ci"),
+        col("_toks"))
+      .select(col(idCol),
+        (col(idCol) * idScale + col("_ci")).as("chunk_id"),
+        array_join(
+          slice(col("_toks"), (col("_ci") * stride + 1).cast("int"),
+            lit(chunkTokens)),
+          " ").as(textCol))
+  }
+
   /** Batch BM25: top-`k` per query for a `(qid, term)` relation — one
     * corpus pass for the whole query set, per-query top-k via the
     * partial-aggregable [[Knn.groupedTopK]] (score desc, id asc — no

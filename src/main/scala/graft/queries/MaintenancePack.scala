@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Cdc, Profile}
+
+/** Table-maintenance and data-validation queries: CDC merge-apply
+  * (latest-wins upsert/delete), SCD-2 dimension-history intervals, and
+  * column profiling — the keep-the-lake-healthy operations around the
+  * analytics engine (the reference refreshes its serving tables by
+  * truncate-and-reload, `/root/reference/nl_targeting_save.py:52-66`;
+  * at 100 TB these run incrementally).
+  *
+  * The CDC change batch is DERIVED deterministically from the orders
+  * fixture (key-mod selections; decimal-path price arithmetic) so the
+  * DuckDB oracle re-derives batch, resolution, and application exactly.
+  */
+object MaintenancePack extends QueryPack {
+
+  /** Decimal-path 2-digit rounding (the repo's cross-engine rounding
+    * convention: cast the double to DECIMAL(28,12) first so both engines
+    * round the same decimal, then round at 2). */
+  private def dround2(c: org.apache.spark.sql.Column) =
+    round(c.cast("decimal(28,12)"), 2).cast("double")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CDC merge-apply: a derived change batch (2% updates with a
+    // second-wave seq-2 overwrite on half of them, 2% deletes, 2%
+    // inserts under a new 'N' status) resolved latest-wins per key and
+    // merged into the orders snapshot via a broadcast anti-join — the
+    // snapshot never shuffles. Audited per status: row count, decimal
+    // price sum, max key (pins the inserts' presence).
+    "q39_merge_upsert" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val m50 = pmod(col("o_orderkey"), lit(50L))
+      def change(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val upd1 = change(
+        o.filter(m50 === 0)
+          .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.1))
+          .withColumn("o_orderpriority", lit("X-UPD")), "U", 1L)
+      val upd2 = change(
+        o.filter(pmod(col("o_orderkey"), lit(100L)) === 0)
+          .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.2))
+          .withColumn("o_orderpriority", lit("X-UPD2")), "U", 2L)
+      val dels = change(o.filter(m50 === 1), "D", 1L)
+      val ins = change(
+        o.filter(m50 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N")), "U", 1L)
+      val changes = upd1.unionByName(upd2).unionByName(dels)
+        .unionByName(ins)
+      Cdc.applyBatch(o, changes, "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double").as("tot"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // SCD-2 history build: each user's coarse value band (floor(v/20))
+    // collapsed into [valid_from, valid_to) validity intervals, NULL
+    // valid_to + is_current on the open run — one key-partitioned
+    // window pass. Microsecond epochs keep the timestamps engine-exact.
+    "q40_scd2" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20.0).cast("long").as("band"))
+      Cdc.scd2Intervals(e, "user_id", "band", "ts", "event_id")
+        .select(col("user_id"), col("band"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
+    }),
+
+    // Column profiling (data-validation pass): null/distinct counts and
+    // stringified min/max for three documents columns in ONE scan.
+    "tx_profile" -> ((s, dir) =>
+      Profile.profile(Tables.load(s, dir, "documents"),
+        Seq("lang", "source", "n_chars")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q39_merge_upsert" ->
+      """WITH upd1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(CAST(o_totalprice * 1.1 AS DECIMAL(28,12)), 2)::DOUBLE
+        |      AS o_totalprice,
+        |    o_orderdate, 'X-UPD' AS o_orderpriority, 'U' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |upd2 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    round(CAST(o_totalprice * 1.2 AS DECIMAL(28,12)), 2)::DOUBLE
+        |      AS o_totalprice,
+        |    o_orderdate, 'X-UPD2' AS o_orderpriority, 'U' AS op, 2 AS seq
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |dels AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, 'D' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 50 = 1),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate,
+        |    o_orderpriority, 'U' AS op, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 50 = 2),
+        |changes AS (
+        |  SELECT * FROM upd1 UNION ALL SELECT * FROM upd2
+        |  UNION ALL SELECT * FROM dels UNION ALL SELECT * FROM ins),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY seq DESC) AS rn
+        |    FROM changes)
+        |  WHERE rn = 1),
+        |applied AS (
+        |  SELECT o.* FROM orders o
+        |  LEFT JOIN latest l ON o.o_orderkey = l.o_orderkey
+        |  WHERE l.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM latest WHERE op <> 'D')
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot,
+        |  max(o_orderkey) AS max_key
+        |FROM applied GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q40_scd2" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS band
+        |  FROM events WHERE user_id < 5),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, band,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, island, min(band) AS band,
+        |    min(ts) AS valid_from
+        |  FROM islands GROUP BY user_id, island),
+        |iv AS (
+        |  SELECT user_id, band, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+        |      AS valid_to
+        |  FROM runs)
+        |SELECT user_id, band, epoch_us(valid_from) AS valid_from,
+        |  epoch_us(valid_to) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    "tx_profile" ->
+      """SELECT 'lang' AS col_name, count(*) - count(lang) AS n_null,
+        |  count(DISTINCT lang) AS n_distinct,
+        |  CAST(min(lang) AS VARCHAR) AS vmin,
+        |  CAST(max(lang) AS VARCHAR) AS vmax
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*) - count(source), count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*) - count(n_chars),
+        |  count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |FROM documents""".stripMargin
+  )
+}

@@ -182,6 +182,25 @@ object RetrievalPack extends QueryPack {
         .select(col("doc_id"), col("score").as("bm25"), col("model_score"))
         .orderBy(col("model_score").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // Chunked passage retrieval (the RAG split): documents become
+    // overlapping 30-token/stride-20 chunks (pure column math, bounded
+    // explode), BM25 scores the CHUNK corpus for doc 0's seed terms,
+    // and per-document evidence is the best chunk score — passage-level
+    // precision with document-level results. The un-truncated chunk
+    // score relation is bounded by the query terms' postings, never the
+    // corpus.
+    "tx_chunk_retrieve" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val ch = Retrieval.chunkDocs(d, "doc_id", "text",
+        chunkTokens = 30, stride = 20)
+      Retrieval.bm25Scores(ch.select(col("chunk_id"), col("text")), terms,
+          idCol = "chunk_id")
+        .withColumn("doc_id", floor(col("chunk_id") / 1000).cast("long"))
+        .groupBy(col("doc_id")).agg(max(col("score")).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     })
   )
 
@@ -192,34 +211,35 @@ object RetrievalPack extends QueryPack {
     * is written in the exact association order of the Spark column
     * expressions so the doubles match bitwise before the decimal
     * cast. */
-  private def bm25Ctes: String =
+  private def bm25Ctes(rel: String = "documents",
+      id: String = "doc_id"): String =
     raw"""dl AS (
-       |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS dl
-       |  FROM documents),
+       |  SELECT $id, len(string_split_regex(trim(text), '\s+')) AS dl
+       |  FROM $rel),
        |stats AS (
        |  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl
        |  FROM dl),
        |uq AS (SELECT DISTINCT term FROM qt),
        |tf AS (
-       |  SELECT doc_id, term, count(*) AS tf
-       |  FROM (SELECT doc_id,
+       |  SELECT $id, term, count(*) AS tf
+       |  FROM (SELECT $id,
        |          unnest(string_split_regex(trim(text), '\s+')) AS term
-       |        FROM documents) t
+       |        FROM $rel) t
        |  JOIN uq USING (term)
-       |  GROUP BY doc_id, term),
-       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |  GROUP BY $id, term),
+       |dfreq AS (SELECT term, count(DISTINCT $id) AS df FROM tf GROUP BY term),
        |contrib AS (
-       |  SELECT qt.qid, tf.doc_id,
+       |  SELECT qt.qid, tf.$id,
        |    ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
        |      * (tf.tf * 2.2)
        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
-       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING ($id)
        |  CROSS JOIN stats s
        |  JOIN qt ON qt.term = tf.term),
        |bm25 AS (
-       |  SELECT qid, doc_id,
+       |  SELECT qid, $id,
        |    CAST(round(sum(CAST(c AS DECIMAL(28,12))), 4) AS DOUBLE) AS score
-       |  FROM contrib GROUP BY qid, doc_id)""".stripMargin
+       |  FROM contrib GROUP BY qid, $id)""".stripMargin
 
   /** Per-seed `qt(qid, term)` for seeds 0..2: first-appearance-distinct
     * top-4 tokens per seed, rank window partitioned by seed (the
@@ -238,6 +258,26 @@ object RetrievalPack extends QueryPack {
        |              FROM documents WHERE doc_id < 3))
        |      GROUP BY doc_id, term))
        |  WHERE rn <= 4)""".stripMargin
+
+  /** The 30-token/stride-20 chunk relation as a CTE — `chunks(doc_id,
+    * chunk_id, text)`, the chunkDocs arithmetic re-derived: chunk count
+    * `1 + ceil((n−30)/20)` (1 when n ≤ 30), chunk i = tokens
+    * [i·20+1, i·20+30] (DuckDB `list_slice` is inclusive-1-based and
+    * clamps, ≡ Spark `slice(arr, start, 30)`). */
+  private def chunksCte: String =
+    raw"""chunks AS (
+       |  SELECT doc_id, doc_id * 1000 + ci AS chunk_id,
+       |    array_to_string(list_slice(toks, ci * 20 + 1, ci * 20 + 30),
+       |      ' ') AS text
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(range(0, CASE WHEN n <= 30 THEN 1
+       |        ELSE 1 + CAST(floor((n - 30 + 19) / 20.0) AS BIGINT) END))
+       |        AS ci
+       |    FROM (SELECT doc_id,
+       |            string_split_regex(trim(text), '\s+') AS toks,
+       |            len(string_split_regex(trim(text), '\s+')) AS n
+       |          FROM documents)))""".stripMargin
 
   /** Single-seed `qt` (constant qid 0): the first-appearance-distinct
     * top-4 tokens of document 0. */
@@ -275,7 +315,7 @@ object RetrievalPack extends QueryPack {
     // tx_bm25_topk re-derivation gates the save/load round trip…
     "tx_bm25_built_index" ->
       s"""WITH $seedQtCte,
-         |$bm25Ctes
+         |${bm25Ctes()}
          |SELECT doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -283,7 +323,7 @@ object RetrievalPack extends QueryPack {
     // full-corpus stats).
     "tx_bm25_append" ->
       s"""WITH $seedQtCte,
-         |$bm25Ctes
+         |${bm25Ctes()}
          |SELECT doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
@@ -335,15 +375,27 @@ object RetrievalPack extends QueryPack {
         |ORDER BY rank""".stripMargin),
     "tx_bm25_topk" ->
       s"""WITH $seedQtCte,
-         |$bm25Ctes
+         |${bm25Ctes()}
          |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // The chunk arithmetic + the bm25 pipeline RETARGETED at the chunk
+    // relation (same CTEs, chunk_id for doc_id) + the per-document
+    // best-chunk reduction.
+    "tx_chunk_retrieve" ->
+      s"""WITH $seedQtCte,
+         |$chunksCte,
+         |${bm25Ctes("chunks", "chunk_id")}
+         |SELECT CAST(floor(chunk_id / 1000) AS BIGINT) AS doc_id,
+         |  max(score) AS score
+         |FROM bm25 GROUP BY 1
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Batch form: per-seed qt via a seed-partitioned rank window, then
     // a per-qid top-10 window over the shared bm25 relation.
     "tx_bm25_batch_topk" ->
       (s"""WITH $batchQtCte,
-         |""".stripMargin + bm25Ctes +
+         |""".stripMargin + bm25Ctes() +
       """
         |SELECT qid, doc_id, score FROM (
         |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
@@ -356,7 +408,7 @@ object RetrievalPack extends QueryPack {
     // top-10.
     "ann_hybrid_batch_rrf" ->
       (s"""WITH $batchQtCte,
-         |""".stripMargin + bm25Ctes +
+         |""".stripMargin + bm25Ctes() +
       """,
         |bmr AS (
         |  SELECT qid, doc_id, rn AS rank FROM (
@@ -393,7 +445,7 @@ object RetrievalPack extends QueryPack {
     // the decimal-summed 1/(60+rank) fusion.
     "ann_hybrid_rrf" ->
       s"""WITH $seedQtCte,
-         |$bm25Ctes,
+         |${bm25Ctes()},
          |bmr AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
          |    AS rank
@@ -424,7 +476,7 @@ object RetrievalPack extends QueryPack {
     // candidate set, final order by model score.
     "tx_retrieve_rerank" ->
       s"""WITH $seedQtCte,
-         |$bm25Ctes,
+         |${bm25Ctes()},
          |cands AS (
          |  SELECT doc_id, score FROM bm25
          |  ORDER BY score DESC, doc_id LIMIT 20),

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cdc, Profile, Retrieval}
+import graft.queries.MaintenancePack
+
+/** Table maintenance: CDC merge-apply (latest-wins, deletes, inserts,
+  * idempotence, and the snapshot-never-shuffles plan shape), SCD-2
+  * interval properties (contiguous half-open timeline per key, one open
+  * run, collapsed attribute runs), chunking arithmetic vs a plain-Scala
+  * reference, and column profiling. */
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- CDC
+
+  private def snap() = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "s", "v")
+
+  private def changes() = Seq(
+    // k=1: two updates, seq 2 must win
+    (1L, "a1", 11.0, "U", 1L), (1L, "a2", 12.0, "U", 2L),
+    // k=2: update then delete — delete wins
+    (2L, "b1", 21.0, "U", 1L), (2L, "b1", 21.0, "D", 2L),
+    // k=3: delete then re-insert — the re-insert wins
+    (3L, "c0", 30.0, "D", 1L), (3L, "c2", 33.0, "U", 2L),
+    // k=9: pure insert
+    (9L, "i", 90.0, "U", 1L)
+  ).toDF("k", "s", "v", "op", "seq")
+
+  test("applyBatch: latest-wins per key, deletes drop, inserts land, " +
+      "untouched rows pass through") {
+    val out = Cdc.applyBatch(snap(), changes(), "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (1L, "a2", 12.0),  // seq-2 image
+      (3L, "c2", 33.0),  // delete then re-insert
+      (4L, "d", 40.0),   // untouched
+      (9L, "i", 90.0)))  // insert; k=2 deleted
+  }
+
+  test("applyBatch is idempotent: re-applying the same batch to the " +
+      "applied snapshot changes nothing") {
+    val once = Cdc.applyBatch(snap(), changes(), "k")
+    val twice = Cdc.applyBatch(once, changes(), "k")
+    assert(twice.orderBy("k").collect().toSeq ==
+      once.orderBy("k").collect().toSeq)
+  }
+
+  test("q39 plan: the snapshot flows through a broadcast LeftAnti hash " +
+      "join — no sort-merge join anywhere (the big side never shuffles " +
+      "for the merge)") {
+    val df = MaintenancePack.queries("q39_merge_upsert")(
+      spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  // -------------------------------------------------------------- SCD-2
+
+  test("scd2Intervals: per key the intervals are contiguous half-open " +
+      "([from, to) chains), exactly one is open/current, and consecutive " +
+      "runs differ in attribute (runs collapsed)") {
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 20.0).cast("long").as("band"))
+    val iv = Cdc.scd2Intervals(e, "user_id", "band", "ts", "event_id")
+      .select(col("user_id"), col("band"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"),
+        col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        r.getBoolean(4)))
+    assert(iv.nonEmpty)
+    iv.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // exactly one open interval, and it is the last
+      assert(rows.count(_._5) == 1)
+      assert(sorted.last._5 && sorted.last._4 == Long.MaxValue)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, "intervals must chain: a.to == b.from")
+          assert(a._2 != b._2, "consecutive runs must differ in band")
+        case _ =>
+      }
+    }
+    // interval count never exceeds event count
+    val nEvents = e.count()
+    assert(iv.length <= nEvents)
+  }
+
+  // ----------------------------------------------------------- chunking
+
+  test("chunkDocs equals a plain-Scala chunker on the fixture docs: " +
+      "count formula, ids, and every chunk's text") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val got = Retrieval.chunkDocs(d, "doc_id", "text", 30, 20)
+      .collect()
+      .map(r => (r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val want = d.select("doc_id", "text").collect().flatMap { r =>
+      val id = r.getLong(0)
+      val toks = r.getString(1).trim.split("\\s+").toSeq
+      val n = toks.length
+      val nc = if (n <= 30) 1 else 1 + ((n - 30) + 19) / 20
+      (0 until nc).map { ci =>
+        (id * 1000 + ci, toks.slice(ci * 20, ci * 20 + 30).mkString(" "))
+      }
+    }.sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("chunkDocs covers every token position and overlaps consecutive " +
+      "chunks by chunk-stride") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val withN = d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n"))
+    val perDoc = Retrieval.chunkDocs(d, "doc_id", "text", 30, 20)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+      .join(withN, Seq("doc_id")).collect()
+    perDoc.foreach { r =>
+      val (nc, n) = (r.getLong(1), r.getInt(2))
+      // last chunk starts at (nc-1)*20 and spans 30 → covers n iff
+      // (nc-1)*20 + 30 >= n; minimality: the previous chunk must NOT
+      // already cover n (nc == 1 excepted)
+      assert((nc - 1) * 20 + 30 >= n, s"uncovered tail: nc=$nc n=$n")
+      if (nc > 1) assert((nc - 2) * 20 + 30 < n, s"overshoot: nc=$nc n=$n")
+    }
+  }
+
+  test("bm25Scores is the un-truncated relation bm25TopK heads: " +
+      "top-10 of scores == bm25TopK(10)") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val terms = Retrieval.seedTerms(d, "doc_id", "text", 0L, 4)
+    val viaScores = Retrieval.bm25Scores(d, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaTopK = Retrieval.bm25TopK(d, terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaScores == viaTopK)
+  }
+
+  // ---------------------------------------------------------- profiling
+
+  test("profile: null/distinct/min/max per column in long format, " +
+      "nulls counted, types stringified") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (2L, null), (2L, "y"), (null, "x")
+    ).toDF("num", "s")
+    val rows = Profile.profile(df, Seq("num", "s")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(rows("num") == ((1L, 2L, "1", "2")))
+    assert(rows("s") == ((1L, 2L, "x", "y")))
+  }
+}
