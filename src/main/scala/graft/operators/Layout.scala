@@ -100,4 +100,28 @@ object Layout {
       .select(col("file"), col("lo"), col("hi"),
         ((col("hi") - col("lo")) / lit(range)).as("spread"))
   }
+
+  /** Write `df` as a bucketed+sorted table (hash-bucketed on `key` into
+    * `buckets` files per partition, sorted within) at `path`, and read
+    * it back through the catalog. Two tables bucketed on their join key
+    * with the SAME bucket count join with NO shuffle on either side —
+    * the bucket layout IS the exchange, paid once at write time and
+    * amortized over every subsequent join/aggregation on that key (the
+    * co-located-join layout; at 100 TB repeated fact⋈fact joins are
+    * won or lost here). Catalog-backed because bucket metadata lives in
+    * the table definition, not the parquet footers; caller drops the
+    * table when done ([[dropTable]]). */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+      key: String, buckets: Int): DataFrame = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .option("path", path).mode("overwrite").format("parquet")
+      .saveAsTable(name)
+    s.table(name)
+  }
+
+  /** Drop a [[writeBucketed]] table definition (files are the caller's). */
+  def dropTable(df: DataFrame, name: String): Unit =
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$name`")
 }

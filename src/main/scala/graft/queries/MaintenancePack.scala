@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Cdc, Profile}
+import graft.operators.{Cdc, IncrementalAgg, Layout, Profile}
 
 /** Table-maintenance and data-validation queries: CDC merge-apply
   * (latest-wins upsert/delete), SCD-2 dimension-history intervals, and
@@ -82,7 +82,52 @@ object MaintenancePack extends QueryPack {
     // stringified min/max for three documents columns in ONE scan.
     "tx_profile" -> ((s, dir) =>
       Profile.profile(Tables.load(s, dir, "documents"),
-        Seq("lang", "source", "n_chars")))
+        Seq("lang", "source", "n_chars"))),
+
+    // Bucketed co-located join: orders and lineitem written hash-
+    // bucketed+sorted on the join key (8 buckets each), then joined and
+    // aggregated — the bucket layout replaces the per-query exchange,
+    // paid once at write time (the spec pins the no-shuffle plan; at
+    // this SF the optimizer may still broadcast, which is also
+    // shuffle-free). Result ≡ the plain join, which the oracle runs.
+    "q41_bucket_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bucket").toString
+      try {
+        val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
+          "graft_bkt_orders", s"$tmp/o", "o_orderkey", 8)
+        val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
+          "graft_bkt_lineitem", s"$tmp/l", "l_orderkey", 8)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+          .localCheckpoint(true) // pin before the table defs drop
+      } finally {
+        s.sql("DROP TABLE IF EXISTS `graft_bkt_orders`")
+        s.sql("DROP TABLE IF EXISTS `graft_bkt_lineitem`")
+        graft.streaming.EventStream.deleteDir(tmp)
+      }
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // per-(lang, source) corpus stats built on the even docs, refreshed
+    // by merging ONLY the odd batch's stats — the corpus is never
+    // re-read. merge(stats(A), stats(B)) == stats(A ∪ B) exactly
+    // (commutative-monoid sums), so the full-recompute oracle gates the
+    // incremental path.
+    "tx_stats_incremental" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      IncrementalAgg.mergeStats(
+        IncrementalAgg.corpusStats(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        IncrementalAgg.corpusStats(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1)))
+        .orderBy(col("lang"), col("source"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -160,6 +205,21 @@ object MaintenancePack extends QueryPack {
         |  epoch_us(valid_to) AS valid_to,
         |  valid_to IS NULL AS is_current
         |FROM iv""".stripMargin,
+
+    "q41_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "tx_stats_incremental" ->
+      raw"""SELECT lang, source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         |    AS n_tokens
+         |FROM documents GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin,
 
     "tx_profile" ->
       """SELECT 'lang' AS col_name, count(*) - count(lang) AS n_null,

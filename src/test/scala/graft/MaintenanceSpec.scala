@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Cdc, Profile, Retrieval}
+import graft.operators.{Cdc, IncrementalAgg, Layout, Profile, Retrieval}
 import graft.queries.MaintenancePack
 
 /** Table maintenance: CDC merge-apply (latest-wins, deletes, inserts,
@@ -152,6 +152,66 @@ class MaintenanceSpec extends AnyFunSuite {
   }
 
   // ---------------------------------------------------------- profiling
+
+  // ------------------------------------------------- bucketed layout
+
+  test("bucketed co-located join: two tables bucketed on the join key " +
+      "with equal bucket counts join with NO exchange on either side " +
+      "(forced sort-merge so broadcast can't mask it)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bucket_spec").toString
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = Layout.writeBucketed(
+        Tables.load(spark, TestSpark.sfDir, "orders"),
+        "graft_bkt_spec_o", s"$tmp/o", "o_orderkey", 4)
+      val l = Layout.writeBucketed(
+        Tables.load(spark, TestSpark.sfDir, "lineitem"),
+        "graft_bkt_spec_l", s"$tmp/l", "l_orderkey", 4)
+      val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and the data is actually all there
+      val n = joined.count()
+      val want = Tables.load(spark, TestSpark.sfDir, "lineitem").count()
+      assert(n == want) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.sql("DROP TABLE IF EXISTS `graft_bkt_spec_o`")
+      spark.sql("DROP TABLE IF EXISTS `graft_bkt_spec_l`")
+      graft.streaming.EventStream.deleteDir(tmp)
+    }
+  }
+
+  // --------------------------------------------- incremental stats
+
+  test("incremental stats maintenance: merge(stats(A), stats(B)) equals " +
+      "stats(A ∪ B) exactly, and merging is associative across 3 batches") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    def part(m: Int) = d.filter(pmod(col("doc_id"), lit(3)) === m)
+    val full = IncrementalAgg.corpusStats(d)
+      .orderBy("lang", "source").collect().toSeq
+    val merged2 = IncrementalAgg.mergeStats(
+      IncrementalAgg.corpusStats(d.filter(pmod(col("doc_id"), lit(3)) < 2)),
+      IncrementalAgg.corpusStats(part(2)))
+      .orderBy("lang", "source").collect().toSeq
+    val merged3a = IncrementalAgg.mergeStats(
+      IncrementalAgg.mergeStats(
+        IncrementalAgg.corpusStats(part(0)), IncrementalAgg.corpusStats(part(1))),
+      IncrementalAgg.corpusStats(part(2)))
+      .orderBy("lang", "source").collect().toSeq
+    val merged3b = IncrementalAgg.mergeStats(
+      IncrementalAgg.corpusStats(part(0)),
+      IncrementalAgg.mergeStats(
+        IncrementalAgg.corpusStats(part(1)), IncrementalAgg.corpusStats(part(2))))
+      .orderBy("lang", "source").collect().toSeq
+    assert(merged2 == full)
+    assert(merged3a == full)
+    assert(merged3b == full)
+  }
 
   test("profile: null/distinct/min/max per column in long format, " +
       "nulls counted, types stringified") {
