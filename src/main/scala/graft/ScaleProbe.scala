@@ -99,6 +99,19 @@ object ScaleProbe {
           d, "doc_id", "text", seedIds = Seq(0L, 1L, 2L), n = 4)
         graft.operators.Retrieval.bm25BatchTopK(d, qt, k = 10)
           .count(): Unit
+      }),
+      ("tx_chunk_retrieve", (d: DataFrame) => {
+        val terms = graft.operators.Retrieval.seedTerms(
+          d, "doc_id", "text", seedId = 0L, n = 4)
+        val ch = graft.operators.Retrieval.chunkDocs(
+          d, "doc_id", "text", chunkTokens = 30, stride = 20)
+        graft.operators.Retrieval.bm25Scores(
+            ch.select(col("chunk_id"), col("text")), terms,
+            idCol = "chunk_id")
+          .withColumn("doc_id", floor(col("chunk_id") / 1000).cast("long"))
+          .groupBy(col("doc_id")).agg(max(col("score")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .count(): Unit
       }))
 
     // min-of-N per point: this box shows intermittent multi-second

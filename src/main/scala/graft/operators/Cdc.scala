@@ -52,6 +52,47 @@ object Cdc {
         .select(dataCols.map(col): _*))
   }
 
+  /** Fold a change batch into a VERSIONED snapshot — the streaming-CDC
+    * state step. Unlike [[applyBatch]] (which resolves within the batch
+    * and assumes the snapshot is older than every change), the state
+    * here carries `seqCol`/`opCol` itself (`seq = 0`, `op = "U"` for
+    * never-touched rows; deletes persist as tombstones until
+    * [[materialize]]), and each fold keeps the max-seq image per key
+    * across state ∪ batch. That makes the fold per-key idempotent
+    * (an at-least-once redelivered batch resolves to the same images)
+    * and merge-order independent — latest-by-seq over a union is an
+    * associative+commutative reduction — so folding ANY split of a
+    * change set in ANY batch order reaches exactly the one-shot
+    * snapshot (the contract a foreachBatch ingestion loop needs under
+    * out-of-order delivery).
+    *
+    * Scale design: untouched state NEVER shuffles — the batch's key set
+    * is broadcast, state splits into a map-side anti join (pass-through)
+    * and a semi join (rows to re-resolve, batch-sized), and only that
+    * sliver unions with the batch for the per-key `max_by`. Work ∝
+    * batch, state size ∝ live keys + tombstones (compact tombstones by
+    * age out-of-band). */
+  def foldChanges(state: DataFrame, batch: DataFrame, keyCol: String,
+      seqCol: String = "seq", opCol: String = "op",
+      broadcastBatch: Boolean = true): DataFrame = {
+    val resolveCols = state.columns.toSeq.filterNot(_ == keyCol)
+    def latest(df: DataFrame) = df.groupBy(col(keyCol))
+      .agg(max_by(struct(resolveCols.map(col): _*), col(seqCol)).as("_w"))
+      .select(col(keyCol) +: resolveCols.map(c => col(s"_w.$c").as(c)): _*)
+    val keys0 = batch.select(col(keyCol)).distinct()
+    val keys = if (broadcastBatch) broadcast(keys0) else keys0
+    state.join(keys, Seq(keyCol), "left_anti")
+      .unionByName(latest(
+        state.join(keys, Seq(keyCol), "left_semi")
+          .unionByName(batch.select(state.columns.map(col): _*))))
+  }
+
+  /** The live view of a [[foldChanges]] state: drop tombstones and the
+    * version bookkeeping. */
+  def materialize(state: DataFrame, seqCol: String = "seq",
+      opCol: String = "op"): DataFrame =
+    state.filter(col(opCol) =!= lit("D")).drop(opCol, seqCol)
+
   /** Collapse a keyed, timestamped attribute track into SCD-2 validity
     * intervals: one row per run of consecutive equal `attrCol` values,
     * `[valid_from, valid_to)` half-open, `valid_to` NULL (and

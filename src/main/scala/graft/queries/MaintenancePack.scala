@@ -25,6 +25,41 @@ object MaintenancePack extends QueryPack {
   private def dround2(c: org.apache.spark.sql.Column) =
     round(c.cast("decimal(28,12)"), 2).cast("double")
 
+  /** The derived CDC change batch over the orders snapshot (shared by
+    * q39_merge_upsert and stream_cdc; the oracle re-derives it as CTEs):
+    * 2% updates (keys ≡0 mod 50, +10% price) with a second-wave seq-2
+    * overwrite on half (≡0 mod 100, +20%), 2% deletes (≡1), 2% inserts
+    * under a new 'N' status (≡2, key+10M). */
+  private[graft] def changeBatch(o: DataFrame): DataFrame = {
+    val m50 = pmod(col("o_orderkey"), lit(50L))
+    def change(df: DataFrame, op: String, seq: Long): DataFrame =
+      df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val upd1 = change(
+      o.filter(m50 === 0)
+        .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.1))
+        .withColumn("o_orderpriority", lit("X-UPD")), "U", 1L)
+    val upd2 = change(
+      o.filter(pmod(col("o_orderkey"), lit(100L)) === 0)
+        .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.2))
+        .withColumn("o_orderpriority", lit("X-UPD2")), "U", 2L)
+    val dels = change(o.filter(m50 === 1), "D", 1L)
+    val ins = change(
+      o.filter(m50 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N")), "U", 1L)
+    upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+  }
+
+  /** The per-status audit both CDC queries emit: row count, decimal
+    * price sum, max key (pins the inserts). */
+  private def audit(snapshot: DataFrame): DataFrame =
+    snapshot.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(28,2)"))
+          .cast("double").as("tot"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CDC merge-apply: a derived change batch (2% updates with a
@@ -35,31 +70,31 @@ object MaintenancePack extends QueryPack {
     // price sum, max key (pins the inserts' presence).
     "q39_merge_upsert" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val m50 = pmod(col("o_orderkey"), lit(50L))
-      def change(df: DataFrame, op: String, seq: Long): DataFrame =
-        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
-      val upd1 = change(
-        o.filter(m50 === 0)
-          .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.1))
-          .withColumn("o_orderpriority", lit("X-UPD")), "U", 1L)
-      val upd2 = change(
-        o.filter(pmod(col("o_orderkey"), lit(100L)) === 0)
-          .withColumn("o_totalprice", dround2(col("o_totalprice") * 1.2))
-          .withColumn("o_orderpriority", lit("X-UPD2")), "U", 2L)
-      val dels = change(o.filter(m50 === 1), "D", 1L)
-      val ins = change(
-        o.filter(m50 === 2)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
-          .withColumn("o_orderstatus", lit("N")), "U", 1L)
-      val changes = upd1.unionByName(upd2).unionByName(dels)
-        .unionByName(ins)
-      Cdc.applyBatch(o, changes, "o_orderkey")
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(28,2)"))
-            .cast("double").as("tot"),
-          max(col("o_orderkey")).as("max_key"))
-        .orderBy(col("o_orderstatus"))
+      audit(Cdc.applyBatch(o, changeBatch(o), "o_orderkey"))
+    }),
+
+    // Streaming CDC ingestion — the 6th streaming state kind under the
+    // gate: the SAME change set arrives as a 4-micro-batch file stream
+    // DELIBERATELY split out of sequence order (the range partitioner
+    // below groups by (key+seq) mod 4, so a key's seq-2 image can land
+    // in an earlier micro-batch than its seq-1), and folds into a
+    // versioned snapshot per batch. The fold is assoc+comm+idempotent
+    // latest-by-seq, so the materialized result ≡ the one-shot batch
+    // apply — q39's oracle gates it.
+    "stream_cdc" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val changes = changeBatch(o)
+      val snap0 = o.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_cdc").toString
+      changes
+        .repartitionByRange(4,
+          pmod(col("o_orderkey") + col("seq"), lit(4L)))
+        .write.mode("overwrite").parquet(tmp)
+      try audit(graft.streaming.EventStream.streamCdcExact(
+          s, tmp, changes.schema, snap0, "o_orderkey"))
+        .localCheckpoint(true)
+      finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // SCD-2 history build: each user's coarse value band (floor(v/20))
@@ -130,8 +165,12 @@ object MaintenancePack extends QueryPack {
     })
   )
 
-  override def oracle: Map[String, String] = Map(
-    "q39_merge_upsert" ->
+  /** The CDC apply re-derived end to end: the four change CTEs, the
+    * latest-by-seq resolution window, anti-join + union application,
+    * and the per-status audit. Gates BOTH the one-shot batch apply
+    * (q39_merge_upsert) and the out-of-order streaming fold
+    * (stream_cdc), whose fixed point is the same snapshot. */
+  private val cdcOracle: String =
       """WITH upd1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
         |    round(CAST(o_totalprice * 1.1 AS DECIMAL(28,12)), 2)::DOUBLE
@@ -174,7 +213,11 @@ object MaintenancePack extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot,
         |  max(o_orderkey) AS max_key
         |FROM applied GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
+        |ORDER BY o_orderstatus""".stripMargin
+
+  override def oracle: Map[String, String] = Map(
+    "q39_merge_upsert" -> cdcOracle,
+    "stream_cdc" -> cdcOracle,
 
     "q40_scd2" ->
       """WITH src AS (

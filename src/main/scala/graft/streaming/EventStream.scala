@@ -213,6 +213,42 @@ object EventStream {
     state.select(col("doc_id"), col("n").as("n_copies"))
   }
 
+  /** Oracle-gated streaming CDC ingestion (driver query `stream_cdc`) —
+    * the SIXTH streaming state kind under the gate: a change stream
+    * (upserts/deletes with per-key sequence numbers) arrives as a file
+    * stream in micro-batches and folds into a VERSIONED snapshot via
+    * [[graft.operators.Cdc.foldChanges]] per batch. The fold keeps the
+    * max-seq image per key across state ∪ batch (tombstoned deletes),
+    * which is associative+commutative and per-key idempotent — so ANY
+    * micro-batch split/order (including out-of-seq-order delivery, which
+    * the driver query's split deliberately produces) reaches exactly the
+    * one-shot [[graft.operators.Cdc.applyBatch]] snapshot that the batch
+    * oracle re-derives. Each fold's work is ∝ the micro-batch (broadcast
+    * key split; untouched state passes through map-side), and each
+    * increment is localCheckpoint-pinned so lineage stays constant-depth
+    * across batches. */
+  def streamCdcExact(spark: org.apache.spark.sql.SparkSession,
+      changesSrcDir: String, schema: org.apache.spark.sql.types.StructType,
+      snapshot0: DataFrame, keyCol: String,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    var state: DataFrame = snapshot0.localCheckpoint(true)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesSrcDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        onBatch(id)
+        state = graft.operators.Cdc.foldChanges(state, batch, keyCol)
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Cdc.materialize(state)
+  }
+
   /** Per-query bounded top-k fold state for [[streamTopKExact]]: rows
     * scored so far and the current top-k, ids/sims parallel. */
   case class TopKFold(seen: Long, ids: Seq[Long], sims: Seq[Double])

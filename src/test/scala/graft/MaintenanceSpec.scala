@@ -63,6 +63,56 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  private def versioned(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("op", lit("U")).withColumn("seq", lit(0L))
+
+  test("foldChanges: out-of-seq-order batch delivery (seq-2 images " +
+      "arriving BEFORE seq-1) still reaches the one-shot applyBatch " +
+      "snapshot, in either batch order") {
+    val all = changes()
+    val batchNewer = all.filter(col("seq") === 2)
+    val batchOlder = all.filter(col("seq") === 1)
+    val oneShot = Cdc.applyBatch(snap(), all, "k")
+      .orderBy("k").collect().toSeq
+    for (batches <- Seq(Seq(batchNewer, batchOlder),
+        Seq(batchOlder, batchNewer))) {
+      val folded = batches.foldLeft(versioned(snap())) { (st, b) =>
+        Cdc.foldChanges(st, b, "k")
+      }
+      assert(Cdc.materialize(folded).orderBy("k").collect().toSeq == oneShot)
+    }
+  }
+
+  test("foldChanges is idempotent under at-least-once redelivery: " +
+      "folding the same batch twice equals once") {
+    val b = changes().filter(col("seq") === 1)
+    val once = Cdc.foldChanges(versioned(snap()), b, "k")
+    val twice = Cdc.foldChanges(once, b, "k")
+    assert(twice.orderBy("k", "seq").collect().toSeq ==
+      once.orderBy("k", "seq").collect().toSeq)
+  }
+
+  test("streamCdcExact: the change stream really folds across multiple " +
+      "micro-batches and fixes to the batch apply") {
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+    val ch = queries.MaintenancePack.changeBatch(o)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_cdc_spec").toString
+    ch.repartitionByRange(4, pmod(col("o_orderkey") + col("seq"), lit(4L)))
+      .write.mode("overwrite").parquet(tmp)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    try {
+      val streamed = graft.streaming.EventStream.streamCdcExact(
+        spark, tmp, ch.schema, versioned(o), "o_orderkey",
+        _ => { seen.incrementAndGet(); () })
+      assert(seen.get() >= 3, s"expected >=3 micro-batches, saw ${seen.get()}")
+      val want = Cdc.applyBatch(o, ch, "o_orderkey")
+        .orderBy("o_orderkey").collect().toSeq
+      assert(streamed.select(want.head.schema.fieldNames.map(col): _*)
+        .orderBy("o_orderkey").collect().toSeq == want)
+    } finally graft.streaming.EventStream.deleteDir(tmp)
+  }
+
   // -------------------------------------------------------------- SCD-2
 
   test("scd2Intervals: per key the intervals are contiguous half-open " +
