@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable statistical summaries — the sketch layer that keeps corpus
+  * statistics maintainable at 100 TB. Exact distinct counts and exact
+  * percentiles each need a full shuffle over the corpus per refresh; a
+  * MERGEABLE summary (Agarwal 2012's "mergeable summaries" contract:
+  * `summary(A ∪ B) = merge(summary(A), summary(B))`) is built once per
+  * batch and merged in state-sized work, the
+  * [[IncrementalAgg]] monoid contract extended to approximate and
+  * distribution-shaped statistics:
+  *
+  *  - '''HLL distinct sketches''' ([[distinctSketch]]/[[mergeSketches]]):
+  *    Spark's DataSketches HLL binaries as a persisted, group-keyed
+  *    artifact. Union-of-sketches has the same register array as
+  *    sketch-of-union (register-wise max), so append-time maintenance
+  *    loses nothing vs a rebuild — and the 1.5 KB/group binary replaces
+  *    the per-refresh `count_distinct` shuffle of the raw corpus.
+  *  - '''Fixed-bin histograms''' ([[histogram]]/[[histQuantiles]]): exact
+  *    long bin counts (clamped integral-division binning — engine-exact
+  *    integer math, so the DuckDB gate hash-matches, unlike a
+  *    float-binned or sketched quantile), merged by re-summing; rank
+  *    quantiles read off the merged cumulative in one tiny window pass.
+  *    `nBins` rows per group of state vs the corpus-wide sort an exact
+  *    percentile costs.
+  *
+  * Semantics reference: the reference's serving refresh recomputes its
+  * statistics from scratch each build (`nl_targeting_save.py:52-66`);
+  * these summaries are the incremental form of that contract.
+  */
+object Sketches {
+
+  /** Per-group HLL distinct sketches of each of `valueCols` as binary
+    * columns `sk_<valueCol>`: a persistable, mergeable summary (lgK=14 →
+    * ~0.8% relative standard error in dense mode; exact below ~k/4
+    * distincts while the sketch is still a coupon set). All sketches
+    * ride ONE pass. */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String],
+      valueCols: Seq[String], lgK: Int = 14): DataFrame = {
+    require(valueCols.nonEmpty, "distinctSketch of zero columns")
+    val aggs = valueCols.map(c => hll_sketch_agg(col(c), lgK).as(s"sk_$c"))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge sketch relations (state + batch): union + per-group HLL
+    * union. Register-wise max, so merge order never changes the result —
+    * batches can land in any grouping, the same associativity contract
+    * as [[IncrementalAgg.mergeStats]]. */
+  def mergeSketches(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      sketchCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col(sketchCols.head)).as(sketchCols.head),
+        sketchCols.tail.map(c => hll_union_agg(col(c)).as(c)): _*)
+
+  /** Read estimates off sketch columns: each `sk_x` gains an `est_x`. */
+  def estimates(sketches: DataFrame, sketchCols: Seq[String]): DataFrame =
+    sketchCols.foldLeft(sketches) { (df, c) =>
+      df.withColumn(s"est_${c.stripPrefix("sk_")}",
+        hll_sketch_estimate(col(c)))
+    }
+
+  /** Clamped equi-width bin of a long value:
+    * `floor((v - lo) / width)` into `[0, nBins)`, under/overflow pinned
+    * to the edge bins. The double division is EXACT floor division for
+    * `|v - lo| < 2^53` (the numerator's fractional remainder `r/width ≥
+    * 1/width` dwarfs the quotient's half-ulp, so rounding can never
+    * cross the integer boundary) — the same value DuckDB's float `/` +
+    * `floor` computes, so the bin ids hash-match across engines. */
+  def binOf(v: Column, lo: Long, width: Long, nBins: Int): Column = {
+    require(width > 0 && nBins > 0, s"bad histogram shape $width x $nBins")
+    least(lit(nBins - 1L),
+      greatest(lit(0L),
+        floor((v.cast("double") - lit(lo.toDouble)) / lit(width.toDouble))
+          .cast("long")))
+  }
+
+  /** Exact per-group fixed-bin histogram of `valueCol`:
+    * `(groupCols…, bin, cnt)`. One partial-aggregable pass; mergeable by
+    * [[mergeHistograms]] re-summing. Empty bins are absent (sparse). */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Long, width: Long, nBins: Int): DataFrame =
+    df.groupBy((groupCols.map(col) :+
+        binOf(col(valueCol), lo, width, nBins).as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram relations (state + batch): union + re-sum — the
+    * commutative-monoid merge, exact by construction. */
+  def mergeHistograms(a: DataFrame, b: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank quantiles from a histogram: for each `(name, p)`, the LEFT
+    * EDGE (`lo + bin·width`, a long) of the first bin whose cumulative
+    * count reaches `ceil(p·total)` — the histogram's resolution-bounded
+    * answer, exact integer output so the DuckDB gate hash-matches.
+    * One window pass over `nBins` rows per group, nothing touches the
+    * corpus. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+      ps: Seq[(String, Double)], lo: Long, width: Long): DataFrame = {
+    val byGroup = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(byGroup.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(byGroup))
+    val picks = ps.map { case (name, p) =>
+      min(when(col("cum") >= ceil(col("total") * lit(p)),
+        lit(lo) + col("bin") * lit(width))).as(name)
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(picks.head, picks.tail: _*)
+  }
+}

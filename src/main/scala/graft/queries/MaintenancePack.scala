@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Cdc, IncrementalAgg, Layout, Profile}
+import graft.operators.{Cdc, IncrementalAgg, Layout, Profile, Sketches,
+  TextAnalysis}
 
 /** Table-maintenance and data-validation queries: CDC merge-apply
   * (latest-wins upsert/delete), SCD-2 dimension-history intervals, and
@@ -162,6 +163,57 @@ object MaintenancePack extends QueryPack {
         IncrementalAgg.corpusStats(
           d.filter(pmod(col("doc_id"), lit(2)) === 1)))
         .orderBy(col("lang"), col("source"))
+    }),
+
+    // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
+    // read off a fixed-bin histogram (width 8, 64 bins) built per batch
+    // (even/odd split) and MERGED — the incremental form of an exact
+    // percentile, with integer bin math both engines reproduce exactly.
+    // Refresh cost at 100 TB: one pass over the batch + a 64-rows-per-
+    // group merge; the corpus-wide percentile sort never happens.
+    "tx_hist_quantiles" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      def h(part: DataFrame) =
+        Sketches.histogram(part, Seq("lang"), "n", 0L, 8L, 64)
+      val merged = Sketches.mergeHistograms(
+        h(d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        h(d.filter(pmod(col("doc_id"), lit(2)) === 1)), Seq("lang"))
+      Sketches.histQuantiles(merged, Seq("lang"),
+          Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)), 0L, 8L)
+        .orderBy(col("lang"))
+    }),
+
+    // HLL distinct-count maintenance: per-lang distinct sources and
+    // doc_ids estimated from PERSISTABLE DataSketches binaries built per
+    // batch and UNIONED (register-wise max ⇒ union-of-sketches ≡
+    // sketch-of-union, so append-time maintenance loses nothing vs a
+    // rebuild). Gated boolean like q12_audience_approx: the estimate
+    // must land within ±5% of the exact count (lgK=14 ⇒ ~0.8% standard
+    // error — the gate sits >6σ out), which holds regardless of
+    // partition merge order where the raw estimate would not be
+    // hash-stable.
+    "tx_profile_sketch" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def sk(part: DataFrame) =
+        Sketches.distinctSketch(part, Seq("lang"),
+          Seq("source", "doc_id"))
+      val merged = Sketches.mergeSketches(
+        sk(d.filter(pmod(col("doc_id"), lit(2)) === 0)),
+        sk(d.filter(pmod(col("doc_id"), lit(2)) === 1)),
+        Seq("lang"), Seq("sk_source", "sk_doc_id"))
+      val est = Sketches.estimates(merged, Seq("sk_source", "sk_doc_id"))
+      val exact = d.groupBy(col("lang")).agg(
+        count_distinct(col("source")).as("x_source"),
+        count_distinct(col("doc_id")).as("x_doc"))
+      est.join(exact, "lang")
+        .select(col("lang"),
+          (abs(col("est_source") - col("x_source")) <=
+            col("x_source") * 0.05).as("ok_source"),
+          (abs(col("est_doc_id") - col("x_doc")) <=
+            col("x_doc") * 0.05).as("ok_doc"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -263,6 +315,37 @@ object MaintenancePack extends QueryPack {
          |    AS n_tokens
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+
+    // the histogram, cumulative, and rank-pick arithmetic re-derived in
+    // full — exact integer math end to end, so this hash-matches
+    "tx_hist_quantiles" ->
+      raw"""WITH d AS (
+         |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+         |  FROM documents),
+         |h AS (
+         |  SELECT lang,
+         |    least(63, greatest(0,
+         |      CAST(floor((CAST(n AS DOUBLE) - 0.0) / 8.0) AS BIGINT)))
+         |      AS bin,
+         |    count(*) AS cnt
+         |  FROM d GROUP BY lang, bin),
+         |c AS (
+         |  SELECT lang, bin,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS total
+         |  FROM h)
+         |SELECT lang,
+         |  min(CASE WHEN cum >= ceil(total * 0.5) THEN bin * 8 END) AS p50,
+         |  min(CASE WHEN cum >= ceil(total * 0.9) THEN bin * 8 END) AS p90,
+         |  min(CASE WHEN cum >= ceil(total * 0.99) THEN bin * 8 END) AS p99
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
+    // oracle asserts the ±5% gate held for every lang
+    "tx_profile_sketch" ->
+      """SELECT DISTINCT lang, TRUE AS ok_source, TRUE AS ok_doc
+        |FROM documents ORDER BY lang""".stripMargin,
 
     "tx_profile" ->
       """SELECT 'lang' AS col_name, count(*) - count(lang) AS n_null,

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+/** Mergeable summaries: the merge-equals-rebuild contract for histograms
+  * (exact) and HLL sketches (identical register state ⇒ identical
+  * estimate), quantile extraction vs an exact percentile, bin-math edge
+  * cases, and the persisted-sketch round trip that makes append-time
+  * maintenance real. */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 3 groups × skewed long values, deterministic. */
+  private def fixture() = {
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 1 to 500
+    } yield (g, i.toLong, (math.abs(s"$g$i".hashCode) % 400).toLong)
+    rows.toDF("g", "id", "v").repartition(7)
+  }
+
+  test("histogram merge over an arbitrary split equals the full build") {
+    val d = fixture()
+    val parts = Seq(
+      d.filter($"id" % 3 === 0), d.filter($"id" % 3 === 1),
+      d.filter($"id" % 3 === 2))
+    val merged = parts.map(Sketches.histogram(_, Seq("g"), "v", 0L, 16L, 32))
+      .reduce(Sketches.mergeHistograms(_, _, Seq("g")))
+    val full = Sketches.histogram(d, Seq("g"), "v", 0L, 16L, 32)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("g", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(key(merged) == key(full))
+  }
+
+  test("binOf clamps under/overflow to the edge bins and keeps in-range " +
+      "values on exact integer boundaries") {
+    val d = Seq(-5L, 0L, 15L, 16L, 17L, 511L, 512L, 99999L).toDF("v")
+    val bins = d.select(Sketches.binOf($"v", 0L, 16L, 32).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins == Seq(0L, 0L, 0L, 1L, 1L, 31L, 31L, 31L))
+  }
+
+  test("histQuantiles picks the left edge of the covering bin and sits " +
+      "within one bin width of the exact percentile") {
+    val d = fixture()
+    val q = Sketches.histQuantiles(
+      Sketches.histogram(d, Seq("g"), "v", 0L, 16L, 32),
+      Seq("g"), Seq(("p50", 0.5), ("p90", 0.9)), 0L, 16L)
+      .orderBy("g").collect()
+    val exact = d.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("e50"),
+        expr("percentile(v, 0.9)").as("e90"))
+      .orderBy("g").collect()
+    q.zip(exact).foreach { case (hq, ex) =>
+      assert(hq.getString(0) == ex.getString(0))
+      assert(math.abs(hq.getLong(1) - ex.getDouble(1)) <= 16.0,
+        s"p50 off by more than a bin for ${hq.getString(0)}")
+      assert(math.abs(hq.getLong(2) - ex.getDouble(2)) <= 16.0,
+        s"p90 off by more than a bin for ${hq.getString(0)}")
+    }
+  }
+
+  test("HLL union-of-sketches estimates exactly match sketch-of-union " +
+      "(register-wise max is split-invariant)") {
+    val d = fixture()
+    def sk(part: org.apache.spark.sql.DataFrame) =
+      Sketches.distinctSketch(part, Seq("g"), Seq("v", "id"))
+    val merged = Sketches.mergeSketches(
+      sk(d.filter($"id" % 2 === 0)), sk(d.filter($"id" % 2 === 1)),
+      Seq("g"), Seq("sk_v", "sk_id"))
+    def est(df: org.apache.spark.sql.DataFrame) =
+      Sketches.estimates(df, Seq("sk_v", "sk_id"))
+        .select("g", "est_v", "est_id").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(est(merged) == est(sk(d)))
+  }
+
+  test("HLL estimate is exact at small cardinality and within 5% at 10k") {
+    val big = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "id")
+    val est = Sketches.estimates(
+      Sketches.distinctSketch(big, Seq("g"), Seq("id")), Seq("sk_id"))
+      .select("est_id").head().getLong(0)
+    assert(math.abs(est - 10000L) <= 500L, s"10k estimate $est")
+    val small = Seq(("g", 1L), ("g", 2L), ("g", 2L)).toDF("g", "id")
+    val se = Sketches.estimates(
+      Sketches.distinctSketch(small, Seq("g"), Seq("id")), Seq("sk_id"))
+      .select("est_id").head().getLong(0)
+    assert(se == 2L)
+  }
+
+  test("sketch artifact survives a parquet round trip and keeps merging") {
+    val d = fixture()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sketch_rt").toString
+    try {
+      Sketches.distinctSketch(d.filter($"id" <= 250), Seq("g"), Seq("v"))
+        .write.mode("overwrite").parquet(dir)
+      val state = spark.read.parquet(dir)
+      val merged = Sketches.mergeSketches(state,
+        Sketches.distinctSketch(d.filter($"id" > 250), Seq("g"), Seq("v")),
+        Seq("g"), Seq("sk_v"))
+      val got = Sketches.estimates(merged, Seq("sk_v"))
+        .select("g", "est_v").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = Sketches.estimates(
+        Sketches.distinctSketch(d, Seq("g"), Seq("v")), Seq("sk_v"))
+        .select("g", "est_v").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want)
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+}
