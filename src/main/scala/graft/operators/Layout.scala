@@ -124,4 +124,67 @@ object Layout {
   /** Drop a [[writeBucketed]] table definition (files are the caller's). */
   def dropTable(df: DataFrame, name: String): Unit =
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$name`")
+
+  /** File-level min/max manifest over a written dataset: one row per
+    * file, `(file, mn_<c>, mx_<c>…)` — the Iceberg/Delta-style manifest
+    * that lets a reader prune WHOLE FILES before the scan is even
+    * planned (parquet footer stats prune after each file is opened; the
+    * manifest prunes the file listing itself — at 100 TB that is the
+    * difference between touching 100k footers and touching none). Built
+    * in one pass at write time and persisted beside the data; manifest
+    * size ∝ file count, not data. */
+  def fileManifest(written: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest of zero columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    written.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned range read: keep only files whose `[mn_c, mx_c]`
+    * intersects `[lo, hi]`, read those paths, and re-apply the
+    * predicate (the manifest prunes files; rows inside a kept file
+    * still need the filter — same contract as any zone-map skip).
+    * Returns the pruned frame plus (kept, total) file counts for
+    * audit/spec use. The manifest collect is bounded METADATA (one row
+    * per file — the same driver-side scale class as a broadcast-join
+    * build side or the IVF centroid table). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame, c: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val files = manifest
+      .select(col("file"), col(s"mn_$c").cast("long"),
+        col(s"mx_$c").cast("long"))
+      .collect()
+    val kept = files.collect {
+      case r if !r.isNullAt(1) && !r.isNullAt(2) &&
+        r.getLong(2) >= lo && r.getLong(1) <= hi => r.getString(0)
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(files.map(_.getString(0)): _*).limit(0)
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.filter(col(c).between(lo, hi)), kept.length, files.length)
+  }
+
+  /** Small-file compaction: bin-pack a directory of files into
+    * `ceil(totalBytes / targetBytes)` outputs via one round-robin
+    * shuffle, rewriting to `outDir`. Returns the output file count.
+    * Small files are the silent scan killer at 100 TB (per-file open +
+    * footer + scheduling cost dominates once files ≪ row-group size);
+    * compaction runs per partition-directory in production so the
+    * shuffle is bounded by the partition, not the table. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import scala.jdk.CollectionConverters._
+    val totalBytes = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(inDir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .map(java.nio.file.Files.size(_)).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

@@ -165,6 +165,52 @@ object MaintenancePack extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Incremental JOIN-view maintenance: the per-nation revenue view
+    // (lineitem ⋈ supplier ⋈ nation, aggregated) refreshed by joining
+    // ONLY the delta batch (keys ≡7 mod 10) against the broadcast dims
+    // and monoid-merging into the base view — Δview = γ(Δfact ⋈ dims),
+    // the delta-propagation rule for a fact-only change. Revenue stays
+    // an exact decimal through the merge; the full-recompute oracle
+    // gates it.
+    "q42_ivm_join" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val sup = Tables.load(s, dir, "supplier")
+      val nat = Tables.load(s, dir, "nation")
+      def view(part: DataFrame) = IncrementalAgg.revenueView(part, sup, nat)
+      IncrementalAgg.merge(
+          view(l.filter(pmod(col("l_orderkey"), lit(10L)) =!= 7)),
+          view(l.filter(pmod(col("l_orderkey"), lit(10L)) === 7)),
+          Seq("n_name"), Seq("n_items", "revenue"))
+        .select(col("n_name"), col("n_items"),
+          col("revenue").cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Manifest-pruned scan: documents Z-ordered on (n_chars, doc_id)
+    // into 16 range-clustered files, a file-level min/max manifest built
+    // at write time, then a range predicate answered by reading ONLY the
+    // files whose manifest interval intersects it (the spec pins that
+    // files were actually skipped). Result ≡ the full-scan filter, which
+    // the oracle runs.
+    "q43_pruned_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_prune").toString
+      try {
+        Layout.zorderBy(Tables.load(s, dir, "documents"),
+            Seq("n_chars", "doc_id"), 16)
+          .write.mode("overwrite").parquet(tmp)
+        val written = s.read.parquet(tmp)
+        val manifest = Layout.fileManifest(written, Seq("n_chars"))
+        val (pruned, _, _) = Layout.prunedRead(s, manifest, "n_chars",
+          200L, 400L)
+        pruned.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy(col("lang"))
+          .localCheckpoint(true) // pin before the temp files vanish
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
     // read off a fixed-bin histogram (width 8, 64 bins) built per batch
     // (even/odd split) and MERGED — the incremental form of an exact
@@ -315,6 +361,27 @@ object MaintenancePack extends QueryPack {
          |    AS n_tokens
          |FROM documents GROUP BY lang, source
          |ORDER BY lang, source""".stripMargin,
+
+    // full recompute of the maintained join view — the incremental
+    // merge must land on this exactly (decimal-exact revenue)
+    "q42_ivm_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // the pruned read must equal the full-scan filter
+    "q43_pruned_scan" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     // the histogram, cumulative, and rank-pick arithmetic re-derived in
     // full — exact integer math end to end, so this hash-matches

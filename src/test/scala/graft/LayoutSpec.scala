@@ -106,4 +106,63 @@ class LayoutSpec extends AnyFunSuite {
       .foreach(r => assert(r.getLong(1) == 0L,
         s"non-finite ${r.getDouble(0)} binned to ${r.getLong(1)}, not 0"))
   }
+
+  test("manifest-pruned range read skips files AND equals the full-scan " +
+      "filter; disjoint predicate reads zero files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_prune_spec").toString
+    try {
+      Layout.zorderBy(data(), Seq("a", "b"), nFiles)
+        .write.mode("overwrite").parquet(dir)
+      val written = spark.read.parquet(dir)
+      val manifest = Layout.fileManifest(written, Seq("a"))
+      assert(manifest.count() == nFiles.toLong)
+      val (pruned, kept, total) =
+        Layout.prunedRead(spark, manifest, "a", 10000L, 20000L)
+      assert(total == nFiles)
+      assert(kept < total,
+        s"range covering 10% of 'a' pruned nothing ($kept of $total)")
+      val got = pruned.orderBy("id").collect().map(_.getLong(0)).toSeq
+      val want = written.filter(col("a").between(10000L, 20000L))
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+      // a range outside every file's interval keeps zero files but
+      // still yields a well-formed empty frame with the data's schema
+      val (none, kept0, _) =
+        Layout.prunedRead(spark, manifest, "a", 900000L, 990000L)
+      assert(kept0 == 0 && none.count() == 0L)
+      assert(none.columns.toSeq == written.columns.toSeq)
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+
+  test("compaction bin-packs small files to the byte target and keeps " +
+      "the data bit-identical") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_compact_in").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact_out").toString
+    try {
+      // 64 deliberately-tiny files
+      data().repartition(64).write.mode("overwrite").parquet(in)
+      import scala.jdk.CollectionConverters._
+      def parquetFiles(d: String) = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p)).toSeq
+      val inFiles = parquetFiles(in)
+      assert(inFiles.size == 64)
+      val totalBytes = inFiles.map(java.nio.file.Files.size(_)).sum
+      val target = totalBytes / 4
+      val n = Layout.compact(spark, in, out, target)
+      assert(n == math.ceil(totalBytes.toDouble / target).toInt)
+      assert(parquetFiles(out).size == n)
+      val key = (d: String) => spark.read.parquet(d)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(key(out) == key(in))
+    } finally {
+      graft.streaming.EventStream.deleteDir(in)
+      graft.streaming.EventStream.deleteDir(out)
+    }
+  }
 }

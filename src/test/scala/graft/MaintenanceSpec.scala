@@ -275,4 +275,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(rows("num") == ((1L, 2L, "1", "2")))
     assert(rows("s") == ((1L, 2L, "x", "y")))
   }
+
+  // ------------------------------------------- incremental join view
+
+  private def ivmFixture() = {
+    val li = (1 to 300).map { i =>
+      (i.toLong, (i % 7 + 1).toLong, 100.0 + (i % 50) * 0.37,
+        (i % 10) * 0.01)
+    }.toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = (1 to 7).map(i => (i.toLong, (i % 3).toLong))
+      .toDF("s_suppkey", "s_nationkey")
+    val nat = (0 to 2).map(i => (i.toLong, s"NATION_$i"))
+      .toDF("n_nationkey", "n_name")
+    (li, sup, nat)
+  }
+
+  test("join-view maintenance: merge(view(base), view(delta)) equals the " +
+      "full recompute exactly, any split, empty delta is a no-op") {
+    val (li, sup, nat) = ivmFixture()
+    def view(part: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.revenueView(part, sup, nat)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"n_name", $"n_items", $"revenue".cast("string"))
+        .orderBy("n_name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val full = key(view(li))
+    // 3-way split, merged in two different associations
+    val parts = Seq(li.filter($"l_orderkey" % 3 === 0),
+      li.filter($"l_orderkey" % 3 === 1), li.filter($"l_orderkey" % 3 === 2))
+      .map(view)
+    def m(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.merge(a, b, Seq("n_name"), Seq("n_items", "revenue"))
+    assert(key(m(m(parts(0), parts(1)), parts(2))) == full)
+    assert(key(m(parts(0), m(parts(1), parts(2)))) == full)
+    // empty delta: merging an empty batch changes nothing
+    assert(key(m(view(li), view(li.filter($"l_orderkey" < 0)))) == full)
+  }
+
+  test("join-view delta plan: the dimensions broadcast — no shuffle on " +
+      "the fact side beyond the final aggregation") {
+    val (li, sup, nat) = ivmFixture()
+    val plan = IncrementalAgg.revenueView(li, sup, nat)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side hit a shuffle join:\n$plan")
+  }
 }
