@@ -18,7 +18,8 @@ object SparkEntry {
     RetrievalPack,
     ParsingPack,
     MultimodalPack,
-    MaintenancePack
+    MaintenancePack,
+    GraphPack
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

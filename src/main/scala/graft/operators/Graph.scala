@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics as iterated relational algebra — the Pregel-as-join
+  * form: one PageRank iteration is `ranks ⋈ adjacency` followed by a
+  * re-aggregation on the destination, so the whole computation is
+  * shuffles Catalyst already knows how to plan (AQE, partial
+  * aggregation, co-partitioning) rather than a bespoke engine.
+  * Link-style centrality is a standard corpus-curation quality signal
+  * (reference-graph weighting à la Page 1999; the web-scale pipelines
+  * weight crawl documents by exactly this).
+  *
+  * Scale design: the adjacency (with out-degrees pre-joined) is
+  * hash-partitioned on `src` ONCE and persisted — each iteration then
+  * shuffles only the rank vector (|V| rows, not |E|): the join reuses
+  * the adjacency's partitioning, and the `groupBy(dst)` re-partial-
+  * aggregates map-side before the |V|-sized exchange. Iteration count
+  * is fixed and small (unrolled — no driver-side convergence loop over
+  * collected data). Contributions are summed as SCALED INTEGERS
+  * (`floor(contrib · 1e15)` longs — `floor` is rounding-mode-free where
+  * a double→decimal cast ties at the last digit engine-dependently, and
+  * per-node sums are bounded by total mass ≈ 1, so they stay exact
+  * under 2^53): the fold is associative bit-for-bit, the result is
+  * partitioning-invariant, and the DuckDB oracle re-derives every
+  * iteration exactly.
+  *
+  * Determinism note: `(1 - damping) / n` is computed with the SAME IEEE
+  * operations on both engines (literal subtraction then division) —
+  * `1 - 0.85` is NOT the double `0.15`, so the oracle must write
+  * `(1 - 0.85) / n`, not `0.15 / n`. */
+object Graph {
+
+  /** `iters` unrolled PageRank iterations over an UNDIRECTED edge list
+    * `(src, dst)` (symmetrized + deduped here; self-loops allowed).
+    * Optional `seed`: a one-column (`node`) relation restricting the
+    * teleport vector — the personalized-PageRank form (Haveliwala 2002)
+    * used for seed-set expansion ("customers like these"); `None`
+    * teleports uniformly. Every node of the symmetrized graph has
+    * outdeg ≥ 1, so there is no dangling-mass term. Returns
+    * `(node, rank)`. */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      seed: Option[DataFrame] = None): DataFrame = {
+    require(iters >= 1, "pagerank needs at least one iteration")
+    val spark = edges.sparkSession
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // adjacency ⋈ degree, partitioned on src once, reused every round
+    val adj = sym.join(deg, "src")
+      .repartition(shuffle, col("src")).persist()
+    try {
+      val nodes = deg.select(col("src").as("node"))
+      val n = nodes.count() // one driver scalar — the graph's |V|
+      require(n > 0, "pagerank over an empty graph")
+      // teleport vector: uniform 1/n, or 1/|seed| on seed nodes
+      val reset: DataFrame = seed match {
+        case None =>
+          nodes.withColumn("reset", lit(1.0 / n))
+        case Some(s) =>
+          val sd = s.select(col("node")).distinct()
+          val k = sd.count()
+          require(k > 0, "personalized pagerank with an empty seed")
+          nodes.join(sd.withColumn("reset", lit(1.0 / k)),
+              Seq("node"), "left_outer")
+            .select(col("node"), coalesce(col("reset"), lit(0.0)).as("reset"))
+      }
+      var ranks = reset.select(col("node"), col("reset").as("rank"))
+      for (_ <- 1 to iters) {
+        val contribs = adj.join(ranks, adj("src") === ranks("node"))
+          .select(col("dst").as("node"),
+            floor(col("rank") / col("outdeg") * lit(1e15)).as("c"))
+        val summed = contribs.groupBy(col("node"))
+          .agg((sum(col("c")) / lit(1e15)).as("s"))
+        // nodes can lose ALL in-mass only via a zero-rank neighborhood;
+        // the left join keeps them on the teleport term regardless
+        ranks = reset.join(summed, Seq("node"), "left_outer")
+          .select(col("node"),
+            ((lit(1.0) - lit(damping)) * col("reset") +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      }
+      // pin the result before unpersisting the adjacency it derives from
+      ranks.localCheckpoint(true)
+    } finally adj.unpersist()
+  }
+}
