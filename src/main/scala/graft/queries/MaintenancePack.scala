@@ -231,6 +231,37 @@ object MaintenancePack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Streaming summary maintenance — the 7th streaming state kind
+    // under the gate: per-lang token-length HISTOGRAMS maintained
+    // across a 4-micro-batch file stream by the generic fold harness
+    // (state ← mergeHistograms(state, histogram(batch))). The merge is
+    // a commutative monoid, so the fixed point ≡ the one-shot batch
+    // histogram for ANY micro-batch split — tx_hist_quantiles' oracle
+    // gates the streamed state read out through the same quantile pick.
+    // State is groups×bins rows FOREVER (never ∝ stream length); each
+    // fold's work is ∝ the micro-batch.
+    "stream_hist" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_hist").toString
+      d.repartitionByRange(4, pmod(col("doc_id"), lit(4L)))
+        .write.mode("overwrite").parquet(tmp)
+      try {
+        val hist = graft.streaming.EventStream.streamFoldExact(
+          s, tmp, d.schema, None,
+          (st, b) => {
+            val bh = Sketches.histogram(b, Seq("lang"), "n", 0L, 8L, 64)
+            st.fold(bh)(Sketches.mergeHistograms(_, bh, Seq("lang")))
+          }).get
+        Sketches.histQuantiles(hist, Seq("lang"),
+            Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)), 0L, 8L)
+          .orderBy(col("lang"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // HLL distinct-count maintenance: per-lang distinct sources and
     // doc_ids estimated from PERSISTABLE DataSketches binaries built per
     // batch and UNIONED (register-wise max ⇒ union-of-sketches ≡
@@ -313,6 +344,32 @@ object MaintenancePack extends QueryPack {
         |FROM applied GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin
 
+  /** Token-length histogram quantiles re-derived end to end — exact
+    * integer math, so both the batch merge (tx_hist_quantiles) and the
+    * streamed fold (stream_hist) hash-match it. */
+  private val histQuantOracle: String =
+    raw"""WITH d AS (
+         |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
+         |  FROM documents),
+         |h AS (
+         |  SELECT lang,
+         |    least(63, greatest(0,
+         |      CAST(floor((CAST(n AS DOUBLE) - 0.0) / 8.0) AS BIGINT)))
+         |      AS bin,
+         |    count(*) AS cnt
+         |  FROM d GROUP BY lang, bin),
+         |c AS (
+         |  SELECT lang, bin,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS total
+         |  FROM h)
+         |SELECT lang,
+         |  min(CASE WHEN cum >= ceil(total * 0.5) THEN bin * 8 END) AS p50,
+         |  min(CASE WHEN cum >= ceil(total * 0.9) THEN bin * 8 END) AS p90,
+         |  min(CASE WHEN cum >= ceil(total * 0.99) THEN bin * 8 END) AS p99
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   override def oracle: Map[String, String] = Map(
     "q39_merge_upsert" -> cdcOracle,
     "stream_cdc" -> cdcOracle,
@@ -384,29 +441,10 @@ object MaintenancePack extends QueryPack {
         |ORDER BY lang""".stripMargin,
 
     // the histogram, cumulative, and rank-pick arithmetic re-derived in
-    // full — exact integer math end to end, so this hash-matches
-    "tx_hist_quantiles" ->
-      raw"""WITH d AS (
-         |  SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n
-         |  FROM documents),
-         |h AS (
-         |  SELECT lang,
-         |    least(63, greatest(0,
-         |      CAST(floor((CAST(n AS DOUBLE) - 0.0) / 8.0) AS BIGINT)))
-         |      AS bin,
-         |    count(*) AS cnt
-         |  FROM d GROUP BY lang, bin),
-         |c AS (
-         |  SELECT lang, bin,
-         |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin
-         |      ROWS UNBOUNDED PRECEDING) AS cum,
-         |    sum(cnt) OVER (PARTITION BY lang) AS total
-         |  FROM h)
-         |SELECT lang,
-         |  min(CASE WHEN cum >= ceil(total * 0.5) THEN bin * 8 END) AS p50,
-         |  min(CASE WHEN cum >= ceil(total * 0.9) THEN bin * 8 END) AS p90,
-         |  min(CASE WHEN cum >= ceil(total * 0.99) THEN bin * 8 END) AS p99
-         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // full — exact integer math end to end, so this hash-matches;
+    // stream_hist's folded state must land on the same rows
+    "tx_hist_quantiles" -> histQuantOracle,
+    "stream_hist" -> histQuantOracle,
 
     // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
     // oracle asserts the ±5% gate held for every lang

@@ -231,22 +231,43 @@ object EventStream {
       changesSrcDir: String, schema: org.apache.spark.sql.types.StructType,
       snapshot0: DataFrame, keyCol: String,
       onBatch: Long => Unit = _ => ()): DataFrame = {
+    val folded = streamFoldExact(spark, changesSrcDir, schema,
+      Some(snapshot0),
+      (st, b) => graft.operators.Cdc.foldChanges(st.get, b, keyCol),
+      onBatch)
+    // snapshot0 is already versioned (op/seq), so zero batches folds to it
+    graft.operators.Cdc.materialize(folded.getOrElse(snapshot0))
+  }
+
+  /** Generic micro-batch FOLD harness (the mechanism under
+    * [[streamCdcExact]] and the streaming summary maintenance):
+    * `state ← fold(state, batch)` per trigger, each increment
+    * localCheckpoint-pinned so lineage stays constant-depth across an
+    * unbounded stream. For an associative+commutative `fold`, the fixed
+    * point is independent of the micro-batch split — which is exactly
+    * what lets a BATCH oracle gate the streaming path. Returns the final
+    * state (`init` if the source delivered zero batches; `None` if there
+    * was also no init). */
+  def streamFoldExact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      init: Option[DataFrame],
+      fold: (Option[DataFrame], DataFrame) => DataFrame,
+      onBatch: Long => Unit = _ => ()): Option[DataFrame] = {
     import org.apache.spark.sql.streaming.Trigger
-    var state: DataFrame = snapshot0.localCheckpoint(true)
+    var state: Option[DataFrame] = init.map(_.localCheckpoint(true))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(changesSrcDir)
+      .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         onBatch(id)
-        state = graft.operators.Cdc.foldChanges(state, batch, keyCol)
-          .localCheckpoint(true)
+        state = Some(fold(state, batch.toDF()).localCheckpoint(true))
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.operators.Cdc.materialize(state)
+    state
   }
 
   /** Per-query bounded top-k fold state for [[streamTopKExact]]: rows

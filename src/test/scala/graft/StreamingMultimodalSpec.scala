@@ -57,6 +57,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streamFoldExact: the summary fold really crosses micro-batches, " +
+      "its fixed point equals the one-shot batch histogram, and zero " +
+      "batches returns the init unchanged") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("lang"), col("doc_id"), (col("n_chars") % 100).as("n"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_fold_spec").toString
+    d.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val got = EventStream.streamFoldExact(spark, tmp, d.schema, None,
+          (st, b) => {
+            val bh = Sketches.histogram(b, Seq("lang"), "n", 0L, 10L, 10)
+            st.fold(bh)(Sketches.mergeHistograms(_, bh, Seq("lang")))
+          }, onBatch = batches += _)
+        .get.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batches.distinct.size >= 4,
+        s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+      val want = Sketches.histogram(d, Seq("lang"), "n", 0L, 10L, 10)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want && got.nonEmpty)
+      // zero-batch source: init passes through; no-init returns None
+      val empty = java.nio.file.Files
+        .createTempDirectory("graft_stream_fold_empty").toString
+      try {
+        val init = Seq(("xx", 0L, 1L)).toDF("lang", "bin", "cnt")
+        val out = EventStream.streamFoldExact(spark, empty, d.schema,
+          Some(init), (st, b) => st.get)
+        assert(out.get.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+          Seq(("xx", 0L, 1L)))
+        assert(EventStream.streamFoldExact(spark, empty, d.schema,
+          None, (st, b) => b).isEmpty)
+      } finally EventStream.deleteDir(empty)
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val input = MemoryStream[EventStream.UserEvent](spark)
