@@ -32,7 +32,9 @@ object Bench {
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
     "mm_phash_pairs", "tx_corpus_stats",
     "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens",
-    "tx_chunk_retrieve", "q39_merge_upsert", "tx_corpus_ready")
+    "tx_chunk_retrieve", "q39_merge_upsert", "q42_ivm_join",
+    "q43_pruned_scan", "q44_pagerank", "tx_hist_quantiles",
+    "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /

@@ -100,6 +100,17 @@ object ScaleProbe {
         graft.operators.Retrieval.bm25BatchTopK(d, qt, k = 10)
           .count(): Unit
       }),
+      // iterated-join newcomer: 3 unrolled PageRank rounds over a
+      // synthetic doc→bucket bipartite graph (997 fixed hub buckets, so
+      // the 10x corpus grows hub degrees 10x — the skew shape a real
+      // reference graph has); per-round cost is the |V|-shuffle + the
+      // adjacency join, so the ratio pins that round overhead stays
+      // data-proportional, not round-count-blown
+      ("q44_pagerank", (d: DataFrame) => {
+        val e = d.select(concat(lit("d"), col("doc_id")).as("src"),
+          concat(lit("b"), pmod(col("doc_id"), lit(997L))).as("dst"))
+        graft.operators.Graph.pagerank(e, iters = 3).count(): Unit
+      }),
       ("tx_chunk_retrieve", (d: DataFrame) => {
         val terms = graft.operators.Retrieval.seedTerms(
           d, "doc_id", "text", seedId = 0L, n = 4)

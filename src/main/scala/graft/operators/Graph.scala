@@ -41,23 +41,45 @@ object Graph {
     * outdeg ≥ 1, so there is no dangling-mass term. Returns
     * `(node, rank)`. */
   def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-      seed: Option[DataFrame] = None): DataFrame = {
+      seed: Option[DataFrame] = None,
+      distinctDirected: Boolean = false): DataFrame = {
     require(iters >= 1, "pagerank needs at least one iteration")
     val spark = edges.sparkSession
     val shuffle = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // adjacency ⋈ degree, partitioned on src once, reused every round
-    val adj = sym.join(deg, "src")
-      .repartition(shuffle, col("src")).persist()
+    // every shared relation materializes EXACTLY ONCE: the directed
+    // pairs persist BEFORE the symmetrizing union (the union's two
+    // branches otherwise re-evaluate the caller's edge-derivation join
+    // twice — measured as the dominant cost at sf0.1); the symmetrized
+    // list feeds two consumers (degrees + adjacency) and unpersists as
+    // soon as the adjacency is cached; degrees and the teleport vector
+    // are |V|-bounded and localCheckpoint-pinned — without the pinning,
+    // every iteration of the final lazy chain re-derives the edge join
+    // from the source tables.
+    //
+    // `distinctDirected`: set when the input is ALREADY distinct and no
+    // pair appears in both orientations (e.g. a bipartite graph with
+    // type-tagged ids) — the symmetrize-dedup shuffle over |E| is then
+    // provably a no-op and is skipped.
+    val base = edges.select(col("src"), col("dst")).persist()
+    val sym0 = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+    val sym = (if (distinctDirected) sym0 else sym0.distinct()).persist()
+    val adj = try {
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      // adjacency ⋈ degree, partitioned on src once, reused every round
+      val a = sym.join(deg, "src")
+        .repartition(shuffle, col("src")).persist()
+      a.count()
+      (a, deg)
+    } finally { sym.unpersist(); base.unpersist() }
+    val (adjacency, deg) = adj
     try {
       val nodes = deg.select(col("src").as("node"))
-      val n = nodes.count() // one driver scalar — the graph's |V|
+      val n = deg.count() // one driver scalar — the graph's |V|
       require(n > 0, "pagerank over an empty graph")
       // teleport vector: uniform 1/n, or 1/|seed| on seed nodes
-      val reset: DataFrame = seed match {
+      val reset: DataFrame = (seed match {
         case None =>
           nodes.withColumn("reset", lit(1.0 / n))
         case Some(s) =>
@@ -67,10 +89,10 @@ object Graph {
           nodes.join(sd.withColumn("reset", lit(1.0 / k)),
               Seq("node"), "left_outer")
             .select(col("node"), coalesce(col("reset"), lit(0.0)).as("reset"))
-      }
+      }).localCheckpoint(true)
       var ranks = reset.select(col("node"), col("reset").as("rank"))
       for (_ <- 1 to iters) {
-        val contribs = adj.join(ranks, adj("src") === ranks("node"))
+        val contribs = adjacency.join(ranks, adjacency("src") === ranks("node"))
           .select(col("dst").as("node"),
             floor(col("rank") / col("outdeg") * lit(1e15)).as("c"))
         val summed = contribs.groupBy(col("node"))
@@ -84,6 +106,6 @@ object Graph {
       }
       // pin the result before unpersisting the adjacency it derives from
       ranks.localCheckpoint(true)
-    } finally adj.unpersist()
+    } finally adjacency.unpersist()
   }
 }

@@ -15,13 +15,19 @@ import graft.operators.Graph
   * breaks the hash. */
 object GraphPack extends QueryPack {
 
-  /** Distinct (customer, supplier) edges with type-tagged node ids. */
+  /** Distinct (customer, supplier) edges with type-TAGGED LONG node ids
+    * (customer `2k`, supplier `2k+1` — longs shuffle/hash/compare ~2-3×
+    * cheaper than string-prefixed ids, the encoding a 100 TB graph job
+    * would use) — distinct AND orientation-disjoint (the tag bit), so
+    * pagerank's symmetrize-dedup shuffle is skipped
+    * (`distinctDirected`). */
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "orders")
       .join(Tables.load(s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -29,7 +35,7 @@ object GraphPack extends QueryPack {
     // centrality weighting of the reference graph (adjacency
     // partitioned once and reused; per-round shuffles are |V|-sized).
     "q44_pagerank" -> ((s, dir) =>
-      Graph.pagerank(edges(s, dir), iters = 3)
+      Graph.pagerank(edges(s, dir), iters = 3, distinctDirected = true)
         .orderBy(desc("rank"), asc("node")).limit(20)),
 
     // Personalized PageRank: teleport pinned to nation-3's customers,
@@ -39,9 +45,10 @@ object GraphPack extends QueryPack {
     "q45_ppr_expand" -> ((s, dir) => {
       val seed = Tables.load(s, dir, "customer")
         .filter(col("c_nationkey") === 3)
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
-      Graph.pagerank(edges(s, dir), iters = 3, seed = Some(seed))
-        .filter(col("node").startsWith("s"))
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.pagerank(edges(s, dir), iters = 3, seed = Some(seed),
+          distinctDirected = true)
+        .filter(col("node") % 2 === 1) // supplier nodes carry the tag bit
         .orderBy(desc("rank"), asc("node")).limit(20)
     })
   )
@@ -50,8 +57,7 @@ object GraphPack extends QueryPack {
     * degrees, |V|. */
   private val graphCtes: String =
     """WITH pairs AS (
-      |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-      |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       |sym AS (
       |  SELECT src, dst FROM pairs
@@ -95,7 +101,7 @@ object GraphPack extends QueryPack {
 
     "q45_ppr_expand" -> (graphCtes + ",\n" +
       """seed AS (
-        |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+        |  SELECT DISTINCT c_custkey * 2 AS node
         |  FROM customer WHERE c_nationkey = 3),
         |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seed),
         |reset AS (
@@ -106,7 +112,7 @@ object GraphPack extends QueryPack {
         |r0 AS (SELECT node, reset AS rank FROM reset),""".stripMargin +
       "\n" + round(1) + ",\n" + round(2) + ",\n" + round(3) + "\n" +
       """SELECT node, rank FROM r3
-        |WHERE node LIKE 's%'
+        |WHERE node % 2 = 1
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin)
   )
 }

@@ -79,6 +79,13 @@ class GraphSpec extends AnyFunSuite {
     assert(run(parts = 1) == run(parts = 7))
   }
 
+  test("distinctDirected fast path equals the general symmetrize-dedup " +
+      "path on a distinct, orientation-disjoint edge list") {
+    val fast = Graph.pagerank(edges(), iters = 3, distinctDirected = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fast == run())
+  }
+
   test("iteration plan: the persisted adjacency feeds the join straight " +
       "from the cache — no fresh Exchange above the InMemoryTableScan") {
     val e = edges()
