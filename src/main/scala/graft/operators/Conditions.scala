@@ -51,6 +51,42 @@ object Conditions {
   def threshold(top5: DataFrame): DataFrame =
     top5.agg((avg(col("score")) + lit(0.5) * stddev_samp(col("score"))).as("thr"))
 
+  /** Rolling-history outlier detection (the streaming-adjacent form of
+    * the P7 statistical threshold): per key, each row's value is tested
+    * against `mean + nSigma·sd` of the `lookBack` PRECEDING rows
+    * (current row excluded — the history is the model), with a
+    * `minN`-row warmup before anything can flag. One key-partitioned
+    * window pass; at scale this is the same shuffle class as any
+    * keyed window.
+    *
+    * Determinism: rolling mean/variance come from floor-scaled-long
+    * window sums (`floor(v·1e6)`, `floor(v²·1e6)` — the PageRank
+    * convention: `floor` has no engine-dependent tie rounding, long
+    * sums are exact, and windowed magnitudes stay far under 2^53), so
+    * variance = `(ss - s²/n)/(n-1)` reproduces bit-for-bit in the
+    * DuckDB oracle where a native `stddev` window would re-associate.
+    * Returns only the flagged rows with their rolling stats. */
+  def rollingOutliers(events: DataFrame, keyCol: String, ordCols: Seq[String],
+      valueCol: String, lookBack: Int = 20, minN: Int = 10,
+      nSigma: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(ordCols.map(col): _*)
+      .rowsBetween(-lookBack, -1)
+    val v = col(valueCol)
+    val base = events
+      .withColumn("__n", count(v).over(w))
+      .withColumn("__s", sum(floor(v * lit(1e6))).over(w))
+      .withColumn("__ss", sum(floor(v * v * lit(1e6))).over(w))
+    base.filter(col("__n") >= minN)
+      .withColumn("rmean", col("__s") / lit(1e6) / col("__n"))
+      .withColumn("rvar",
+        greatest(lit(0.0),
+          (col("__ss") / lit(1e6) - col("__s") / lit(1e6) *
+            (col("__s") / lit(1e6)) / col("__n")) / (col("__n") - lit(1L))))
+      .filter(v > col("rmean") + lit(nSigma) * sqrt(col("rvar")))
+      .drop("__n", "__s", "__ss")
+  }
+
   /** A7 + P7: weighted vote per (name, value); keep values whose summed
     * weight exceeds the threshold (`/root/reference/camp_vec_rcmn.py:133-138`). */
   def stringConsensus(strConds: DataFrame, thr: DataFrame): DataFrame =

@@ -35,4 +35,29 @@ object Scale {
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Exact per-group top-k under a TOTAL order, without funneling any
+    * group's whole row set into one task (the window-only form does —
+    * the r9 `searchSq8Batch` advisory): stage 1 ranks within
+    * (group, input-partition) and keeps each partition's local top-k —
+    * exact, because a row in the global top-k is in its partition's
+    * top-k — so stage 2's global window sorts at most
+    * `k · partitions` rows per group. Works for ANY key/order types
+    * (where [[graft.operators.Knn.groupedTopK]] is the long-id/double-
+    * score fast path). `order` must be a total order or ranks are
+    * nondeterministic. */
+  def topKByGroup(df: DataFrame, groupCols: Seq[String],
+      order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "topKByGroup needs k > 0")
+    val w1 = Window
+      .partitionBy((groupCols.map(col) :+ col("__pid")): _*)
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k).drop("__rn", "__pid")
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    pruned.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }

@@ -231,6 +231,22 @@ object MaintenancePack extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Heavy hitters for the corpus datasheet: top-10 word BIGRAMS per
+    // language by exact count. The count is one partial-aggregable
+    // pass; the per-group top-k is the partition-pruned two-stage form
+    // (Scale.topKByGroup) — no task ever sorts a language's whole
+    // bigram vocabulary (the funnel the window-only form has).
+    "tx_top_ngrams" -> ((s, dir) => {
+      val cnt = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.operators.Dedup.ngrams(col("text"), 2)).as("g"))
+        .groupBy(col("lang"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Scale.topKByGroup(cnt, Seq("lang"),
+          Seq(col("cnt").desc, col("g").asc), 10)
+        .orderBy(col("lang"), col("cnt").desc, col("g"))
+    }),
+
     // Streaming summary maintenance — the 7th streaming state kind
     // under the gate: per-lang token-length HISTOGRAMS maintained
     // across a 4-micro-batch file stream by the generic fold harness
@@ -445,6 +461,25 @@ object MaintenancePack extends QueryPack {
     // stream_hist's folded state must land on the same rows
     "tx_hist_quantiles" -> histQuantOracle,
     "stream_hist" -> histQuantOracle,
+
+    // bigram derivation, counts, and the rank-pick re-derived; ties
+    // broken by the (cnt DESC, g ASC) total order on both sides
+    "tx_top_ngrams" ->
+      raw"""WITH base AS (
+         |  SELECT lang, string_split_regex(trim(text), '\s+') AS w
+         |  FROM documents),
+         |gr AS (
+         |  SELECT lang, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i+1])) AS g
+         |  FROM base),
+         |cnt AS (SELECT lang, g, count(*) AS cnt FROM gr GROUP BY lang, g),
+         |r AS (
+         |  SELECT lang, g, cnt,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY cnt DESC, g) AS rn
+         |  FROM cnt)
+         |SELECT lang, g, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rn <= 10
+         |ORDER BY lang, cnt DESC, g""".stripMargin,
 
     // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
     // oracle asserts the ±5% gate held for every lang

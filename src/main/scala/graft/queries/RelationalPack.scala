@@ -445,6 +445,25 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Rolling-history outlier detection (the monitoring query a
+    // continuously-ingesting lake runs): per user, flag events whose
+    // value exceeds mean + 3σ of the 20 PRECEDING events (10-row
+    // warmup). Rolling moments come from floor-scaled-long window sums
+    // (the PageRank determinism convention) so the stats — and
+    // therefore the flag set — reproduce bit-for-bit in DuckDB, where
+    // a native stddev window would re-associate.
+    "q46_anomaly" -> ((s, dir) => {
+      graft.operators.Conditions.rollingOutliers(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("value")),
+          "user_id", Seq("ts", "event_id"), "value")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"),
+          col("rmean"), col("rvar"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // Correlated-subquery surface: orders above their OWN customer's
     // average order value. Written as the correlated SQL a user ports
     // over; Catalyst decorrelates it into one aggregate + join — no
@@ -942,6 +961,29 @@ object RelationalPack extends QueryPack {
         |ORDER BY 1, 2""".stripMargin,
 
     "q18_vec_roundtrip" ->
-      """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin
+      """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin,
+
+    // the rolling moments re-derived with the same floor-scaled long
+    // sums and the same association order — bit-exact, so the flag set
+    // and the emitted stats both hash-match
+    "q46_anomaly" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    count(value) OVER w AS n,
+        |    sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS s,
+        |    sum(CAST(floor(value * value * 1e6) AS BIGINT)) OVER w AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    s / 1e6 / n AS rmean,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      (ss / 1e6 - s / 1e6 * (s / 1e6) / n) / (n - 1)) AS rvar
+        |  FROM b WHERE n >= 10)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, rmean, rvar
+        |FROM f
+        |WHERE value > rmean + CAST(3.0 AS DOUBLE) * sqrt(rvar)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
   )
 }

@@ -99,4 +99,68 @@ class ScaleSpec extends AnyFunSuite {
       .audienceCount(spark, TestSpark.sfDir).head.getLong(0)
     assert(viaTemplates == direct && direct > 0)
   }
+
+  test("topKByGroup equals the window-only form under a total order, " +
+      "any partitioning, including groups smaller than k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(46)
+    val df = (1 to 5000).map { i =>
+      (s"g${rnd.nextInt(7)}", s"it$i", rnd.nextInt(40).toLong)
+    }.toDF("g", "item", "v").repartition(11)
+    // group g_small has 2 rows < k
+    val withSmall = df.union(
+      Seq(("g_small", "a", 1L), ("g_small", "b", 2L)).toDF("g", "item", "v"))
+    val ord = Seq(col("v").desc, col("item").asc)
+    val got = graft.operators.Scale.topKByGroup(withSmall, Seq("g"), ord, 10)
+      .select("g", "item", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("g")).orderBy(ord: _*)
+    val want = withSmall.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10).select("g", "item", "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.count(_._1 == "g_small") == 2)
+  }
+
+  test("rollingOutliers matches a plain-Scala rolling-moment reference " +
+      "and respects the warmup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(461)
+    val rows = for {
+      u <- 1 to 5; i <- 1 to 60
+    } yield (u.toLong, (u * 1000 + i).toLong,
+      new java.sql.Timestamp(1700000000000L + i * 60000L),
+      if (i % 23 == 0) 400.0 + rnd.nextInt(100) else rnd.nextInt(80) + 0.5)
+    val df = rows.toDF("user_id", "event_id", "ts", "value").repartition(5)
+    val got = graft.operators.Conditions.rollingOutliers(
+        df, "user_id", Seq("ts", "event_id"), "value")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plain-Scala reference with the same floor-scaled moments
+    // .values, not Map.flatMap — the latter would rebuild a Map keyed by
+    // user and silently keep one flag per user
+    val want = rows.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2))
+      sorted.indices.flatMap { i =>
+        val hist = sorted.slice(math.max(0, i - 20), i).map(_._4)
+        if (hist.size < 10) None
+        else {
+          val n = hist.size
+          val s = hist.map(v => math.floor(v * 1e6).toLong).sum
+          val ss = hist.map(v => math.floor(v * v * 1e6).toLong).sum
+          val m = s / 1e6 / n
+          val va = math.max(0.0, (ss / 1e6 - s / 1e6 * (s / 1e6) / n) / (n - 1))
+          if (sorted(i)._4 > m + 3.0 * math.sqrt(va))
+            Some((sorted(i)._1, sorted(i)._2))
+          else None
+        }
+      }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // nothing may flag inside the 10-row warmup
+    assert(got.forall { case (u, eid) => eid - u * 1000 > 10 })
+  }
 }
