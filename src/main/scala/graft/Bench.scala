@@ -34,6 +34,7 @@ object Bench {
     "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens",
     "tx_chunk_retrieve", "q39_merge_upsert", "q42_ivm_join",
     "q43_pruned_scan", "q44_pagerank", "tx_hist_quantiles",
+    "tx_top_ngrams", "q46_anomaly", "q47_rollup", "q50_bloom_lookup",
     "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow

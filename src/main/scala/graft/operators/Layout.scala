@@ -166,6 +166,45 @@ object Layout {
     (df.filter(col(c).between(lo, hi)), kept.length, files.length)
   }
 
+  /** Per-file BLOOM manifest over a long key column — the
+    * equality-lookup complement of [[fileManifest]]'s range zone maps:
+    * a point lookup on a column the file layout is NOT clustered by
+    * prunes nothing from min/max (every file's range covers it) but
+    * prunes almost everything from a bloom at ~1.2 bytes/key. Built in
+    * one pass at write time; manifest size ∝ files · bits. */
+  def bloomManifest(written: DataFrame, c: String,
+      itemsPerFile: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val agg = udaf(new graft.functions.BloomFilterAggregator(
+      itemsPerFile, fpp))
+    written.groupBy(input_file_name().as("file"))
+      .agg(agg(col(c).cast("long")).as("bloom"))
+  }
+
+  /** Point-lookup read through a [[bloomManifest]]: keep only files
+    * whose bloom MIGHT contain one of `keys`, read those, re-apply the
+    * exact IN filter. False positives cost an extra file read, never a
+    * wrong row. Membership tests run on the collected manifest (bounded
+    * metadata, same class as [[prunedRead]]'s). Returns
+    * (rows, kept, total) like [[prunedRead]]. */
+  def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      manifest: DataFrame, c: String,
+      keys: Seq[Long]): (DataFrame, Int, Int) = {
+    require(keys.nonEmpty, "bloom lookup with no keys")
+    val files = manifest.select(col("file"), col("bloom")).collect()
+    val kept = files.collect {
+      case r if {
+        val bf = graft.functions.BloomFilterAggregator
+          .fromBytes(r.getAs[Array[Byte]](1))
+        keys.exists(bf.mightContainLong)
+      } => r.getString(0)
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(files.map(_.getString(0)): _*).limit(0)
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.filter(col(c).isin(keys: _*)), kept.length, files.length)
+  }
+
   /** Small-file compaction: bin-pack a directory of files into
     * `ceil(totalBytes / targetBytes)` outputs via one round-robin
     * shuffle, rewriting to `outDir`. Returns the output file count.

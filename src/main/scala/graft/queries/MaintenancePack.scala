@@ -98,6 +98,34 @@ object MaintenancePack extends QueryPack {
       finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Time travel over snapshot versions: the orders table written as
+    // immutable version 1, its CDC apply committed as version 2 —
+    // readers pin a version (asOf) or resolve the latest from the
+    // directory listing, so the refresh is atomic-by-visibility and
+    // history stays queryable (vs the reference's truncate-and-reload).
+    // Both versions audited; the oracle re-derives v1 from the raw
+    // snapshot and v2 through the shared CDC CTEs.
+    "q49_time_travel" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_time_travel").toString + "/t"
+      try {
+        graft.operators.Versioned.write(o, root, 1L)
+        graft.operators.Versioned.write(
+          Cdc.applyBatch(o, changeBatch(o), "o_orderkey"), root, 2L)
+        val v1 = audit(graft.operators.Versioned.read(s, root, Some(1L)))
+          .withColumn("v", lit(1L))
+        val v2 = audit(graft.operators.Versioned.read(s, root, None))
+          .withColumn("v", lit(2L))
+        v1.unionByName(v2)
+          .select(col("v"), col("o_orderstatus"), col("n"), col("tot"),
+            col("max_key"))
+          .orderBy(col("v"), col("o_orderstatus"))
+          .localCheckpoint(true) // pin before the version dirs vanish
+      } finally graft.streaming.EventStream.deleteDir(
+        root.stripSuffix("/t"))
+    }),
+
     // SCD-2 history build: each user's coarse value band (floor(v/20))
     // collapsed into [valid_from, valid_to) validity intervals, NULL
     // valid_to + is_current on the open run — one key-partitioned
@@ -211,6 +239,30 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Bloom-manifest point lookup: the documents files are clustered by
+    // the Z-order key, so a doc_id POINT lookup gets nothing from
+    // min/max zone maps alone — the per-file bloom prunes the file
+    // listing for equality predicates instead (false positives cost an
+    // extra file read, never a wrong row; the exact IN filter re-runs
+    // on the survivors). Result ≡ the direct IN scan, which the oracle
+    // runs; the spec pins that files were actually skipped.
+    "q50_bloom_lookup" -> ((s, dir) => {
+      val keys = Seq(11L, 55L, 222L, 333L, 444L)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bloom").toString
+      try {
+        Layout.zorderBy(Tables.load(s, dir, "documents"),
+            Seq("n_chars", "doc_id"), 16)
+          .write.mode("overwrite").parquet(tmp)
+        val bm = Layout.bloomManifest(s.read.parquet(tmp), "doc_id",
+          itemsPerFile = 100000L)
+        val (hit, _, _) = Layout.bloomPrunedRead(s, bm, "doc_id", keys)
+        hit.select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true) // pin before the temp files vanish
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
     // read off a fixed-bin histogram (width 8, 64 bins) built per batch
     // (even/odd split) and MERGED — the incremental form of an exact
@@ -315,7 +367,7 @@ object MaintenancePack extends QueryPack {
     * and the per-status audit. Gates BOTH the one-shot batch apply
     * (q39_merge_upsert) and the out-of-order streaming fold
     * (stream_cdc), whose fixed point is the same snapshot. */
-  private val cdcOracle: String =
+  private val cdcOracle: String =  // CTE chain only, ends at `applied`
       """WITH upd1 AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
         |    round(CAST(o_totalprice * 1.1 AS DECIMAL(28,12)), 2)::DOUBLE
@@ -353,12 +405,25 @@ object MaintenancePack extends QueryPack {
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |    o_orderdate, o_orderpriority
-        |  FROM latest WHERE op <> 'D')
-        |SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot,
-        |  max(o_orderkey) AS max_key
-        |FROM applied GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin
+        |  FROM latest WHERE op <> 'D')""".stripMargin
+
+  /** The audit select over a relation (shared tail of the CDC oracles). */
+  private def auditSql(rel: String, extraCols: String = ""): String =
+    s"""SELECT ${extraCols}o_orderstatus, count(*) AS n,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot,
+       |  max(o_orderkey) AS max_key
+       |FROM $rel GROUP BY o_orderstatus""".stripMargin
+
+  private val cdcOracleFull: String =
+    cdcOracle + "\n" + auditSql("applied") + "\nORDER BY o_orderstatus"
+
+  /** Time travel: version 1 = the raw snapshot, version 2 = the CDC
+    * apply — both audited from the SAME change-derivation CTEs. */
+  private val timeTravelOracle: String =
+    cdcOracle + "\n" +
+      auditSql("orders", "CAST(1 AS BIGINT) AS v, ") + "\nUNION ALL\n" +
+      auditSql("applied", "CAST(2 AS BIGINT) AS v, ") +
+      "\nORDER BY v, o_orderstatus"
 
   /** Token-length histogram quantiles re-derived end to end — exact
     * integer math, so both the batch merge (tx_hist_quantiles) and the
@@ -387,8 +452,9 @@ object MaintenancePack extends QueryPack {
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
   override def oracle: Map[String, String] = Map(
-    "q39_merge_upsert" -> cdcOracle,
-    "stream_cdc" -> cdcOracle,
+    "q39_merge_upsert" -> cdcOracleFull,
+    "stream_cdc" -> cdcOracleFull,
+    "q49_time_travel" -> timeTravelOracle,
 
     "q40_scd2" ->
       """WITH src AS (
@@ -446,6 +512,12 @@ object MaintenancePack extends QueryPack {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // the bloom-pruned lookup must equal the direct IN scan
+    "q50_bloom_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (11, 55, 222, 333, 444)
+        |ORDER BY doc_id""".stripMargin,
 
     // the pruned read must equal the full-scan filter
     "q43_pruned_scan" ->

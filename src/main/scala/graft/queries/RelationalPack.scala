@@ -445,6 +445,35 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // ROLLUP subtotal lattice — the OLAP cube surface (Catalyst expands
+    // the grouping sets into one Expand + single aggregation pass, not
+    // one job per level): per-(lang, source) doc counts with per-lang
+    // subtotals and a grand total, NULL as the roll-up marker on both
+    // engines. NULLS FIRST pinned explicitly — Spark's ASC default,
+    // DuckDB's is NULLS LAST.
+    "q47_rollup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    }),
+
+    // PIVOT — wide-format rollup with the value list FIXED up front (no
+    // driver-side distinct-collect job); absent cells filled 0. The
+    // oracle is the conditional-aggregation long form PIVOT sugars.
+    "q48_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .groupBy(col("day"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
     // Rolling-history outlier detection (the monitoring query a
     // continuously-ingesting lake runs): per user, flag events whose
     // value exceeds mean + 3σ of the 20 PRECEDING events (10-row
@@ -962,6 +991,22 @@ object RelationalPack extends QueryPack {
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin,
+
+    "q47_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    "q48_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     // the rolling moments re-derived with the same floor-scaled long
     // sums and the same association order — bit-exact, so the flag set

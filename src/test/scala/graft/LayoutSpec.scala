@@ -135,6 +135,32 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.streaming.EventStream.deleteDir(dir)
   }
 
+  test("bloom-manifest point lookup skips files, equals the direct IN " +
+      "scan, and false positives never surface wrong rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_spec").toString
+    try {
+      // cluster by (a, b): an `id` point lookup gets nothing from
+      // min/max zone maps — the bloom is what prunes
+      Layout.zorderBy(data(), Seq("a", "b"), nFiles)
+        .write.mode("overwrite").parquet(dir)
+      val written = spark.read.parquet(dir)
+      val bm = Layout.bloomManifest(written, "id", itemsPerFile = 10000L)
+      assert(bm.count() == nFiles.toLong)
+      val keys = Seq(3L, 777L, 12345L)
+      val (hit, kept, total) = Layout.bloomPrunedRead(spark, bm, "id", keys)
+      assert(total == nFiles)
+      assert(kept < total, s"3-key lookup pruned nothing ($kept of $total)")
+      val got = hit.select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == keys.sorted)
+      // absent keys: blooms may keep files (false positives) but the
+      // exact re-filter returns zero rows
+      val (miss, _, _) =
+        Layout.bloomPrunedRead(spark, bm, "id", Seq(999999991L))
+      assert(miss.count() == 0L)
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+
   test("compaction bin-packs small files to the byte target and keeps " +
       "the data bit-identical") {
     val in = java.nio.file.Files

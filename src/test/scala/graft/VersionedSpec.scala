@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Versioned
+
+/** Snapshot versioning: immutability, as-of resolution, latest pointer,
+  * and vacuum retention. */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df(tag: String) =
+    Seq((1L, tag), (2L, tag)).toDF("k", "tag")
+
+  test("write/read round trip: as-of pins the greatest version <= the " +
+      "ask, None reads latest, history stays readable after new writes") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_versioned_spec").toString + "/t"
+    try {
+      Versioned.write(df("v1"), root, 1L)
+      Versioned.write(df("v3"), root, 3L) // versions need not be dense
+      assert(Versioned.versions(root) == Seq(1L, 3L))
+      def tagOf(asOf: Option[Long]) =
+        Versioned.read(spark, root, asOf).select("tag").head().getString(0)
+      assert(tagOf(Some(1L)) == "v1")
+      assert(tagOf(Some(2L)) == "v1") // greatest <= 2 is 1
+      assert(tagOf(Some(3L)) == "v3")
+      assert(tagOf(None) == "v3")
+      // pre-history ask fails loudly
+      intercept[IllegalArgumentException] {
+        Versioned.read(spark, root, Some(0L))
+      }
+      // immutability: rewriting an existing version is refused
+      intercept[IllegalArgumentException] {
+        Versioned.write(df("evil"), root, 1L)
+      }
+      assert(tagOf(Some(1L)) == "v1")
+    } finally graft.streaming.EventStream.deleteDir(
+      root.stripSuffix("/t"))
+  }
+
+  test("vacuum drops the oldest versions, keeps the newest N, and " +
+      "refuses to keep zero") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum_spec").toString + "/t"
+    try {
+      Seq(1L, 2L, 5L, 9L).foreach(v => Versioned.write(df(s"v$v"), root, v))
+      val removed = Versioned.vacuum(root, keepLast = 2)
+      assert(removed == Seq(1L, 2L))
+      assert(Versioned.versions(root) == Seq(5L, 9L))
+      assert(Versioned.read(spark, root, None).select("tag")
+        .head().getString(0) == "v9")
+      intercept[IllegalArgumentException] { Versioned.vacuum(root, 0) }
+    } finally graft.streaming.EventStream.deleteDir(
+      root.stripSuffix("/t"))
+  }
+}
