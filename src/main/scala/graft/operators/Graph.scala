@@ -63,7 +63,10 @@ object Graph {
     val base = edges.select(col("src"), col("dst")).persist()
     val sym0 = base
       .union(base.select(col("dst").as("src"), col("src").as("dst")))
-    val sym = (if (distinctDirected) sym0 else sym0.distinct()).persist()
+    // only the dedup result is worth a second cache level — the fast
+    // path's union over the cached base is cheaper to recompute for its
+    // two consumers (degrees, adjacency) than to materialize again
+    val sym = if (distinctDirected) sym0 else sym0.distinct().persist()
     val adj = try {
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .localCheckpoint(true)

@@ -214,6 +214,29 @@ object Layout {
     * shuffle is bounded by the partition, not the table. */
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
       outDir: String, targetBytes: Long): Int = {
+    val n = targetFileCount(inDir, targetBytes)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Cluster-PRESERVING compaction: [[compact]]'s round-robin shuffle
+    * destroys any Z-order/sort layout the input files had (and with it
+    * every downstream manifest/footer prune) — this variant re-clusters
+    * on the Z-order key while packing, for the same single-shuffle
+    * cost. Use whenever the table carries a layout worth keeping. */
+  def compactClustered(spark: org.apache.spark.sql.SparkSession,
+      inDir: String, outDir: String, targetBytes: Long,
+      zorderCols: Seq[String], bits: Int = 8): Int = {
+    val n = targetFileCount(inDir, targetBytes)
+    zorderBy(spark.read.parquet(inDir), zorderCols, n, bits)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** `ceil(total parquet bytes / target)` for a directory — the bin
+    * count both compaction forms pack into. */
+  private def targetFileCount(inDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     import scala.jdk.CollectionConverters._
     val totalBytes = java.nio.file.Files
@@ -221,9 +244,6 @@ object Layout {
       .filter(p => p.toString.endsWith(".parquet") &&
         java.nio.file.Files.isRegularFile(p))
       .map(java.nio.file.Files.size(_)).sum
-    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).repartition(n)
-      .write.mode("overwrite").parquet(outDir)
-    n
+    math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
   }
 }

@@ -142,6 +142,32 @@ object MaintenancePack extends QueryPack {
           col("is_current"))
     }),
 
+    // SCD-2 dimension lookup AT EVENT TIME — how SCD-2 history is
+    // consumed: the even events build the band-interval dimension
+    // (q40's machinery), and each ODD event is enriched with the band
+    // VALID AT ITS TIMESTAMP via the as-of join (latest valid_from ≤
+    // ts per user — intervals are contiguous per key, so the as-of
+    // pick IS the containing interval; one |L|+|R| shuffle, no range
+    // join). Facts before any history get NULL (left-outer). Oracle:
+    // DuckDB's native ASOF LEFT JOIN over the re-derived intervals.
+    "q51_scd2_lookup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20.0).cast("long").as("band"))
+      val dim = Cdc.scd2Intervals(
+          e.filter(pmod(col("event_id"), lit(2)) === 0),
+          "user_id", "band", "ts", "event_id")
+        .select(col("user_id"), col("valid_from").as("ts"), col("band"))
+      val facts = e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsofJoin.lastEarlier(facts, dim, Seq("user_id"),
+          "ts", Seq("band"), prefix = "dim_")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("dim_band"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
     // Column profiling (data-validation pass): null/distinct counts and
     // stringified min/max for three documents columns in ONE scan.
     "tx_profile" -> ((s, dir) =>
@@ -512,6 +538,37 @@ object MaintenancePack extends QueryPack {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+
+    // intervals re-derived from the even half (q40's CTEs), the as-of
+    // pick via DuckDB's native ASOF LEFT JOIN
+    "q51_scd2_lookup" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS band
+        |  FROM events WHERE user_id < 5),
+        |hist AS (SELECT * FROM src WHERE event_id % 2 = 0),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM hist
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, band,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, island, min(band) AS band,
+        |    min(ts) AS valid_from
+        |  FROM islands GROUP BY user_id, island),
+        |facts AS (
+        |  SELECT user_id, ts, event_id FROM src WHERE event_id % 2 = 1)
+        |SELECT f.user_id, epoch_us(f.ts) AS ts_us, f.event_id,
+        |  r.band AS dim_band
+        |FROM facts f ASOF LEFT JOIN runs r
+        |  ON f.user_id = r.user_id AND f.ts >= r.valid_from
+        |ORDER BY f.user_id, ts_us, f.event_id""".stripMargin,
 
     // the bloom-pruned lookup must equal the direct IN scan
     "q50_bloom_lookup" ->

@@ -135,6 +135,44 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.streaming.EventStream.deleteDir(dir)
   }
 
+  test("clustered compaction keeps the Z-order layout the round-robin " +
+      "form destroys, at the same file-count target") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_cc_in").toString
+    val outRR = java.nio.file.Files
+      .createTempDirectory("graft_cc_rr").toString
+    val outCl = java.nio.file.Files
+      .createTempDirectory("graft_cc_cl").toString
+    try {
+      Layout.zorderBy(data(), Seq("a", "b"), 64)
+        .write.mode("overwrite").parquet(in)
+      val target = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(in))
+          .iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_)).sum / 8
+      }
+      val nRR = Layout.compact(spark, in, outRR, target)
+      val nCl = Layout.compactClustered(spark, in, outCl, target,
+        Seq("a", "b"))
+      assert(nRR == nCl && nCl >= 4)
+      val key = (d: String) => spark.read.parquet(d)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(key(outCl) == key(in))
+      // the clustered output keeps narrow per-file ranges on both
+      // columns; round-robin spreads every file over ~the full range
+      // with ~8 output files the top 3 key bits split across 2 columns,
+      // so one column keeps only 1-2 range bits → spread ~0.5-0.6;
+      // round-robin spreads every file over ~the full range
+      val clA = meanSpread(spark.read.parquet(outCl), "a")
+      val rrA = meanSpread(spark.read.parquet(outRR), "a")
+      assert(clA < 0.75 && rrA > 0.9 && clA < rrA / 1.4,
+        s"clustered spread $clA vs round-robin $rrA")
+    } finally Seq(in, outRR, outCl)
+      .foreach(graft.streaming.EventStream.deleteDir)
+  }
+
   test("bloom-manifest point lookup skips files, equals the direct IN " +
       "scan, and false positives never surface wrong rows") {
     val dir = java.nio.file.Files
