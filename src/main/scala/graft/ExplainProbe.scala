@@ -22,7 +22,8 @@ object ExplainProbe {
         "dd_semantic", "dd_keep_best", "q31_range_join",
         "ann_eval_mrr", "dd_eval_lsh", "emb_diverse_sample",
         "tx_corpus_stats", "tx_bpe_vocab", "q40_scd2", "tx_profile",
-        "q45_ppr_expand", "tx_profile_sketch", "tx_stats_incremental")).distinct
+        "q45_ppr_expand", "tx_profile_sketch", "tx_stats_incremental",
+        "q48_pivot", "q51_scd2_lookup", "q52_dq_checks")).distinct
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -445,6 +445,64 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING anomaly detection — the 8th streaming state kind under
+    // the gate, and the first ORDER-SENSITIVE one: q46's rolling
+    // mean+3σ detector run as flatMapGroupsWithState with a bounded
+    // per-user ring buffer (≤ 20 values forever). The source is split
+    // into 4 micro-batches CONTIGUOUS IN EVENT TIME with pinned file
+    // mtimes (arrival order = event order — a rolling window is not
+    // merge-order independent, so the determinism argument is ordering,
+    // not algebra), making the flag stream ≡ the one-shot batch
+    // detector, which q46's oracle re-derives.
+    "stream_anomaly" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_anom").toString
+      try {
+        graft.streaming.EventStream.writeTimeOrderedBatches(
+          e, Seq("ts", "event_id"), 4, tmp)
+        graft.streaming.EventStream.streamAnomalyExact(s, tmp, e.schema)
+          .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
+    // Data-quality check suite (the dbt-test / Deequ-constraint shape,
+    // run as ONE union of bounded aggregates): referential integrity
+    // via broadcast anti-joins, primary-key uniqueness, null-rate, and
+    // range checks. Clean relationships report 0; events.user_id →
+    // customer genuinely fires (user 0 has no customer row), so the
+    // oracle pins a non-trivial count alongside the zeros.
+    "q52_dq_checks" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val e = t(s, dir, "events")
+      def fk(tag: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String) =
+        child.join(broadcast(parent.select(col(pk))),
+            col(ck) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit(tag).as("check"), col("n_bad"))
+      def unique(tag: String, df: DataFrame, k: String) =
+        df.groupBy(col(k)).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as("n_bad"))
+          .select(lit(tag).as("check"), col("n_bad"))
+      Seq(
+        fk("fk_lineitem_orders", l, "l_orderkey", o, "o_orderkey"),
+        fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"),
+        fk("fk_events_customer", e, "user_id", c, "c_custkey"),
+        unique("uq_orders_pk", o, "o_orderkey"),
+        unique("uq_events_pk", e, "event_id"),
+        e.agg((count(lit(1)) - count(col("value"))).cast("long")
+            .as("n_bad"))
+          .select(lit("null_events_value").as("check"), col("n_bad")),
+        o.filter(col("o_totalprice") <= 0)
+          .agg(count(lit(1)).as("n_bad"))
+          .select(lit("rng_orders_price").as("check"), col("n_bad"))
+      ).reduce(_ unionByName _).orderBy(col("check"))
+    }),
+
     // ROLLUP subtotal lattice — the OLAP cube surface (Catalyst expands
     // the grouping sets into one Expand + single aggregation pass, not
     // one job per level): per-(lang, source) doc counts with per-lang
@@ -612,6 +670,29 @@ object RelationalPack extends QueryPack {
           count(when(col("rt") === col("embedding"), 1)).as("n_ok"))
     })
   )
+
+  /** Rolling-outlier flags re-derived end to end — gates both the batch
+    * window form (q46_anomaly) and the streaming ring-buffer fold
+    * (stream_anomaly). */
+  private val anomalyOracle: String =
+    """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    count(value) OVER w AS n,
+        |    sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS s,
+        |    sum(CAST(floor(value * value * 1e6) AS BIGINT)) OVER w AS ss
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    s / 1e6 / n AS rmean,
+        |    greatest(CAST(0 AS DOUBLE),
+        |      (ss / 1e6 - s / 1e6 * (s / 1e6) / n) / (n - 1)) AS rvar
+        |  FROM b WHERE n >= 10)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, rmean, rvar
+        |FROM f
+        |WHERE value > rmean + CAST(3.0 AS DOUBLE) * sqrt(rvar)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     "q1_agg" ->
@@ -992,6 +1073,28 @@ object RelationalPack extends QueryPack {
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin,
 
+    "q52_dq_checks" ->
+      """SELECT 'fk_events_customer' AS check, count(*) AS n_bad
+        |FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = e.user_id)
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders', count(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'fk_orders_customer', count(*) FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'null_events_value', count(*) - count(value) FROM events
+        |UNION ALL
+        |SELECT 'rng_orders_price', count(*) FROM orders WHERE o_totalprice <= 0
+        |UNION ALL
+        |SELECT 'uq_events_pk', CAST(COALESCE(sum(n), 0) AS BIGINT) FROM (
+        |  SELECT count(*) AS n FROM events GROUP BY event_id HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'uq_orders_pk', CAST(COALESCE(sum(n), 0) AS BIGINT) FROM (
+        |  SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |ORDER BY "check"""".stripMargin,
+
     "q47_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1010,25 +1113,10 @@ object RelationalPack extends QueryPack {
 
     // the rolling moments re-derived with the same floor-scaled long
     // sums and the same association order — bit-exact, so the flag set
-    // and the emitted stats both hash-match
-    "q46_anomaly" ->
-      """WITH b AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    count(value) OVER w AS n,
-        |    sum(CAST(floor(value * 1e6) AS BIGINT)) OVER w AS s,
-        |    sum(CAST(floor(value * value * 1e6) AS BIGINT)) OVER w AS ss
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
-        |f AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    s / 1e6 / n AS rmean,
-        |    greatest(CAST(0 AS DOUBLE),
-        |      (ss / 1e6 - s / 1e6 * (s / 1e6) / n) / (n - 1)) AS rvar
-        |  FROM b WHERE n >= 10)
-        |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, rmean, rvar
-        |FROM f
-        |WHERE value > rmean + CAST(3.0 AS DOUBLE) * sqrt(rvar)
-        |ORDER BY user_id, ts_us, event_id""".stripMargin
+    // and the emitted stats both hash-match; the streaming ring-buffer
+    // fold must land on the same rows
+    "q46_anomaly" -> anomalyOracle,
+    "stream_anomaly" -> anomalyOracle,
+
   )
 }

@@ -336,6 +336,109 @@ object EventStream {
         col("p.ids").as("vec_id"), col("p.sims").as("simil")))
   }
 
+  /** Write `df` into `destDir` as `n` single-file micro-batches split
+    * CONTIGUOUSLY along `orderCols` (ntile over the total order), with
+    * STRICTLY INCREASING file mtimes — FileStreamSource orders its
+    * backlog by modification time, so this pins batch arrival to event
+    * time. Required by order-SENSITIVE streaming state
+    * ([[streamAnomalyExact]]); the monoid-state streams don't care.
+    * (Test/driver-fixture harness: the global ntile sort is one task —
+    * a production source would already be arriving in time order.) */
+  def writeTimeOrderedBatches(df: DataFrame, orderCols: Seq[String],
+      n: Int, destDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val withB = df.withColumn("__b", ntile(n).over(w))
+    for (i <- 1 to n) {
+      val stage = s"$destDir/__stage_$i"
+      withB.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $stage"))
+      val dest = Paths.get(destDir, f"batch_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      deleteDir(stage)
+    }
+  }
+
+  /** Ring state for [[streamAnomalyExact]]: the last ≤ `lookBack` values
+    * per key, in event-time order. */
+  case class RingState(values: Vector[Double])
+
+  /** Oracle-gated STREAMING anomaly detection (driver query
+    * `stream_anomaly`) — the 8th streaming state kind under the gate,
+    * and the first with ORDER-SENSITIVE bounded keyed state: a
+    * per-user ring buffer of the last `lookBack` values
+    * (`flatMapGroupsWithState`, Append). Each arriving event is tested
+    * against mean + nSigma·σ of the ring (floor-scaled-long moments —
+    * [[graft.operators.Conditions.rollingOutliers]]'s arithmetic
+    * exactly), THEN pushed in; flags emit as they are found.
+    *
+    * A rolling window is NOT merge-order independent, so unlike the
+    * seven monoid-state kinds the determinism argument is ORDERING, not
+    * algebra: the driver query splits the source into micro-batches BY
+    * TIME (range partition on ts), so each user's events arrive across
+    * batches in time order, and within a batch the group iterator is
+    * sorted by (ts, event_id) before folding — the processing order
+    * equals the batch window's total order, making the flag stream ≡
+    * the one-shot [[graft.operators.Conditions.rollingOutliers]], which
+    * q46's oracle re-derives. State is ≤ lookBack doubles per user
+    * FOREVER, independent of stream length. */
+  def streamAnomalyExact(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      lookBack: Int = 20, minN: Int = 10, nSigma: Double = 3.0,
+      onDrained: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val name = s"graft_stream_anomaly_${memorySinkRuns.incrementAndGet()}"
+    val ds = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+    val flags = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[RingState,
+        (Long, Long, Long, Double, Double, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+        var ring = state.getOption.getOrElse(RingState(Vector.empty)).values
+        val out = Vector.newBuilder[(Long, Long, Long, Double, Double, Double)]
+        // group iterators carry no order — re-establish event time
+        rows.toVector.sortBy(r => (r._2, r._3)).foreach {
+          case (_, ts, eid, v) =>
+            if (ring.size >= minN) {
+              val n = ring.size
+              val s = ring.map(x => math.floor(x * 1e6).toLong).sum
+              val ss = ring.map(x => math.floor(x * x * 1e6).toLong).sum
+              val m = s / 1e6 / n
+              val va = math.max(0.0,
+                (ss / 1e6 - s / 1e6 * (s / 1e6) / n) / (n - 1))
+              if (v > m + nSigma * math.sqrt(va))
+                out += ((user, ts, eid, v, m, va))
+            }
+            ring = (ring :+ v).takeRight(lookBack)
+        }
+        state.update(RingState(ring))
+        out.result().iterator
+      }
+    val q = flags.toDF("user_id", "ts_us", "event_id", "value",
+        "rmean", "rvar")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    onDrained(q)
+    materializeAndDrop(spark, name, spark.table(name))
+  }
+
   private val memorySinkRuns = new java.util.concurrent.atomic.AtomicLong()
 
   /** Materialize the bounded memory-sink result locally, then DROP the

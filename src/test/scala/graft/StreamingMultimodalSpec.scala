@@ -99,6 +99,39 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally EventStream.deleteDir(tmp)
   }
 
+  test("streamAnomalyExact: multiple time-ordered micro-batches, state " +
+      "bounded by user count, flags equal the batch rolling detector") {
+    import graft.operators.Conditions
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_anom_spec").toString
+    try {
+      EventStream.writeTimeOrderedBatches(e, Seq("ts", "event_id"), 4, tmp)
+      var progressBatches = 0
+      var maxStateRows = 0L
+      val got = EventStream.streamAnomalyExact(spark, tmp, e.schema,
+          onDrained = q => {
+            val ps = q.recentProgress.filter(_.numInputRows > 0)
+            progressBatches = ps.length
+            maxStateRows = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+              .foldLeft(0L)(math.max)
+          })
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(progressBatches >= 4,
+        s"expected >=4 micro-batches, saw $progressBatches")
+      assert(maxStateRows > 0 && maxStateRows <= 40,
+        s"ring state not bounded by user count: $maxStateRows")
+      val want = Conditions.rollingOutliers(e, "user_id",
+          Seq("ts", "event_id"), "value")
+        .select("user_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("mapGroupsWithState accumulates per-user state across batches") {
     import spark.implicits._
     val input = MemoryStream[EventStream.UserEvent](spark)
