@@ -445,6 +445,52 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Ranking-window family: percent_rank / cume_dist / lag / lead /
+    // first_value in ONE window (one shuffle+sort serves all five).
+    // The rank-based doubles are exact IEEE ratios of longs, so they
+    // hash-match without rounding; the (bal, key) order is total so
+    // ties can't reorder. Output thinned AFTER the window (the frame
+    // must see the whole partition).
+    "q53_window_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag(col("c_acctbal"), 1).over(w).as("prev_bal"),
+          lead(col("c_acctbal"), 1).over(w).as("next_bal"),
+          first(col("c_acctbal")).over(w).as("first_bal"))
+        .filter(col("c_custkey") % 10 === 0)
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
+    // Fuzzy entity matching (record-linkage lite): candidate pairs from
+    // BLOCKING (same first name-token + length band ±4 — never
+    // all-pairs; a hot block salts like any skewed key), then exact
+    // Levenshtein ≤ 6 within the block. Per-block audit keeps the
+    // output bounded. The same blocking-then-verify shape as the LSH
+    // dedup family, on the string-edit metric.
+    "q54_fuzzy_match" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"),
+          length(col("p_name")).as("len"))
+      val a = p.select(col("blk"), col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"), col("len").as("len_a"))
+      val b = p.select(col("blk"), col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"), col("len").as("len_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= 4)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 6)
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("dist")).cast("long").as("min_dist"))
+        .orderBy(col("blk"))
+    }),
+
     // STREAMING anomaly detection — the 8th streaming state kind under
     // the gate, and the first ORDER-SENSITIVE one: q46's rolling
     // mean+3σ detector run as flatMapGroupsWithState with a bounded
@@ -1072,6 +1118,34 @@ object RelationalPack extends QueryPack {
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin,
+
+    "q53_window_family" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    percent_rank() OVER win AS pr,
+        |    cume_dist() OVER win AS cd,
+        |    lag(c_acctbal, 1) OVER win AS prev_bal,
+        |    lead(c_acctbal, 1) OVER win AS next_bal,
+        |    first_value(c_acctbal) OVER win AS first_bal
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey))
+        |SELECT * FROM w WHERE c_custkey % 10 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q54_fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+        |    length(p_name) AS len
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM p a JOIN p b
+        |    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |    AND abs(a.len - b.len) <= 4)
+        |SELECT blk, count(*) AS n_pairs, CAST(min(dist) AS BIGINT) AS min_dist
+        |FROM pairs WHERE dist <= 6
+        |GROUP BY blk ORDER BY blk""".stripMargin,
 
     "q52_dq_checks" ->
       """SELECT 'fk_events_customer' AS check, count(*) AS n_bad
