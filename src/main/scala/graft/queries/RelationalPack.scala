@@ -445,6 +445,47 @@ object RelationalPack extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // Bag-semantics set operators: INTERSECT / EXCEPT in both DISTINCT
+    // and ALL forms (ALL keeps multiplicities — Spark plans it as a
+    // count-difference aggregation, not a dedup), audited as counts.
+    "q56_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val b = o.filter(col("o_orderdate") >=
+        lit("1997-01-01").cast("timestamp")).select(col("o_custkey"))
+      def cnt(tag: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+      cnt("except_all", a.exceptAll(b))
+        .unionByName(cnt("except_distinct", a.except(b)))
+        .unionByName(cnt("intersect_all", a.intersectAll(b)))
+        .unionByName(cnt("intersect_distinct", a.intersect(b)))
+        .orderBy(col("op"))
+    }),
+
+    // Recursive CTE (WITH RECURSIVE, Spark 4's iterative SQL surface):
+    // a 9-root customer hierarchy derived from the key decimal system
+    // (parent = floor(key/10)), traversed to per-(root, depth) rollups.
+    // Driver-free iteration — the engine fixes the point; floor-double
+    // division is exact integer division under 2^53 on both engines.
+    // Depth is log10(|customers|)-bounded, the same log-rounds shape as
+    // the dedup cluster propagation.
+    "q55_recursive_agg" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        |WITH RECURSIVE h(ck, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h
+        |    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = h.ck
+        |    AND c.c_custkey >= 10)
+        |SELECT root, depth, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM h JOIN customer ON c_custkey = ck
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin)
+    }),
+
     // Ranking-window family: percent_rank / cume_dist / lag / lead /
     // first_value in ONE window (one shuffle+sort serves all five).
     // The rank-based doubles are exact IEEE ratios of longs, so they
@@ -1118,6 +1159,40 @@ object RelationalPack extends QueryPack {
 
     "q18_vec_roundtrip" ->
       """SELECT count(*) AS n_total, count(*) AS n_ok FROM embeddings""".stripMargin,
+
+    "q56_setops" ->
+      """WITH a AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+        |b AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT 'except_all' AS op, count(*) AS n
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_distinct', count(*)
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*)
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_distinct', count(*)
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |ORDER BY op""".stripMargin,
+
+    // the identical recursive traversal — DuckDB's WITH RECURSIVE
+    "q55_recursive_agg" ->
+      """WITH RECURSIVE h(ck, root, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, h.root, h.depth + 1
+        |  FROM customer c JOIN h
+        |    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = h.ck
+        |    AND c.c_custkey >= 10)
+        |SELECT root, depth, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM h JOIN customer ON c_custkey = ck
+        |GROUP BY root, depth
+        |ORDER BY root, depth""".stripMargin,
 
     "q53_window_family" ->
       """WITH w AS (
