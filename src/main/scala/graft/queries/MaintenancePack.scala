@@ -289,6 +289,39 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Audience-overlap estimation from sketches: |A∩B| via
+    // inclusion-exclusion over three HLL estimates (|A|+|B|-|A∪B|) —
+    // the segment-overlap question the reference's audience counter
+    // (q12) answers exactly, here answered from PERSISTABLE per-segment
+    // sketches with no re-scan of either segment. Known weakness
+    // (documented, gated accordingly): the I-E error is ABSOLUTE in the
+    // big-set sizes (~1% of |A|,|B|,|A∪B| each in dense mode), not
+    // relative to the overlap — hence the ±5%·(|A|+|B|) slack; theta
+    // sketches would fix this but have no public Spark API. Exact
+    // segment sizes and overlap ride along hash-checked.
+    "q57_audience_overlap" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 480000)
+        .select(col("o_custkey"))
+      val b = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 17)
+        .select(col("o_custkey"))
+      def sk(df: DataFrame, as: String) =
+        df.agg(hll_sketch_estimate(
+          hll_sketch_agg(col("o_custkey"), 14)).as(as))
+      val exact = a.intersect(b).agg(count(lit(1)).as("exact_overlap"))
+        .crossJoin(broadcast(a.distinct().agg(count(lit(1)).as("n_a"))))
+        .crossJoin(broadcast(b.agg(count(lit(1)).as("n_b"))))
+      exact
+        .crossJoin(broadcast(sk(a, "est_a")))
+        .crossJoin(broadcast(sk(b, "est_b")))
+        .crossJoin(broadcast(sk(a.unionByName(b), "est_u")))
+        .select(col("n_a"), col("n_b"), col("exact_overlap"),
+          (abs(col("est_a") + col("est_b") - col("est_u") -
+            col("exact_overlap")) <=
+            (col("n_a") + col("n_b")).cast("double") * 0.05).as("ok"))
+    }),
+
     // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
     // read off a fixed-bin histogram (width 8, 64 bins) built per batch
     // (even/odd split) and MERGED — the incremental form of an exact
@@ -609,6 +642,22 @@ object MaintenancePack extends QueryPack {
          |  FROM cnt)
          |SELECT lang, g, CAST(cnt AS BIGINT) AS cnt FROM r WHERE rn <= 10
          |ORDER BY lang, cnt DESC, g""".stripMargin,
+
+    // exact sizes + overlap hash-checked; the sketch estimate gated
+    "q57_audience_overlap" ->
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_totalprice > 480000),
+        |b AS (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey HAVING count(*) >= 17)
+        |SELECT
+        |  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT count(*) FROM
+        |    (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
+        |    AS exact_overlap,
+        |  TRUE AS ok""".stripMargin,
 
     // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
     // oracle asserts the ±5% gate held for every lang
