@@ -394,6 +394,60 @@ object Dedup {
       .select((buckets.columns :+ "__salt").map(col): _*)
   }
 
+  /** Blocked candidate pairs for EDIT-DISTANCE record linkage: rows that
+    * share a blocking key AND sit within `band` of each other in string
+    * length, produced by a pure EQUI-join — the length band is part of
+    * the join KEY, not a post-join filter. Each row gets a length bin
+    * `own = ⌊len/band⌋`; one side explodes to bins {own−1, own, own+1}
+    * and joins the other side's own bin, so a true pair (|Δlen| ≤ band
+    * ⇒ adjacent-or-equal bins) meets in EXACTLY one bin and a far pair
+    * never enters the join at all. Without the bin key, a fixed-
+    * vocabulary blocking column (e.g. TPC-H part-name first tokens,
+    * ~90 values) grows blocks linearly with data and block self-join
+    * volume quadratically; with it, join volume per block is
+    * Σ_bin |bin|·|±1 bins| — linear in data for any bounded length
+    * distribution.
+    *
+    * Hot (blk, bin) buckets — many same-block rows of near-equal
+    * length — are additionally hash-split by [[capBuckets]]: above
+    * `maxBucket` the candidate list degrades gracefully (cross-salt
+    * pairs in that one bucket are skipped — bounded work bought with
+    * recall, same contract as [[bandedHammingPairs]]); at or under the
+    * cap the output is EXACTLY the |Δlen| ≤ band pair set (spec-pinned
+    * against brute force). Pairs are emitted once, id_a < id_b, with
+    * both strings and lengths for the caller's verifier
+    * (levenshtein ≤ d, jaro-winkler, …).
+    *
+    * @param blockCol blocking-key expression (first name token, phonetic
+    *                 code, …) — candidates never cross blocks
+    * @param band max |length(a) − length(b)| of an emitted pair; also
+    *             the bin width */
+  def blockedLengthBandPairs(rows: DataFrame, idCol: String, strCol: String,
+      blockCol: Column, band: Int, maxBucket: Int = 4096): DataFrame = {
+    require(band > 0, "band must be positive")
+    val base = rows
+      .select(col(idCol).as("id"), col(strCol).as("s"), blockCol.as("blk"))
+      .withColumn("len", length(col("s")))
+      .withColumn("own", floor(col("len") / band).cast("long"))
+    val exploded = base.select(col("id"), col("s"), col("blk"), col("len"),
+      col("own"),
+      explode(array(col("own") - 1, col("own"), col("own") + 1)).as("lb"))
+    val capped = capBuckets(exploded, Seq("blk", "lb"), "id", maxBucket)
+    val a = capped
+      .toDF("id_a", "s_a", "blk", "len_a", "own_a", "lb", "salt")
+    // b-side keeps only each row's OWN bin: a pair meets exactly once
+    // (the a-side copy whose exploded bin equals b's own bin), so no
+    // post-join distinct is needed
+    val b = capped.filter(col("own") === col("lb"))
+      .toDF("id_b", "s_b", "blk", "len_b", "own_b", "lb", "salt")
+      .drop("own_b")
+    a.join(b, Seq("blk", "lb", "salt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= band)
+      .select(col("blk"), col("id_a"), col("s_a"), col("len_a"),
+        col("id_b"), col("s_b"), col("len_b"))
+  }
+
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, minJ: Double = 0.6,
       maxBucket: Int = 4096): DataFrame = {

@@ -155,6 +155,8 @@ object Layout {
       .select(col("file"), col(s"mn_$c").cast("long"),
         col(s"mx_$c").cast("long"))
       .collect()
+    require(files.nonEmpty,
+      "prunedRead over an empty manifest — nothing was written")
     val kept = files.collect {
       case r if !r.isNullAt(1) && !r.isNullAt(2) &&
         r.getLong(2) >= lo && r.getLong(1) <= hi => r.getString(0)
@@ -183,26 +185,35 @@ object Layout {
   /** Point-lookup read through a [[bloomManifest]]: keep only files
     * whose bloom MIGHT contain one of `keys`, read those, re-apply the
     * exact IN filter. False positives cost an extra file read, never a
-    * wrong row. Membership tests run on the collected manifest (bounded
-    * metadata, same class as [[prunedRead]]'s). Returns
-    * (rows, kept, total) like [[prunedRead]]. */
+    * wrong row.
+    *
+    * Membership tests run DISTRIBUTEDLY — the lookup keys broadcast to
+    * the manifest relation and each bloom deserializes in the executor
+    * that holds its row — so the driver collects only SURVIVING FILE
+    * PATHS (strings, the same bounded class as [[prunedRead]]'s
+    * min/max rows). Bloom payloads never land on the driver: at
+    * ~120 KB per filter a 100k-file table would otherwise ship ~12 GB
+    * of sketch bytes before the first membership test (the r10 `weak`).
+    * Returns (rows, kept, total) like [[prunedRead]]. */
   def bloomPrunedRead(spark: org.apache.spark.sql.SparkSession,
       manifest: DataFrame, c: String,
       keys: Seq[Long]): (DataFrame, Int, Int) = {
     require(keys.nonEmpty, "bloom lookup with no keys")
-    val files = manifest.select(col("file"), col("bloom")).collect()
-    val kept = files.collect {
-      case r if {
-        val bf = graft.functions.BloomFilterAggregator
-          .fromBytes(r.getAs[Array[Byte]](1))
-        keys.exists(bf.mightContainLong)
-      } => r.getString(0)
+    val keysB = spark.sparkContext.broadcast(keys.toArray)
+    val mightContainAny = udf { (bytes: Array[Byte]) =>
+      val bf = graft.functions.BloomFilterAggregator.fromBytes(bytes)
+      keysB.value.exists(bf.mightContainLong)
     }
+    val kept = manifest.filter(mightContainAny(col("bloom")))
+      .select(col("file")).collect().map(_.getString(0))
+    val allPaths = manifest.select(col("file")).collect()
+      .map(_.getString(0)) // paths only — never the bloom column
+    require(allPaths.nonEmpty,
+      "bloomPrunedRead over an empty manifest — nothing was written")
     val df =
-      if (kept.isEmpty)
-        spark.read.parquet(files.map(_.getString(0)): _*).limit(0)
+      if (kept.isEmpty) spark.read.parquet(allPaths.head).limit(0)
       else spark.read.parquet(kept.toIndexedSeq: _*)
-    (df.filter(col(c).isin(keys: _*)), kept.length, files.length)
+    (df.filter(col(c).isin(keys: _*)), kept.length, allPaths.length)
   }
 
   /** Small-file compaction: bin-pack a directory of files into
@@ -235,15 +246,26 @@ object Layout {
   }
 
   /** `ceil(total parquet bytes / target)` for a directory — the bin
-    * count both compaction forms pack into. */
+    * count both compaction forms pack into. Sizes come from the Hadoop
+    * FileSystem bound to the active session's configuration (recursive
+    * listing, one RPC stream), so compaction targets resolve on
+    * HDFS/S3A exactly like the scan that follows — not via java.nio,
+    * which only sees the local disk. */
   private def targetFileCount(inDir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    import scala.jdk.CollectionConverters._
-    val totalBytes = java.nio.file.Files
-      .walk(java.nio.file.Paths.get(inDir)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") &&
-        java.nio.file.Files.isRegularFile(p))
-      .map(java.nio.file.Files.size(_)).sum
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val dir = new org.apache.hadoop.fs.Path(inDir)
+    val fs = dir.getFileSystem(conf)
+    var totalBytes = 0L
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        totalBytes += f.getLen
+    }
     math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
   }
 }

@@ -1,16 +1,30 @@
 package graft.operators
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Snapshot-versioned tables — time travel for the serving-table refresh
   * pattern: each refresh WRITES A NEW IMMUTABLE VERSION directory
   * (`<root>/v=<N>/`) instead of truncate-and-reload in place (the
   * reference's refresh, `nl_targeting_save.py:52-66`, destroys the
-  * previous state mid-rebuild; readers see a half-built table). Readers
-  * resolve a version pin (`asOf`) or the latest committed version from
-  * the directory listing — a bounded METADATA operation — so a rebuild
-  * is atomic-by-rename-visibility and old versions stay queryable until
-  * [[vacuum]] reclaims them.
+  * previous state mid-rebuild; readers see a half-built table).
+  *
+  * Commit protocol: [[write]] stages the parquet under
+  * `<root>/_staging_v=<N>/` and RENAMES the finished directory to
+  * `v=<N>` — one metadata operation, atomic on HDFS and POSIX
+  * filesystems — so [[versions]]/[[read]] can never resolve a
+  * half-written version (the half-built-table hazard lives entirely
+  * inside the `_staging_` prefix, which the listing ignores). On
+  * object stores without atomic directory rename (raw S3), swap the
+  * rename for a manifest-pointer commit (an Iceberg/Delta-style
+  * pointer file written last); the staging/visibility split here is
+  * the same contract.
+  *
+  * All filesystem access goes through the Hadoop FileSystem API bound
+  * to the active session's configuration, so roots on HDFS/S3A resolve
+  * the same way the parquet reader/writer resolves them — not through
+  * java.nio, which silently only works on the local disk.
   *
   * Scale note: full-snapshot versions fit dimension/serving tables (the
   * reference's shape — small relative to the lake). For the 100 TB fact
@@ -22,27 +36,48 @@ object Versioned {
 
   private def vdir(root: String, v: Long) = s"$root/v=$v"
 
+  /** Hadoop conf of the running session (falls back to a bare default
+    * outside one — local FS, same as Spark's own fallback). */
+  private def hconf: Configuration =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def fsOf(path: String): FileSystem =
+    new Path(path).getFileSystem(hconf)
+
   /** Write `df` as immutable version `v` (refusing to overwrite — a
-    * version, once written, never changes). */
+    * version, once written, never changes). Stages under
+    * `_staging_v=<v>` and renames on completion, so a concurrent
+    * [[versions]]/[[read]] never observes a partial version. */
   def write(df: DataFrame, root: String, v: Long): Unit = {
     require(v >= 0, s"negative version $v")
-    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(vdir(root, v))),
+    val fs = fsOf(root)
+    val fin = new Path(vdir(root, v))
+    require(!fs.exists(fin),
       s"version $v already exists under $root — versions are immutable")
-    df.write.parquet(vdir(root, v))
+    val staging = new Path(s"$root/_staging_v=$v")
+    if (fs.exists(staging)) fs.delete(staging, true) // torn earlier write
+    df.write.parquet(staging.toString)
+    require(fs.rename(staging, fin),
+      s"commit rename $staging -> $fin failed")
   }
 
   /** Committed versions under `root`, ascending (driver-side listing of
-    * one directory level — bounded metadata). */
+    * one directory level — bounded metadata). Only fully-committed
+    * `v=<digits>` directories count: staging dirs and junk entries are
+    * ignored, not errors. */
   def versions(root: String): Seq[Long] = {
-    val d = java.nio.file.Paths.get(root)
-    if (!java.nio.file.Files.isDirectory(d)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
-        .toSeq.sorted
-    }
+    val fs = fsOf(root)
+    val d = new Path(root)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") &&
+        s.length > 2 && s.drop(2).forall(_.isDigit) => s.drop(2).toLong }
+      .sorted
   }
 
   /** Read the table as of version `asOf` (the greatest committed
@@ -65,8 +100,9 @@ object Versioned {
     * version numbers. */
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least one version")
+    val fs = fsOf(root)
     val doomed = versions(root).dropRight(keepLast)
-    doomed.foreach(v => graft.streaming.EventStream.deleteDir(vdir(root, v)))
+    doomed.foreach(v => fs.delete(new Path(vdir(root, v)), true))
     doomed
   }
 }

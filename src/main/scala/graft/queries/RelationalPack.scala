@@ -492,6 +492,15 @@ object RelationalPack extends QueryPack {
     // hash-match without rounding; the (bal, key) order is total so
     // ties can't reorder. Output thinned AFTER the window (the frame
     // must see the whole partition).
+    //
+    // SCALE CONTRACT: this one-window form requires high-cardinality
+    // partitions — c_mktsegment has 5 values, so one task sorts ~20%
+    // of the table, which is fine at serving-dimension size and wrong
+    // at 100 TB. The scale-safe twin for the rank columns is
+    // Scale.rankByGroup (two-pass: range-bucket counts -> prefix-sum
+    // offsets -> bucket-local row_number; spec-pinned bit-equal to
+    // this window form in ScaleSpec); lag/lead/first remain inherently
+    // neighbor-wise and would use a bucket-boundary exchange.
     "q53_window_family" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
@@ -507,24 +516,21 @@ object RelationalPack extends QueryPack {
     }),
 
     // Fuzzy entity matching (record-linkage lite): candidate pairs from
-    // BLOCKING (same first name-token + length band ±4 — never
-    // all-pairs; a hot block salts like any skewed key), then exact
-    // Levenshtein ≤ 6 within the block. Per-block audit keeps the
-    // output bounded. The same blocking-then-verify shape as the LSH
-    // dedup family, on the string-edit metric.
+    // BLOCKING (same first name-token) with the ±4 length band IN THE
+    // EQUI-JOIN KEY (Dedup.blockedLengthBandPairs: length-bin explode +
+    // adjacent-bin join, hot (block, bin) buckets hash-split by
+    // capBuckets), then exact Levenshtein ≤ 6 within the candidates.
+    // First tokens draw from a fixed ~90-word vocabulary, so a naive
+    // same-token self-join grows quadratically with data; the bin key
+    // keeps per-block join volume linear in data for any bounded
+    // length distribution, and the cap bounds the residual hot-bucket
+    // quadratic (spec-pinned in ScaleSpec). Same blocking-then-verify
+    // shape as the LSH dedup family, on the string-edit metric.
     "q54_fuzzy_match" -> ((s, dir) => {
-      val p = t(s, dir, "part")
-        .select(col("p_partkey"), col("p_name"),
-          split(col("p_name"), " ").getItem(0).as("blk"),
-          length(col("p_name")).as("len"))
-      val a = p.select(col("blk"), col("p_partkey").as("id_a"),
-        col("p_name").as("name_a"), col("len").as("len_a"))
-      val b = p.select(col("blk"), col("p_partkey").as("id_b"),
-        col("p_name").as("name_b"), col("len").as("len_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b") &&
-          abs(col("len_a") - col("len_b")) <= 4)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      graft.operators.Dedup.blockedLengthBandPairs(p, "p_partkey",
+          "p_name", split(col("p_name"), " ").getItem(0), band = 4)
+        .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
         .filter(col("dist") <= 6)
         .groupBy(col("blk"))
         .agg(count(lit(1)).as("n_pairs"),

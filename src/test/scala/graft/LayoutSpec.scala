@@ -199,6 +199,47 @@ class LayoutSpec extends AnyFunSuite {
     } finally graft.streaming.EventStream.deleteDir(dir)
   }
 
+  test("bloomPrunedRead ships only file paths to the driver — bloom " +
+      "payloads are membership-tested in executors (r10 weak)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom_driver_spec").toString
+    try {
+      Layout.zorderBy(data(), Seq("a", "b"), nFiles)
+        .write.mode("overwrite").parquet(dir)
+      val written = spark.read.parquet(dir)
+      // oversized blooms: ~1.2 MB each at 1M expected items — the
+      // payload the OLD implementation collected wholesale
+      val bm = Layout.bloomManifest(written, "id",
+        itemsPerFile = 1000000L).localCheckpoint(true)
+      val bloomBytes = bm.select(sum(length(col("bloom"))))
+        .head().getLong(0)
+      assert(bloomBytes > 5L * 1000 * 1000,
+        s"fixture blooms too small to discriminate: $bloomBytes bytes")
+      val resultBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            resultBytes.addAndGet(t.taskMetrics.resultSize)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val (hit, kept, total) =
+          Layout.bloomPrunedRead(spark, bm, "id", Seq(3L, 777L))
+        assert(kept <= total)
+        assert(hit.select("id").collect().map(_.getLong(0)).sorted
+          .sameElements(Array(3L, 777L)))
+        org.apache.spark.graftutil.BusDrain
+          .waitUntilEmpty(spark.sparkContext, 10000)
+        // every task result of the prune + read, summed, must stay far
+        // below the bloom payload — paths and result rows only
+        assert(resultBytes.get() < bloomBytes / 4,
+          s"driver received ${resultBytes.get()} bytes vs $bloomBytes " +
+            "of bloom payload — blooms are being collected")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+
   test("compaction bin-packs small files to the byte target and keeps " +
       "the data bit-identical") {
     val in = java.nio.file.Files

@@ -163,4 +163,90 @@ class ScaleSpec extends AnyFunSuite {
     // nothing may flag inside the 10-row warmup
     assert(got.forall { case (u, eid) => eid - u * 1000 > 10 })
   }
+
+  test("rankByGroup equals the window-form percent_rank/cume_dist " +
+      "bit-for-bit, while sorting only (group, range-bucket) slices") {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(spark, TestSpark.sfDir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val want = c.select(col("c_custkey"),
+        row_number().over(w).cast("long").as("rank"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val twoPass = Scale.rankByGroup(c, Seq("c_mktsegment"),
+      Seq("c_acctbal", "c_custkey"), buckets = 16)
+    val got = twoPass.select(col("c_custkey"), col("rank"),
+        col("pr"), col("cd"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // bit-identical doubles — same long ratios, so == on doubles is fair
+    assert(got == want && got.nonEmpty)
+    // structural pin: the expensive window partitions by (group, bucket),
+    // never by the 5-value segment alone
+    val plan = twoPass.queryExecution.executedPlan.toString
+    val winSpecs = "windowspecdefinition\\([^)]*\\)".r
+      .findAllIn(plan).toSeq
+      .filter(s => s.contains("c_acctbal") && s.contains("c_custkey"))
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__b")),
+      s"rank window not bucket-partitioned:\n$plan")
+  }
+
+  test("blockedLengthBandPairs equals the brute-force blocked join " +
+      "(every |Δlen| <= band pair, once, id_a < id_b)") {
+    import spark.implicits._
+    val p = Tables.load(spark, TestSpark.sfDir, "part")
+      .select(col("p_partkey"), col("p_name"))
+    val got = graft.operators.Dedup.blockedLengthBandPairs(
+        p, "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), band = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val rows = p.select(col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("blk"),
+        length(col("p_name")).as("len"))
+      .as[(Long, String, Int)].collect()
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && math.abs(a._3 - b._3) <= 4
+    } yield (a._1, b._1)).toSeq
+    assert(got.nonEmpty && got.size == got.distinct.size,
+      "pairs must be emitted exactly once")
+    assert(got.toSet == want.toSet,
+      s"banded join != brute force: ${got.size} vs ${want.size}")
+  }
+
+  test("blockedLengthBandPairs: N same-block rows do not emit N^2 " +
+      "candidates — the length bin is in the join key, and a hot " +
+      "(block, bin) bucket is capped") {
+    import spark.implicits._
+    // one block, lengths spread 1..N: the naive same-block join is
+    // N(N-1)/2 pairs; the band key admits only |Δlen| <= 2·band-ish
+    val n = 500
+    val spread = (1 to n)
+      .map(i => (i.toLong, "blk " + ("x" * i)))
+      .toDF("id", "s")
+    val bandPairs = graft.operators.Dedup.blockedLengthBandPairs(
+      spread, "id", "s", lit("blk"), band = 4).count()
+    // true pairs: per row at most 8 partners (|Δlen| in 1..4, both
+    // sides) — linear in N, nowhere near N²/2
+    assert(bandPairs <= n.toLong * 8,
+      s"$bandPairs candidates from $n spread-length rows")
+    assert(bandPairs == (1 to n).flatMap(i =>
+      (i + 1 to math.min(n, i + 4)).map(_ => 1)).size.toLong)
+    // worst case — all N rows the SAME length (one hot (block, bin)
+    // bucket): the cap splits it instead of emitting N²/2 pairs
+    val hot = (1 to n).map(i => (i.toLong, "blk samelen")).toDF("id", "s")
+    val capped = graft.operators.Dedup.blockedLengthBandPairs(
+      hot, "id", "s", lit("blk"), band = 4, maxBucket = 64).count()
+    val quadratic = n.toLong * (n - 1) / 2
+    assert(capped > 0 && capped < quadratic / 4,
+      s"hot bucket not capped: $capped of $quadratic pairs emitted")
+    // and under the cap the same hot block is exact
+    val exact = graft.operators.Dedup.blockedLengthBandPairs(
+      hot, "id", "s", lit("blk"), band = 4, maxBucket = 10000).count()
+    assert(exact == quadratic)
+  }
 }

@@ -56,4 +56,33 @@ class VersionedSpec extends AnyFunSuite {
     } finally graft.streaming.EventStream.deleteDir(
       root.stripSuffix("/t"))
   }
+
+  test("commit is atomic-by-rename: staging dirs and junk entries are " +
+      "invisible to versions(), and a torn staging dir is reclaimed") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stage_spec").toString + "/t"
+    try {
+      Versioned.write(df("v1"), root, 1L)
+      // a concurrent half-written version = a staging dir that exists
+      // but was never renamed; readers must not resolve it
+      val torn = java.nio.file.Paths.get(root, "_staging_v=2")
+      java.nio.file.Files.createDirectories(torn)
+      java.nio.file.Files.write(torn.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3)) // garbage — must never be read
+      // junk directory names must be skipped, not crash toLong
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, "v=notanumber"))
+      assert(Versioned.versions(root) == Seq(1L))
+      assert(Versioned.read(spark, root, None)
+        .select("tag").head().getString(0) == "v1")
+      // the writer reclaims the torn staging dir and commits cleanly
+      Versioned.write(df("v2"), root, 2L)
+      assert(Versioned.versions(root) == Seq(1L, 2L))
+      assert(Versioned.read(spark, root, Some(2L))
+        .select("tag").head().getString(0) == "v2")
+      // post-commit: no staging residue
+      assert(!java.nio.file.Files.exists(torn))
+    } finally graft.streaming.EventStream.deleteDir(
+      root.stripSuffix("/t"))
+  }
 }
