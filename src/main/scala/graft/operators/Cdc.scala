@@ -127,4 +127,55 @@ object Cdc {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("_island")
   }
+
+  /** Apply a change batch to an EXISTING SCD-2 interval table — the
+    * incremental form of [[scd2Intervals]] (r10 missing item #3): close
+    * each touched key's open run where the batch changes its attribute,
+    * append the new runs, and leave every untouched key's history
+    * UNREAD (it passes through a broadcast anti-join — work ∝ batch,
+    * the same contract [[applyBatch]]/`appendIvf` honor, vs. the
+    * truncate-and-reload the reference's refresh does,
+    * `nl_targeting_save.py:52-66`).
+    *
+    * Mechanism: each touched key's existing intervals are re-expressed
+    * as their HEAD rows (`ts = valid_from`, tie = −∞ sentinel — within
+    * a run every source row shares the attribute, so the head row alone
+    * re-derives the same interval), unioned with the key's change rows,
+    * and re-run through [[scd2Intervals]]. Touched-key work is bounded
+    * by that key's RUN COUNT plus its batch rows — never the table.
+    *
+    * CONTRACT (spec-pinned): change rows must be at-or-after their
+    * key's latest recorded change point (`tsCol` ≥ the key's max
+    * `valid_from`; ties broken by `tieCol` > the sentinel) — the
+    * append-only CDC regime. Under it, `scd2Apply(existing, batch)`
+    * equals the full [[scd2Intervals]] rebuild over (original rows ∪
+    * batch) exactly, and re-applying the same batch is a no-op
+    * (idempotent — at-least-once delivery safe). A change that rewrites
+    * PAST history needs the full rebuild: closed runs have collapsed
+    * their source rows, so an out-of-order insert cannot re-split them.
+    * `existing` must also have strictly increasing `valid_from` per key
+    * (automatic when source timestamps are unique per key) — head rows
+    * inherit their interval's `valid_from` as the sort key, so two
+    * same-instant runs would lose their relative order.
+    *
+    * @param existing [[scd2Intervals]]-shaped table:
+    *                 (key, attr, valid_from, valid_to, is_current)
+    * @param changes  change rows: (key, attr, ts, tie) */
+  def scd2Apply(existing: DataFrame, changes: DataFrame, keyCol: String,
+      attrCol: String, tsCol: String, tieCol: String,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val keys0 = changes.select(col(keyCol)).distinct()
+    val keys = if (broadcastBatch) broadcast(keys0) else keys0
+    val untouched = existing.join(keys, Seq(keyCol), "left_anti")
+    val tieType = changes.schema(changes.schema.fieldIndex(tieCol)).dataType
+    val touchedHeads = existing.join(keys, Seq(keyCol), "left_semi")
+      .select(col(keyCol), col(attrCol),
+        col("valid_from").as(tsCol),
+        lit(Long.MinValue).cast(tieType).as(tieCol))
+    val rebuilt = scd2Intervals(
+      touchedHeads.unionByName(changes.select(
+        col(keyCol), col(attrCol), col(tsCol), col(tieCol))),
+      keyCol, attrCol, tsCol, tieCol)
+    untouched.unionByName(rebuilt)
+  }
 }

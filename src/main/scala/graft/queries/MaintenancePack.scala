@@ -142,6 +142,36 @@ object MaintenancePack extends QueryPack {
           col("is_current"))
     }),
 
+    // INCREMENTAL SCD-2 maintenance (r10 missing item): the first
+    // (time-wise) half of each user's band track builds the interval
+    // table, the second half applies as a change batch via
+    // Cdc.scd2Apply — untouched keys pass through a broadcast
+    // anti-join unread, touched keys rebuild from interval HEADS +
+    // batch (work ∝ batch). The oracle is the FULL-history rebuild
+    // over all rows (q40's SQL shape over the same filter), so the
+    // hash gate IS the apply ≡ rebuild equivalence; the idempotence
+    // half of the contract is spec-pinned in MaintenanceSpec.
+    "q58_scd2_apply" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20.0).cast("long").as("band"))
+      // midpoint split: one bounded stats row — every change is later
+      // than every existing row, the append-only contract
+      val mm = e.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      val existing = Cdc.scd2Intervals(
+        e.filter(unix_micros(col("ts")) <= mid),
+        "user_id", "band", "ts", "event_id")
+      val batch = e.filter(unix_micros(col("ts")) > mid)
+      Cdc.scd2Apply(existing, batch, "user_id", "band", "ts", "event_id")
+        .select(col("user_id"), col("band"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("is_current"))
+    }),
+
     // SCD-2 dimension lookup AT EVENT TIME — how SCD-2 history is
     // consumed: the even events build the band-interval dimension
     // (q40's machinery), and each ODD event is enriched with the band
@@ -524,6 +554,38 @@ object MaintenancePack extends QueryPack {
     "q49_time_travel" -> timeTravelOracle,
 
     "q40_scd2" ->
+      """WITH src AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value / 20.0) AS BIGINT) AS band
+        |  FROM events WHERE user_id < 5),
+        |marked AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT user_id, ts, band,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |runs AS (
+        |  SELECT user_id, island, min(band) AS band,
+        |    min(ts) AS valid_from
+        |  FROM islands GROUP BY user_id, island),
+        |iv AS (
+        |  SELECT user_id, band, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+        |      AS valid_to
+        |  FROM runs)
+        |SELECT user_id, band, epoch_us(valid_from) AS valid_from,
+        |  epoch_us(valid_to) AS valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM iv""".stripMargin,
+
+    // the oracle is the FULL-history rebuild — the hash gate proves
+    // incremental apply ≡ rebuild over (existing rows ∪ batch)
+    "q58_scd2_apply" ->
       """WITH src AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(floor(value / 20.0) AS BIGINT) AS band

@@ -149,6 +149,66 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(iv.length <= nEvents)
   }
 
+  test("scd2Apply equals the full scd2Intervals rebuild over any " +
+      "in-contract time split, and re-applying the batch is a no-op") {
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 20.0).cast("long").as("band"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("band"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3),
+        r.getBoolean(4))).toSet
+    val full = canon(Cdc.scd2Intervals(e, "user_id", "band", "ts",
+      "event_id"))
+    // several split points — early (most keys rebuilt), late (most
+    // keys untouched): apply must equal the rebuild at each
+    val mm = e.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    Seq(0.25, 0.5, 0.9).foreach { frac =>
+      val cut = lo + ((hi - lo) * frac).toLong
+      val existing = Cdc.scd2Intervals(
+        e.filter(unix_micros(col("ts")) <= cut),
+        "user_id", "band", "ts", "event_id")
+      val batch = e.filter(unix_micros(col("ts")) > cut)
+      val applied = Cdc.scd2Apply(existing, batch,
+        "user_id", "band", "ts", "event_id")
+      assert(canon(applied) == full, s"apply != rebuild at frac=$frac")
+      // idempotence: the same batch again changes nothing
+      val again = Cdc.scd2Apply(applied, batch,
+        "user_id", "band", "ts", "event_id")
+      assert(canon(again) == full, s"re-apply not a no-op at frac=$frac")
+    }
+    // an empty batch leaves history untouched (all keys pass through)
+    val none = Cdc.scd2Apply(
+      Cdc.scd2Intervals(e, "user_id", "band", "ts", "event_id"),
+      e.filter(lit(false)), "user_id", "band", "ts", "event_id")
+    assert(canon(none) == full)
+  }
+
+  test("scd2Apply plan: untouched history passes through a broadcast " +
+      "anti-join — the interval table never key-shuffles for a small " +
+      "batch") {
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("user_id") < 8)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 20.0).cast("long").as("band"))
+    val existing = Cdc.scd2Intervals(e, "user_id", "band", "ts",
+      "event_id").localCheckpoint(true) // pin: plan shows ONLY the apply
+    val batch = e.filter(col("user_id") === 3).limit(10)
+    val applied = Cdc.scd2Apply(existing, batch,
+      "user_id", "band", "ts", "event_id")
+    val plan = applied.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      s"untouched side is not a broadcast anti-join:\n$plan")
+  }
+
   // ----------------------------------------------------------- chunking
 
   test("chunkDocs equals a plain-Scala chunker on the fixture docs: " +
