@@ -35,6 +35,15 @@ object Bench {
     "tx_chunk_retrieve", "q39_merge_upsert", "q42_ivm_join",
     "q43_pruned_scan", "q44_pagerank", "tx_hist_quantiles",
     "tx_top_ngrams", "q46_anomaly", "q47_rollup", "q50_bloom_lookup",
+    // r10 verdict #2: the 15 oracle queries that had no bench entry and
+    // therefore no plan-probe evidence (ExplainProbe derives from this
+    // list) — the lake-maintenance, graph-iteration, window-family, and
+    // built-index paths a user would actually run
+    "q40_scd2", "q41_bucket_join", "q45_ppr_expand", "q48_pivot",
+    "q49_time_travel", "q51_scd2_lookup", "q52_dq_checks",
+    "q53_window_family", "q54_fuzzy_match", "q55_recursive_agg",
+    "q56_setops", "q57_audience_overlap", "q58_scd2_apply",
+    "tx_bm25_built_index", "rcmn_top5_built_index",
     "tx_corpus_ready")
 
   /** One completed stage's metrics, captured by the bench listener. A slow

@@ -42,6 +42,22 @@ object ScaleProbe {
           .as("embedding"))
     }.reduce(_ unionByName _)
 
+  /** Part-name copies with a COPY-TAGGED first token (the blocking
+    * key), so copies never cross-block and the TRUE fuzzy-pair set
+    * scales exactly linearly with the data while string lengths stay
+    * ~constant (a LENGTH-shifting perturbation was tried first and
+    * breached its own gate: longer strings make each levenshtein
+    * quadratically costlier, measuring the fixture, not the join).
+    * The quadratic-within-a-hot-block case is ScaleSpec's pinned
+    * capBuckets test; this probe pins that the banded-join machinery
+    * (explode, cap count-join, fanout, SMJ) is linear when the true
+    * pair count is. */
+  private def explodePart(p: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      p.select((col("p_partkey") + lit(i * 10000000L)).as("p_partkey"),
+        concat(lit(s"c$i"), col("p_name")).as("p_name"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -63,12 +79,16 @@ object ScaleProbe {
     val docs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     val emb = Tables.load(spark, sfDir, "embeddings")
+    val part = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"))
     // materialize the exploded inputs OUTSIDE the timed region — the
     // probe measures the operators, not the synthetic explode
     val docsX = explodeDocs(docs, factor).localCheckpoint(true)
     val embX = explodeEmb(emb, factor).localCheckpoint(true)
+    val partX = explodePart(part, factor).localCheckpoint(true)
     val docs1 = explodeDocs(docs, 1).localCheckpoint(true)
     val emb1 = explodeEmb(emb, 1).localCheckpoint(true)
+    val part1 = explodePart(part, 1).localCheckpoint(true)
 
     import graft.operators.{Ann, Dedup}
     def ivfpqBuild(e: DataFrame): Unit = {
@@ -78,40 +98,48 @@ object ScaleProbe {
         codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
       index.count()
     }
-    val probes: Seq[(String, DataFrame => Unit)] = Seq(
-      ("dd_corpus", (d: DataFrame) =>
+    // (name, fixture, op, maxRatio): maxRatio is the ASSERTED bound on
+    // scaled/base wall at this `factor` — the gate that makes a scale
+    // regression fail loudly like a correctness failure (r10 verdict
+    // #8). Bounds are set from the r10 measured ratios plus headroom
+    // for box noise (measured 5.6/4.9/1.1/1.2/1.6/1.7/1.7 at 10×); a
+    // probe whose ratio exceeds factor·0.9 has stopped being sublinear.
+    val probes: Seq[(String, String, DataFrame => Unit, Double)] = Seq(
+      ("dd_corpus", "docs", (d: DataFrame) =>
         Dedup.dedupCorpus(d, "doc_id", "text",
-          k = 12, bands = 4, minJ = 0.6).count(): Unit),
-      ("tx_corpus_ready", (d: DataFrame) =>
-        graft.queries.DedupTextPack.corpusReady(spark, d).count(): Unit),
-      ("ann_ivfpq_kmeans_build", (e: DataFrame) => ivfpqBuild(e)),
+          k = 12, bands = 4, minJ = 0.6).count(): Unit, 9.0),
+      ("tx_corpus_ready", "docs", (d: DataFrame) =>
+        graft.queries.DedupTextPack.corpusReady(spark, d).count(): Unit,
+        9.0),
+      ("ann_ivfpq_kmeans_build", "emb",
+        (e: DataFrame) => ivfpqBuild(e), 5.0),
       // scan-shaped newcomers: expected ~linear in data (no iterative
       // fixed overhead) — the probe pins that the batch forms' wall is
       // data-proportional, not query-set-proportional
-      ("ann_bq_batch_topk", (e: DataFrame) => {
+      ("ann_bq_batch_topk", "emb", (e: DataFrame) => {
         val qs = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         Ann.searchBqBatch(e, Ann.binarize(e), qs, k = 10, overfetch = 8)
           .count(): Unit
-      }),
-      ("tx_bm25_batch_topk", (d: DataFrame) => {
+      }, 9.0),
+      ("tx_bm25_batch_topk", "docs", (d: DataFrame) => {
         val qt = graft.operators.Retrieval.seedTermsBatch(
           d, "doc_id", "text", seedIds = Seq(0L, 1L, 2L), n = 4)
         graft.operators.Retrieval.bm25BatchTopK(d, qt, k = 10)
           .count(): Unit
-      }),
+      }, 9.0),
       // iterated-join newcomer: 3 unrolled PageRank rounds over a
       // synthetic doc→bucket bipartite graph (997 fixed hub buckets, so
       // the 10x corpus grows hub degrees 10x — the skew shape a real
       // reference graph has); per-round cost is the |V|-shuffle + the
       // adjacency join, so the ratio pins that round overhead stays
       // data-proportional, not round-count-blown
-      ("q44_pagerank", (d: DataFrame) => {
+      ("q44_pagerank", "docs", (d: DataFrame) => {
         val e = d.select(concat(lit("d"), col("doc_id")).as("src"),
           concat(lit("b"), pmod(col("doc_id"), lit(997L))).as("dst"))
         graft.operators.Graph.pagerank(e, iters = 3).count(): Unit
-      }),
-      ("tx_chunk_retrieve", (d: DataFrame) => {
+      }, 5.0),
+      ("tx_chunk_retrieve", "docs", (d: DataFrame) => {
         val terms = graft.operators.Retrieval.seedTerms(
           d, "doc_id", "text", seedId = 0L, n = 4)
         val ch = graft.operators.Retrieval.chunkDocs(
@@ -123,7 +151,28 @@ object ScaleProbe {
           .groupBy(col("doc_id")).agg(max(col("score")).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(10)
           .count(): Unit
-      }))
+      }, 9.0),
+      // the r11 q54 fix under its own growth shape: 10× the entities
+      // over the SAME first-token vocabulary — the banded equi-join
+      // must stay ~linear where the old same-block self-join went
+      // quadratic (blocks grow 10×, so the unfixed form would be ~100×)
+      ("q54_fuzzy_pairs", "part", (p: DataFrame) => {
+        Dedup.blockedLengthBandPairs(p, "p_partkey", "p_name",
+            split(col("p_name"), " ").getItem(0), band = 4)
+          .filter(levenshtein(col("s_a"), col("s_b")) <= 6)
+          .count(): Unit
+      }, 15.0),
+      // window-family at scale: the two-pass rank (range-bucket counts
+      // → offsets → bucket-local sort) over a 3-value group key — the
+      // shape the one-window q53 form cannot scale on
+      ("rank_by_group", "docs", (d: DataFrame) => {
+        graft.operators.Scale.rankByGroup(
+            d.select(col("lang"), col("doc_id"),
+              length(col("text")).cast("double").as("len")),
+            Seq("lang"), Seq("len", "doc_id"), buckets = 64)
+          .groupBy(col("lang")).agg(max(col("rank")).as("mx"))
+          .count(): Unit
+      }, 15.0))
 
     // min-of-N per point: this box shows intermittent multi-second
     // scheduler stalls (the bench adjudicates them away with bracketing
@@ -133,18 +182,33 @@ object ScaleProbe {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     def best(f: => Unit): Double =
       (1 to reps).map { _ => System.gc(); time(f) }.min
-    val results = probes.map { case (name, f) =>
-      val (base, scaled) =
-        if (name.startsWith("ann")) (emb1, embX) else (docs1, docsX)
+    // bracketing canary (the bench's trick): a fixed tiny job timed
+    // before and after the probes — if the floor degrades mid-run, the
+    // box stalled and a ratio breach is environment, not plan
+    def canary(): Double =
+      best(docs1.groupBy(col("lang")).count().count(): Unit)
+    val canaryPre = canary()
+    val results = probes.map { case (name, fixture, f, bound) =>
+      val (base, scaled) = fixture match {
+        case "emb" => (emb1, embX)
+        case "part" => (part1, partX)
+        case _ => (docs1, docsX)
+      }
       f(base) // warm the operator path once (codegen/JIT)
       val b = best(f(base))
       val x = best(f(scaled))
+      val ratio = x / b
+      val ok = ratio <= bound
       val line = f"""{"probe":"$name","base_sec":$b%.3f,""" +
-        f""""scaled_sec":$x%.3f,"factor":$factor,"ratio":${x / b}%.2f}"""
+        f""""scaled_sec":$x%.3f,"factor":$factor,"ratio":$ratio%.2f,""" +
+        f""""max_ratio":$bound%.1f,"ok":$ok}"""
       println(line)
-      line
+      (line, ok, name, ratio, bound)
     }
-    val out = "[" + results.mkString(",") + "]"
+    val canaryPost = canary()
+    val out = f"""{"factor":$factor,"canary_pre_sec":$canaryPre%.3f,""" +
+      f""""canary_post_sec":$canaryPost%.3f,"probes":[""" +
+      results.map(_._1).mkString(",") + "]}"
     def repoRoot(p: java.nio.file.Path): java.nio.file.Path =
       if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
       else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
@@ -153,6 +217,15 @@ object ScaleProbe {
       .toAbsolutePath).resolve("scale_probe.json")
     java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
     System.err.println(s"[scale-probe] wrote $path")
+    val breaches = results.filterNot(_._2)
     spark.stop()
+    if (breaches.nonEmpty) {
+      breaches.foreach { case (_, _, n, r, b) =>
+        System.err.println(
+          f"[scale-probe] BREACH $n ratio $r%.2f > bound $b%.1f" +
+            f" (canary ${canaryPre}%.3f -> ${canaryPost}%.3f)")
+      }
+      sys.exit(2) // a scale regression fails loudly, like correctness
+    }
   }
 }

@@ -418,13 +418,30 @@ object Dedup {
     * both strings and lengths for the caller's verifier
     * (levenshtein ≤ d, jaro-winkler, …).
     *
+    * A blocked self-join is EXPANSIVE — tiny shuffle input (the rows),
+    * huge output (the pairs) — which defeats AQE's byte-based
+    * coalescing: a 20k-row / 25M-pair workload coalesces to ONE task
+    * and runs serial (measured 22 s at sf0.1; 32 cores idle). So the
+    * join additionally fans out `fanout` ways — a-side rows take a
+    * deterministic sub-salt, the (smaller, own-bin) b-side replicates
+    * to every sub-salt, and both sides hash-REPARTITION on the full
+    * key so the user-specified exchange pins the parallelism AQE
+    * would fold away. Replication is EXACT (each pair still meets
+    * exactly once, on the a-row's sub-salt); only [[capBuckets]]'s
+    * hot-bucket cap trades recall.
+    *
     * @param blockCol blocking-key expression (first name token, phonetic
     *                 code, …) — candidates never cross blocks
     * @param band max |length(a) − length(b)| of an emitted pair; also
-    *             the bin width */
+    *             the bin width
+    * @param fanout replication factor spreading the pair expansion
+    *               across tasks (0 = the session's default parallelism) */
   def blockedLengthBandPairs(rows: DataFrame, idCol: String, strCol: String,
-      blockCol: Column, band: Int, maxBucket: Int = 4096): DataFrame = {
+      blockCol: Column, band: Int, maxBucket: Int = 4096,
+      fanout: Int = 0): DataFrame = {
     require(band > 0, "band must be positive")
+    val np = rows.sparkSession.sparkContext.defaultParallelism
+    val fo = if (fanout > 0) fanout else math.max(1, np)
     val base = rows
       .select(col(idCol).as("id"), col(strCol).as("s"), blockCol.as("blk"))
       .withColumn("len", length(col("s")))
@@ -435,13 +452,17 @@ object Dedup {
     val capped = capBuckets(exploded, Seq("blk", "lb"), "id", maxBucket)
     val a = capped
       .toDF("id_a", "s_a", "blk", "len_a", "own_a", "lb", "salt")
+      .withColumn("fan", pmod(xxhash64(col("id_a")), lit(fo.toLong)))
+      .repartition(np, col("blk"), col("lb"), col("salt"), col("fan"))
     // b-side keeps only each row's OWN bin: a pair meets exactly once
     // (the a-side copy whose exploded bin equals b's own bin), so no
     // post-join distinct is needed
     val b = capped.filter(col("own") === col("lb"))
       .toDF("id_b", "s_b", "blk", "len_b", "own_b", "lb", "salt")
       .drop("own_b")
-    a.join(b, Seq("blk", "lb", "salt"))
+      .withColumn("fan", explode(sequence(lit(0L), lit(fo.toLong - 1))))
+      .repartition(np, col("blk"), col("lb"), col("salt"), col("fan"))
+    a.join(b, Seq("blk", "lb", "salt", "fan"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= band)
       .select(col("blk"), col("id_a"), col("s_a"), col("len_a"),

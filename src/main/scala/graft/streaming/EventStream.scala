@@ -343,7 +343,10 @@ object EventStream {
     * time. Required by order-SENSITIVE streaming state
     * ([[streamAnomalyExact]]); the monoid-state streams don't care.
     * (Test/driver-fixture harness: the global ntile sort is one task —
-    * a production source would already be arriving in time order.) */
+    * a production source would already be arriving in time order.
+    * LOCAL-FS ONLY by design: the mtime pinning below uses java.nio,
+    * and mtime-ordered arrival is a property of the local
+    * FileStreamSource fixture, not of an object store.) */
   def writeTimeOrderedBatches(df: DataFrame, orderCols: Seq[String],
       n: Int, destDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
