@@ -515,6 +515,25 @@ object RelationalPack extends QueryPack {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
+    // The SCALE-SAFE twin of q53's rank columns, oracle-gated against
+    // DuckDB's window functions: Scale.rankByGroup computes rank /
+    // percent_rank / cume_dist as two passes (range-bucket counts →
+    // prefix-sum offsets → bucket-local row_number), so no task ever
+    // sorts a whole 5-value partition — and the result is bit-equal to
+    // the one-window form (same IEEE ratios of the same longs), which
+    // the hash gate certifies through an independent engine.
+    "q59_rank_twopass" -> ((s, dir) => {
+      graft.operators.Scale.rankByGroup(
+          t(s, dir, "customer").select(col("c_mktsegment"),
+            col("c_custkey"), col("c_acctbal")),
+          Seq("c_mktsegment"), Seq("c_acctbal", "c_custkey"),
+          buckets = 32)
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rank"),
+          col("pr"), col("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // Fuzzy entity matching (record-linkage lite): candidate pairs from
     // BLOCKING (same first name-token) with the ±4 length band IN THE
     // EQUI-JOIN KEY (Dedup.blockedLengthBandPairs: length-bin explode +
@@ -1208,6 +1227,18 @@ object RelationalPack extends QueryPack {
         |    lag(c_acctbal, 1) OVER win AS prev_bal,
         |    lead(c_acctbal, 1) OVER win AS next_bal,
         |    first_value(c_acctbal) OVER win AS first_bal
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey))
+        |SELECT * FROM w WHERE c_custkey % 10 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q59_rank_twopass" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(row_number() OVER win AS BIGINT) AS rank,
+        |    percent_rank() OVER win AS pr,
+        |    cume_dist() OVER win AS cd
         |  FROM customer
         |  WINDOW win AS (PARTITION BY c_mktsegment
         |    ORDER BY c_acctbal, c_custkey))
