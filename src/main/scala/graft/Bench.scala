@@ -30,6 +30,7 @@ object Bench {
     "tx_bm25_topk", "tx_bm25_batch_topk", "ann_hybrid_rrf", "ann_hybrid_batch_rrf",
     "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
+    "emb_bitext_mine",
     "mm_phash_pairs", "tx_corpus_stats",
     "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens",
     "tx_chunk_retrieve", "q39_merge_upsert", "q42_ivm_join",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Graft, Tables}
-import graft.operators.{Ann, Knn, TextAnalysis}
+import graft.operators.{Ann, Bitext, Knn, TextAnalysis}
 
 /** Approximate-nearest-neighbor scale paths. The IVF index is built from
   * md5-deterministic centroids, so the ENTIRE pipeline (centroid pick →
@@ -263,6 +263,27 @@ object AnnPack extends QueryPack {
           round(element_at(col("normalized"), 1), 4).as("n0"),
           round(element_at(col("normalized"), 2), 4).as("n1"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): align en docs
+    // to es docs by RATIO MARGIN — each candidate's cosine over the mean
+    // cosine of both endpoints' NN-3 neighborhoods, so dense "hub"
+    // regions cancel out — within coarse-cell blocks (the fixtures'
+    // label; an IVF centroid id in production — never all-pairs).
+    // Hash-matched end to end: neighborhood means sum floor-scaled
+    // longs, so DuckDB re-derives every margin bit-for-bit.
+    "emb_bitext_mine" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val tagged = e.join(d, e("vec_id") === d("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("label"), col("lang"))
+      Bitext.minePairs(
+          tagged.filter(col("lang") === "en"),
+          tagged.filter(col("lang") === "es"),
+          "vec_id", "embedding", "label", k = 3, minMargin = 1.0)
+        .orderBy(col("src_id"))
     }),
 
     // IVF-PQ (the FAISS IVFADC layout): one partition-prunable index
@@ -745,6 +766,44 @@ object AnnPack extends QueryPack {
         |  FROM embeddings e CROSS JOIN q)
         |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Full margin re-derivation: same block join, same floor-scaled-long
+    // neighborhood sums, same IEEE ratio — independent window machinery.
+    "emb_bitext_mine" ->
+      """WITH tagged AS (
+        |  SELECT e.vec_id, e.embedding, e.label, d.lang
+        |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[],
+        |                           b.embedding::DOUBLE[]) AS c
+        |  FROM tagged a JOIN tagged b ON a.label = b.label
+        |  WHERE a.lang = 'en' AND b.lang = 'es'),
+        |pc AS (SELECT *, CAST(floor(c * 1e12) AS BIGINT) AS cl FROM pairs),
+        |fwd AS (
+        |  SELECT src_id,
+        |    CAST(sum(cl) AS DOUBLE) / (count(*) * 1e12) AS avg_src
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rn FROM pc)
+        |  WHERE rn <= 3 GROUP BY src_id),
+        |bwd AS (
+        |  SELECT tgt_id,
+        |    CAST(sum(cl) AS DOUBLE) / (count(*) * 1e12) AS avg_tgt
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rn FROM pc)
+        |  WHERE rn <= 3 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id, p.c,
+        |    p.c / ((f.avg_src + b.avg_tgt) / 2.0) AS margin
+        |  FROM pc p JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)),
+        |best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+        |  FROM m)
+        |SELECT src_id, tgt_id, round(c, 4) AS cos,
+        |  round(margin, 6) AS margin
+        |FROM best WHERE rn = 1 AND margin >= 1.0
+        |ORDER BY src_id""".stripMargin,
 
     // Decimal-summed per-dim means, centered vectors, sequential-order
     // norm (list_reduce over a 0-prepended list reduces left-to-right,
