@@ -23,7 +23,8 @@ object Bench {
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs", "dd_span_scrub",
     "tx_langid", "ann_ivf_topk", "ann_ivf_append_topk", "ann_ivf_batch_topk",
     "ann_ivf_kmeans_topk", "ann_sq8_topk", "ann_sq8_batch_topk",
-    "ann_pq_topk", "ann_pq_batch_topk", "ann_pq_kmeans_topk", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_pq_batch_topk", "ann_pq_kmeans_topk",
+    "ann_pq_pca_topk", "ann_ivfpq_topk",
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
     "ann_bq_topk", "ann_bq_batch_topk",
     "ann_ivf_filtered_topk", "ann_mmr_rerank",

@@ -88,6 +88,15 @@ object RecallProbe {
           q.select(col("qvec")), k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      val rot = Ann.buildPcaRotation(e, m = 16)
+      val er = Ann.rotate(e, rot)
+      val qr = Ann.rotate(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec")), rot, "qvec")
+      val cbP = Ann.buildPqCodebookLloyd(er, m = 16, ksub = 32, maxIter = 5)
+      hits("ann_pq_pca_topk", Ann.searchPq(er, Ann.pqEncode(er, cbP), cbP,
+          qr, k = 10, overfetch = 6)
+        .select(lit(0L).as("qid"), col("vec_id")))
+
       val (ivfF, indexF, cbF) = Ann.buildIvfPq(e, numCentroids = 32,
         m = 16, ksub = 32,
         coarse = Ann.buildIvfKMeans(_, _, _, _, maxIter = 5),

@@ -1049,6 +1049,102 @@ object Ann {
       .orderBy(col("dim"))
       .collect().map(_.getDouble(1))
 
+  /** PCA rotation with EIGENVALUE ALLOCATION — the non-parametric
+    * initialization of Optimized Product Quantization (Ge et al. 2014,
+    * "Optimized Product Quantization for Approximate Nearest Neighbor
+    * Search", §"eigenvalue allocation"): rotate the space onto its
+    * principal axes, then deal the principal dimensions onto the `m` PQ
+    * subspaces by GREEDY VARIANCE BALANCING (next-largest eigenvalue
+    * goes to the non-full subspace with the smallest log-variance
+    * product), so no subspace is starved or overloaded — the
+    * independence+balance assumption plain PQ silently makes. The
+    * rotation is orthogonal, so cosine is EXACTLY preserved
+    * (`cos(Rx, Rq) = cos(x, q)`) and the rotated tier's exact rescore
+    * and recall gate need no correction; only the ADC approximation
+    * changes (for the better, when the corpus has correlated dims).
+    *
+    * Scale shape: the covariance is one posexplode self-join on the row
+    * id (d² products per row, d=64 → 4096 — a one-time build scan, same
+    * order as the PQ encode itself) hash-aggregated with DECIMAL(28,12)
+    * sums, so the d×d matrix is summation-order-independent and the
+    * whole build is deterministic; only d² doubles reach the driver,
+    * where the d×d symmetric eigendecomposition (breeze/LAPACK — ~µs at
+    * d=64) and the greedy allocation run. Returns the ROW-MAJOR d×d
+    * rotation (row i = the eigenvector assigned to output dim i),
+    * applied by the codegen [[graft.functions.MatVecFloat]] kernel.
+    *
+    * @param m PQ subspace count the allocation balances for (d % m == 0) */
+  def buildPcaRotation(emb: DataFrame, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Float] = {
+    val mus = dimMeans(emb, vecCol)
+    val d = mus.length
+    require(d % m == 0, s"embedding dim $d is not divisible by m=$m")
+    val dsub = d / m
+    val muArr = typedlit(mus.toSeq)
+    val np = emb.sparkSession.sparkContext.defaultParallelism
+    val n = emb.count().toDouble
+    // d²/2 products per row from chained GENERATORS, not a self-join: a
+    // self-join on the row id has a tiny shuffle input and a d²-times
+    // larger output — the expansive shape AQE coalesces to one task (the
+    // q54 lesson; measured 14 s serial at sf0.1). Generated rows instead
+    // expand MAP-SIDE from an explicitly repartitioned scan and the
+    // (i, j) hash aggregate combines partially before the only exchange
+    // carries ≤ d²·partitions rows. Upper triangle only — the matrix is
+    // symmetric, so the mirror happens on the driver for free.
+    val centered = emb
+      .repartition(np)
+      .select(zip_with(col(vecCol), muArr,
+        (x, m) => finiteOrZero(x) - m).as("xc"))
+    val cov = centered
+      .select(posexplode(col("xc")).as(Seq("i", "xi")), col("xc"))
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("xc"), col("i") + 1, lit(d) - col("i")))
+          .as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("xi") * col("xj")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg((sum(col("p").cast("decimal(28,12)")).cast("double") / n).as("c"))
+      .collect()
+    val a = Array.ofDim[Double](d * d)
+    cov.foreach { row =>
+      val (i, j, c) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+      a(i * d + j) = c
+      a(j * d + i) = c
+    }
+    // symmetric, so the column-major constructor reads the same matrix
+    val es = breeze.linalg.eigSym(new breeze.linalg.DenseMatrix(d, d, a))
+    val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+    // greedy eigenvalue allocation: next-largest λ → the open subspace
+    // with the smallest Σ log λ so far
+    val score = Array.fill(m)(0.0)
+    val fill = Array.fill(m)(0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    order.foreach { i =>
+      val b = (0 until m).filter(fill(_) < dsub).minBy(score(_))
+      score(b) += math.log(math.max(es.eigenvalues(i), 1e-12))
+      fill(b) += 1
+      buckets(b) = i :: buckets(b)
+    }
+    val rows = buckets.flatMap(_.reverse)
+    val rot = new Array[Float](d * d)
+    for (oi <- 0 until d; j <- 0 until d)
+      rot(oi * d + j) = es.eigenvectors(j, rows(oi)).toFloat
+    rot
+  }
+
+  /** Apply a row-major d×d rotation to an embedding column in one
+    * codegen map pass ([[graft.functions.MatVecFloat]]) — schema stays
+    * `array<float>`, so every downstream tier (PQ encode, ADC scan,
+    * exact rescore) consumes rotated vectors unchanged. */
+  def rotate(emb: DataFrame, rot: Array[Float],
+      vecCol: String = "embedding"): DataFrame = {
+    val d = math.sqrt(rot.length.toDouble).toInt
+    require(d * d == rot.length, s"rotation length ${rot.length} not square")
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    emb.withColumn(vecCol, bridge.column(graft.functions.MatVecFloat(
+      bridge.expression(col(vecCol)), rot, d, d)))
+  }
+
   /** Group-centroid ALIGNMENT filter — the relational analog of
     * CLIP-score filtering (Schuhmann et al. 2021: LAION drops pairs whose
     * embedding alignment falls below a floor), applied per group: every

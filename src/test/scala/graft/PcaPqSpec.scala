@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Ann
+
+/** PCA rotation (OPQ non-parametric init): orthogonality + cosine
+  * preservation, covariance diagonalization, codegen participation of
+  * the MatVec kernel, and build determinism. */
+class PcaPqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def collectVecs(df: org.apache.spark.sql.DataFrame,
+      vecCol: String): Array[Array[Float]] =
+    df.select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("buildPcaRotation is orthogonal, cosine-preserving, and " +
+      "deterministic across builds") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val rot = Ann.buildPcaRotation(e, m = 16)
+    val d = 64
+    assert(rot.length == d * d)
+    // R·Rᵀ = I within float tolerance
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      for (t <- 0 until d) s += rot(i * d + t).toDouble * rot(j * d + t)
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(s - want) < 2e-3, s"RRt[$i,$j] = $s")
+    }
+    // cosine invariance on real pairs
+    val orig = collectVecs(e.orderBy(col("vec_id")).limit(6), "embedding")
+    val rotd = collectVecs(Ann.rotate(e, rot).orderBy(col("vec_id"))
+      .limit(6), "embedding")
+    for (i <- 0 until 5) {
+      val c0 = cos(orig(i), orig(i + 1))
+      val c1 = cos(rotd(i), rotd(i + 1))
+      assert(math.abs(c0 - c1) < 1e-4, s"cos drifted: $c0 vs $c1")
+    }
+    // determinism: decimal-summed covariance + LAPACK on the same
+    // matrix + a deterministic greedy — bit-identical rotation
+    val rot2 = Ann.buildPcaRotation(e, m = 16)
+    assert(rot.sameElements(rot2), "rotation not deterministic")
+  }
+
+  test("the rotation diagonalizes the corpus covariance (off-diagonal " +
+      "mass collapses — the property that decorrelates PQ subspaces)") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val rot = Ann.buildPcaRotation(e, m = 16)
+    def covStats(vecs: Array[Array[Float]]): (Double, Double) = {
+      val d = vecs.head.length; val n = vecs.length
+      val mu = Array.tabulate(d)(i => vecs.map(_(i).toDouble).sum / n)
+      var diag = 0.0; var off = 0.0
+      for (i <- 0 until d; j <- i until d) {
+        var s = 0.0
+        vecs.foreach(v => s += (v(i) - mu(i)) * (v(j) - mu(j)))
+        val c = math.abs(s / n)
+        if (i == j) diag += c else off += c
+      }
+      (diag, off)
+    }
+    val (d0, o0) = covStats(collectVecs(e, "embedding"))
+    val (d1, o1) = covStats(collectVecs(Ann.rotate(e, rot), "embedding"))
+    // total variance is rotation-invariant; off-diagonal mass must drop
+    // to numerical noise (float rotation: well under 2% of the original)
+    assert(math.abs(d0 - d1) / d0 < 1e-3, s"trace drifted: $d0 vs $d1")
+    assert(o1 < o0 * 0.02, s"off-diagonal mass $o1 vs original $o0")
+  }
+
+  test("MatVecFloat participates in whole-stage codegen and equals a " +
+      "driver-side matvec") {
+    import org.apache.spark.sql.execution.debug._
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val rot = Ann.buildPcaRotation(e, m = 16)
+    val scan = Ann.rotate(e, rot).select(col("embedding"))
+    val gen = codegenString(scan.queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.MatVecUtil.apply"), gen.take(500))
+    val d = 64
+    val orig = collectVecs(e.orderBy(col("vec_id")).limit(3), "embedding")
+    val got = collectVecs(Ann.rotate(e, rot).orderBy(col("vec_id"))
+      .limit(3), "embedding")
+    for (r <- 0 until 3; i <- 0 until d) {
+      var acc = 0.0
+      for (j <- 0 until d) acc += rot(i * d + j).toDouble * orig(r)(j)
+      assert(got(r)(i) == acc.toFloat, s"row $r dim $i: ${got(r)(i)} vs $acc")
+    }
+  }
+}
