@@ -21,6 +21,7 @@ object Bench {
     "q1_agg", "q3_join_agg", "q17_running_window", "q20_sweepline_consensus",
     "knn_topk", "knn_fusion", "q22_recommend_audience",
     "dd_minhash_lsh", "dd_jaccard_pairs", "dd_embed_pairs", "dd_span_scrub",
+    "dd_winnow_overlap",
     "tx_langid", "ann_ivf_topk", "ann_ivf_append_topk", "ann_ivf_batch_topk",
     "ann_ivf_kmeans_topk", "ann_sq8_topk", "ann_sq8_batch_topk",
     "ann_pq_topk", "ann_pq_batch_topk", "ann_pq_kmeans_topk",

@@ -1206,4 +1206,85 @@ object Dedup {
       .select(col("block"), col("id_a"), col("id_b"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): hash every word n-gram, slide a w-position window
+    * over the hash sequence, and keep each window's MINIMUM — ties on
+    * leftmost position via a combined (hash, position) key, so the
+    * selection is a pure windowed `min` both engines compute
+    * identically. The guarantees the spec pins: every w consecutive
+    * grams contribute ≥ 1 fingerprint (coverage), so any shared run of
+    * ≥ w+n−1 tokens shares ≥ 1 fingerprint (detection); expected
+    * density is 2/(w+1) — an order-of-magnitude compression of the
+    * gram stream that STILL localizes matches (positions ride along),
+    * which MinHash signatures cannot do.
+    *
+    * Scale shape: one repartitioned generator pass (grams never leave
+    * their doc's partition), one per-doc window (partition key = doc id
+    * — high cardinality), one distinct. The combined key packs
+    * `pmod(hash, 2^40)` and the gram position into one long
+    * (`h40·2^20 + pos`), so the window aggregates a fixed-width long —
+    * codegen HashAggregate territory; docs must have < 2^20 grams
+    * (a million words — chunk longer docs first, [[Retrieval]] chunker).
+    *
+    * Returns `(idCol, fp: long, pos: int)` — distinct selected
+    * fingerprints with the position of their source gram. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n > 0 && w > 0, "winnow needs n > 0 and w > 0")
+    val np = docs.sparkSession.sparkContext.defaultParallelism
+    val grams = docs.repartition(np)
+      .select(col(idCol), posexplode(ngrams(col(textCol), n))
+        .as(Seq("p", "g")))
+      .select(col(idCol), col("p"),
+        (pmod(shingleHash(col("g")), lit(1L << 40)) * lit(1L << 20) +
+          col("p")).as("key"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val total = Window.partitionBy(col(idCol))
+    grams
+      .withColumn("mk", min(col("key")).over(win))
+      .withColumn("nk", count(lit(1)).over(total))
+      // full windows only (start ≤ total − w); a doc shorter than one
+      // window contributes its single global minimum
+      .filter(col("p") <= greatest(col("nk") - w, lit(0)))
+      .select(col(idCol), col("mk")).distinct()
+      // bit ops, not `/`: long division routes through double, which
+      // cannot represent a 60-bit key exactly
+      .select(col(idCol),
+        shiftright(col("mk"), 20).as("fp"),
+        pmod(col("mk"), lit(1L << 20)).cast("int").as("pos"))
+  }
+
+  /** Document-overlap candidates from shared winnowing fingerprints —
+    * the MOSS match step as a banded equi-join: fingerprints bucket by
+    * VALUE (not position), hot buckets split by [[capBuckets]] (a
+    * boilerplate gram shared by everything degrades gracefully, the
+    * [[minhashCandidates]] contract), pairs score by
+    * `shared / min(|fp_a|, |fp_b|)` — containment, so a small doc
+    * embedded in a large one still scores 1.0. Returns pairs at or
+    * above `minOverlap`, with the shared-fingerprint count. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4, minOverlap: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val sizes = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+    val capped = capBuckets(fps, Seq("fp"), "id", maxBucket)
+    val a = capped.toDF("id_a", "fp", "salt")
+    val b = capped.toDF("id_b", "fp", "salt")
+    val shared = a.join(b, Seq("fp", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.toDF("id_a", "nfp_a"), "id_a")
+      .join(sizes.toDF("id_b", "nfp_b"), "id_b")
+      .withColumn("overlap",
+        col("shared").cast("double") / least(col("nfp_a"), col("nfp_b")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("overlap"), 4).as("overlap"))
+  }
 }

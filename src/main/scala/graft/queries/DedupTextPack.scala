@@ -91,6 +91,20 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Winnowing fingerprints (Schleimer 2003, the MOSS scheme) +
+    // shared-fingerprint overlap pairs: windowed-min selection over the
+    // gram-hash stream compresses ~(w+1)/2× yet guarantees any shared
+    // run of ≥ w+n−1 tokens is caught — the POSITION-AWARE complement
+    // to MinHash (which models whole-set Jaccard, not where the match
+    // is). Containment scoring: shared / min(|fp|) — a doc embedded in
+    // a larger one still scores 1.0. Fully hash-matched: the windowed
+    // min over (hash·2²⁰ + pos) longs is engine-agnostic arithmetic.
+    "dd_winnow_overlap" -> ((s, dir) => {
+      Dedup.winnowOverlapPairs(docs(s, dir), "doc_id", "text",
+          n = 3, w = 4, minOverlap = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Dedup-side EVALUATION (the ann_eval_mrr pattern on the near-dup
     // tier): recall of the BANDING stage against the exact all-pairs
     // SHINGLE-set Jaccard ground truth at the signature threshold —
@@ -715,6 +729,51 @@ object DedupTextPack extends QueryPack {
         |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY lang, id_a, id_b""".stripMargin,
+
+    // Same windowed-min selection re-derived: grams via a lateral range,
+    // the identical 60-bit packed (hash, pos) key, full windows only.
+    "dd_winnow_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS p1
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(p1 AS INT) - 1 AS p,
+        |    t[p1] || ' ' || t[p1+1] || ' ' || t[p1+2] AS g
+        |  FROM pos),
+        |keyed AS (
+        |  SELECT doc_id, p,
+        |    (('0x' || substr(md5(g), 1, 15))::BIGINT % 1099511627776)
+        |      * 1048576 + p AS key
+        |  FROM grams),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, mk FROM (
+        |    SELECT doc_id, p,
+        |      min(key) OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+        |      count(*) OVER (PARTITION BY doc_id) AS nk
+        |    FROM keyed)
+        |  WHERE p <= greatest(nk - 4, 0)),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, mk // 1048576 AS fp FROM sel),
+        |sizes AS (
+        |  SELECT doc_id, count(*) AS nfp FROM fps GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM fps a JOIN fps b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  round(shared::DOUBLE / least(sa.nfp, sb.nfp), 4) AS overlap
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE shared::DOUBLE / least(sa.nfp, sb.nfp) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dd_minhash_lsh" ->
       s"""WITH ${minhashPairsCte()}
