@@ -29,7 +29,8 @@ object Bench {
     "ann_ivfpq_kmeans_topk", "ann_ivfpq_batch_topk",
     "ann_bq_topk", "ann_bq_batch_topk",
     "ann_ivf_filtered_topk", "ann_mmr_rerank",
-    "tx_bm25_topk", "tx_bm25_batch_topk", "ann_hybrid_rrf", "ann_hybrid_batch_rrf",
+    "tx_bm25_topk", "tx_bm25_batch_topk", "tx_hard_negatives",
+    "ann_hybrid_rrf", "ann_hybrid_batch_rrf",
     "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
     "emb_bitext_mine",

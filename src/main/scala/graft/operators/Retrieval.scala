@@ -240,6 +240,37 @@ object Retrieval {
     Knn.groupedTopK(
       bm25Scored(docs, qterms, k1, b, idCol, textCol), k, idCol, "score")
 
+  /** DPR-style HARD-NEGATIVE mining (Karpukhin et al. 2020, "Dense
+    * Passage Retrieval" §4.2 — "BM25 negatives"): for each training
+    * query, the top-ranked lexical hits that are NOT a known positive.
+    * Random negatives are trivially separable; the negatives that
+    * actually move a dual encoder are the ones a strong lexical
+    * retriever ranks high — exactly this relation. `positives` is a
+    * `(qid, idCol)` relation (multiple positives per query supported);
+    * candidates overfetch `kNeg + overfetch` per query so dropping the
+    * positives cannot starve a query of negatives.
+    *
+    * Scale shape: one [[bm25BatchTopK]] pass (one corpus scan for the
+    * whole query batch, partial-aggregable grouped top-k), a broadcast
+    * anti-join against the positives (|positives| ≈ |queries| — label
+    * data, always broadcastable), and a result-sized re-rank window.
+    * Returns `(qid, neg_id, rank: long, score)`. */
+  def hardNegatives(docs: DataFrame, qterms: DataFrame,
+      positives: DataFrame, kNeg: Int, overfetch: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = bm25BatchTopK(docs, qterms, kNeg + overfetch,
+      idCol = idCol, textCol = textCol)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col(idCol))
+    cand
+      .join(broadcast(positives.select(col("qid"), col(idCol))),
+        Seq("qid", idCol), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeg)
+      .select(col("qid"), col(idCol).as("neg_id"), col("rank"),
+        col("score"))
+  }
+
   /** Batch twin of [[rrfFuse]]: every input list carries `(qid, idCol,
     * score)` rows for a whole query set; ranks are per (list, qid) —
     * the window partitions by both — and the fused per-(qid, doc) sums

@@ -43,6 +43,20 @@ object RetrievalPack extends QueryPack {
         .orderBy(col("qid"), col("score").desc, col("doc_id"))
     }),
 
+    // Hard-negative mining (Karpukhin 2020): per training query, the
+    // top BM25 hits that are NOT the known positive (here the query's
+    // own seed doc), overfetched so dropping positives cannot starve
+    // the negative set — the relation a dual-encoder trainer consumes.
+    "tx_hard_negatives" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val qt = Retrieval.seedTermsBatch(d, "doc_id", "text",
+        seedIds = Seq(0L, 1L, 2L), n = 4)
+      val pos = qt.select(col("qid")).distinct()
+        .select(col("qid"), col("qid").as("doc_id"))
+      Retrieval.hardNegatives(d, qt, pos, kNeg = 5, overfetch = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Hybrid retrieval: exact-cosine top-20 for doc 0's embedding and
     // BM25 top-20 for doc 0's seed terms, fused by reciprocal rank
     // (1/(60+rank), Cormack 2009). Rank-only fusion makes the hybrid
@@ -402,6 +416,26 @@ object RetrievalPack extends QueryPack {
         |    ORDER BY score DESC, doc_id) AS rn
         |  FROM bm25)
         |WHERE rn <= 10 ORDER BY qid, score DESC, doc_id""".stripMargin),
+
+    // Top-8 BM25 candidates per qid, the self-positive removed, re-ranked
+    // to the 5 negatives — the same decimal-summed bm25 CTEs.
+    "tx_hard_negatives" ->
+      (s"""WITH $batchQtCte,
+         |""".stripMargin + bm25Ctes() +
+      """,
+        |cand AS (
+        |  SELECT qid, doc_id, score FROM (
+        |    SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS rn
+        |    FROM bm25)
+        |  WHERE rn <= 8),
+        |negs AS (
+        |  SELECT qid, doc_id AS neg_id, score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM cand WHERE doc_id <> qid)
+        |SELECT qid, neg_id, rank, score FROM negs
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
 
     // Batch hybrid: per-qid BM25 and vector rankings (both limit-20 per
     // query) re-derived, decimal-summed 1/(60+rank) fusion, per-qid

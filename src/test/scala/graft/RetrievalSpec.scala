@@ -411,4 +411,37 @@ class RetrievalSpec extends AnyFunSuite {
       case w: WindowExec if w.partitionSpec.isEmpty => w }
     assert(unpart.isEmpty, "rrfFuse planned an unpartitioned window")
   }
+
+  test("hardNegatives: no positive survives, ranks are contiguous 1..k " +
+      "per query, and the set equals filter-then-rerank of the " +
+      "overfetched candidates") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val qt = Retrieval.seedTermsBatch(d, "doc_id", "text",
+      seedIds = Seq(0L, 1L, 2L), n = 4)
+    // two positives for query 0 (its own doc AND doc 1) — the
+    // multi-positive contract
+    val pos = Seq((0L, 0L), (0L, 1L), (1L, 1L), (2L, 2L))
+      .toDF("qid", "doc_id")
+    val kNeg = 5
+    val got = Retrieval.hardNegatives(d, qt, pos, kNeg, overfetch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val posSet = Set((0L, 0L), (0L, 1L), (1L, 1L), (2L, 2L))
+    assert(got.nonEmpty)
+    got.foreach { case (q, neg, _) =>
+      assert(!posSet.contains((q, neg)), s"positive ($q, $neg) leaked") }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"ranks not contiguous for qid $q")
+      assert(rows.length == kNeg, s"qid $q short of negatives")
+    }
+    // brute force: overfetched candidates minus positives, re-ranked
+    val cand = Retrieval.bm25BatchTopK(d, qt, kNeg + 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = cand.filter(c => !posSet.contains((c._1, c._2)))
+      .groupBy(_._1).toSeq.flatMap { case (q, xs) =>
+        xs.sortBy(x => (-x._3, x._2)).take(kNeg).zipWithIndex
+          .map { case (x, i) => (q, x._2, i + 1L) }.toSeq
+      }.toSet
+    assert(got.toSet == expect, "hardNegatives diverges from brute force")
+  }
 }
