@@ -58,6 +58,19 @@ object ScaleProbe {
         concat(lit(s"c$i"), col("p_name")).as("p_name"))
     }.reduce(_ unionByName _)
 
+  /** Doc copies with EVERY TOKEN copy-prefixed: gram spaces are
+    * disjoint across copies, so winnowing-fingerprint buckets never
+    * cross copies and the true overlap-pair set grows exactly linearly
+    * (the explodePart lesson: a suffix-only perturbation would leave
+    * near-identical fingerprint sets across copies and the "probe"
+    * would measure its own quadratic cross-copy pair growth). */
+  private def explodeDocsTok(d: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { i =>
+      d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"),
+        regexp_replace(col("text"), "(^| )", s"$$1c$i").as("text"))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -89,6 +102,8 @@ object ScaleProbe {
     val docs1 = explodeDocs(docs, 1).localCheckpoint(true)
     val emb1 = explodeEmb(emb, 1).localCheckpoint(true)
     val part1 = explodePart(part, 1).localCheckpoint(true)
+    val docsW1 = explodeDocsTok(docs, 1).localCheckpoint(true)
+    val docsWX = explodeDocsTok(docs, factor).localCheckpoint(true)
 
     import graft.operators.{Ann, Dedup}
     def ivfpqBuild(e: DataFrame): Unit = {
@@ -162,6 +177,27 @@ object ScaleProbe {
           .filter(levenshtein(col("s_a"), col("s_b")) <= 6)
           .count(): Unit
       }, 15.0),
+      // winnowing overlap at scale: token-prefixed copies keep gram
+      // spaces disjoint, so true pairs grow exactly linearly while the
+      // fingerprint bucket join carries 10x the rows
+      ("dd_winnow_overlap", "docsw", (d: DataFrame) => {
+        Dedup.winnowOverlapPairs(d, "doc_id", "text",
+          n = 3, w = 4, minOverlap = 0.5).count(): Unit
+      }, 15.0),
+      // bitext margin mining at scale: the block key carries the copy
+      // tag (the production contract — coarse-cell count grows with the
+      // corpus), so candidate volume and both NN-k aggregations grow
+      // linearly, never quadratically
+      ("emb_bitext_mine", "emb", (e: DataFrame) => {
+        val tagged = e.select(col("vec_id"), col("embedding"),
+          (floor(col("vec_id") / lit(10000000L)) * 16 +
+            pmod(col("vec_id"), lit(16))).as("block"))
+        graft.operators.Bitext.minePairs(
+            tagged.filter(pmod(col("vec_id"), lit(2)) === 0),
+            tagged.filter(pmod(col("vec_id"), lit(2)) === 1),
+            "vec_id", "embedding", "block", k = 3, minMargin = 1.0)
+          .count(): Unit
+      }, 15.0),
       // window-family at scale: the two-pass rank (range-bucket counts
       // → offsets → bucket-local sort) over a 3-value group key — the
       // shape the one-window q53 form cannot scale on
@@ -191,6 +227,7 @@ object ScaleProbe {
     val results = probes.map { case (name, fixture, f, bound) =>
       val (base, scaled) = fixture match {
         case "emb" => (emb1, embX)
+        case "docsw" => (docsW1, docsWX)
         case "part" => (part1, partX)
         case _ => (docs1, docsX)
       }
