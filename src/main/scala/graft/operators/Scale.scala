@@ -8,6 +8,65 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** EXACT k-th smallest of a long column WITHOUT a global sort — the
+    * distributed selection a 100 TB percentile needs when the
+    * histogram/sketch forms ([[Sketches]], tx_hist_quantiles) aren't
+    * allowed to be approximate: 16-bit MSD radix selection. Each of the
+    * 4 passes is one partial-aggregable `groupBy(prefix, digit).count`
+    * whose result is ≤ 65 536 · |live prefixes| rows — bounded driver
+    * metadata, never row data — and narrows every target rank to one
+    * more 16-bit digit. Total cost: 4 column scans (each cheaper than
+    * one sort-shuffle pass; a global `orderBy` of the same column
+    * shuffles the WHOLE relation), no assumptions about the value
+    * distribution, exact for duplicates and negatives (the sign-bit
+    * XOR maps signed order onto unsigned radix order).
+    *
+    * Multiple ranks share every pass: the per-pass scan filters to the
+    * union of live prefixes and each rank walks its own digit counts,
+    * so p50/p90/p99 of one column cost the same 4 scans as one rank.
+    *
+    * @param ks 1-indexed target ranks, each in [1, count]
+    * @return rank -> exact value at that rank in ascending order */
+  def exactKth(df: DataFrame, valueCol: String,
+      ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ranks are 1-indexed")
+    val ord = col(valueCol).cast("long").bitwiseXOR(lit(Long.MinValue))
+    // per rank: (ord-space prefix locked so far, rank within the prefix)
+    var state: Map[Long, (Long, Long)] = ks.map(k => k -> (0L, k)).toMap
+    for (d <- 0 until 4) {
+      val shift = 48 - 16 * d
+      // Java's >>> shifts mod 64, so the empty prefix needs a literal
+      val pfxCol = if (d == 0) lit(0L)
+        else shiftrightunsigned(ord, 64 - 16 * d)
+      val digitCol = shiftrightunsigned(ord, shift).bitwiseAND(lit(0xFFFFL))
+      val prefixes = state.values.map(_._1).toSeq.distinct
+      val counts = df
+        .select(pfxCol.as("pfx"), digitCol.as("dig"))
+        .filter(col("pfx").isin(prefixes: _*))
+        .groupBy(col("pfx"), col("dig"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rows) =>
+          p -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+      state = state.map { case (k, (pfx, rem)) =>
+        val digits = counts.getOrElse(pfx,
+          throw new IllegalArgumentException(
+            s"rank $k exceeds the row count"))
+        var acc = 0L
+        var hit = -1L
+        var newRem = rem
+        digits.iterator.takeWhile(_ => hit < 0).foreach { case (dig, n) =>
+          if (acc + n >= rem) { hit = dig; newRem = rem - acc }
+          else acc += n
+        }
+        require(hit >= 0, s"rank $k exceeds the row count")
+        k -> ((pfx << 16) | hit, newRem)
+      }
+    }
+    state.map { case (k, (pfx, _)) => k -> (pfx ^ Long.MinValue) }
+  }
+
   /** Two-phase salted aggregation for skewed group keys: deterministic
     * salt from a secondary column spreads one hot key over `nSalts`
     * reducers in phase 1; phase 2 combines the partials. Results are

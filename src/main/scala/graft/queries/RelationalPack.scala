@@ -534,6 +534,24 @@ object RelationalPack extends QueryPack {
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
+    // Exact order statistics WITHOUT a global sort: 16-bit MSD radix
+    // selection (Scale.exactKth) finds the exact p50/p90 ranks of the
+    // order-amount column in 4 bounded count passes — the scale-safe
+    // exact twin of the mergeable-histogram quantiles
+    // (tx_hist_quantiles), certified against DuckDB's row_number rank.
+    "q60_exact_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      val cents = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val n = cents.count()
+      val k50 = (n + 1) / 2
+      val k90 = (9L * n + 9) / 10
+      val got = graft.operators.Scale.exactKth(cents, "cents",
+        Seq(k50, k90))
+      Seq(("p50", k50, got(k50)), ("p90", k90, got(k90)))
+        .toDF("q", "k", "cents").orderBy(col("q"))
+    }),
+
     // Fuzzy entity matching (record-linkage lite): candidate pairs from
     // BLOCKING (same first name-token) with the ±4 length band IN THE
     // EQUI-JOIN KEY (Dedup.blockedLengthBandPairs: length-bin explode +
@@ -1244,6 +1262,22 @@ object RelationalPack extends QueryPack {
         |    ORDER BY c_acctbal, c_custkey))
         |SELECT * FROM w WHERE c_custkey % 10 = 0
         |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q60_exact_quantiles" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |nn AS (SELECT count(*) AS n FROM c),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+        |      FROM c),
+        |kk AS (SELECT (n + 1) // 2 AS k50, (9 * n + 9) // 10 AS k90
+        |       FROM nn)
+        |SELECT 'p50' AS q, k50 AS k,
+        |  (SELECT cents FROM r, kk WHERE rn = k50) AS cents FROM kk
+        |UNION ALL
+        |SELECT 'p90' AS q, k90 AS k,
+        |  (SELECT cents FROM r, kk WHERE rn = k90) AS cents FROM kk
+        |ORDER BY q""".stripMargin,
 
     "q54_fuzzy_match" ->
       """WITH p AS (

@@ -164,6 +164,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.forall { case (u, eid) => eid - u * 1000 > 10 })
   }
 
+  test("exactKth equals sort-based selection on a fixture with " +
+      "negatives, duplicates, and boundary ranks — shared passes for " +
+      "multiple ranks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vals = Seq.fill(5000)(rnd.nextLong() % 1000000L) ++
+      Seq(Long.MinValue + 5, -1L, 0L, 1L, Long.MaxValue - 5) ++
+      Seq.fill(200)(42L) // a heavy duplicate
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val ks = Seq(1L, 2L, n / 4, n / 2, (9 * n + 9) / 10, n)
+    val got = Scale.exactKth(df, "v", ks)
+    ks.foreach { k =>
+      assert(got(k) == sorted((k - 1).toInt),
+        s"rank $k: ${got(k)} vs ${sorted((k - 1).toInt)}")
+    }
+    intercept[Exception] { Scale.exactKth(df, "v", Seq(n + 1)) }
+  }
+
   test("rankByGroup equals the window-form percent_rank/cume_dist " +
       "bit-for-bit, while sorting only (group, range-bucket) slices") {
     import org.apache.spark.sql.expressions.Window
