@@ -47,7 +47,7 @@ object Bench {
     "q49_time_travel", "q51_scd2_lookup", "q52_dq_checks",
     "q53_window_family", "q54_fuzzy_match", "q55_recursive_agg",
     "q56_setops", "q57_audience_overlap", "q58_scd2_apply",
-    "q59_rank_twopass", "q60_exact_quantiles",
+    "q59_rank_twopass", "q60_exact_quantiles", "q61_group_median",
     "tx_bm25_built_index", "rcmn_top5_built_index",
     "tx_corpus_ready")
 

@@ -48,23 +48,85 @@ object Scale {
         .collect()
         .groupBy(_.getLong(0))
         .map { case (p, rows) =>
-          p -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1) }
+          p -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+            .toSeq }
       state = state.map { case (k, (pfx, rem)) =>
         val digits = counts.getOrElse(pfx,
           throw new IllegalArgumentException(
             s"rank $k exceeds the row count"))
-        var acc = 0L
-        var hit = -1L
-        var newRem = rem
-        digits.iterator.takeWhile(_ => hit < 0).foreach { case (dig, n) =>
-          if (acc + n >= rem) { hit = dig; newRem = rem - acc }
-          else acc += n
-        }
-        require(hit >= 0, s"rank $k exceeds the row count")
+        val (hit, newRem) = selectDigit(digits, rem,
+          s"rank $k exceeds the row count")
         k -> ((pfx << 16) | hit, newRem)
       }
     }
     state.map { case (k, (pfx, _)) => k -> (pfx ^ Long.MinValue) }
+  }
+
+  /** Walk ascending digit counts to the digit containing `rem`. */
+  private def selectDigit(digits: Seq[(Long, Long)], rem: Long,
+      err: => String): (Long, Long) = {
+    var acc = 0L
+    var hit = -1L
+    var newRem = rem
+    digits.iterator.takeWhile(_ => hit < 0).foreach { case (dig, n) =>
+      if (acc + n >= rem) { hit = dig; newRem = rem - acc }
+      else acc += n
+    }
+    require(hit >= 0, err)
+    (hit, newRem)
+  }
+
+  /** Per-group EXACT lower median by the same MSD radix selection —
+    * the scale-safe answer to "median per segment" over a
+    * LOW-CARDINALITY group key, where the window form
+    * (`PARTITION BY segment ORDER BY value`) funnels each segment's
+    * whole row set into one task's sort (the q53 shape). Here the only
+    * shuffles are partial-aggregable `(group, prefix, digit)` counts —
+    * ≤ 65 536 · |groups| driver rows per pass, never row data — and
+    * every group's rank narrows concurrently through the shared 4
+    * passes. CONTRACT: the group key is bounded (segments, languages,
+    * shards — the dashboard shape); per-group medians over a
+    * high-cardinality key belong in `percentile_approx` or
+    * [[Sketches]] instead. Returns `(groupCol, median: long)`. */
+  def groupMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect()
+    require(sizes.nonEmpty, "groupMedian over an empty relation")
+    var state: Map[Any, (Long, Long)] = sizes.map(r =>
+      r.get(0) -> (0L, (r.getLong(1) + 1) / 2)).toMap
+    val ord = col(valueCol).cast("long").bitwiseXOR(lit(Long.MinValue))
+    for (d <- 0 until 4) {
+      val shift = 48 - 16 * d
+      val pfxCol = if (d == 0) lit(0L)
+        else shiftrightunsigned(ord, 64 - 16 * d)
+      val digitCol = shiftrightunsigned(ord, shift).bitwiseAND(lit(0xFFFFL))
+      val livePrefixes = state.values.map(_._1).toSeq.distinct
+      val counts = df
+        .select(col(groupCol).as("g"), pfxCol.as("pfx"), digitCol.as("dig"))
+        .filter(col("pfx").isin(livePrefixes: _*))
+        .groupBy(col("g"), col("pfx"), col("dig"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .groupBy(r => (r.get(0), r.getLong(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+            .toSeq }
+      state = state.map { case (g, (pfx, rem)) =>
+        val digits = counts((g, pfx))
+        val (hit, newRem) = selectDigit(digits, rem,
+          s"group $g ran out of rows at rank $rem")
+        g -> ((pfx << 16) | hit, newRem)
+      }
+    }
+    val rows = state.toSeq.map { case (g, (pfx, _)) =>
+      Row(g, pfx ^ Long.MinValue) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(df.schema(df.schema.fieldIndex(groupCol)),
+        StructField("median", LongType, nullable = false))))
   }
 
   /** Two-phase salted aggregation for skewed group keys: deterministic

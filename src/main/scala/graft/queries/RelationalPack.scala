@@ -552,6 +552,19 @@ object RelationalPack extends QueryPack {
         .toDF("q", "k", "cents").orderBy(col("q"))
     }),
 
+    // Per-segment EXACT median without a per-segment sort: the radix
+    // selection again, every segment narrowing concurrently through the
+    // same 4 shared count passes — "median per segment" over the q53
+    // low-cardinality key shape without funneling a segment's rows
+    // into one task.
+    "q61_group_median" -> ((s, dir) => {
+      graft.operators.Scale.groupMedian(
+          t(s, dir, "customer").select(col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("cents")),
+          "c_mktsegment", "cents")
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Fuzzy entity matching (record-linkage lite): candidate pairs from
     // BLOCKING (same first name-token) with the ±4 length band IN THE
     // EQUI-JOIN KEY (Dedup.blockedLengthBandPairs: length-bin explode +
@@ -1278,6 +1291,21 @@ object RelationalPack extends QueryPack {
         |SELECT 'p90' AS q, k90 AS k,
         |  (SELECT cents FROM r, kk WHERE rn = k90) AS cents FROM kk
         |ORDER BY q""".stripMargin,
+
+    "q61_group_median" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM c)
+        |SELECT c_mktsegment, cents AS median FROM r
+        |WHERE rn = (n + 1) // 2
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q54_fuzzy_match" ->
       """WITH p AS (

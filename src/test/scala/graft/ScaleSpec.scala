@@ -184,6 +184,23 @@ class ScaleSpec extends AnyFunSuite {
     intercept[Exception] { Scale.exactKth(df, "v", Seq(n + 1)) }
   }
 
+  test("groupMedian equals per-group sort-based lower medians, " +
+      "including negatives and single-row groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 4000).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextLong() % 100000L)) :+
+      (("solo", -7L))
+    val df = rows.toDF("g", "v")
+    val got = Scale.groupMedian(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = rows.groupBy(_._1).map { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      g -> sorted(((sorted.length + 1) / 2 - 1))
+    }
+    assert(got == expect, s"got $got\nexp $expect")
+  }
+
   test("rankByGroup equals the window-form percent_rank/cume_dist " +
       "bit-for-bit, while sorting only (group, range-bucket) slices") {
     import org.apache.spark.sql.expressions.Window
