@@ -33,7 +33,7 @@ object Bench {
     "ann_hybrid_rrf", "ann_hybrid_batch_rrf",
     "tx_retrieve_rerank",
     "ann_eval_mrr", "emb_align_filter", "emb_diverse_sample",
-    "emb_bitext_mine",
+    "emb_bitext_mine", "emb_bitext_ivf",
     "mm_phash_pairs", "tx_corpus_stats",
     "tx_mix_epochs", "tx_pack_sequences", "tx_bpe_tokens",
     "tx_chunk_retrieve", "q39_merge_upsert", "q42_ivm_join",

@@ -286,6 +286,30 @@ object AnnPack extends QueryPack {
         .orderBy(col("src_id"))
     }),
 
+    // Bitext mining over REAL coarse cells: the blocks are md5-IVF
+    // centroid assignments (the production contract emb_bitext_mine's
+    // scaladoc promises — cell count grows with the corpus), and the
+    // whole composition stays hash-matched because the md5 quantizer is
+    // DuckDB-reproducible: assignment, block join, and every margin are
+    // re-derived end to end.
+    "emb_bitext_ivf" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val asg = Ann.buildIvf(e, numCentroids = 16).assignments
+        .select(col("vec_id"), col("centroid_id"))
+      val tagged = e.join(d, e("vec_id") === d("doc_id"))
+        .join(asg, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          col("lang"))
+      Bitext.minePairs(
+          tagged.filter(col("lang") === "en"),
+          tagged.filter(col("lang") === "es"),
+          "vec_id", "embedding", "centroid_id", k = 3, minMargin = 1.0)
+        .orderBy(col("src_id"))
+    }),
+
     // IVF-PQ (the FAISS IVFADC layout): one partition-prunable index
     // relation (vec_id, codes, centroid_id); a query prunes to nprobe/C
     // of the rows, ADC-scores 16 B/row, exact-rescores k·overfetch.
@@ -793,6 +817,60 @@ object AnnPack extends QueryPack {
         |  FROM embeddings e CROSS JOIN q)
         |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    // The ann_ivf assignment CTEs composed with the bitext margin CTEs —
+    // blocks are the re-derived centroid cells (DESC tie-break, as in
+    // ann_ivf_topk), then the identical floor-scaled-long margins.
+    "emb_bitext_ivf" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, cent.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+        |                   cent.cvec) DESC,
+        |                 cent.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cent)
+        |  WHERE rn = 1),
+        |tagged AS (
+        |  SELECT e.vec_id, e.embedding, a.centroid_id, d.lang
+        |  FROM embeddings e
+        |  JOIN documents d ON e.vec_id = d.doc_id
+        |  JOIN asg a ON a.vec_id = e.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+        |    list_cosine_similarity(a.embedding::DOUBLE[],
+        |                           b.embedding::DOUBLE[]) AS c
+        |  FROM tagged a JOIN tagged b ON a.centroid_id = b.centroid_id
+        |  WHERE a.lang = 'en' AND b.lang = 'es'),
+        |pc AS (SELECT *, CAST(floor(c * 1e12) AS BIGINT) AS cl FROM pairs),
+        |fwd AS (
+        |  SELECT src_id,
+        |    CAST(sum(cl) AS DOUBLE) / (count(*) * 1e12) AS avg_src
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rn FROM pc)
+        |  WHERE rn <= 3 GROUP BY src_id),
+        |bwd AS (
+        |  SELECT tgt_id,
+        |    CAST(sum(cl) AS DOUBLE) / (count(*) * 1e12) AS avg_tgt
+        |  FROM (SELECT *, row_number() OVER (
+        |      PARTITION BY tgt_id ORDER BY c DESC, src_id) AS rn FROM pc)
+        |  WHERE rn <= 3 GROUP BY tgt_id),
+        |m AS (
+        |  SELECT p.src_id, p.tgt_id, p.c,
+        |    p.c / ((f.avg_src + b.avg_tgt) / 2.0) AS margin
+        |  FROM pc p JOIN fwd f USING (src_id) JOIN bwd b USING (tgt_id)),
+        |best AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+        |  FROM m)
+        |SELECT src_id, tgt_id, round(c, 4) AS cos,
+        |  round(margin, 6) AS margin
+        |FROM best WHERE rn = 1 AND margin >= 1.0
+        |ORDER BY src_id""".stripMargin,
 
     // Full margin re-derivation: same block join, same floor-scaled-long
     // neighborhood sums, same IEEE ratio — independent window machinery.
