@@ -49,7 +49,110 @@ object Bench {
     "q56_setops", "q57_audience_overlap", "q58_scd2_apply",
     "q59_rank_twopass", "q60_exact_quantiles", "q61_group_median",
     "tx_bm25_built_index", "rcmn_top5_built_index",
-    "tx_corpus_ready")
+    "tx_corpus_ready",
+    // r11 verdict #4: promoted — the unbenched queries with genuinely
+    // independent perf surfaces (iterative connected components ×2,
+    // IVF-bucketed semantic dedup, incremental-index append, session
+    // windows, as-of join, range join, video keyframe selection,
+    // BPE-costed sequence packing, tf-idf's two-pass doc-term shape)
+    "dd_clusters", "dd_clusters_star", "dd_semantic", "dd_incremental",
+    "q27_sessionize", "q30_asof_attribution", "q31_range_join",
+    "mm_keyframes", "tx_pack_sequences_bpe", "tx_tfidf")
+
+  /** Every oracle query NOT in [[headline]], each with the one-line
+    * reason it is not benched (r11 verdict #4 — makes the exclusion
+    * claim checkable: `BenchCoverageSpec` asserts headline ∪ excluded
+    * partitions `SparkEntry.queries` exactly, so a new query cannot
+    * land unbenched without a recorded reason). Reasons fall into five
+    * kinds: map-only (no shuffle — wall time is the scan), family
+    * (same physical plan family as a benched representative, named),
+    * composition (an alias that just chains benched plans), fixture
+    * (reference-schema parity fixture with no data-scale surface), and
+    * harness (streaming micro-batch loop — wall time measures trigger
+    * scheduling; state-update cost is spec-gated instead). */
+  val excluded: Map[String, String] = Map(
+    "ann_lsh_topk" -> "family: superseded ANN tier; banded-bucket probe benched as ann_ivf_topk, banding join as dd_minhash_lsh",
+    "ann_lsh_join" -> "family: same banded equi-join machinery benched as dd_minhash_lsh",
+    "dd_contamination" -> "family: broadcast anti-join vs benchmark set; join machinery benched via dd_semantic/dd_minhash_lsh",
+    "dd_contamination_bloom" -> "family: dd_contamination with a broadcast bloom prefilter; membership distribution spec-pinned",
+    "dd_corpus" -> "composition: chains benched dd_exact-family + dd_minhash_lsh plans; 10x scale-probe gate asserts its ratio",
+    "dd_eval_lsh" -> "harness: recall evaluation of the benched dd_minhash_lsh plan against a fixture-scale exact join",
+    "dd_exact" -> "family: sub-second partial-aggregable hash agg (q1_agg shape on documents)",
+    "dd_keep_first" -> "family: dd_exact's hash agg with max_by payload",
+    "dd_keep_best" -> "family: dd_exact's hash agg with max_by payload",
+    "dd_simhash" -> "map-only: codegen simhash projection, no shuffle",
+    "dd_simhash_pairs" -> "family: bandedHammingPairs benched as mm_phash_pairs",
+    "emb_normalize" -> "map-only: per-row vector scale, no shuffle",
+    "ix_campaign_index" -> "fixture: reference E3 index build over tiny reference-schema dims (broadcast joins + concat, q4/q6 family)",
+    "ix_condition_index" -> "fixture: reference E3 parity build, fixture-scale",
+    "ix_condition_meta" -> "fixture: stored-SQL metadata parse over a fixture catalog",
+    "knn_threshold_groupmax" -> "composition: knn_topk's scored plan + one hash agg (both benched via knn_topk/knn_fusion)",
+    "layout_zorder" -> "family: the z-order write is paid and benched inside q50_bloom_lookup and read-side in q43_pruned_scan",
+    "mm_chunk_plan" -> "map-only: metadata plan generator, payload untouched",
+    "mm_frame_plan" -> "map-only: metadata plan generator, payload untouched",
+    "mm_phash_clusters" -> "family: label-propagation clustering benched as dd_clusters on the same machinery",
+    "nl_target_codes" -> "fixture: reference E2 grammar normalization, fixture-scale",
+    "nl_target_from_text" -> "fixture: reference E2 parity, fixture-scale",
+    "q2_filter_pushdown" -> "family: pushdown evidence is ExplainProbe's job (q43_pruned_scan); sub-second scan",
+    "q4_dim_broadcast" -> "family: broadcast-dim join inside the benched q3_join_agg family",
+    "q5_latest_order" -> "family: row_number-per-key window, q17_running_window family",
+    "q6_group_concat" -> "family: sub-second hash agg with collect_list",
+    "q7_distinct_pairs" -> "family: sub-second distinct (hash agg)",
+    "q8_union_distinct" -> "family: union + distinct hash agg, q1_agg shape",
+    "q9_semijoin_topk" -> "family: broadcast semi-join + TakeOrderedAndProject (spec-pinned operator)",
+    "q10_antijoin" -> "family: broadcast anti-join, q9 family",
+    "q11_stat_threshold" -> "family: two-pass mean+sigma agg inside benched q22_recommend_audience",
+    "q12_audience_count" -> "family: distinct-count agg inside benched q22_recommend_audience",
+    "q12_audience_approx" -> "family: HLL expression over the q12 plan",
+    "q13_topk_orders" -> "family: TakeOrderedAndProject, knn_topk shape",
+    "q14_scalar_funcs" -> "map-only: codegen string/scalar projection",
+    "q15_json_events" -> "map-only: JSON field extraction projection",
+    "q16_event_hourly" -> "family: time-bucket hash agg, q1_agg shape",
+    "q18_vec_roundtrip" -> "map-only: vector codec projection",
+    "q19_polarity_subtract" -> "family: collect_set + array_except agg, q6/q8 family",
+    "q21_interval_render" -> "composition: q20_sweepline_consensus plan + a render projection",
+    "q23_sweepline_dates" -> "composition: q20's sweep-line on date-typed input",
+    "q24_literal_lists" -> "map-only: literal-list parse projection",
+    "q25_operator_scan" -> "map-only: operator-token scan projection",
+    "q26_condition_codec" -> "map-only: sentinel widening codec projection",
+    "q28_funnel" -> "family: per-key ordered window shared with promoted q27_sessionize",
+    "q29_retention" -> "family: cohort join-agg, q3_join_agg shape",
+    "q32_pivot" -> "family: pivot benched as q48_pivot",
+    "q33_rollup" -> "family: rollup benched as q47_rollup",
+    "q34_heavy_hitters" -> "family: two-stage per-group top-k benched as tx_top_ngrams",
+    "q35_anomaly" -> "family: benched as q46_anomaly",
+    "q36_correlated" -> "family: decorrelates to the benched q3_join_agg shape",
+    "q37_cube" -> "family: grouping-sets agg benched as q47_rollup/q48_pivot",
+    "q38_range_window" -> "family: range-frame window, q17_running_window family",
+    "stream_hourly" -> "harness: micro-batch loop wall time measures trigger scheduling; state cost spec-gated",
+    "stream_ingest_dedup" -> "harness: micro-batch loop; dedup state cost spec-gated",
+    "stream_join" -> "harness: micro-batch loop; join state cost spec-gated",
+    "stream_sessionize" -> "harness: micro-batch loop; session state cost spec-gated",
+    "stream_topk" -> "harness: micro-batch loop; top-k state cost spec-gated",
+    "stream_cdc" -> "harness: micro-batch loop; fold cost ∝ batch spec-gated",
+    "stream_hist" -> "harness: micro-batch loop; histogram merge state-sized",
+    "stream_anomaly" -> "harness: micro-batch loop; benched batch twin q46_anomaly",
+    "tx_bm25_append" -> "family: append work ∝ batch (spec-pinned); query path benched as tx_bm25_built_index",
+    "tx_bpe_vocab" -> "composition: the vocab fold is built and paid inside benched tx_bpe_tokens",
+    "tx_curriculum" -> "map-only: difficulty-score sort key projection over doc stats",
+    "tx_dedup_funnel" -> "composition: chains benched dd_* stages with count taps",
+    "tx_fingerprint" -> "map-only: codegen rolling-hash projection",
+    "tx_lengths" -> "family: sub-second length agg, q1_agg shape",
+    "tx_lengths_approx" -> "family: approx-quantile expression over tx_lengths' scan",
+    "tx_lm_score" -> "map-only: codegen char-ngram scoring, benched inside tx_corpus_ready",
+    "tx_model_score" -> "map-only: batched scoring seam, benched inside tx_corpus_ready",
+    "tx_mix_temperature" -> "family: mixing weights benched as tx_mix_epochs",
+    "tx_pii_scrub" -> "map-only: regex scrub projection",
+    "tx_prep_pipeline" -> "composition: alias of the benched tx_corpus_ready chain",
+    "tx_profile" -> "family: one-pass partial agg over documents, q1_agg shape",
+    "tx_profile_sketch" -> "family: HLL sketch agg; union is state-sized (spec-gated)",
+    "tx_quality" -> "map-only: codegen quality-feature projection, benched inside tx_corpus_ready",
+    "tx_repetition" -> "map-only: codegen repetition-ratio projection",
+    "tx_sample_stratified" -> "map-only: hash-based sampling filter",
+    "tx_sample_weighted" -> "map-only: hash-based weighted sampling filter",
+    "tx_shard_pack" -> "family: shard assignment shares the benched tx_pack_sequences plan",
+    "tx_stats_incremental" -> "family: state-sized monoid merge, spec-gated; build pass is q1_agg-shaped",
+    "tx_tokens" -> "map-only: token-count projection")
 
   /** One completed stage's metrics, captured by the bench listener. A slow
     * run with low executorRunTime means tasks were PARKED (host scheduler /
@@ -329,13 +432,21 @@ object Bench {
       // numbers carry a visible caveat (q1_agg floor is ~0.2-0.4 s here)
       s""""floor_degraded":${canaryFloor > 1.0},"times":$canaryJson},""" +
       f""""runs":$runsPerQuery,"sf":"$sfDir"}"""
-    println(json)
-    // Also drop the line in a bare file: the driver invokes this through
-    // sbt, whose `[info] ` prefix breaks JSON parsing of stdout (every
-    // BENCH_r*.json so far has "parsed": null). A file has no prefix.
-    // Default to an ABSOLUTE path at the repo root — sbt may run the main
-    // in a forked JVM whose cwd differs from the invocation dir, so a
-    // relative default is not provable.
+    // stdout contract (r11 What's-wrong #4): the full-evidence line is
+    // ~10 KB and the driver's captured stdout tail truncates it mid-line
+    // (BENCH_r10/r11 "parsed": null) — so stdout gets ONE COMPACT line
+    // (the documented {"metric",…,"queries"} contract, ~2 KB) and the
+    // full evidence (spread/canaries/adjudicated/min maps) lives only in
+    // bench_out.json. Human logs stay on stderr.
+    val compactJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""queries":$qJson,"runs":$runsPerQuery,"sf":"$sfDir"}"""
+    println(compactJson)
+    // Also drop the FULL line in a bare file: the driver invokes this
+    // through sbt, whose `[info] ` prefix breaks JSON parsing of stdout.
+    // A file has no prefix. Default to an ABSOLUTE path at the repo root
+    // — sbt may run the main in a forked JVM whose cwd differs from the
+    // invocation dir, so a relative default is not provable.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       repoRootFile("bench_out.json"))
     writeFile(outFile, json + "\n")

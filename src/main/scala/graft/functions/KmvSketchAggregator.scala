@@ -22,17 +22,29 @@ import org.apache.spark.sql.expressions.Aggregator
   * The hash is a fixed splitmix64 finalizer: deterministic across
   * runs, sessions, and engines, which makes sketch-gated oracles
   * reproducible. Sketch size is k longs (32 KB at k = 4096) —
-  * persistable next to the data like any manifest. */
+  * persisted per segment by [[graft.operators.Sketches.kmvSketch]] and
+  * merged/intersected FROM STORAGE, the same save-then-maintain
+  * contract the HLL path (`tx_profile_sketch`) honors.
+  *
+  * Input is boxed (`java.lang.Long`) so SQL NULL keys reach [[reduce]]
+  * as `null` and are SKIPPED — the unboxed form would default NULL to
+  * `0L` and insert a phantom member (r11 advice). The buffer is an
+  * amortized flat `Array[Long]` (kryo-encoded primitives, ~2k·8 bytes)
+  * rather than a java-serialized boxed TreeSet: adds are O(1) amortized
+  * with an O(2k·log 2k) sort-dedupe-truncate compaction when the
+  * scratch region fills, so many-segment fan-outs pay array copies, not
+  * per-element boxing + comparator hops. */
 class KmvSketchAggregator(k: Int)
-    extends Aggregator[Long, KmvSketchAggregator.Buf, Array[Long]] {
+    extends Aggregator[java.lang.Long, KmvSketchAggregator.Buf, Array[Long]] {
   require(k >= 2, s"k must be >= 2, got $k")
 
   override def zero: KmvSketchAggregator.Buf =
     new KmvSketchAggregator.Buf(k)
 
   override def reduce(b: KmvSketchAggregator.Buf,
-      key: Long): KmvSketchAggregator.Buf = {
-    b.add(KmvSketchAggregator.hash63(key)); b
+      key: java.lang.Long): KmvSketchAggregator.Buf = {
+    if (key != null) b.add(KmvSketchAggregator.hash63(key.longValue))
+    b
   }
 
   override def merge(a: KmvSketchAggregator.Buf,
@@ -44,7 +56,7 @@ class KmvSketchAggregator(k: Int)
     b.sortedValues
 
   override def bufferEncoder: Encoder[KmvSketchAggregator.Buf] =
-    Encoders.javaSerialization[KmvSketchAggregator.Buf]
+    Encoders.kryo[KmvSketchAggregator.Buf]
 
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
@@ -52,25 +64,47 @@ class KmvSketchAggregator(k: Int)
 
 object KmvSketchAggregator {
 
-  /** Bounded buffer: the k smallest distinct 63-bit hashes seen. */
+  /** Bounded buffer: the k smallest distinct 63-bit hashes seen.
+    *
+    * Layout: `arr[0, kept)` is sorted distinct (the survivors of the
+    * last compaction, ≤ k of them); `arr[kept, n)` is an unsorted
+    * scratch region of candidates, each strictly below the admission
+    * threshold (= the kth smallest distinct at last compaction, or +∞
+    * until k distincts have been seen). Compaction sorts, dedupes and
+    * truncates to k; candidates it discards were ≥ the true kth
+    * smallest distinct, so the sketch is exact vs the TreeSet form. */
   final class Buf(val k: Int) extends Serializable {
-    private val set = new java.util.TreeSet[java.lang.Long]()
+    private var arr = new Array[Long](math.max(4, 2 * k))
+    private var kept = 0 // sorted-distinct prefix length
+    private var n = 0 // total occupied length (prefix + scratch)
+    private var threshold = Long.MaxValue // admit h iff h < threshold
 
-    def add(h: Long): Unit =
-      if (set.size < k) { set.add(h); () }
-      else if (h < set.last) { set.add(h); if (set.size > k) set.pollLast(); () }
+    def add(h: Long): Unit = if (h < threshold) {
+      if (n == arr.length) compact()
+      if (h < threshold) { arr(n) = h; n += 1 }
+    }
 
     def addAll(o: Buf): Unit = {
-      val it = o.set.iterator()
-      while (it.hasNext) add(it.next())
+      var i = 0
+      while (i < o.n) { add(o.arr(i)); i += 1 }
+    }
+
+    private def compact(): Unit = {
+      java.util.Arrays.sort(arr, 0, n)
+      var w = 0
+      var i = 0
+      while (i < n && w < k) {
+        if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+        i += 1
+      }
+      kept = w
+      n = w
+      if (w == k) threshold = arr(k - 1)
     }
 
     def sortedValues: Array[Long] = {
-      val out = new Array[Long](set.size)
-      val it = set.iterator()
-      var i = 0
-      while (it.hasNext) { out(i) = it.next(); i += 1 }
-      out
+      compact()
+      java.util.Arrays.copyOfRange(arr, 0, n)
     }
   }
 
@@ -112,4 +146,12 @@ object KmvSketchAggregator {
     val merged = (a ++ b).distinct.sorted.take(k)
     estimateDistinct(merged, k)
   }
+
+  /** Merge persisted sketch ARRAYS (union-then-truncate) — the
+    * storage-side twin of [[Buf.addAll]]: feeding saved bottom-k arrays
+    * back through this equals having sketched the union directly
+    * (mergeable-summaries contract), so per-segment sketches written at
+    * batch time answer cross-batch overlap questions with no re-scan. */
+  def mergeSketch(a: Seq[Long], b: Seq[Long], k: Int): Array[Long] =
+    (a ++ b).distinct.sorted.take(k).toArray
 }

@@ -42,11 +42,22 @@ object MatVecUtil {
   * generated loop, the same split that makes [[PqEncode]] viable on the
   * encode scan. The matrix rides along as a flat row-major `float[]`
   * reference object (d² floats — bounded, broadcast with the plan). */
-case class MatVecFloat(child: Expression, mat: Array[Float], rows: Int,
+case class MatVecFloat(child: Expression,
+    mat: scala.collection.immutable.ArraySeq[Float], rows: Int,
     cols: Int) extends UnaryExpression {
 
   require(rows > 0 && cols > 0 && mat.length == rows * cols,
     s"matrix length ${mat.length} != rows*cols = ${rows * cols}")
+
+  // The matrix rides the case class as an immutable ArraySeq so that
+  // case-class equality is ELEMENT-WISE: with a raw Array[Float] field,
+  // equality is by reference and two identical rotation expressions
+  // never canonicalize equal — defeating CSE and plan-cache matching
+  // (r11 advice). Eval/codegen use the backing primitive array.
+  @transient private lazy val matArr: Array[Float] = mat.unsafeArray match {
+    case a: Array[Float] => a
+    case _ => mat.toArray
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -59,15 +70,24 @@ case class MatVecFloat(child: Expression, mat: Array[Float], rows: Int,
   override def prettyName: String = "mat_vec"
 
   override protected def nullSafeEval(input: Any): Any =
-    MatVecUtil(input.asInstanceOf[ArrayData], mat, rows, cols)
+    MatVecUtil(input.asInstanceOf[ArrayData], matArr, rows, cols)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("matVecMat", mat, "float[]")
+    val matRef = ctx.addReferenceObj("matVecMat", matArr, "float[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.MatVecUtil.apply($c, $matRef, $rows, $cols)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object MatVecFloat {
+  /** Array-accepting constructor (zero-copy wrap; callers must not
+    * mutate the matrix after construction). */
+  def apply(child: Expression, mat: Array[Float], rows: Int,
+      cols: Int): MatVecFloat =
+    MatVecFloat(child,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(mat), rows, cols)
 }

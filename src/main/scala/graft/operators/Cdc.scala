@@ -138,7 +138,8 @@ object Cdc {
     * `nl_targeting_save.py:52-66`).
     *
     * Mechanism: each touched key's existing intervals are re-expressed
-    * as their HEAD rows (`ts = valid_from`, tie = −∞ sentinel — within
+    * as their HEAD rows (`ts = valid_from`, tie = a head-marker struct
+    * that sorts before every batch tie of any type — within
     * a run every source row shares the attribute, so the head row alone
     * re-derives the same interval), unioned with the key's change rows,
     * and re-run through [[scd2Intervals]]. Touched-key work is bounded
@@ -168,13 +169,21 @@ object Cdc {
     val keys = if (broadcastBatch) broadcast(keys0) else keys0
     val untouched = existing.join(keys, Seq(keyCol), "left_anti")
     val tieType = changes.schema(changes.schema.fieldIndex(tieCol)).dataType
+    // Head rows must sort strictly BEFORE any batch change sharing their
+    // valid_from, for ANY tie type — a typed "minimum value" sentinel
+    // only exists for LongType (an IntegerType cast wraps, a StringType
+    // render is not lexicographically minimal). The rebuild therefore
+    // orders on a (head-marker, tie) struct: 0 for head rows, 1 for
+    // batch rows; struct ordering resolves on the marker first, so the
+    // original tie only breaks ties AMONG batch rows, where it is valid.
     val touchedHeads = existing.join(keys, Seq(keyCol), "left_semi")
       .select(col(keyCol), col(attrCol),
         col("valid_from").as(tsCol),
-        lit(Long.MinValue).cast(tieType).as(tieCol))
-    val rebuilt = scd2Intervals(
-      touchedHeads.unionByName(changes.select(
-        col(keyCol), col(attrCol), col(tsCol), col(tieCol))),
+        struct(lit(0).as("_head"),
+          lit(null).cast(tieType).as("_tie")).as(tieCol))
+    val batchRows = changes.select(col(keyCol), col(attrCol), col(tsCol),
+      struct(lit(1).as("_head"), col(tieCol).as("_tie")).as(tieCol))
+    val rebuilt = scd2Intervals(touchedHeads.unionByName(batchRows),
       keyCol, attrCol, tsCol, tieCol)
     untouched.unionByName(rebuilt)
   }

@@ -1225,8 +1225,12 @@ object Dedup {
     * — high cardinality), one distinct. The combined key packs
     * `pmod(hash, 2^40)` and the gram position into one long
     * (`h40·2^20 + pos`), so the window aggregates a fixed-width long —
-    * codegen HashAggregate territory; docs must have < 2^20 grams
-    * (a million words — chunk longer docs first, [[Retrieval]] chunker).
+    * codegen HashAggregate territory. Docs must have ≤ 2^20 grams (a
+    * million words — chunk longer docs first, [[Retrieval]] chunker);
+    * the contract is ENFORCED in-plan (r11 advice): a gram position
+    * past the packing width raises rather than silently corrupting the
+    * windowed-min key (the check rides inside the key expression, so
+    * column pruning cannot drop it).
     *
     * Returns `(idCol, fp: long, pos: int)` — distinct selected
     * fingerprints with the position of their source gram. */
@@ -1234,12 +1238,17 @@ object Dedup {
       n: Int = 3, w: Int = 4): DataFrame = {
     require(n > 0 && w > 0, "winnow needs n > 0 and w > 0")
     val np = docs.sparkSession.sparkContext.defaultParallelism
+    val checkedPos = when(col("p") < lit(1L << 20), col("p"))
+      .otherwise(raise_error(concat(
+        lit("winnowFingerprints: document "), col(idCol).cast("string"),
+        lit(" exceeds 2^20 grams — the packed (hash<<20 | pos) window " +
+          "key cannot address it; chunk longer docs first"))).cast("long"))
     val grams = docs.repartition(np)
       .select(col(idCol), posexplode(ngrams(col(textCol), n))
         .as(Seq("p", "g")))
       .select(col(idCol), col("p"),
         (pmod(shingleHash(col("g")), lit(1L << 40)) * lit(1L << 20) +
-          col("p")).as("key"))
+          checkedPos).as("key"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
       .rowsBetween(Window.currentRow, w - 1)
     val total = Window.partitionBy(col(idCol))

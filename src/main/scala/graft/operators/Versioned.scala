@@ -48,20 +48,39 @@ object Versioned {
     new Path(path).getFileSystem(hconf)
 
   /** Write `df` as immutable version `v` (refusing to overwrite — a
-    * version, once written, never changes). Stages under
-    * `_staging_v=<v>` and renames on completion, so a concurrent
-    * [[versions]]/[[read]] never observes a partial version. */
+    * version, once written, never changes). Stages under a PER-ATTEMPT
+    * unique path `_staging_v=<v>.<uuid>` and renames on completion, so
+    * a concurrent [[versions]]/[[read]] never observes a partial
+    * version AND two concurrent writers of the same version never share
+    * a staging dir (a shared path would let writer B's torn-write
+    * reclaim delete writer A's in-flight parquet). Commit is
+    * first-rename-wins: the loser detects the destination (re-checked
+    * after a failed rename — HDFS renames INTO an existing destination
+    * directory rather than failing), deletes its own staging dir, and
+    * raises the same immutability error a late [[write]] call would.
+    * Torn staging dirs from crashed attempts are unreferenced garbage
+    * swept by [[vacuum]]. */
   def write(df: DataFrame, root: String, v: Long): Unit = {
     require(v >= 0, s"negative version $v")
     val fs = fsOf(root)
     val fin = new Path(vdir(root, v))
     require(!fs.exists(fin),
       s"version $v already exists under $root — versions are immutable")
-    val staging = new Path(s"$root/_staging_v=$v")
-    if (fs.exists(staging)) fs.delete(staging, true) // torn earlier write
+    val staging = new Path(
+      s"$root/_staging_v=$v.${java.util.UUID.randomUUID()}")
     df.write.parquet(staging.toString)
-    require(fs.rename(staging, fin),
-      s"commit rename $staging -> $fin failed")
+    def lostRace(garbage: Path): Nothing = {
+      fs.delete(garbage, true)
+      throw new IllegalStateException(
+        s"version $v committed concurrently under $root — versions are " +
+          "immutable; this attempt's staging was discarded")
+    }
+    // Loss modes differ by FS when fin already exists: local/posix
+    // rename returns false; HDFS renames staging INSIDE fin (nesting)
+    // and returns true — detect both and clean up the loser's files.
+    if (!fs.rename(staging, fin)) lostRace(staging)
+    val nested = new Path(fin, staging.getName)
+    if (fs.exists(nested)) lostRace(nested)
   }
 
   /** Committed versions under `root`, ascending (driver-side listing of
@@ -96,13 +115,17 @@ object Versioned {
     spark.read.parquet(vdir(root, pick))
   }
 
-  /** Drop all but the newest `keepLast` versions; returns the removed
-    * version numbers. */
+  /** Drop all but the newest `keepLast` versions (plus any orphaned
+    * `_staging_v=*` dirs left by crashed write attempts); returns the
+    * removed version numbers. */
   def vacuum(root: String, keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least one version")
     val fs = fsOf(root)
     val doomed = versions(root).dropRight(keepLast)
     doomed.foreach(v => fs.delete(new Path(vdir(root, v)), true))
+    fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_v="))
+      .foreach(s => fs.delete(s.getPath, true))
     doomed
   }
 }
