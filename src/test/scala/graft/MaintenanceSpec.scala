@@ -191,6 +191,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(canon(none) == full)
   }
 
+  test("scd2Apply is tie-type agnostic: string and int ties whose " +
+      "values sort below any typed sentinel still order head rows " +
+      "first") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .collect().map(_.toSeq).toSet
+    // STRING ties: the old Long.MinValue sentinel rendered as
+    // "-9223372036854775808"; a batch tie like "!" sorts BELOW it and
+    // would have reordered against the head row at a shared timestamp.
+    val srcS = Seq((1L, "a", 100L, "m1"), (1L, "b", 200L, "m2"))
+      .toDF("k", "attr", "ts", "tie")
+    val existingS = Cdc.scd2Intervals(srcS, "k", "attr", "ts", "tie")
+    val batchS = Seq((1L, "c", 200L, "!")).toDF("k", "attr", "ts", "tie")
+    val appliedS = Cdc.scd2Apply(existingS, batchS, "k", "attr", "ts",
+      "tie")
+    // expectation: the batch row lands AFTER the existing head at the
+    // shared ts — same result as a full rebuild with a tie that sorts
+    // after every existing tie
+    val expectS = Cdc.scd2Intervals(
+      Seq(("a", 100L, "m1"), ("b", 200L, "m2"), ("c", 200L, "zz"))
+        .map { case (a, t, m) => (1L, a, t, m) }
+        .toDF("k", "attr", "ts", "tie"), "k", "attr", "ts", "tie")
+    assert(canon(appliedS) == canon(expectS),
+      "string-tie batch reordered against the head row")
+    // INT ties: the old sentinel cast wrapped Long.MinValue to 0, so a
+    // negative batch tie (−5 < 0) sorted before the head row.
+    val srcI = Seq((1L, "a", 100L, 7), (1L, "b", 200L, 8))
+      .toDF("k", "attr", "ts", "tie")
+    val existingI = Cdc.scd2Intervals(srcI, "k", "attr", "ts", "tie")
+    val batchI = Seq((1L, "c", 200L, -5)).toDF("k", "attr", "ts", "tie")
+    val appliedI = Cdc.scd2Apply(existingI, batchI, "k", "attr", "ts",
+      "tie")
+    val expectI = Cdc.scd2Intervals(
+      Seq((1L, "a", 100L, 7), (1L, "b", 200L, 8), (1L, "c", 200L, 99))
+        .toDF("k", "attr", "ts", "tie"), "k", "attr", "ts", "tie")
+    assert(canon(appliedI) == canon(expectI),
+      "int-tie batch reordered against the head row")
+  }
+
   test("scd2Apply plan: untouched history passes through a broadcast " +
       "anti-join — the interval table never key-shuffles for a small " +
       "batch") {

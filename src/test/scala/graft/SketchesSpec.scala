@@ -191,4 +191,23 @@ class SketchesSpec extends AnyFunSuite {
       .foldLeft(agg.zero)((bf, x) => agg.reduce(bf, x)).sortedValues
     assert(ska.toArray.sameElements(ref))
   }
+
+  test("KMV ignores NULL keys: a nullable column sketches identically " +
+      "to its non-null projection (no phantom hash63(0) member)") {
+    import graft.functions.KmvSketchAggregator
+    // k > distinct count: the sketch is exhaustive, so a phantom
+    // hash63(0) member would be retained unconditionally — the test
+    // discriminates deterministically, not probabilistically
+    val k = 1024
+    val kmvAgg = udaf(new KmvSketchAggregator(k))
+    val withNulls = (1L to 500L).map(Option(_)) ++ Seq.fill(50)(
+      Option.empty[Long])
+    val skNull = withNulls.toDF("id").repartition(4)
+      .agg(kmvAgg(col("id"))).head().getSeq[Long](0)
+    val skClean = (1L to 500L).toDF("id").repartition(4)
+      .agg(kmvAgg(col("id"))).head().getSeq[Long](0)
+    assert(skNull == skClean, "NULL keys changed the sketch")
+    assert(!skNull.contains(KmvSketchAggregator.hash63(0L)),
+      "phantom member from a NULL default")
+  }
 }

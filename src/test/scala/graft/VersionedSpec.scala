@@ -75,13 +75,57 @@ class VersionedSpec extends AnyFunSuite {
       assert(Versioned.versions(root) == Seq(1L))
       assert(Versioned.read(spark, root, None)
         .select("tag").head().getString(0) == "v1")
-      // the writer reclaims the torn staging dir and commits cleanly
+      // a new writer stages under its OWN unique path — it neither
+      // touches nor is blocked by the torn dir, and commits cleanly
       Versioned.write(df("v2"), root, 2L)
       assert(Versioned.versions(root) == Seq(1L, 2L))
       assert(Versioned.read(spark, root, Some(2L))
         .select("tag").head().getString(0) == "v2")
-      // post-commit: no staging residue
+      // the torn dir is unreferenced garbage until vacuum sweeps it
+      assert(java.nio.file.Files.exists(torn))
+      Versioned.vacuum(root, keepLast = 2)
       assert(!java.nio.file.Files.exists(torn))
+      assert(Versioned.versions(root) == Seq(1L, 2L))
+    } finally graft.streaming.EventStream.deleteDir(
+      root.stripSuffix("/t"))
+  }
+
+  test("concurrent same-version writers: exactly one commits, the " +
+      "loser raises, the winner's data is intact, no staging residue") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_race_spec").toString + "/t"
+    try {
+      Versioned.write(df("base"), root, 1L)
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val outcomes = (0 until 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+          def call(): Option[Throwable] = {
+            gate.await()
+            try { Versioned.write(df(s"w$i"), root, 2L); None }
+            catch { case t: Throwable => Some(t) }
+          }
+        })
+      }
+      gate.countDown()
+      val results = outcomes.map(_.get())
+      pool.shutdown()
+      val failures = results.flatten
+      assert(failures.length == 1,
+        s"expected exactly one loser, got ${failures.length}: $failures")
+      assert(failures.head.isInstanceOf[IllegalStateException] ||
+        failures.head.isInstanceOf[IllegalArgumentException],
+        s"unexpected loser error: ${failures.head}")
+      // winner's version is complete and readable
+      val tag = Versioned.read(spark, root, Some(2L))
+        .select("tag").head().getString(0)
+      assert(tag == "w0" || tag == "w1", s"committed tag $tag")
+      assert(Versioned.read(spark, root, Some(2L)).count() == 2)
+      // loser's staging was cleaned up: nothing but v= dirs remain
+      val residue = new java.io.File(root).listFiles().toSeq
+        .map(_.getName).filterNot(_.startsWith("v="))
+      assert(residue.isEmpty, s"staging residue: $residue")
     } finally graft.streaming.EventStream.deleteDir(
       root.stripSuffix("/t"))
   }

@@ -86,4 +86,25 @@ class WinnowSpec extends AnyFunSuite {
       "doc_id", "text", n, w).count()
     assert(nFp < nGrams * 0.75, s"$nFp fingerprints for $nGrams grams")
   }
+
+  test("position-packing bound is enforced in-plan: exactly 2^20 grams " +
+      "passes, one more raises instead of silently corrupting the key") {
+    // gram count = tokens − n + 1; single-char tokens keep the fixture
+    // ~2 MB, and the default small w keeps the bounded-frame window
+    // pass O(n·w) at 1M rows.
+    def doc(grams: Int): String =
+      Array.fill(grams + n - 1)("a").mkString(" ")
+    val atBound = Seq((1L, doc(1 << 20))).toDF("doc_id", "text")
+    // green at the bound: max position is 2^20 − 1, still addressable
+    assert(Dedup.winnowFingerprints(atBound, "doc_id", "text", n, w)
+      .count() > 0)
+    val pastBound = Seq((2L, doc((1 << 20) + 1))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.winnowFingerprints(pastBound, "doc_id", "text", n, w).count()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.getMessage +: causes(t.getCause)
+    assert(causes(e).exists(m => m != null && m.contains("2^20 grams")),
+      s"expected the packing-bound error, got: ${e.getMessage}")
+  }
 }
