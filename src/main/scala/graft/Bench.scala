@@ -57,7 +57,10 @@ object Bench {
     // BPE-costed sequence packing, tf-idf's two-pass doc-term shape)
     "dd_clusters", "dd_clusters_star", "dd_semantic", "dd_incremental",
     "q27_sessionize", "q30_asof_attribution", "q31_range_join",
-    "mm_keyframes", "tx_pack_sequences_bpe", "tx_tfidf")
+    "mm_keyframes", "tx_pack_sequences_bpe", "tx_tfidf",
+    // r12: persisted-KMV artifact pipeline (build x2, write, merge from
+    // storage, pairwise intersect)
+    "q62_kmv_persisted")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

@@ -63,6 +63,65 @@ object Sketches {
         hll_sketch_estimate(col(c)))
     }
 
+  // ------------------------------------------------ KMV (bottom-k)
+
+  private val TwoTo63 = math.pow(2.0, 63)
+
+  /** Per-group KMV (bottom-k) sketches of `keyCol` as a sorted
+    * `array<long>` column `sk_<keyCol>` — the INTERSECTABLE member of
+    * the sketch family ([[graft.functions.KmvSketchAggregator]]), now a
+    * persisted artifact like the HLL binaries: write the result next to
+    * the data, read it back in any later session, and
+    * [[mergeKmvSketches]]/[[kmvIntersectEstimate]] answer cross-batch
+    * overlap questions with NO re-scan of either segment. One
+    * partial-aggregable pass (map-side partials are the aggregator's
+    * bounded 2k-long buffers); k longs per group of output. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(new graft.functions.KmvSketchAggregator(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(keyCol)).as(s"sk_$keyCol"))
+  }
+
+  /** Merge persisted KMV sketch relations (state + batch): union +
+    * per-group union-then-truncate — `merge(sk(A), sk(B)) = sk(A ∪ B)`
+    * exactly (the mergeable-summaries contract, same as the HLL path),
+    * so append-time maintenance loses nothing vs a rebuild. Pure
+    * column functions (flatten → distinct → sort → slice) over
+    * batch-count·k longs per group — state-sized, never the corpus. */
+  def mergeKmvSketches(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      sketchCol: String, k: Int): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col(sketchCol))))), 1, k).as(sketchCol))
+
+  /** Normalized retention threshold θ of a sketch column (1.0 while the
+    * sketch is exhaustive — fewer than k values — else kth/2⁶³). */
+  def kmvTheta(sk: Column, k: Int): Column =
+    when(size(sk) < k, lit(1.0))
+      .otherwise(element_at(sk, k).cast("double") / lit(TwoTo63))
+
+  /** Distinct-count estimate off a sketch column: exact below k, else
+    * the (k−1)/u₍ₖ₎ estimator — column-native, codegen-friendly. */
+  def kmvDistinctEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / kmvTheta(sk, k))
+
+  /** Intersection estimate between two sketch columns: common hashes
+    * below the shared threshold, scaled by 1/θ — the column-native twin
+    * of [[graft.functions.KmvSketchAggregator.estimateIntersection]]
+    * (same double-cut comparison, so the two agree bit-for-bit). Error
+    * is relative to the OVERLAP; exact while both sketches are
+    * exhaustive. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val th = least(kmvTheta(a, k), kmvTheta(b, k))
+    val cut = th * lit(TwoTo63)
+    val common = size(filter(array_intersect(a, b),
+      x => x.cast("double") < cut))
+    common.cast("double") / th
+  }
+
   /** Clamped equi-width bin of a long value:
     * `floor((v - lo) / width)` into `[0, nBins)`, under/overflow pinned
     * to the edge bins. The double division is EXACT floor division for

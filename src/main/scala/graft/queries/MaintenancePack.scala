@@ -360,6 +360,65 @@ object MaintenancePack extends QueryPack {
             col("exact_overlap").cast("double") * 0.05).as("ok"))
     }),
 
+    // Persisted KMV sketches (r11 verdict #5): per-segment bottom-k
+    // sketches built in TWO independent batches (orderkey parity),
+    // WRITTEN to parquet as artifacts, read back, merged FROM STORAGE
+    // (union-then-truncate = sketch-of-union, the mergeable-summaries
+    // contract the HLL path honors), and intersected pairwise across
+    // all 5 priority segments — the segment-overlap question answered
+    // with no re-scan of any segment. At this SF every segment holds
+    // fewer than k = 4096 distinct customers, so the merged sketches
+    // are exhaustive and est_overlap HASH-MATCHES the exact overlap
+    // (a stronger gate than q57's ±5% boolean); at estimating scale
+    // the ok column carries the ±5%·overlap contract. Exact
+    // sizes/overlaps ride along hash-checked.
+    "q62_kmv_persisted" -> ((s, dir) => {
+      val k = 4096
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("seg"), col("o_custkey"),
+          col("o_orderkey"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_kmv").toString
+      try {
+        // two batch builds, persisted independently — the artifact face
+        Sketches.kmvSketch(o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+          Seq("seg"), "o_custkey", k).write.parquet(s"$tmp/b0")
+        Sketches.kmvSketch(o.filter(pmod(col("o_orderkey"), lit(2)) === 1),
+          Seq("seg"), "o_custkey", k).write.parquet(s"$tmp/b1")
+        val merged = Sketches.mergeKmvSketches(
+          s.read.parquet(s"$tmp/b0"), s.read.parquet(s"$tmp/b1"),
+          Seq("seg"), "sk_o_custkey", k)
+        val a = merged.select(col("seg").as("seg_a"),
+          col("sk_o_custkey").as("sk_a"))
+        val b = merged.select(col("seg").as("seg_b"),
+          col("sk_o_custkey").as("sk_b"))
+        // 5x5 sketch relation: broadcast cartesian of bounded metadata
+        val est = a.crossJoin(broadcast(b))
+          .filter(col("seg_a") < col("seg_b"))
+          .select(col("seg_a"), col("seg_b"),
+            Sketches.kmvIntersectEstimate(col("sk_a"), col("sk_b"), k)
+              .as("est"))
+        val segs = o.select(col("seg"), col("o_custkey")).distinct()
+        val sizes = segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+        val exact = segs.toDF("seg_a", "ka")
+          .join(segs.toDF("seg_b", "kb"),
+            col("ka") === col("kb") && col("seg_a") < col("seg_b"))
+          .groupBy(col("seg_a"), col("seg_b"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        exact
+          .join(broadcast(sizes.toDF("seg_a", "n_a")), "seg_a")
+          .join(broadcast(sizes.toDF("seg_b", "n_b")), "seg_b")
+          .join(broadcast(est), Seq("seg_a", "seg_b"))
+          .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+            col("exact_overlap"),
+            round(col("est")).cast("long").as("est_overlap"),
+            (abs(col("est") - col("exact_overlap").cast("double")) <=
+              col("exact_overlap").cast("double") * 0.05).as("ok"))
+          .orderBy(col("seg_a"), col("seg_b"))
+          .localCheckpoint(true) // pin before the temp artifacts vanish
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
     // read off a fixed-bin histogram (width 8, 64 bins) built per batch
     // (even/odd split) and MERGED — the incremental form of an exact
@@ -728,6 +787,25 @@ object MaintenancePack extends QueryPack {
         |    (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
         |    AS exact_overlap,
         |  TRUE AS ok""".stripMargin,
+
+    // exhaustive-sketch regime at oracle SF: est_overlap hash-matches
+    // the exact overlap (stronger than a boolean gate); ok carries the
+    // ±5%·overlap contract for estimating scale
+    "q62_kmv_persisted" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT o_orderpriority AS seg, o_custkey FROM orders),
+        |sz AS (SELECT seg, CAST(count(*) AS BIGINT) AS n
+        |       FROM seg GROUP BY seg)
+        |SELECT a.seg AS seg_a, b.seg AS seg_b, sa.n AS n_a, sb.n AS n_b,
+        |  CAST(count(*) AS BIGINT) AS exact_overlap,
+        |  CAST(count(*) AS BIGINT) AS est_overlap,
+        |  TRUE AS ok
+        |FROM seg a
+        |JOIN seg b ON a.o_custkey = b.o_custkey AND a.seg < b.seg
+        |JOIN sz sa ON sa.seg = a.seg
+        |JOIN sz sb ON sb.seg = b.seg
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2""".stripMargin,
 
     // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
     // oracle asserts the ±5% gate held for every lang

@@ -192,6 +192,59 @@ class SketchesSpec extends AnyFunSuite {
     assert(ska.toArray.sameElements(ref))
   }
 
+  test("KMV artifact face: sketches survive a parquet round trip, " +
+      "merge-from-storage equals the sketch of the union, and the " +
+      "column-native intersect estimate agrees with the driver-side " +
+      "one bit-for-bit") {
+    import graft.functions.KmvSketchAggregator
+    val k = 512
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_kmv_spec").toString
+    try {
+      // 40 segments x 2 batches — the many-segment fan-out the kryo
+      // array buffer is sized for
+      val rows = (0L until 40000L)
+        .map(i => (i % 40, i % 7001, i)) // (seg, key, batch discriminator)
+      val df = rows.toDF("seg", "key", "i").repartition(16)
+      val b0 = df.filter(col("i") % 2 === 0)
+      val b1 = df.filter(col("i") % 2 =!= 0)
+      Sketches.kmvSketch(b0, Seq("seg"), "key", k)
+        .write.parquet(s"$dir/b0")
+      Sketches.kmvSketch(b1, Seq("seg"), "key", k)
+        .write.parquet(s"$dir/b1")
+      val merged = Sketches.mergeKmvSketches(
+        spark.read.parquet(s"$dir/b0"), spark.read.parquet(s"$dir/b1"),
+        Seq("seg"), "sk_key", k)
+      val direct = Sketches.kmvSketch(df, Seq("seg"), "key", k)
+      val m = merged.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val d = direct.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(m.keySet == d.keySet && m.keySet.size == 40)
+      m.keySet.foreach(s =>
+        assert(m(s) == d(s), s"merge-from-storage != direct for seg $s"))
+      // column-native intersect estimate == driver-side estimate, and
+      // the merged artifact answers a cross-segment overlap question
+      val s0 = m(0L); val s1 = m(1L)
+      val fromCol = merged.filter(col("seg") === 0L)
+        .select(col("sk_key").as("a"))
+        .crossJoin(broadcast(merged.filter(col("seg") === 1L)
+          .select(col("sk_key").as("b"))))
+        .select(Sketches.kmvIntersectEstimate(col("a"), col("b"), k)
+          .as("est")).head().getDouble(0)
+      val fromDriver = KmvSketchAggregator.estimateIntersection(s0, s1, k)
+      assert(fromCol == fromDriver,
+        s"column-native $fromCol != driver $fromDriver")
+      // ground truth: segments 0 and 1 share no keys iff key sets
+      // disjoint — compute exact overlap and check the relative gate
+      val keys0 = rows.filter(_._1 == 0L).map(_._2).toSet
+      val keys1 = rows.filter(_._1 == 1L).map(_._2).toSet
+      val exact = keys0.intersect(keys1).size.toDouble
+      assert(math.abs(fromCol - exact) <= math.max(0.15 * exact, 30.0),
+        s"estimate $fromCol vs exact $exact")
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+
   test("KMV ignores NULL keys: a nullable column sketches identically " +
       "to its non-null projection (no phantom hash63(0) member)") {
     import graft.functions.KmvSketchAggregator
