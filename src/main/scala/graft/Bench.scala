@@ -59,8 +59,9 @@ object Bench {
     "q27_sessionize", "q30_asof_attribution", "q31_range_join",
     "mm_keyframes", "tx_pack_sequences_bpe", "tx_tfidf",
     // r12: persisted-KMV artifact pipeline (build x2, write, merge from
-    // storage, pairwise intersect)
-    "q62_kmv_persisted")
+    // storage, pairwise intersect); ExactSubstr span dedup (gram-count
+    // + bloom-prefiltered string confirm + island merge)
+    "q62_kmv_persisted", "dd_exact_substr")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

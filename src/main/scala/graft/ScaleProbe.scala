@@ -208,7 +208,21 @@ object ScaleProbe {
             Seq("lang"), Seq("len", "doc_id"), buckets = 64)
           .groupBy(col("lang")).agg(max(col("rank")).as("mx"))
           .count(): Unit
-      }, 15.0))
+      }, 15.0),
+      // ExactSubstr span dedup at scale: token-prefixed copies keep
+      // gram spaces disjoint, so duplicated mass (and the bloom-
+      // surviving string shuffle) grows linearly with the corpus while
+      // the hash-count pass carries 10x the grams
+      ("dd_exact_substr", "docsw", (d: DataFrame) => {
+        Dedup.exactSubstrSpans(d, "doc_id", "text", minLen = 20)
+          .count(): Unit
+      }, 9.0),
+      // the PCA covariance build (r11 verdict #1: the only heavy build
+      // path not probed): one generator-pass d²-product scan + a d×d
+      // driver eigendecomposition — wall must be data-proportional
+      ("ann_pca_rotation_build", "emb", (e: DataFrame) => {
+        Ann.buildPcaRotation(e, m = 16): Unit
+      }, 9.0))
 
     // min-of-N per point: this box shows intermittent multi-second
     // scheduler stalls (the bench adjudicates them away with bracketing

@@ -1266,6 +1266,110 @@ object Dedup {
         pmod(col("mk"), lit(1L << 20)).cast("int").as("pos"))
   }
 
+  /** EXACT duplicated-substring spans — Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): every maximal token span of length ≥ `minLen` whose
+    * text occurs at ≥ 2 positions in the corpus (including twice
+    * within one document). Lee et al. realize this with a distributed
+    * suffix array; the shuffle-native EQUIVALENCE used here avoids the
+    * suffix sort entirely: a token position lies in a duplicated run
+    * of length ≥ L iff it lies in some duplicated L-gram window (any
+    * duplicated ≥L substring's L-windows are each duplicated; a
+    * duplicated L-gram IS a duplicated L-substring), so the union of
+    * duplicated-L-gram windows equals the union of duplicated-≥L
+    * substring positions — and THAT is a gram-count aggregation plus a
+    * per-document interval merge, both embarrassingly partitionable.
+    *
+    * Three passes, each shuffle-bounded:
+    *  1. gram-hash count (8-byte hashes through a partial-aggregable
+    *     HashAggregate — the corpus's STRINGS never shuffle) → the
+    *     duplicated-hash set;
+    *  2. a broadcast bloom over that set prunes candidate sites
+    *     map-side (no false negatives, so every true site survives),
+    *     then one window count over the surviving gram STRINGS makes
+    *     the decision exact — hash collisions and bloom false
+    *     positives both die here, so the result equals the
+    *     brute-force string count (spec-pinned);
+    *  3. gaps-and-islands per document over duplicated gram start
+    *     positions merges overlapping windows into maximal spans.
+    *
+    * Driver sizing caveat (same as [[contaminationBloom]]): the bloom
+    * holds ~9.6 bits per duplicated DISTINCT gram at fpp = 0.01 —
+    * 100 M duplicated grams ≈ 120 MB; past that, shard by hash range.
+    *
+    * Returns `(idCol, span_start, span_end, n_dup_grams)` — token
+    * index spans, end-exclusive. */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50, fpp: Double = 0.01): DataFrame = {
+    require(minLen > 1, s"minLen must be > 1, got $minLen")
+    val spark = docs.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    val dupH = docs.repartition(np)
+      .select(explode(ngrams(col(textCol), minLen)).as("g"))
+      .select(shingleHash(col("g")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h"))
+      .localCheckpoint(true) // feeds both the count and the bloom build
+    val bloom = dupH.stat.bloomFilter("h", math.max(dupH.count(), 1L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightDup = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    // the UDF is a broadcast-local bitset probe applied BEFORE any
+    // shuffle; only might-be-duplicated gram strings reach the window
+    val cand = docs.repartition(np)
+      .select(col(idCol).as("id"),
+        posexplode(ngrams(col(textCol), minLen)).as(Seq("p", "g")))
+      .filter(mightDup(shingleHash(col("g"))))
+    val dupSites = cand
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("cnt") >= 2)
+      .select(col("id"), col("p"))
+    // windows [p, p+L) merge iff the next start is within L of the
+    // previous — the standard gaps-and-islands pass, per document
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("p"))
+    dupSites
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(wDoc).isNull ||
+          col("p") - lag(col("p"), 1).over(wDoc) > minLen, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(minLen)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
+  /** Apply [[exactSubstrSpans]]: remove every covered token and
+    * reassemble the survivors in document order — the scrub step of
+    * ExactSubstr dedup. Span relations are per-doc FEW (bounded by a
+    * document's duplicated-run count), so they ride back to their
+    * documents as a collected array on a key-equi join and each token
+    * tests coverage against its own document's spans in one codegen
+    * map pass — the document payload never shuffles beyond that join.
+    * Untouched documents pass through text-identical. */
+  def exactSubstrScrub(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val spans = exactSubstrSpans(docs, idCol, textCol, minLen)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    val others = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    val toks = tokens(col(textCol))
+    val kept = filter(
+      transform(toks, (t, i) => when(
+        exists(col("_spans"), sp =>
+          i >= sp.getField("span_start") && i < sp.getField("span_end")),
+        lit(null)).otherwise(t)),
+      t => t.isNotNull)
+    docs.join(spans, Seq(idCol), "left")
+      .select(others :+
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", kept)).as(textCol): _*)
+  }
+
   /** Document-overlap candidates from shared winnowing fingerprints —
     * the MOSS match step as a banded equi-join: fingerprints bucket by
     * VALUE (not position), hot buckets split by [[capBuckets]] (a

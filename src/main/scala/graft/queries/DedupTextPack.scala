@@ -105,6 +105,20 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ExactSubstr dedup (Lee et al. 2021, the suffix-array formulation
+    // re-expressed as duplicated-L-gram span union — see
+    // Dedup.exactSubstrSpans for the equivalence argument): every
+    // maximal token span of ≥ 50 tokens whose text occurs at ≥ 2
+    // positions corpus-wide, as (doc, start, end) intervals. The
+    // missing half of dd_span_scrub's fixed-window form (r11 verdict
+    // #8): spans here are MAXIMAL and arbitrary-offset, not aligned
+    // 5-token cells. Fully hash-matched against DuckDB's brute-force
+    // string-count twin.
+    "dd_exact_substr" -> ((s, dir) => {
+      Dedup.exactSubstrSpans(docs(s, dir), "doc_id", "text", minLen = 50)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Dedup-side EVALUATION (the ann_eval_mrr pattern on the near-dup
     // tier): recall of the BANDING stage against the exact all-pairs
     // SHINGLE-set Jaccard ground truth at the signature threshold —
@@ -729,6 +743,41 @@ object DedupTextPack extends QueryPack {
         |  FROM base a JOIN base b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.95
         |ORDER BY lang, id_a, id_b""".stripMargin,
+
+    // Brute force: count every 50-gram STRING corpus-wide, keep
+    // positions of those seen >= 2 times, merge per-doc via
+    // gaps-and-islands — the definitionally-exact twin of the
+    // hash-prefiltered Spark plan.
+    "dd_exact_substr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 49, 0) + 1)) AS p1
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(p1 AS INT) - 1 AS p,
+        |    array_to_string(t[p1:p1+49], ' ') AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c
+        |    FROM grams)
+        |  WHERE c >= 2),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 50 THEN 1 ELSE 0
+        |      END) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (
+        |    SELECT doc_id, p,
+        |      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |    FROM dup))
+        |SELECT doc_id, CAST(min(p) AS INT) AS span_start,
+        |  CAST(max(p) + 50 AS INT) AS span_end,
+        |  count(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Same windowed-min selection re-derived: grams via a lateral range,
     // the identical 60-bit packed (hash, pos) key, full windows only.
