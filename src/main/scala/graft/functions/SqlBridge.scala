@@ -19,4 +19,20 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Unpersist the block storage behind a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` only talks to the cache manager; a local
+    * checkpoint's blocks belong to the checkpointed RDD inside the
+    * plan's `LogicalRDD` leaf and otherwise live until the DataFrame is
+    * GC'd and the ContextCleaner gets around to them — build paths that
+    * checkpoint a bounded fit slice free it EAGERLY with this once the
+    * learned artifact is extracted (r11 verdict: accumulated checkpoint
+    * blocks showed up as multi-second GC in later queries' stages).
+    * No-op on plans without a LogicalRDD leaf. */
+  def freeLocalCheckpoint(ds: Dataset[_]): Unit =
+    ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

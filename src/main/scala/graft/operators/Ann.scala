@@ -157,35 +157,39 @@ object Ann {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .coalesce(fitPartitions)
       .localCheckpoint(true)
-    var centers: Array[Array[Float]] = fit
-      .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
-      .limit(numCentroids)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(centers.length == numCentroids,
-      s"fit set smaller than numCentroids=$numCentroids")
-    require(numCentroids <= 256,
-      s"fused coarse fit encodes assignments as byte codes: C=$numCentroids" +
-        " > 256 — use buildIvfKMeans for larger coarse books")
-    for (_ <- 1 to maxIter) {
-      val unit = centers.map { v =>
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
-        if (n == 0.0) v.toSeq else v.map(x => (x / n).toFloat).toSeq
-      }.toSeq
-      val means = pqEncode(fit, Seq(unit), "id", "v", keep = Seq("v"))
-        .select(pmod(element_at(col("codes"), 1).cast("int"), lit(256))
-          .as("cid"), posexplode(col("v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("col").cast("double")).as("mu"))
-        .collect()
-      val next = centers.map(_.clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
-      centers = next
-    }
-    val centroids = emb.sparkSession.createDataFrame(
-      centers.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
-      .toDF("centroid_id", "cvec")
+    val centroids = try {
+      var centers: Array[Array[Float]] = fit
+        .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
+        .limit(numCentroids)
+        .select(col("v")).collect()
+        .map(_.getSeq[Float](0).toArray)
+      require(centers.length == numCentroids,
+        s"fit set smaller than numCentroids=$numCentroids")
+      require(numCentroids <= 256,
+        s"fused coarse fit encodes assignments as byte codes: C=$numCentroids" +
+          " > 256 — use buildIvfKMeans for larger coarse books")
+      for (_ <- 1 to maxIter) {
+        val unit = centers.map { v =>
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (n == 0.0) v.toSeq else v.map(x => (x / n).toFloat).toSeq
+        }.toSeq
+        val means = pqEncode(fit, Seq(unit), "id", "v", keep = Seq("v"))
+          .select(pmod(element_at(col("codes"), 1).cast("int"), lit(256))
+            .as("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("col").cast("double")).as("mu"))
+          .collect()
+        val next = centers.map(_.clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+        centers = next
+      }
+      emb.sparkSession.createDataFrame(
+        centers.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+        .toDF("centroid_id", "cvec")
+      // centers are driver values; free the fit slice's checkpoint
+      // blocks eagerly (same contract as buildPqCodebookLloyd)
+    } finally org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(fit)
     assignToCentroids(emb, centroids, idCol, vecCol)
   }
 
@@ -678,37 +682,43 @@ object Ann {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .coalesce(fitPartitions)
       .localCheckpoint(true)
-    val dim = fit.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
-    val dsub = dim / m
-    val sample = fit
-      .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
-      .limit(ksub)
-      .select(col("v")).collect()
-      .map(_.getSeq[Float](0).toIndexedSeq)
-    require(sample.length == ksub,
-      s"fit set too small: need $ksub rows, got ${sample.length}")
-    var centers: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) {
-      (j, c) => sample(c).slice(j * dsub, (j + 1) * dsub).toArray }
-    val j = (col("pos") / lit(dsub)).cast("int")
-    for (_ <- 1 to maxIter) {
-      val cb = centers.map(_.map(_.toSeq).toSeq).toSeq
-      val means = pqEncode(fit, cb, "id", "v", keep = Seq("v"))
-        .select(col("codes"), posexplode(col("v")))
-        .select(j.as("j"), pmod(col("pos"), lit(dsub)).as("p"),
-          pmod(element_at(col("codes"), j + 1).cast("int"), lit(256)).as("c"),
-          col("col").cast("double").as("x"))
-        .groupBy(col("j"), col("c"), col("p"))
-        .agg(avg(col("x")).as("mu"))
-        .collect()
-      val next = centers.map(_.map(_.clone()))
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getDouble(3).toFloat
+    try {
+      val dim = fit.select(size(col("v"))).head().getInt(0)
+      require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
+      val dsub = dim / m
+      val sample = fit
+        .orderBy(md5(concat(lit(salt), col("id").cast("string"))), col("id"))
+        .limit(ksub)
+        .select(col("v")).collect()
+        .map(_.getSeq[Float](0).toIndexedSeq)
+      require(sample.length == ksub,
+        s"fit set too small: need $ksub rows, got ${sample.length}")
+      var centers: Array[Array[Array[Float]]] = Array.tabulate(m, ksub) {
+        (j, c) => sample(c).slice(j * dsub, (j + 1) * dsub).toArray }
+      val j = (col("pos") / lit(dsub)).cast("int")
+      for (_ <- 1 to maxIter) {
+        val cb = centers.map(_.map(_.toSeq).toSeq).toSeq
+        val means = pqEncode(fit, cb, "id", "v", keep = Seq("v"))
+          .select(col("codes"), posexplode(col("v")))
+          .select(j.as("j"), pmod(col("pos"), lit(dsub)).as("p"),
+            pmod(element_at(col("codes"), j + 1).cast("int"), lit(256)).as("c"),
+            col("col").cast("double").as("x"))
+          .groupBy(col("j"), col("c"), col("p"))
+          .agg(avg(col("x")).as("mu"))
+          .collect()
+        val next = centers.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            r.getDouble(3).toFloat
+        }
+        centers = next
       }
-      centers = next
-    }
-    centers.map(_.map(_.toSeq).toSeq).toSeq
+      centers.map(_.map(_.toSeq).toSeq).toSeq
+      // the codebook is a driver-side value now — free the fit slice's
+      // checkpoint blocks eagerly instead of waiting out GC + cleaner
+      // (r11: the accumulated blocks surfaced as GC churn in LATER
+      // queries' covariance stages)
+    } finally org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(fit)
   }
 
   /** PQ-encode every vector: `codes[j] = argmin_c ‖sub_j(v) − cb[j][c]‖²`

@@ -25,6 +25,18 @@ class PcaPqSpec extends AnyFunSuite {
     dot / math.sqrt(na * nb)
   }
 
+  test("Lloyd builders free their fit-slice checkpoint blocks eagerly " +
+      "(no persistent-RDD leak per build — the r11 GC-churn suspect)") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Ann.buildPqCodebookLloyd(e, m = 16, ksub = 16, maxIter = 2)
+    Ann.buildIvfKMeansLloyd(e, numCentroids = 8, maxIter = 2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.isEmpty,
+      s"fit-slice checkpoint blocks leaked: RDD ids $leaked")
+  }
+
   test("buildPcaRotation is orthogonal, cosine-preserving, and " +
       "deterministic across builds") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
