@@ -107,8 +107,15 @@ object Graph {
             ((lit(1.0) - lit(damping)) * col("reset") +
               lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       }
-      // pin the result before unpersisting the adjacency it derives from
-      ranks.localCheckpoint(true)
+      // pin the result before unpersisting the adjacency it derives
+      // from; deg/reset checkpoint blocks are likewise dead once the
+      // result is materialized — free them eagerly instead of leaving
+      // |V|-sized blocks to GC + the async cleaner (the r11 session-
+      // pressure lesson)
+      val out = ranks.localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(deg)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(reset)
+      out
     } finally adjacency.unpersist()
   }
 }
