@@ -80,6 +80,7 @@ object Bench {
     "dd_contamination" -> "family: broadcast anti-join vs benchmark set; join machinery benched via dd_semantic/dd_minhash_lsh",
     "dd_contamination_bloom" -> "family: dd_contamination with a broadcast bloom prefilter; membership distribution spec-pinned",
     "dd_corpus" -> "composition: chains benched dd_exact-family + dd_minhash_lsh plans; 10x scale-probe gate asserts its ratio",
+    "dd_exact_substr_scrub" -> "composition: benched dd_exact_substr's spans + a map-side token filter",
     "dd_eval_lsh" -> "harness: recall evaluation of the benched dd_minhash_lsh plan against a fixture-scale exact join",
     "dd_exact" -> "family: sub-second partial-aggregable hash agg (q1_agg shape on documents)",
     "dd_keep_first" -> "family: dd_exact's hash agg with max_by payload",

@@ -119,6 +119,19 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // The scrub step applied: touched documents' surviving text,
+    // hash-matched token-for-token against the oracle's rebuild
+    // (kept = positions outside every span, original order).
+    "dd_exact_substr_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val touched = Dedup.exactSubstrSpans(d, "doc_id", "text",
+        minLen = 50).select(col("doc_id")).distinct()
+      Dedup.exactSubstrScrub(d, "doc_id", "text", minLen = 50)
+        .join(touched, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup-side EVALUATION (the ann_eval_mrr pattern on the near-dup
     // tier): recall of the BANDING stage against the exact all-pairs
     // SHINGLE-set Jaccard ground truth at the signature threshold —
@@ -778,6 +791,53 @@ object DedupTextPack extends QueryPack {
         |  count(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // The scrub rebuilt: every token position outside every span, in
+    // order — one divergent kept/dropped decision breaks the hash.
+    "dd_exact_substr_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 49, 0) + 1)) AS p1
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, CAST(p1 AS INT) - 1 AS p,
+        |    array_to_string(t[p1:p1+49], ' ') AS g
+        |  FROM pos),
+        |dup AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c
+        |    FROM grams)
+        |  WHERE c >= 2),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 50 THEN 1 ELSE 0
+        |      END) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (
+        |    SELECT doc_id, p,
+        |      lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        |    FROM dup)),
+        |spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 50 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |tokpos AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i1
+        |  FROM toks
+        |  WHERE doc_id IN (SELECT doc_id FROM spans)),
+        |kept AS (
+        |  SELECT k.doc_id, k.i1, k.t[k.i1] AS tok
+        |  FROM tokpos k
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans s WHERE s.doc_id = k.doc_id
+        |      AND k.i1 - 1 >= s.s AND k.i1 - 1 < s.e))
+        |SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY i1), '') AS text
+        |FROM (SELECT doc_id FROM spans GROUP BY doc_id) d
+        |LEFT JOIN kept USING (doc_id)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Same windowed-min selection re-derived: grams via a lateral range,
     // the identical 60-bit packed (hash, pos) key, full windows only.
