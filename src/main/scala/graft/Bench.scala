@@ -61,7 +61,7 @@ object Bench {
     // r12: persisted-KMV artifact pipeline (build x2, write, merge from
     // storage, pairwise intersect); ExactSubstr span dedup (gram-count
     // + bloom-prefiltered string confirm + island merge)
-    "q62_kmv_persisted", "dd_exact_substr")
+    "q62_kmv_persisted", "dd_exact_substr", "tx_cms_counts")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

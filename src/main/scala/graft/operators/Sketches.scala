@@ -122,6 +122,61 @@ object Sketches {
     common.cast("double") / th
   }
 
+  // ------------------------------------------- Count-Min (CM sketch)
+
+  /** Count-Min sketch of an item column as a RELATION `(r, b, cnt)` —
+    * Cormode & Muthukrishnan 2005: `depth` independent hash rows, each
+    * `width` buckets; an item's count estimate is the MIN over its
+    * `depth` buckets, never an underestimate. The hash is the repo's
+    * md5 convention (`shingleHash` of a row-salted item), so the DuckDB
+    * oracle re-derives every bucket and the sketch is HASH-EXACT across
+    * engines — unlike a float sketch there is nothing to gate, the
+    * estimates themselves match.
+    *
+    * Build is one partial-aggregable pass (items fan out ×depth
+    * map-side, the exchange carries ≤ depth·width groups); the sketch
+    * is depth·width longs of state — persistable parquet like the
+    * KMV/HLL artifacts, mergeable by [[mergeCms]] (counts are a
+    * commutative monoid: merge ≡ rebuild exactly). Zero-count buckets
+    * are absent (sparse). */
+  def cmsBuild(df: DataFrame, itemCol: String, depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape $depth x $width")
+    val rows = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        pmod(graft.operators.Dedup.shingleHash(
+          concat(lit(s"cms:$r:"), col(itemCol))), lit(width.toLong))
+          .as("b"))
+    }
+    df.select(explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS relations (state + batch): union + re-sum per bucket —
+    * exact, any split, any order. */
+  def mergeCms(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query a CMS for each row of `items`: min over the depth
+    * buckets (absent bucket = 0). The sketch side is depth·width
+    * bounded — broadcast — so the probe is a map-side join however
+    * large the query relation is. */
+  def cmsEstimate(items: DataFrame, sketch: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val probes = items.select(col("*"),
+      posexplode(array((0 until depth).map(r =>
+        pmod(graft.operators.Dedup.shingleHash(
+          concat(lit(s"cms:$r:"), col(itemCol))), lit(width.toLong))): _*))
+        .as(Seq("r", "b")))
+    probes
+      .join(broadcast(sketch), Seq("r", "b"), "left_outer")
+      .groupBy(items.columns.map(col).toSeq: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Clamped equi-width bin of a long value:
     * `floor((v - lo) / width)` into `[0, nBins)`, under/overflow pinned
     * to the edge bins. The double division is EXACT floor division for

@@ -419,6 +419,33 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Mergeable Count-Min term-frequency sketch (Cormode 2005): built
+    // per batch (doc parity), merged (counts are a commutative monoid —
+    // merge ≡ rebuild exactly), then point-queried for the exact top-20
+    // words. The md5 bucket hash is the repo's cross-engine convention,
+    // so the ESTIMATES THEMSELVES hash-match DuckDB's re-derivation —
+    // no probabilistic gate needed; the `ok` column additionally pins
+    // the CMS never-underestimate guarantee. depth·width longs of
+    // state answer frequency queries over any batch union with no
+    // re-scan — the heavy-hitter counterpart of the KMV/HLL artifacts.
+    "tx_cms_counts" -> ((s, dir) => {
+      val depth = 3; val width = 1024
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val cms = Sketches.mergeCms(
+        Sketches.cmsBuild(toks.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("w")), "w", depth, width),
+        Sketches.cmsBuild(toks.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("w")), "w", depth, width))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+      Sketches.cmsEstimate(top, cms, "w", depth, width)
+        .select(col("w"), col("exact_cnt"), col("est").as("est_cnt"),
+          (col("est") >= col("exact_cnt")).as("ok"))
+        .orderBy(col("exact_cnt").desc, col("w"))
+    }),
+
     // Mergeable-histogram quantiles: per-lang token-length p50/p90/p99
     // read off a fixed-bin histogram (width 8, 64 bins) built per batch
     // (even/odd split) and MERGED — the incremental form of an exact
@@ -787,6 +814,34 @@ object MaintenancePack extends QueryPack {
         |    (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT)
         |    AS exact_overlap,
         |  TRUE AS ok""".stripMargin,
+
+    // the whole sketch re-derived: every bucket count, every min-over-
+    // rows estimate — integer/md5 arithmetic, hash-exact
+    "tx_cms_counts" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+        |    AS w
+        |  FROM documents),
+        |rr AS (SELECT unnest(range(0, 3)) AS r),
+        |cms AS (
+        |  SELECT r, b, count(*) AS cnt FROM (
+        |    SELECT rr.r,
+        |      ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
+        |        ':' || t.w), 1, 15))::BIGINT % 1024 AS b
+        |    FROM tok t CROSS JOIN rr)
+        |  GROUP BY r, b),
+        |top AS (
+        |  SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w
+        |  ORDER BY exact_cnt DESC, w LIMIT 20)
+        |SELECT tp.w, tp.exact_cnt,
+        |  min(coalesce(c.cnt, 0)) AS est_cnt,
+        |  min(coalesce(c.cnt, 0)) >= tp.exact_cnt AS ok
+        |FROM top tp CROSS JOIN rr
+        |LEFT JOIN cms c ON c.r = rr.r AND
+        |  c.b = ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
+        |    ':' || tp.w), 1, 15))::BIGINT % 1024
+        |GROUP BY tp.w, tp.exact_cnt
+        |ORDER BY tp.exact_cnt DESC, tp.w""".stripMargin,
 
     // exhaustive-sketch regime at oracle SF: est_overlap hash-matches
     // the exact overlap (stronger than a boolean gate); ok carries the

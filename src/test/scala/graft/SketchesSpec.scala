@@ -245,6 +245,44 @@ class SketchesSpec extends AnyFunSuite {
     } finally graft.streaming.EventStream.deleteDir(dir)
   }
 
+  test("Count-Min sketch: merge over any split equals the full build " +
+      "bucket-for-bucket, survives a parquet round trip, and never " +
+      "underestimates") {
+    val depth = 3; val width = 64 // small width -> real collisions
+    val items = (0L until 5000L).map(i => s"w${i % 300}")
+    val df = items.toDF("w").repartition(8)
+    def canon(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val full = Sketches.cmsBuild(df, "w", depth, width)
+    val merged = Sketches.mergeCms(
+      Sketches.cmsBuild(df.filter(length(col("w")) % 2 === 0), "w",
+        depth, width),
+      Sketches.cmsBuild(df.filter(length(col("w")) % 2 =!= 0), "w",
+        depth, width))
+    assert(canon(merged) == canon(full), "merge != rebuild")
+    // artifact face: write, read back, keep merging
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cms_spec").toString
+    try {
+      full.write.parquet(s"$dir/cms")
+      val reread = spark.read.parquet(s"$dir/cms")
+      assert(canon(Sketches.mergeCms(reread, full.limit(0))) ==
+        canon(full))
+      // point estimates: est >= exact for EVERY distinct item, and at
+      // this width some buckets genuinely collide (est > exact
+      // somewhere) so the property is not vacuous
+      val exact = df.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+      val est = Sketches.cmsEstimate(exact, reread, "w", depth, width)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(est.length == 300)
+      assert(est.forall { case (_, ex, e) => e >= ex },
+        "CMS underestimated a count")
+      assert(est.exists { case (_, ex, e) => e > ex },
+        "no collisions at width 64 over 300 items — test is vacuous")
+    } finally graft.streaming.EventStream.deleteDir(dir)
+  }
+
   test("KMV ignores NULL keys: a nullable column sketches identically " +
       "to its non-null projection (no phantom hash63(0) member)") {
     import graft.functions.KmvSketchAggregator
