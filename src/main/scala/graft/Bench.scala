@@ -61,7 +61,8 @@ object Bench {
     // r12: persisted-KMV artifact pipeline (build x2, write, merge from
     // storage, pairwise intersect); ExactSubstr span dedup (gram-count
     // + bloom-prefiltered string confirm + island merge)
-    "q62_kmv_persisted", "dd_exact_substr", "tx_cms_counts")
+    "q62_kmv_persisted", "dd_exact_substr", "tx_cms_counts",
+    "tx_train_classifier")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

@@ -348,6 +348,36 @@ object DedupTextPack extends QueryPack {
     }),
 
     // Quality scoring: unique/stopword ratios + composite score per doc.
+    // Trained linear quality classifier (the CCNet/Gopher "cheap linear
+    // probe over surface features" seam, trained IN the engine): hard-
+    // sigmoid logistic head on (bias, capped length, capped avg word
+    // length), 4 unrolled full-batch GD steps, squared loss. The hard
+    // sigmoid keeps every op piecewise-linear (+ · < clamp) and the
+    // gradients fold as floor-scaled 1e12 longs, so the LEARNED WEIGHTS
+    // and train accuracy hash-match DuckDB's unrolled re-derivation —
+    // a bit-reproducible distributed training loop. One codegen scan
+    // per epoch, |w| longs through each shuffle.
+    "tx_train_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val ntok = size(TextAnalysis.tokens(col("text")))
+      val feats = docs(s, dir).select(
+        lit(1.0).as("x0"),
+        (least(ntok, lit(100)).cast("double") / lit(100.0)).as("x1"),
+        least(length(col("text")).cast("double") /
+          (ntok * lit(10)).cast("double"), lit(2.0)).as("x2"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      val fcols = Seq("x0", "x1", "x2")
+      val w = graft.operators.LinearModel.trainHardSigmoidGd(
+        feats, fcols, "y", lr = 0.5, iters = 4)
+      val p = graft.operators.LinearModel.forward(fcols, w)
+      val acc = feats.agg(
+        (sum(when((p >= lit(0.5)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("v")).head().getDouble(0)
+      Seq(("accuracy", acc), ("w_avgw", w(2)), ("w_bias", w(0)),
+        ("w_len", w(1))).toDF("name", "value").orderBy(col("name"))
+    }),
+
     "tx_quality" -> ((s, dir) => {
       val feats = TextAnalysis.qualityFeatures(col("text"))
       docs(s, dir).select(col("doc_id") +: feats.map {
@@ -740,7 +770,77 @@ object DedupTextPack extends QueryPack {
        |FROM hits WHERE n_hit > 0
        |ORDER BY doc_id""".stripMargin
 
+  /** One GD iteration's CTE pair for the tx_train_classifier oracle:
+    * gradient sums under the previous iteration's weights, then the
+    * weight update — every association order mirrors
+    * [[graft.operators.LinearModel]] exactly (the BPE-rounds /
+    * pagerank unrolling convention). */
+  private def gdRound(i: Int): String = {
+    val pw = s"w${i - 1}"
+    s"""g$i AS (
+       |  SELECT
+       |    sum(CAST(floor(base * x0 * 1e12) AS BIGINT)) AS g0,
+       |    sum(CAST(floor(base * x1 * 1e12) AS BIGINT)) AS g1,
+       |    sum(CAST(floor(base * x2 * 1e12) AS BIGINT)) AS g2
+       |  FROM (
+       |    SELECT x0, x1, x2,
+       |      (greatest(least(a, 1.0), 0.0) - y) * 0.5 *
+       |        (CASE WHEN a > 0.0 AND a < 1.0 THEN 1.0 ELSE 0.0 END)
+       |        AS base
+       |    FROM (
+       |      SELECT x0, x1, x2, y,
+       |        (x0 * (SELECT b FROM $pw) + x1 * (SELECT wl FROM $pw) +
+       |          x2 * (SELECT wa FROM $pw)) * 0.25 + 0.5 AS a
+       |      FROM f))),
+       |w$i AS (
+       |  SELECT
+       |    (SELECT b FROM $pw) -
+       |      0.5 * ((CAST(g0 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
+       |      AS b,
+       |    (SELECT wl FROM $pw) -
+       |      0.5 * ((CAST(g1 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
+       |      AS wl,
+       |    (SELECT wa FROM $pw) -
+       |      0.5 * ((CAST(g2 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
+       |      AS wa
+       |  FROM g$i)""".stripMargin
+  }
+
+  /** The whole unrolled training run + readout. */
+  private def trainClassifierOracle: String =
+    """WITH f AS (
+      |  SELECT 1.0 AS x0,
+      |    CAST(least(len(string_split_regex(trim(text), '\s+')), 100)
+      |      AS DOUBLE) / 100.0 AS x1,
+      |    least(CAST(length(text) AS DOUBLE) /
+      |      CAST(len(string_split_regex(trim(text), '\s+')) * 10
+      |        AS DOUBLE), 2.0) AS x2,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+      |w0 AS (SELECT 0.0 AS b, 0.0 AS wl, 0.0 AS wa),""".stripMargin +
+      "\n" + (1 to 4).map(gdRound).mkString(",\n") + ",\n" +
+    """acc AS (
+      |  SELECT CAST(sum(CASE WHEN
+      |      (greatest(least(a, 1.0), 0.0) >= 0.5) = (y = 1.0)
+      |      THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS v
+      |  FROM (
+      |    SELECT y,
+      |      (x0 * (SELECT b FROM w4) + x1 * (SELECT wl FROM w4) +
+      |        x2 * (SELECT wa FROM w4)) * 0.25 + 0.5 AS a
+      |    FROM f))
+      |SELECT 'accuracy' AS name, v AS value FROM acc
+      |UNION ALL SELECT 'w_avgw', (SELECT wa FROM w4)
+      |UNION ALL SELECT 'w_bias', (SELECT b FROM w4)
+      |UNION ALL SELECT 'w_len', (SELECT wl FROM w4)
+      |ORDER BY name""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    // every iteration's gradient longs, weight doubles, and the final
+    // accuracy re-derived — one divergent IEEE op anywhere in the
+    // 4-step trajectory breaks the hash
+    "tx_train_classifier" -> trainClassifierOracle,
     "dd_exact" ->
       """SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_uniq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
