@@ -1266,6 +1266,46 @@ object Dedup {
         pmod(col("mk"), lit(1L << 20)).cast("int").as("pos"))
   }
 
+  /** Leakage-free train/val/test split: near-duplicate CLUSTERS are
+    * the atomic assignment unit, so two near-duplicate documents can
+    * NEVER land in different splits (the eval-contamination failure
+    * mode a row-wise random split has — Lee et al. 2021 §6 measure
+    * exactly this train/test leakage in deduplicated corpora).
+    * Assignment is `md5("split:" ∥ cluster_rep) mod Σweights` ranged by
+    * the declared split weights — deterministic, engine-reproducible,
+    * and stable under re-runs and appends (a new batch's docs join
+    * existing clusters and inherit their split; only genuinely new
+    * clusters draw fresh slots).
+    *
+    * `pairs` is any near-dup pair relation (`id_a`, `id_b` — minhash,
+    * simhash, embedding, winnowing…); singleton documents are their own
+    * cluster. Scale shape: [[duplicateClusters]]' label propagation +
+    * one broadcast-sized hash range per doc — no shuffle beyond the
+    * cluster join.
+    *
+    * Returns `(idCol, split)`. */
+  def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_rep"))
+    val withRep = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("rep"))
+    val slot = pmod(shingleHash(
+      concat(lit("split:"), col("rep").cast("string"))), lit(total.toLong))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val splitCol = splits.zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), ub), acc) =>
+          when(slot < lit(ub.toLong), lit(name)).otherwise(acc)
+      }
+    withRep.select(col(idCol), splitCol.as("split"))
+  }
+
   /** EXACT duplicated-substring spans — Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better",
     * ExactSubstr): every maximal token span of length ≥ `minLen` whose

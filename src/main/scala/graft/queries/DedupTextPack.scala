@@ -185,6 +185,31 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-free dataset split: near-dup clusters are the atomic
+    // train/val/test unit (Lee et al. 2021 §6's measured failure mode:
+    // row-wise random splits put near-duplicates on both sides of the
+    // eval boundary). Cluster reps draw an md5 slot ranged 8/1/1; every
+    // member inherits its rep's split, so leaked_pairs — near-dup pairs
+    // straddling splits — is 0 BY CONSTRUCTION, and the oracle
+    // re-derives clusters, slots, and the leak audit end to end.
+    "dd_split_leakfree" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashNearDups(d, "doc_id", "text",
+          k = 12, bands = 4, minJ = 0.6)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // feeds clustering AND the leak audit
+      val assign = Dedup.leakFreeSplit(d, "doc_id", pairs,
+        Seq(("train", 8), ("val", 1), ("test", 1)))
+      val leaked = pairs
+        .join(assign.toDF("id_a", "sp_a"), "id_a")
+        .join(assign.toDF("id_b", "sp_b"), "id_b")
+        .filter(col("sp_a") =!= col("sp_b"))
+        .agg(count(lit(1)).as("leaked_pairs"))
+      assign.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(leaked))
+        .orderBy(col("split"))
+    }),
+
     // Same clusters via the O(log n) alternating-star contraction — the
     // deep-diameter scale path, gated against the identical oracle.
     "dd_clusters_star" -> ((s, dir) => {
@@ -777,6 +802,10 @@ object DedupTextPack extends QueryPack {
     * pagerank unrolling convention). */
   private def gdRound(i: Int): String = {
     val pw = s"w${i - 1}"
+    // CROSS JOIN (one reference per level), NOT scalar subqueries: a
+    // (SELECT b FROM wPrev) per weight makes each CTE re-evaluate its
+    // predecessor ~6x and the 4-deep chain blows up ~6^4 when the
+    // planner inlines CTEs — measured minutes vs seconds.
     s"""g$i AS (
        |  SELECT
        |    sum(CAST(floor(base * x0 * 1e12) AS BIGINT)) AS g0,
@@ -789,21 +818,14 @@ object DedupTextPack extends QueryPack {
        |        AS base
        |    FROM (
        |      SELECT x0, x1, x2, y,
-       |        (x0 * (SELECT b FROM $pw) + x1 * (SELECT wl FROM $pw) +
-       |          x2 * (SELECT wa FROM $pw)) * 0.25 + 0.5 AS a
-       |      FROM f))),
+       |        (x0 * w.b + x1 * w.wl + x2 * w.wa) * 0.25 + 0.5 AS a
+       |      FROM f CROSS JOIN $pw w))),
        |w$i AS (
        |  SELECT
-       |    (SELECT b FROM $pw) -
-       |      0.5 * ((CAST(g0 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
-       |      AS b,
-       |    (SELECT wl FROM $pw) -
-       |      0.5 * ((CAST(g1 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
-       |      AS wl,
-       |    (SELECT wa FROM $pw) -
-       |      0.5 * ((CAST(g2 AS DOUBLE) / 1e12) / (SELECT n FROM nn))
-       |      AS wa
-       |  FROM g$i)""".stripMargin
+       |    w.b - 0.5 * ((CAST(g.g0 AS DOUBLE) / 1e12) / nn.n) AS b,
+       |    w.wl - 0.5 * ((CAST(g.g1 AS DOUBLE) / 1e12) / nn.n) AS wl,
+       |    w.wa - 0.5 * ((CAST(g.g2 AS DOUBLE) / 1e12) / nn.n) AS wa
+       |  FROM g$i g CROSS JOIN $pw w CROSS JOIN nn)""".stripMargin
   }
 
   /** The whole unrolled training run + readout. */
@@ -827,13 +849,12 @@ object DedupTextPack extends QueryPack {
       |    CAST(count(*) AS DOUBLE) AS v
       |  FROM (
       |    SELECT y,
-      |      (x0 * (SELECT b FROM w4) + x1 * (SELECT wl FROM w4) +
-      |        x2 * (SELECT wa FROM w4)) * 0.25 + 0.5 AS a
-      |    FROM f))
+      |      (x0 * w.b + x1 * w.wl + x2 * w.wa) * 0.25 + 0.5 AS a
+      |    FROM f CROSS JOIN w4 w))
       |SELECT 'accuracy' AS name, v AS value FROM acc
-      |UNION ALL SELECT 'w_avgw', (SELECT wa FROM w4)
-      |UNION ALL SELECT 'w_bias', (SELECT b FROM w4)
-      |UNION ALL SELECT 'w_len', (SELECT wl FROM w4)
+      |UNION ALL SELECT 'w_avgw', wa FROM w4
+      |UNION ALL SELECT 'w_bias', b FROM w4
+      |UNION ALL SELECT 'w_len', wl FROM w4
       |ORDER BY name""".stripMargin
 
   override def oracle: Map[String, String] = Map(
@@ -1031,6 +1052,38 @@ object DedupTextPack extends QueryPack {
     // propagation and the O(log n) alternating-star contraction).
     "dd_clusters" -> clustersOracle,
     "dd_clusters_star" -> clustersOracle,
+
+    // clusters + slot draw + leak audit re-derived; leaked_pairs must
+    // be 0 on both engines by construction
+    "dd_split_leakfree" ->
+      s"""WITH RECURSIVE ${minhashPairsCte()},
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT doc_id,
+         |    CASE WHEN slot < 8 THEN 'train'
+         |         WHEN slot < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      ('0x' || substr(md5('split:' ||
+         |        CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 15))
+         |        ::BIGINT % 10 AS slot
+         |    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)),
+         |leak AS (
+         |  SELECT count(*) AS leaked_pairs FROM mh_pairs p
+         |  JOIN asg a ON a.doc_id = p.id_a
+         |  JOIN asg b ON b.doc_id = p.id_b
+         |  WHERE a.split <> b.split)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
+         |FROM asg GROUP BY split ORDER BY split""".stripMargin,
 
     // Exact keep-first + near-dup clusters composed; survivors = keepfirst
     // minus non-representative cluster members.
