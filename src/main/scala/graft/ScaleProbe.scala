@@ -222,6 +222,19 @@ object ScaleProbe {
       // driver eigendecomposition — wall must be data-proportional
       ("ann_pca_rotation_build", "emb", (e: DataFrame) => {
         Ann.buildPcaRotation(e, m = 16): Unit
+      }, 9.0),
+      // in-engine GD training: 4 epochs = 4 codegen scans, |w| longs
+      // per shuffle — wall must track data, not iteration bookkeeping
+      ("tx_train_classifier", "docs", (d: DataFrame) => {
+        val ntok = size(split(trim(col("text")), "\\s+"))
+        val feats = d.select(lit(1.0).as("x0"),
+          (least(ntok, lit(100)).cast("double") / lit(100.0)).as("x1"),
+          least(length(col("text")).cast("double") /
+            (ntok * lit(10)).cast("double"), lit(2.0)).as("x2"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0))
+            .as("y"))
+        graft.operators.LinearModel.trainHardSigmoidGd(
+          feats, Seq("x0", "x1", "x2"), "y", lr = 0.5, iters = 4): Unit
       }, 9.0))
 
     // min-of-N per point: this box shows intermittent multi-second
