@@ -73,6 +73,21 @@ object PerfProbe {
     time("verified")(verified.count())
     time("full minhashNearDups")(
       Dedup.minhashNearDups(docs, "doc_id", "text").count())
+
+    // dd_incremental decomposition (r12: the promoted query's 10 s)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val ix = Dedup.buildCorpusIndex(corpus, "doc_id", "text", 12, 4)
+    time("index texts")(ix.texts.count())
+    time("index buckets")(ix.buckets.count())
+    time("index wsets")(ix.wsets.count())
+    val pinned = Dedup.CorpusIndex(ix.texts.localCheckpoint(true),
+      ix.buckets.localCheckpoint(true), ix.wsets.localCheckpoint(true))
+    time("dedupIncremental vs PINNED index")(
+      Dedup.dedupIncremental(pinned, batch, "doc_id", "text",
+        12, 4, 0.6).count())
+    time("dedupIncremental convenience (lazy index)")(
+      Dedup.dedupIncremental(corpus, batch, "doc_id", "text").count())
     spark.stop()
   }
 }

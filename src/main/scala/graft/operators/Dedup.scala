@@ -1092,8 +1092,17 @@ object Dedup {
     val rows = k / bands
     val b1 = batch.select(col(idCol), col(textCol))
       .join(index.texts, Seq(textCol), "left_anti")
+    // the two batch-survivor relations are each consumed by SEVERAL
+    // downstream stages (b2: band buckets + word sets + b3; b3: the
+    // within-batch minhash derives sigs AND wsets from it, then the
+    // final anti-join reads it again) — unpinned, every consumer
+    // re-ran the whole anti-join + cross-verification lineage
+    // (measured 13 s at sf0.1; pinned ~4 s). Both are BATCH-sized, so
+    // the pins keep the work-∝-batch contract; b2's blocks free as
+    // soon as b3 (whose checkpoint cuts the lineage) materializes.
     val b2 = b1.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
+      .localCheckpoint(true)
     val bBuckets = lshBuckets(sigsOf(b2, idCol, textCol, k),
       idCol, "sig", bands, rows).toDF("id_a", "band", "key")
     val cands = bBuckets.join(index.buckets, Seq("band", "key"))
@@ -1102,6 +1111,8 @@ object Dedup {
     val crossHits = verifyJaccard(cands, wsetsAll, minJ, keepCols = Seq.empty)
       .select(col("id_a").as(idCol)).distinct()
     val b3 = b2.join(crossHits, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(b2)
     val pairs = minhashNearDups(b3, idCol, textCol, k, bands, minJ)
     val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_rep"))
