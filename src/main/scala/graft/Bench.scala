@@ -62,7 +62,7 @@ object Bench {
     // storage, pairwise intersect); ExactSubstr span dedup (gram-count
     // + bloom-prefiltered string confirm + island merge)
     "q62_kmv_persisted", "dd_exact_substr", "tx_cms_counts",
-    "tx_train_classifier", "dd_split_leakfree")
+    "tx_train_classifier", "dd_split_leakfree", "ann_jl_topk")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

@@ -88,6 +88,16 @@ object RecallProbe {
           q.select(col("qvec")), k = 10, overfetch = 6)
         .select(lit(0L).as("qid"), col("vec_id")))
 
+      for (dOut <- Seq(16, 32); of <- Seq(8, 24, 48)) {
+        val projJ = Ann.buildJlProjection(64, dOut)
+        val jlIdx = Ann.projectJl(e, projJ, 64, dOut)
+          .select(col("vec_id"), col("jlvec"))
+        hits(s"ann_jl_topk(d'=$dOut,of=$of)", Ann.searchJl(e, jlIdx,
+            projJ, 64, dOut, q.select(col("qvec")), k = 10,
+            overfetch = of)
+          .select(lit(0L).as("qid"), col("vec_id")))
+      }
+
       val rot = Ann.buildPcaRotation(e, m = 16)
       val er = Ann.rotate(e, rot)
       val qr = Ann.rotate(e.filter(col("vec_id") === 0)

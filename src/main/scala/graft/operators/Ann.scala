@@ -1155,6 +1155,60 @@ object Ann {
       bridge.expression(col(vecCol)), rot, d, d)))
   }
 
+  /** Johnson–Lindenstrauss random projection matrix (Achlioptas 2003's
+    * database-friendly Rademacher form: entries ±1/√d′ with the sign
+    * drawn from the repo's deterministic md5 stream — engine- and
+    * run-reproducible, so the projected tier rebuilds identically).
+    * Row-major `dOut×dIn`, applied by the codegen [[MatVecFloat]]
+    * kernel like the PCA rotation. Unlike PCA this needs NO training
+    * pass — the matrix is data-independent, which is exactly what makes
+    * it the right coarse tier for a corpus that changes faster than a
+    * rotation could be refit. */
+  def buildJlProjection(dIn: Int, dOut: Int,
+      salt: String = "jl:"): Array[Float] = {
+    require(dIn > 0 && dOut > 0 && dOut <= dIn,
+      s"bad JL shape $dIn -> $dOut")
+    val scale = (1.0 / math.sqrt(dOut.toDouble)).toFloat
+    Array.tabulate(dOut * dIn) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt$i".getBytes("UTF-8"))
+      if ((md(0) & 1) == 0) scale else -scale
+    }
+  }
+
+  /** Project a vector column through a `dOut×dIn` JL matrix into a NEW
+    * column (the full-precision vector stays for the rescore). One
+    * codegen map pass — at 100 TB the projected relation (dOut/dIn of
+    * the bytes) is the one you persist and scan. */
+  def projectJl(df: DataFrame, proj: Array[Float], dIn: Int, dOut: Int,
+      vecCol: String = "embedding", outCol: String = "jlvec"): DataFrame = {
+    require(proj.length == dIn * dOut, s"projection length ${proj.length}")
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    df.withColumn(outCol, bridge.column(graft.functions.MatVecFloat(
+      bridge.expression(col(vecCol)), proj, dOut, dIn)))
+  }
+
+  /** JL coarse search: rank by cosine in the projected space (dOut/dIn
+    * of the scan arithmetic), overfetch, exact rescore on the
+    * full-precision vectors — the [[searchSq8]] shape on the
+    * dimension-reduction axis instead of the quantization axis. JL
+    * preserves inner products within ±ε w.h.p., so the coarse order is
+    * a controlled distortion of the true one; recall is gated like
+    * every float tier. */
+  def searchJl(emb: DataFrame, jlIndex: DataFrame, proj: Array[Float],
+      dIn: Int, dOut: Int, queryVec: DataFrame, k: Int,
+      overfetch: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val qp = projectJl(queryVec, proj, dIn, dOut, "qvec", "qjl")
+    val cands = jlIndex.crossJoin(broadcast(qp.select(col("qjl"))))
+      .select(col(idCol),
+        Graft.cosine(col("jlvec"), col("qjl")).as("jsim"))
+      .orderBy(col("jsim").desc, col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol))
+    rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
+  }
+
   /** Group-centroid ALIGNMENT filter — the relational analog of
     * CLIP-score filtering (Schuhmann et al. 2021: LAION drops pairs whose
     * embedding alignment falls below a floor), applied per group: every

