@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print machine-parsed JSON contract lines on
+// stdout. sbt's DEFAULT outputStrategy for forked runs is LoggedOutput,
+// which routes the child's stdout through sbt's logger and prefixes
+// every line with "[info] " (stderr with "[error] ") — that prefix is
+// what defeated a plain `json.loads(line)` of the captured output for
+// twelve rounds (BENCH_r01/r02 show the contract line COMPLETE in the
+// tail yet unparsed, because it read "[info] {…}"). StdoutOutput makes
+// the forked JVM inherit sbt's own stdout/stderr: contract lines pass
+// through byte-for-byte, unprefixed, at column 0.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

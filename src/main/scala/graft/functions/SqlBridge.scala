@@ -28,11 +28,24 @@ object GraftSqlBridge {
     * checkpoint a bounded fit slice free it EAGERLY with this once the
     * learned artifact is extracted (r11 verdict: accumulated checkpoint
     * blocks showed up as multi-second GC in later queries' stages).
-    * No-op on plans without a LogicalRDD leaf. */
-  def freeLocalCheckpoint(ds: Dataset[_]): Unit =
-    ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    *
+    * MUST be called on the checkpointed dataset ITSELF (whose analyzed
+    * plan is exactly the one `LogicalRDD` leaf the checkpoint created),
+    * never on something derived from it: localCheckpoint truncates
+    * lineage, so freed blocks are unrecoverable, and a derived plan —
+    * e.g. a join of two checkpointed inputs — would silently free EVERY
+    * reachable checkpoint, breaking later actions on the inputs. That
+    * call is a bug at the call site, so it throws instead of freeing
+    * (r12 advice: the multi-leaf behavior was a footgun). No-op on
+    * plans with no LogicalRDD leaf (already freed / never pinned). */
+  def freeLocalCheckpoint(ds: Dataset[_]): Unit = {
+    val leaves = ds.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+      .collect { case lr: org.apache.spark.sql.execution.LogicalRDD => lr }
+    require(leaves.size <= 1,
+      s"freeLocalCheckpoint on a ${leaves.size}-leaf plan: call it on " +
+        "each checkpointed dataset itself, not on a plan derived from " +
+        "several (freeing all reachable checkpoints would be silent " +
+        "data loss for the others' consumers)")
+    leaves.foreach(_.rdd.unpersist(blocking = false))
+  }
 }

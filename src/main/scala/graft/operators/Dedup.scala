@@ -1283,10 +1283,15 @@ object Dedup {
     * mode a row-wise random split has — Lee et al. 2021 §6 measure
     * exactly this train/test leakage in deduplicated corpora).
     * Assignment is `md5("split:" ∥ cluster_rep) mod Σweights` ranged by
-    * the declared split weights — deterministic, engine-reproducible,
-    * and stable under re-runs and appends (a new batch's docs join
-    * existing clusters and inherit their split; only genuinely new
-    * clusters draw fresh slots).
+    * the declared split weights — deterministic and
+    * engine-reproducible. Stability contract (r12 advice): re-running
+    * on the SAME docs+pairs reproduces the assignment bit-for-bit, but
+    * this one-shot form is NOT append-stable — the rep is the
+    * component's min id, so a later batch that adds a smaller-id member
+    * or bridges two clusters changes the rep and would silently flip
+    * already-assigned docs' splits. For appends use
+    * [[leakFreeSplitAppend]], which pins prior assignments and only
+    * draws slots for genuinely new docs.
     *
     * `pairs` is any near-dup pair relation (`id_a`, `id_b` — minhash,
     * simhash, embedding, winnowing…); singleton documents are their own
@@ -1315,6 +1320,66 @@ object Dedup {
           when(slot < lit(ub.toLong), lit(name)).otherwise(acc)
       }
     withRep.select(col(idCol), splitCol.as("split"))
+  }
+
+  /** Append-stable leakage-free split (r12 advice): extends
+    * [[leakFreeSplit]] to the ingestion loop, where batches arrive
+    * after splits have shipped and an already-assigned doc's split MUST
+    * NEVER change (a flip moves training rows across the eval boundary
+    * between checkpoints — exactly the cross-round leakage the operator
+    * exists to prevent).
+    *
+    * `prior` is the persisted `(idCol, split)` assignment from previous
+    * rounds (empty on the first). `pairs` covers the FULL corpus so far
+    * (old∪new — re-banding only the new batch against the index gives
+    * the same cross pairs, [[dedupIncremental]]'s shape). Precedence per
+    * doc:
+    *  1. a prior assignment is kept VERBATIM — absolute stability;
+    *  2. a new doc whose cluster has prior-assigned members inherits
+    *     the split of the smallest-id assigned member (deterministic;
+    *     if a new doc BRIDGES clusters that shipped on different sides
+    *     the historical leak already exists in the shipped data — the
+    *     new member goes to one side deterministically rather than
+    *     minting a third);
+    *  3. a new doc in a genuinely new cluster draws the same
+    *     `md5("split:" ∥ rep) mod Σweights` slot as the one-shot form —
+    *     so first-round output (`prior` empty) equals [[leakFreeSplit]]
+    *     exactly.
+    *
+    * Scale shape: the cluster pass is [[duplicateClusters]]; the
+    * inheritance is one partial-aggregable `min_by` per rep plus two
+    * hash joins on id/rep — nothing corpus-quadratic, work ∝ docs.
+    *
+    * Returns `(idCol, split)` for ALL docs (prior and new). */
+  def leakFreeSplitAppend(docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Int)], prior: DataFrame): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits need positive weights")
+    val total = splits.map(_._2).sum
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_rep"))
+    val withRep = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("rep"))
+    val withPrior = withRep.join(
+      prior.select(col(idCol), col("split").as("_prior_split")),
+      Seq(idCol), "left_outer")
+    val inherited = withPrior.filter(col("_prior_split").isNotNull)
+      .groupBy(col("rep"))
+      .agg(min_by(col("_prior_split"), col(idCol)).as("_cluster_split"))
+    val slot = pmod(shingleHash(
+      concat(lit("split:"), col("rep").cast("string"))), lit(total.toLong))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val splitCol = splits.zip(bounds).dropRight(1)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), ub), acc) =>
+          when(slot < lit(ub.toLong), lit(name)).otherwise(acc)
+      }
+    withPrior.join(inherited, Seq("rep"), "left_outer")
+      .select(col(idCol),
+        coalesce(col("_prior_split"), col("_cluster_split"), splitCol)
+          .as("split"))
   }
 
   /** EXACT duplicated-substring spans — Lee et al. 2021
@@ -1366,14 +1431,31 @@ object Dedup {
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightDup = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // the UDF is a broadcast-local bitset probe applied BEFORE any
-    // shuffle; only might-be-duplicated gram strings reach the window
+    // shuffle; only might-be-duplicated gram strings reach the confirm
     val cand = docs.repartition(np)
       .select(col(idCol).as("id"),
         posexplode(ngrams(col(textCol), minLen)).as(Seq("p", "g")))
-      .filter(mightDup(shingleHash(col("g"))))
-    val dupSites = cand
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("h", shingleHash(col("g")))
+      .filter(mightDup(col("h")))
+    // exact decision via a partial-aggregable count + semi-join back
+    // (r12 verdict #3) — a `count() OVER (PARTITION BY g)` window is
+    // NOT partial-aggregable: every occurrence of one hot duplicated
+    // gram (licence boilerplate, templated headers — exactly what
+    // ExactSubstr exists to find) funnels into ONE window task that
+    // buffers full gram strings. The groupBy collapses duplicates
+    // map-side (at most one row per distinct gram per partition
+    // reaches the exchange), the filtered set has ONE row per
+    // duplicated gram (skew-free by construction), and the semi-join
+    // back streams hot-key probe rows without buffering (AQE's
+    // skew-join splitting applies to them besides). Hash collisions
+    // and bloom false positives still die here — the count groups on
+    // the full gram string, so the result is the brute-force string
+    // count (spec-pinned).
+    val dupG = cand.groupBy(col("h"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+      .select(col("h"), col("g"))
+    val dupSites = cand.join(dupG, Seq("h", "g"), "left_semi")
       .select(col("id"), col("p"))
     // windows [p, p+L) merge iff the next start is within L of the
     // previous — the standard gaps-and-islands pass, per document

@@ -81,8 +81,13 @@ object Graph {
       val nodes = deg.select(col("src").as("node"))
       val n = deg.count() // one driver scalar — the graph's |V|
       require(n > 0, "pagerank over an empty graph")
-      // teleport vector: uniform 1/n, or 1/|seed| on seed nodes
-      val reset: DataFrame = (seed match {
+      // teleport vector: uniform 1/n, or 1/|seed| on seed nodes. The
+      // uniform form is a pure projection over the ALREADY-checkpointed
+      // deg — re-deriving it per consumer is a local-block scan, so its
+      // own checkpoint job (one of q44's ~6 fixed jobs) buys nothing;
+      // only the seeded form (a join) is worth pinning.
+      val resetPinned = seed.isDefined
+      val reset: DataFrame = seed match {
         case None =>
           nodes.withColumn("reset", lit(1.0 / n))
         case Some(s) =>
@@ -92,7 +97,8 @@ object Graph {
           nodes.join(sd.withColumn("reset", lit(1.0 / k)),
               Seq("node"), "left_outer")
             .select(col("node"), coalesce(col("reset"), lit(0.0)).as("reset"))
-      }).localCheckpoint(true)
+            .localCheckpoint(true)
+      }
       var ranks = reset.select(col("node"), col("reset").as("rank"))
       for (_ <- 1 to iters) {
         val contribs = adjacency.join(ranks, adjacency("src") === ranks("node"))
@@ -114,7 +120,8 @@ object Graph {
       // pressure lesson)
       val out = ranks.localCheckpoint(true)
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(deg)
-      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(reset)
+      if (resetPinned)
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(reset)
       out
     } finally adjacency.unpersist()
   }

@@ -163,18 +163,38 @@ object Sketches {
   /** Point-query a CMS for each row of `items`: min over the depth
     * buckets (absent bucket = 0). The sketch side is depth·width
     * bounded — broadcast — so the probe is a map-side join however
-    * large the query relation is. */
+    * large the query relation is.
+    *
+    * Row semantics (r12 advice): the probe keys on a generated
+    * per-row id, NOT on the items' column values — duplicate query
+    * rows each get their own output row, and items relations that
+    * already carry columns named `r`/`b`/`cnt` cannot collide with the
+    * probe's internals (those are uniquely prefixed and the sketch's
+    * columns renamed before the join). The only reserved name is the
+    * OUTPUT column `est`, rejected up front. Returns `items.* + est`,
+    * one row per input row. */
   def cmsEstimate(items: DataFrame, sketch: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame = {
-    val probes = items.select(col("*"),
-      posexplode(array((0 until depth).map(r =>
-        pmod(graft.operators.Dedup.shingleHash(
-          concat(lit(s"cms:$r:"), col(itemCol))), lit(width.toLong))): _*))
-        .as(Seq("r", "b")))
+    require(!items.columns.contains("est"),
+      "cmsEstimate appends an `est` column; rename the existing one")
+    val rid = "_graft_cms_rid"
+    require(!items.columns.contains(rid), s"$rid is reserved")
+    val probes = items
+      .withColumn(rid, monotonically_increasing_id())
+      .select(col("*"),
+        posexplode(array((0 until depth).map(r =>
+          pmod(graft.operators.Dedup.shingleHash(
+            concat(lit(s"cms:$r:"), col(itemCol))), lit(width.toLong))): _*))
+          .as(Seq("_graft_cms_r", "_graft_cms_b")))
+    val sk = sketch.select(col("r").as("_graft_cms_r"),
+      col("b").as("_graft_cms_b"), col("cnt").as("_graft_cms_cnt"))
+    val aggs = items.columns.map(c => first(col(c)).as(c)) :+
+      min(coalesce(col("_graft_cms_cnt"), lit(0L))).as("est")
     probes
-      .join(broadcast(sketch), Seq("r", "b"), "left_outer")
-      .groupBy(items.columns.map(col).toSeq: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .join(broadcast(sk), Seq("_graft_cms_r", "_graft_cms_b"), "left_outer")
+      .groupBy(col(rid))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop(rid)
   }
 
   /** Clamped equi-width bin of a long value:

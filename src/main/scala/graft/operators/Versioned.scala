@@ -115,16 +115,29 @@ object Versioned {
     spark.read.parquet(vdir(root, pick))
   }
 
-  /** Drop all but the newest `keepLast` versions (plus any orphaned
+  /** Drop all but the newest `keepLast` versions (plus orphaned
     * `_staging_v=*` dirs left by crashed write attempts); returns the
-    * removed version numbers. */
-  def vacuum(root: String, keepLast: Int): Seq[Long] = {
+    * removed version numbers.
+    *
+    * Staging sweeps are AGE-GATED (r12 advice): a staging dir is only
+    * garbage if its writer is dead, and the directory's name alone
+    * cannot distinguish a crashed attempt from a write that is
+    * in-flight RIGHT NOW — an unconditional sweep would delete the
+    * live writer's files mid-write and kill a healthy commit (no
+    * committed data corrupted, but routine maintenance must not abort
+    * concurrent work). Only dirs whose modification time is older than
+    * `staleMs` (default 6 h — generously past any sane write duration)
+    * are swept; fresher ones are left for the next vacuum. */
+  def vacuum(root: String, keepLast: Int,
+      staleMs: Long = 6L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least one version")
     val fs = fsOf(root)
     val doomed = versions(root).dropRight(keepLast)
     doomed.foreach(v => fs.delete(new Path(vdir(root, v)), true))
+    val cutoff = System.currentTimeMillis() - staleMs
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_v="))
+      .filter(_.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
     doomed
   }

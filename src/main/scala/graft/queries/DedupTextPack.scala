@@ -210,6 +210,40 @@ object DedupTextPack extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // APPEND-STABLE split (r12 advice): round 1 assigns two thirds of
+    // the corpus (doc_id % 3 ≠ 2); round 2 appends the rest. Prior
+    // assignments must survive VERBATIM (flipped = 0 by construction —
+    // the failure mode being pinned is the one-shot form's rep drift:
+    // an appended smaller-id member changes the cluster rep and would
+    // flip every already-shipped member's split). Pair relations are
+    // per-doc deterministic, so the full-corpus pair set restricted to
+    // round-1 endpoints IS round 1's pair set — one banding pass feeds
+    // both rounds, here and in the oracle.
+    "dd_split_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sp = Seq(("train", 8), ("val", 1), ("test", 1))
+      val pairsFull = Dedup.minhashNearDups(d, "doc_id", "text",
+          k = 12, bands = 4, minJ = 0.6)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true) // feeds both rounds' clusterings
+      val old = (c: org.apache.spark.sql.Column) => pmod(c, lit(3)) =!= 2
+      val prior = Dedup.leakFreeSplitAppend(
+          d.filter(old(col("doc_id"))), "doc_id",
+          pairsFull.filter(old(col("id_a")) && old(col("id_b"))),
+          sp, prior = d.select(col("doc_id"),
+            lit("x").as("split")).limit(0))
+        .localCheckpoint(true) // consumed by round 2 AND the flip audit
+      val assign = Dedup.leakFreeSplitAppend(d, "doc_id", pairsFull,
+        sp, prior)
+      val flips = assign
+        .join(prior.toDF("doc_id", "prior_split"), "doc_id")
+        .filter(col("split") =!= col("prior_split"))
+        .agg(count(lit(1)).as("flipped"))
+      assign.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(flips))
+        .orderBy(col("split"))
+    }),
+
     // Same clusters via the O(log n) alternating-star contraction — the
     // deep-diameter scale path, gated against the identical oracle.
     "dd_clusters_star" -> ((s, dir) => {
@@ -1084,6 +1118,73 @@ object DedupTextPack extends QueryPack {
          |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
          |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
          |FROM asg GROUP BY split ORDER BY split""".stripMargin,
+
+    // Append-stable split: the full-corpus pair derivation feeds both
+    // rounds (pair relations are per-doc deterministic, so restricting
+    // endpoints to round-1 ids IS round 1's pair set); round 1's
+    // assignment is re-derived, then the round-2 precedence chain
+    // (prior verbatim → arg_min inherited → fresh slot) and the
+    // flipped=0 audit replay the Spark operator exactly.
+    "dd_split_append" ->
+      s"""WITH RECURSIVE ${minhashPairsCte()},
+         |p1 AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  WHERE id_a % 3 <> 2 AND id_b % 3 <> 2),
+         |sym1 AS (
+         |  SELECT id_a, id_b FROM p1
+         |  UNION ALL SELECT id_b, id_a FROM p1),
+         |reach1(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym1
+         |  UNION
+         |  SELECT s.id_a, reach1.r FROM sym1 s JOIN reach1 ON s.id_b = reach1.id),
+         |comp1 AS (SELECT id, min(r) AS rep FROM reach1 GROUP BY id),
+         |prior AS (
+         |  SELECT doc_id,
+         |    CASE WHEN slot < 8 THEN 'train'
+         |         WHEN slot < 9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT d.doc_id,
+         |      ('0x' || substr(md5('split:' ||
+         |        CAST(coalesce(c.rep, d.doc_id) AS VARCHAR)), 1, 15))
+         |        ::BIGINT % 10 AS slot
+         |    FROM documents d LEFT JOIN comp1 c ON c.id = d.doc_id
+         |    WHERE d.doc_id % 3 <> 2)),
+         |sym AS (
+         |  SELECT id_a, id_b FROM mh_pairs
+         |  UNION ALL SELECT id_b, id_a FROM mh_pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id_a, id_a FROM sym
+         |  UNION
+         |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+         |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |rep AS (
+         |  SELECT d.doc_id, coalesce(c.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |inh AS (
+         |  SELECT r.rep, arg_min(p.split, p.doc_id) AS cl_split
+         |  FROM rep r JOIN prior p ON p.doc_id = r.doc_id
+         |  GROUP BY r.rep),
+         |final AS (
+         |  SELECT r.doc_id,
+         |    coalesce(p.split, i.cl_split,
+         |      CASE WHEN slot < 8 THEN 'train'
+         |           WHEN slot < 9 THEN 'val'
+         |           ELSE 'test' END) AS split
+         |  FROM (
+         |    SELECT doc_id, rep,
+         |      ('0x' || substr(md5('split:' ||
+         |        CAST(rep AS VARCHAR)), 1, 15))::BIGINT % 10 AS slot
+         |    FROM rep) r
+         |  LEFT JOIN prior p ON p.doc_id = r.doc_id
+         |  LEFT JOIN inh i ON i.rep = r.rep),
+         |flips AS (
+         |  SELECT count(*) AS flipped FROM final f
+         |  JOIN prior p ON p.doc_id = f.doc_id
+         |  WHERE f.split <> p.split)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  (SELECT flipped FROM flips) AS flipped
+         |FROM final GROUP BY split ORDER BY split""".stripMargin,
 
     // Exact keep-first + near-dup clusters composed; survivors = keepfirst
     // minus non-representative cluster members.

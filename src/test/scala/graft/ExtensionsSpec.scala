@@ -58,4 +58,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(collapsed.isStreaming,
       s"collapse dropped isStreaming:\n$collapsed")
   }
+
+  test("freeLocalCheckpoint frees a single-leaf checkpoint, no-ops on " +
+      "plain plans, and REFUSES multi-leaf derived plans (r12 advice)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val a = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    val b = Seq(2, 3, 4).toDF("x").localCheckpoint(true)
+    // a derived two-leaf plan must throw, not silently free BOTH inputs
+    // (lineage is truncated — freed blocks are unrecoverable)
+    intercept[IllegalArgumentException] {
+      GraftSqlBridge.freeLocalCheckpoint(a.join(b, Seq("x")))
+    }
+    // the refused call must leave both inputs fully usable
+    assert(a.join(b, Seq("x")).count() == 2)
+    GraftSqlBridge.freeLocalCheckpoint(a)
+    GraftSqlBridge.freeLocalCheckpoint(b)
+    // no LogicalRDD leaf at all: documented no-op, not an error
+    GraftSqlBridge.freeLocalCheckpoint(Seq(1).toDF("x"))
+  }
 }

@@ -301,4 +301,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(!skNull.contains(KmvSketchAggregator.hash63(0L)),
       "phantom member from a NULL default")
   }
+
+  test("cmsEstimate keeps duplicate query rows, tolerates items columns " +
+      "named r/b/cnt, and rejects a pre-existing est column (r12 advice)") {
+    val sketch = Sketches.cmsBuild(
+      Seq("a", "a", "b").toDF("w"), "w", depth = 3, width = 64)
+    // colliding names + an exact duplicate row — the old groupBy-all-
+    // columns probe collapsed the duplicate and mis-joined on r/b/cnt
+    val items = Seq(("a", 7L, 8L, 9L), ("a", 7L, 8L, 9L), ("b", 1L, 2L, 3L))
+      .toDF("w", "r", "b", "cnt")
+    val out = Sketches.cmsEstimate(items, sketch, "w", 3, 64)
+    assert(out.columns.toSeq == Seq("w", "r", "b", "cnt", "est"))
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).sorted.toSeq
+    assert(rows.length == 3, "duplicate query rows must not collapse")
+    assert(rows.count(_._1 == "a") == 2)
+    // items' own r/b/cnt pass through untouched; never-underestimate
+    assert(rows.filter(_._1 == "a").forall(r => r._2 == 7L && r._3 >= 2L))
+    assert(rows.filter(_._1 == "b").forall(r => r._2 == 1L && r._3 >= 1L))
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(items.withColumnRenamed("cnt", "est"),
+        sketch, "w", 3, 64)
+    }
+  }
 }

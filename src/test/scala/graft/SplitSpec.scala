@@ -62,4 +62,43 @@ class SplitSpec extends AnyFunSuite {
     // the joiner inherits the cluster's split
     assert(after(200L) == after(10L))
   }
+
+  test("leakFreeSplitAppend is append-stable under REP CHANGES: a " +
+      "smaller-id joiner and a cluster bridge flip nobody (r12 advice)") {
+    val docs1 = (10L until 100L).toDF("doc_id")
+    val pairs1 = Seq((20L, 21L), (50L, 51L)).toDF("id_a", "id_b")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "split")
+    val prior = Dedup.leakFreeSplitAppend(docs1, "doc_id", pairs1,
+      weights, empty)
+    val before = prior.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first round with empty prior == the one-shot form exactly
+    val oneShot = Dedup.leakFreeSplit(docs1, "doc_id", pairs1, weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == oneShot)
+    // batch 2 delivers the one-shot form's two failure modes:
+    //  - doc 2 (SMALLER id) joins the 20-cluster: its rep becomes 2,
+    //    so the one-shot slot for 20/21 is redrawn (md5 slot of rep 2
+    //    is 'val' where rep 20's was 'train' — a REAL flip);
+    //  - doc 5 BRIDGES the 20- and 50-clusters into one component.
+    val docs2 = ((10L until 100L) ++ Seq(2L, 5L)).toDF("doc_id")
+    val pairs2 = Seq((20L, 21L), (50L, 51L), (2L, 20L), (5L, 21L),
+      (5L, 50L)).toDF("id_a", "id_b")
+    val after = Dedup.leakFreeSplitAppend(docs2, "doc_id", pairs2,
+        weights, prior)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // absolute stability: every shipped assignment survives verbatim
+    before.foreach { case (id, sp) =>
+      assert(after(id) == sp, s"doc $id flipped $sp -> ${after(id)}")
+    }
+    // the one-shot form DOES flip here — the spec is not vacuous
+    val naive = Dedup.leakFreeSplit(docs2, "doc_id", pairs2, weights)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.exists { case (id, sp) => naive(id) != sp },
+      "fixture failed to exercise the rep-drift failure mode")
+    // new members inherit deterministically: the smallest-id assigned
+    // member of the merged component (20, whose prior split rules)
+    assert(after(2L) == before(20L))
+    assert(after(5L) == before(20L))
+  }
 }

@@ -81,8 +81,18 @@ class VersionedSpec extends AnyFunSuite {
       assert(Versioned.versions(root) == Seq(1L, 2L))
       assert(Versioned.read(spark, root, Some(2L))
         .select("tag").head().getString(0) == "v2")
-      // the torn dir is unreferenced garbage until vacuum sweeps it
+      // the torn dir is unreferenced garbage until vacuum sweeps it —
+      // but ONLY once it looks dead: the default 6 h age gate must
+      // leave a fresh staging dir (indistinguishable from a write in
+      // flight right now) alone, or vacuum would race live writers
       assert(java.nio.file.Files.exists(torn))
+      Versioned.vacuum(root, keepLast = 2)
+      assert(java.nio.file.Files.exists(torn),
+        "age-gated vacuum must not sweep a fresh staging dir")
+      // backdate it past the gate — now it is provably a dead attempt
+      java.nio.file.Files.setLastModifiedTime(torn,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7L * 3600 * 1000))
       Versioned.vacuum(root, keepLast = 2)
       assert(!java.nio.file.Files.exists(torn))
       assert(Versioned.versions(root) == Seq(1L, 2L))
