@@ -63,7 +63,10 @@ object Bench {
     // storage, pairwise intersect); ExactSubstr span dedup (gram-count
     // + bloom-prefiltered string confirm + island merge)
     "q62_kmv_persisted", "dd_exact_substr", "tx_cms_counts",
-    "tx_train_classifier", "dd_split_leakfree", "ann_jl_topk")
+    "tx_train_classifier", "dd_split_leakfree", "ann_jl_topk",
+    // r13: the compound JL-prune x SQ8-rescore tier and the persisted-
+    // KMV set-algebra closure
+    "ann_jl_sq8_topk", "q63_kmv_setops")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion
@@ -314,30 +317,26 @@ object Bench {
     // the iterative family (q44/q45, dd_incremental) degrades — whatever
     // penalizes multi-job checkpoint-per-round queries (GC pressure,
     // block-manager state, scheduler backlog) is invisible to one scan.
-    // This canary IS a mini-iteration: two rounds of shuffle →
-    // localCheckpoint(true) → free-previous-pin over a fixed 4096-row
-    // range, i.e. the exact mechanics of pagerank/dedupIncremental at
-    // toy size. Fixed plan, fixed data, ~0.1-0.2 s warm; a run whose
-    // iteration canary is degraded while q1_agg is clean is the
-    // previously-unarbitrable state, now measured per run.
+    // This canary IS a mini-iteration: shuffle → localCheckpoint(true)
+    // → consume → free over a fixed 4096-row range, i.e. the exact
+    // mechanics of a pagerank/dedupIncremental round at toy size
+    // (checkpoint job + shuffle job + block-manager churn). Fixed plan,
+    // fixed data, ~0.3 s warm; a run whose iteration canary is degraded
+    // while q1_agg is clean is the previously-unarbitrable state, now
+    // measured per run.
     def iterCanary(): Double = {
       if (!canaryOn) return -1.0
       try {
         val t0 = System.nanoTime()
-        var cur = spark.range(0, 4096)
+        val cur = spark.range(0, 4096)
           .select(col("id"), pmod(col("id"), lit(97)).as("k"),
             lit(1.0).as("v"))
+          .groupBy(col("k"))
+          .agg(org.apache.spark.sql.functions.sum(col("v")).as("sv"))
           .localCheckpoint(true)
-        for (_ <- 1 to 2) {
-          val agg = cur.groupBy(col("k"))
-            .agg(org.apache.spark.sql.functions.sum(col("v")).as("sv"))
-          val next = cur.drop("v").join(agg, Seq("k"))
-            .select(col("id"), col("k"), (col("sv") / lit(97.0)).as("v"))
-            .localCheckpoint(true)
-          org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cur)
-          cur = next
-        }
-        cur.count()
+        cur.groupBy(pmod(col("k"), lit(7)).as("k7"))
+          .agg(org.apache.spark.sql.functions.sum(col("sv")).as("s"))
+          .count()
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cur)
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>

@@ -96,6 +96,11 @@ object RecallProbe {
             projJ, 64, dOut, q.select(col("qvec")), k = 10,
             overfetch = of)
           .select(lit(0L).as("qid"), col("vec_id")))
+        // compound: same JL prune, SQ8 int8 rescore instead of exact
+        hits(s"ann_jl_sq8_topk(d'=$dOut,of=$of)", Ann.searchJlSq8(jlIdx,
+            Ann.quantizeSq8(e), projJ, 64, dOut,
+            q.select(col("qvec")), k = 10, overfetch = of)
+          .select(lit(0L).as("qid"), col("vec_id")))
       }
 
       val rot = Ann.buildPcaRotation(e, m = 16)

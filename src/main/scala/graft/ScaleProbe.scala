@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** The asserted probe set, by name — object-level so the reported
+    * count is SPEC-CHECKABLE (r12 verdict #5: SURVEY's probe count
+    * drifted from the artifact twice; ReportedCountsSpec now asserts
+    * SURVEY §15's number against THIS list, and main() requires the
+    * actual probes to match it, so all three stay in lockstep). */
+  val probeNames: Seq[String] = Seq(
+    "dd_corpus", "tx_corpus_ready", "ann_ivfpq_kmeans_build",
+    "ann_bq_batch_topk", "tx_bm25_batch_topk", "q44_pagerank",
+    "tx_chunk_retrieve", "q54_fuzzy_pairs", "dd_winnow_overlap",
+    "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
+    "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental")
+
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -235,7 +247,21 @@ object ScaleProbe {
             .as("y"))
         graft.operators.LinearModel.trainHardSigmoidGd(
           feats, Seq("x0", "x1", "x2"), "y", lr = 0.5, iters = 4): Unit
+      }, 9.0),
+      // the ingestion loop (r12 verdict #2 / missing #1): corpus AND
+      // batch grow 10x together, so work-∝-batch must show as ~linear
+      // wall — a corpus-proportional stage hiding in the probe path
+      // (an accidental re-cluster, an unpinned multi-consumer) would
+      // compound and breach
+      ("dd_incremental", "docs", (d: DataFrame) => {
+        Dedup.dedupIncremental(
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+          .count(): Unit
       }, 9.0))
+    require(probes.map(_._1) == probeNames,
+      s"probe list drifted from probeNames: ${probes.map(_._1)}")
 
     // min-of-N per point: this box shows intermittent multi-second
     // scheduler stalls (the bench adjudicates them away with bracketing

@@ -1209,6 +1209,36 @@ object Ann {
     rescoreExact(emb, cands, queryVec, k, idCol, vecCol)
   }
 
+  /** COMPOUND compression search (r12 verdict #7): JL-prune on the
+    * dimension axis, SQ8-rescore on the quantization axis — the serving
+    * shape where the full-precision vectors are never scanned AT ALL:
+    * the coarse pass reads the dOut/dIn-sized JL relation, the rescore
+    * reads int8 codes (4× smaller than float) for the k·overfetch
+    * candidate ids only. Together the hot path touches
+    * dOut/dIn + ~0 of the float bytes — at 100 TB of embeddings that is
+    * the difference between a scan that fits the page cache and one
+    * that doesn't. Accuracy compounds two controlled distortions (JL's
+    * ±ε inner-product preservation × SQ8's rank noise), so the
+    * overfetch sits deeper than either axis alone and the tier is
+    * recall-gated like every float tier. */
+  def searchJlSq8(jlIndex: DataFrame, quantized: DataFrame,
+      proj: Array[Float], dIn: Int, dOut: Int, queryVec: DataFrame,
+      k: Int, overfetch: Int = 8, idCol: String = "vec_id"): DataFrame = {
+    val qp = projectJl(queryVec, proj, dIn, dOut, "qvec", "qjl")
+    val cands = jlIndex.crossJoin(broadcast(qp.select(col("qjl"))))
+      .select(col(idCol),
+        Graft.cosine(col("jlvec"), col("qjl")).as("jsim"))
+      .orderBy(col("jsim").desc, col(idCol))
+      .limit(k * overfetch)
+      .select(col(idCol))
+    quantized.join(broadcast(cands), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol),
+        sq8Cosine(col("q8"), col("scale"), col("qvec")).as("simil"))
+      .orderBy(col("simil").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Group-centroid ALIGNMENT filter — the relational analog of
     * CLIP-score filtering (Schuhmann et al. 2021: LAION drops pairs whose
     * embedding alignment falls below a floor), applied per group: every

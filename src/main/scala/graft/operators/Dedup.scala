@@ -1092,28 +1092,46 @@ object Dedup {
     val rows = k / bands
     val b1 = batch.select(col(idCol), col(textCol))
       .join(index.texts, Seq(textCol), "left_anti")
-    // the two batch-survivor relations are each consumed by SEVERAL
-    // downstream stages (b2: band buckets + word sets + b3; b3: the
-    // within-batch minhash derives sigs AND wsets from it, then the
-    // final anti-join reads it again) — unpinned, every consumer
-    // re-ran the whole anti-join + cross-verification lineage
-    // (measured 13 s at sf0.1; pinned ~4 s). Both are BATCH-sized, so
-    // the pins keep the work-∝-batch contract; b2's blocks free as
-    // soon as b3 (whose checkpoint cuts the lineage) materializes.
+    // the batch-survivor relations are each consumed by SEVERAL
+    // downstream stages — unpinned, every consumer re-ran the whole
+    // anti-join + cross-verification lineage (measured 13 s at sf0.1;
+    // pinned ~4 s). All pins are BATCH-sized, so they keep the
+    // work-∝-batch contract; b2's blocks free as soon as its three
+    // derivations (sigs, wsets, b3 — each checkpointed) materialize.
     val b2 = b1.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(textCol))
       .localCheckpoint(true)
-    val bBuckets = lshBuckets(sigsOf(b2, idCol, textCol, k),
-      idCol, "sig", bands, rows).toDF("id_a", "band", "key")
+    // signatures and word sets are per-row deterministic, so the batch
+    // is shingled/hashed and tokenized ONCE: the cross-probe reads
+    // these, and the within-batch stage REUSES them via id semi-joins
+    // (the r12 driver profile showed the batch minhashed twice — once
+    // for bBuckets, once inside minhashNearDups(b3))
+    val sigs2 = sigsOf(b2, idCol, textCol, k).localCheckpoint(true)
+    val wsets2 = wsetsOf(b2, idCol, textCol).localCheckpoint(true)
+    val bBuckets = lshBuckets(sigs2, idCol, "sig", bands, rows)
+      .toDF("id_a", "band", "key")
     val cands = bBuckets.join(index.buckets, Seq("band", "key"))
       .select("id_a", "id_b").distinct()
-    val wsetsAll = wsetsOf(b2, idCol, textCol).unionByName(index.wsets)
+    val wsetsAll = wsets2.unionByName(index.wsets)
     val crossHits = verifyJaccard(cands, wsetsAll, minJ, keepCols = Seq.empty)
       .select(col("id_a").as(idCol)).distinct()
     val b3 = b2.join(crossHits, Seq(idCol), "left_anti")
       .localCheckpoint(true)
     org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(b2)
-    val pairs = minhashNearDups(b3, idCol, textCol, k, bands, minJ)
+    // within-batch near-dups = minhashNearDups(b3) with the sig/wset
+    // work already paid: sigsOf(b3) ≡ sigs2 filtered to b3's ids, and
+    // verifyJaccard semi-join-prunes its word relation to candidate
+    // ids itself, so the b2 superset stands in for wsetsOf(b3)
+    val b3ids = b3.select(col(idCol))
+    val sigs3 = sigs2.join(b3ids, Seq(idCol), "left_semi")
+    val buckets3 = capBuckets(lshBuckets(sigs3, idCol, "sig", bands, rows),
+      Seq("band", "key"), idCol, maxBucket = 4096)
+    val a3 = buckets3.toDF("id_a", "band", "key", "salt")
+    val c3 = buckets3.toDF("id_b", "band", "key", "salt")
+    val cands3 = a3.join(c3, Seq("band", "key", "salt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val pairs = verifyJaccard(cands3, wsets2, minJ, keepCols = Seq.empty)
     val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as(idCol))

@@ -108,6 +108,31 @@ object Sketches {
     when(size(sk) < k, size(sk).cast("double"))
       .otherwise(lit((k - 1).toDouble) / kmvTheta(sk, k))
 
+  /** Column-native union of two sketch columns — union-then-truncate,
+    * the pairwise expression form of [[mergeKmvSketches]]: the result
+    * IS the sketch of A ∪ B (bottom-k of the united hash sets), so it
+    * nests — (A ∪ B) ∪ C composes associatively like the relation-level
+    * merge. */
+  def kmvUnionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Union-size estimate |A ∪ B|: the distinct estimate of the union
+    * sketch. Exact while the UNION is exhaustive (< k distinct hashes
+    * across both); else the same (k−1)/θ estimator as any single
+    * sketch — error relative to the union size. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int): Column =
+    kmvDistinctEstimate(kmvUnionSketch(a, b, k), k)
+
+  /** Difference-size estimate |A \ B| = est|A| − est|A ∩ B| (r12
+    * verdict #8) — composes the two existing estimators, closing KMV
+    * set algebra (∩ / ∪ / \) over persisted sketches: segment
+    * arithmetic with no re-scan of either segment. Exact while both
+    * sketches are exhaustive; in the estimating regime the error is
+    * bounded by est|A|'s (relative to |A|) plus the intersection's
+    * (relative to the overlap), so gate against ~5% of |A|. */
+  def kmvDifferenceEstimate(a: Column, b: Column, k: Int): Column =
+    kmvDistinctEstimate(a, k) - kmvIntersectEstimate(a, b, k)
+
   /** Intersection estimate between two sketch columns: common hashes
     * below the shared threshold, scaled by 1/θ — the column-native twin
     * of [[graft.functions.KmvSketchAggregator.estimateIntersection]]

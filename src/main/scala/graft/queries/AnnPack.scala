@@ -401,6 +401,29 @@ object AnnPack extends QueryPack {
       Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
     }),
 
+    // COMPOUND tier (r12 verdict #7): JL 64->16 prune x SQ8 int8
+    // rescore — the serving path that never scans a full-precision
+    // float: coarse order in the 4x-smaller projected space, candidate
+    // rescore on the 4x-smaller quantized codes. Distortions compound,
+    // so the JL overfetch stays at the standalone tier's depth and the
+    // floor at the float-tier 0.7. Measured recall (RecallProbe
+    // d'xoverfetch grid, r13): 9/10 at BOTH sf0.01 and sf0.1 at d'=16,
+    // of=48 — the SQ8 rescore costs at most one hit vs the
+    // exact-rescore JL tier on the same candidate set.
+    "ann_jl_sq8_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val proj = Ann.buildJlProjection(64, 16)
+      val idx = Ann.projectJl(e, proj, 64, 16)
+        .select(col("vec_id"), col("jlvec"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("qid"), col("embedding").as("qvec"))
+      val ann = Ann.searchJlSq8(idx, Ann.quantizeSq8(e), proj, 64, 16,
+          q.select(col("qvec")), k = 10, overfetch = 48)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      Ann.recallVsExact(exactSingle(e, q), ann, k = 10, minRecall = 0.7)
+    }),
+
     "ann_pq_pca_topk" -> ((s, dir) => {
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
@@ -1030,6 +1053,21 @@ object AnnPack extends QueryPack {
     // coarse order is engine-specific float work, the gate is what
     // certifies it (the MLlib-LSH argument, recallVsExact scaladoc)
     "ann_jl_topk" ->
+      """WITH q AS (
+        |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    row_number() OVER (
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q)
+        |SELECT CAST(0 AS BIGINT) AS qid, vec_id AS exact_top1, TRUE AS recall_ok
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    // Same recall-gate shape: the compound JL x SQ8 tier is graded on
+    // whether its candidate set recovers the exact top-k, exactly like
+    // each axis alone.
+    "ann_jl_sq8_topk" ->
       """WITH q AS (
         |  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
         |scored AS (

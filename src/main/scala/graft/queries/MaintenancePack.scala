@@ -419,6 +419,59 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // KMV set ALGEBRA over sketch relations (r12 verdict #8): q62
+    // covers build/persist/merge/intersect; this closes union and
+    // difference — |A∪B| off the union-then-truncate sketch, |A\B| =
+    // est|A| − est|A∩B| — so segment arithmetic (the reference's
+    // audience composition, camp_vec_rcmn.py:236-263, at sketch scale)
+    // needs no re-scan of any segment; the sketches are the same
+    // persistable arrays q62 round-trips through parquet. At the oracle
+    // SF every pairwise union holds fewer than k = 4096 distinct
+    // customers, so both estimates HASH-MATCH the exact sizes; the ok
+    // columns carry the estimating-regime gates (±5% of the union size;
+    // ±5% of |A| for the difference, whose error compounds est|A|'s and
+    // the intersection's — SketchesSpec pins both regimes).
+    "q63_kmv_setops" -> ((s, dir) => {
+      val k = 4096
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("seg"), col("o_custkey"))
+      val sk = Sketches.kmvSketch(o, Seq("seg"), "o_custkey", k)
+      val a = sk.select(col("seg").as("seg_a"),
+        col("sk_o_custkey").as("sk_a"))
+      val b = sk.select(col("seg").as("seg_b"),
+        col("sk_o_custkey").as("sk_b"))
+      val est = a.crossJoin(broadcast(b))
+        .filter(col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          Sketches.kmvUnionEstimate(col("sk_a"), col("sk_b"), k)
+            .as("est_u"),
+          Sketches.kmvDifferenceEstimate(col("sk_a"), col("sk_b"), k)
+            .as("est_d"))
+      val segs = o.distinct()
+      val sizes = segs.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val overlap = segs.toDF("seg_a", "ka")
+        .join(segs.toDF("seg_b", "kb"),
+          col("ka") === col("kb") && col("seg_a") < col("seg_b"))
+        .groupBy(col("seg_a"), col("seg_b"))
+        .agg(count(lit(1)).as("ov"))
+      overlap
+        .join(broadcast(sizes.toDF("seg_a", "n_a")), "seg_a")
+        .join(broadcast(sizes.toDF("seg_b", "n_b")), "seg_b")
+        .join(broadcast(est), Seq("seg_a", "seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          (col("n_a") + col("n_b") - col("ov")).as("exact_union"),
+          round(col("est_u")).cast("long").as("est_union"),
+          (col("n_a") - col("ov")).as("exact_diff"),
+          round(col("est_d")).cast("long").as("est_diff"),
+          (abs(col("est_u") -
+            (col("n_a") + col("n_b") - col("ov")).cast("double")) <=
+            (col("n_a") + col("n_b") - col("ov")).cast("double") * 0.05)
+            .as("ok_union"),
+          (abs(col("est_d") - (col("n_a") - col("ov")).cast("double")) <=
+            col("n_a").cast("double") * 0.05).as("ok_diff"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // Mergeable Count-Min term-frequency sketch (Cormode 2005): built
     // per batch (doc parity), merged (counts are a commutative monoid —
     // merge ≡ rebuild exactly), then point-queried for the exact top-20
@@ -860,6 +913,30 @@ object MaintenancePack extends QueryPack {
         |JOIN sz sa ON sa.seg = a.seg
         |JOIN sz sb ON sb.seg = b.seg
         |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1, 2""".stripMargin,
+
+    // exhaustive-regime closure: union/difference estimates hash-match
+    // the exact sizes; gates TRUE by the same argument as q62
+    "q63_kmv_setops" ->
+      """WITH seg AS (
+        |  SELECT DISTINCT o_orderpriority AS seg, o_custkey FROM orders),
+        |sz AS (SELECT seg, CAST(count(*) AS BIGINT) AS n
+        |       FROM seg GROUP BY seg),
+        |ov AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    CAST(count(*) AS BIGINT) AS ov
+        |  FROM seg a JOIN seg b
+        |    ON a.o_custkey = b.o_custkey AND a.seg < b.seg
+        |  GROUP BY 1, 2)
+        |SELECT ov.seg_a, ov.seg_b,
+        |  sa.n + sb.n - ov.ov AS exact_union,
+        |  sa.n + sb.n - ov.ov AS est_union,
+        |  sa.n - ov.ov AS exact_diff,
+        |  sa.n - ov.ov AS est_diff,
+        |  TRUE AS ok_union, TRUE AS ok_diff
+        |FROM ov
+        |JOIN sz sa ON sa.seg = ov.seg_a
+        |JOIN sz sb ON sb.seg = ov.seg_b
         |ORDER BY 1, 2""".stripMargin,
 
     // boolean-oracled like q12_audience_approx / tx_lengths_approx: the
