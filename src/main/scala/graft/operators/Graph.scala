@@ -84,20 +84,24 @@ object Graph {
       // teleport vector: uniform 1/n, or 1/|seed| on seed nodes. The
       // uniform form is a pure projection over the ALREADY-checkpointed
       // deg — re-deriving it per consumer is a local-block scan, so its
-      // own checkpoint job (one of q44's ~6 fixed jobs) buys nothing;
-      // only the seeded form (a join) is worth pinning.
-      val resetPinned = seed.isDefined
-      val reset: DataFrame = seed match {
+      // own checkpoint job (one of q44's ~6 fixed jobs) buys nothing.
+      // The seeded form pins the SEED (tiny — its count is needed
+      // anyway), not the |V|-sized joined vector: each consumer then
+      // re-derives reset as deg-checkpoint scan ⋈ broadcast(seed) —
+      // shuffle-free — instead of paying a second |V| checkpoint job.
+      val seedPinned = seed.map { s =>
+        val sd = s.select(col("node")).distinct().localCheckpoint(true)
+        val k = sd.count()
+        require(k > 0, "personalized pagerank with an empty seed")
+        (sd, k)
+      }
+      val reset: DataFrame = seedPinned match {
         case None =>
           nodes.withColumn("reset", lit(1.0 / n))
-        case Some(s) =>
-          val sd = s.select(col("node")).distinct()
-          val k = sd.count()
-          require(k > 0, "personalized pagerank with an empty seed")
-          nodes.join(sd.withColumn("reset", lit(1.0 / k)),
+        case Some((sd, k)) =>
+          nodes.join(broadcast(sd.withColumn("reset", lit(1.0 / k))),
               Seq("node"), "left_outer")
             .select(col("node"), coalesce(col("reset"), lit(0.0)).as("reset"))
-            .localCheckpoint(true)
       }
       var ranks = reset.select(col("node"), col("reset").as("rank"))
       for (_ <- 1 to iters) {
@@ -120,8 +124,8 @@ object Graph {
       // pressure lesson)
       val out = ranks.localCheckpoint(true)
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(deg)
-      if (resetPinned)
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(reset)
+      seedPinned.foreach { case (sd, _) =>
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sd) }
       out
     } finally adjacency.unpersist()
   }

@@ -566,6 +566,44 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Streaming SKETCH maintenance — the 9th streaming state kind
+    // under the gate: per-segment KMV (bottom-k) audience sketches
+    // maintained across a 4-micro-batch order stream by the generic
+    // fold harness (state ← mergeKmvSketches(state, kmvSketch(batch))).
+    // merge(sk(A), sk(B)) = sk(A ∪ B) EXACTLY (the mergeable-summaries
+    // contract), so the fixed point is micro-batch-split-independent
+    // and the batch oracle re-derives the distinct estimates — which in
+    // the exhaustive regime ARE the exact per-segment audience counts
+    // (hash-matched, the q62 convention). State is #segments × k longs
+    // FOREVER (never ∝ stream length); each fold is one partial-
+    // aggregable batch sketch build + a k-longs-per-group merge — the
+    // continuously-refreshed audience counter the reference recomputes
+    // from scratch per campaign run (camp_vec_rcmn.py:272-293).
+    "stream_kmv_sketch" -> ((s, dir) => {
+      val k = 4096
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderpriority").as("seg"), col("o_custkey"),
+          col("o_orderkey"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_kmv").toString
+      o.repartitionByRange(4, pmod(col("o_orderkey"), lit(4L)))
+        .write.mode("overwrite").parquet(tmp)
+      try {
+        val st = graft.streaming.EventStream.streamFoldExact(
+          s, tmp, o.schema, None,
+          (prev, b) => {
+            val bs = Sketches.kmvSketch(b, Seq("seg"), "o_custkey", k)
+            prev.fold(bs)(Sketches.mergeKmvSketches(_, bs, Seq("seg"),
+              "sk_o_custkey", k))
+          }).get
+        st.select(col("seg"),
+            round(Sketches.kmvDistinctEstimate(col("sk_o_custkey"), k))
+              .cast("long").as("est_audience"))
+          .orderBy(col("seg"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // HLL distinct-count maintenance: per-lang distinct sources and
     // doc_ids estimated from PERSISTABLE DataSketches binaries built per
     // batch and UNIONED (register-wise max ⇒ union-of-sketches ≡
@@ -832,6 +870,13 @@ object MaintenancePack extends QueryPack {
     // stream_hist's folded state must land on the same rows
     "tx_hist_quantiles" -> histQuantOracle,
     "stream_hist" -> histQuantOracle,
+
+    // exhaustive regime: the streamed KMV state's estimates ARE the
+    // exact per-segment distinct counts (q62/q63 convention)
+    "stream_kmv_sketch" ->
+      """SELECT o_orderpriority AS seg,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS est_audience
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bigram derivation, counts, and the rank-pick re-derived; ties
     // broken by the (cnt DESC, g ASC) total order on both sides

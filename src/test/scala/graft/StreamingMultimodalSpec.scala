@@ -99,6 +99,44 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally EventStream.deleteDir(tmp)
   }
 
+  test("streamed KMV sketch state: the 4-micro-batch fold's final state " +
+      "bit-equals the one-shot sketch of the whole stream (merge = " +
+      "sketch-of-union), and state stays k-longs-per-group") {
+    import graft.operators.Sketches
+    // k below the per-segment distinct count (~128 custkeys at this
+    // fixture), so the stream genuinely exercises truncation at k
+    val k = 64
+    val o = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select(col("o_orderpriority").as("seg"), col("o_custkey"),
+        col("o_orderkey"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_kmv_spec").toString
+    o.repartitionByRange(4, pmod(col("o_orderkey"), lit(4L)))
+      .write.mode("overwrite").parquet(tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val st = EventStream.streamFoldExact(spark, tmp, o.schema, None,
+          (prev, b) => {
+            val bs = Sketches.kmvSketch(b, Seq("seg"), "o_custkey", k)
+            prev.fold(bs)(Sketches.mergeKmvSketches(_, bs, Seq("seg"),
+              "sk_o_custkey", k))
+          }, onBatch = batches += _).get
+      assert(batches.distinct.size >= 4,
+        s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+      val got = st.collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val want = Sketches.kmvSketch(o, Seq("seg"), "o_custkey", k)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(got == want,
+        "streamed state diverged from the one-shot sketch")
+      // boundedness: never more than k hashes per group, however long
+      // the stream ran
+      assert(got.values.forall(_.length <= k))
+      assert(got.nonEmpty && got.values.exists(_.length == k),
+        "fixture too small to exercise truncation at k")
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("streamAnomalyExact: multiple time-ordered micro-batches, state " +
       "bounded by user count, flags equal the batch rolling detector") {
     import graft.operators.Conditions
