@@ -153,6 +153,16 @@ object Embeddings {
     * % 1000 / 500.0 - 1.0)::FLOAT` — double math then one float32
     * rounding, identical in both engines. */
   def embedCol(text: Column, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Md5Embed(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), dim))
+
+  /** Higher-order-function twin of [[embedCol]] (spec-checked equal) —
+    * the executable specification of the codegen expression's md5 math,
+    * and the form the DuckDB oracle twin (`embSql`) mirrors. Kept out of
+    * hot paths: it runs interpreted, re-serializing the full text per
+    * dimension (~4 s of the 6 s campaign-index query at sf0.1). */
+  def embedColHof(text: Column, dim: Int = 64): Column =
     transform(
       sequence(lit(0), lit(dim - 1)),
       i => (pmod(conv(substring(

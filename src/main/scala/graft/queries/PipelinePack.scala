@@ -160,7 +160,16 @@ object PipelinePack extends QueryPack {
     }),
 
     // E1 front half on the BUILT index with stub-LLM query expansion
-    // (L5 grammar, /root/reference/camp_vec_rcmn.py:11-38).
+    // (L5 grammar, /root/reference/camp_vec_rcmn.py:11-38). The index
+    // is built, WRITTEN, and read back before searching — the full
+    // persistence round trip (tx_bm25_built_index convention; the
+    // reference stores camp_summary_vec and reads it at recommend
+    // time, camp_vec_save.py:66-68 / camp_vec_rcmn.py:44). Besides
+    // being the honest serve shape, the write is the materialization
+    // barrier that keeps the embed pass SINGLE: composed lazily, the
+    // optimizer defers the camp_vec projection past the 5-query cross
+    // join and re-embeds every sentence once per expansion (measured
+    // 5x the embed cost at sf0.1).
     "rcmn_top5_built_index" -> ((s, dir) => {
       Graft.init(s)
       val expansions = new StubLlm()
@@ -169,10 +178,20 @@ object PipelinePack extends QueryPack {
           case (q, i) => (i.toLong, q)
         }).toDF("qid", "qtext")
         .select(col("qid"), Embeddings.embedCol(col("qtext")).as("qvec"))
-      val index = IndexBuild.campaignIndex(s, dir)
-        .select(col("camp_id").as("vec_id"), col("camp_vec").as("embedding"))
-      Knn.fuse(Knn.topKPerQuery(index, qs, CampaignRecommend.K),
-        CampaignRecommend.NQueries, CampaignRecommend.TopN)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_camp_ix").toString
+      try {
+        IndexBuild.campaignIndex(s, dir)
+          .select(col("camp_id").as("vec_id"),
+            col("camp_vec").as("embedding"))
+          .write.parquet(s"$tmp/ix")
+        Knn.fuse(
+            Knn.topKPerQuery(s.read.parquet(s"$tmp/ix"), qs,
+              CampaignRecommend.K),
+            CampaignRecommend.NQueries, CampaignRecommend.TopN)
+          // the index files are deleted on return — pin the result
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
     })
   )
 

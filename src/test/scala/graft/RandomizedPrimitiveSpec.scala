@@ -80,6 +80,19 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native codegen md5 embedding equals its interpreted HOF twin " +
+      "bit-for-bit on 400 random docs (incl. empty text) at two dims") {
+    val df = randomDocs(seed = 307).toDF("doc_id", "text")
+      .union(Seq((9999999L, "")).toDF("doc_id", "text"))
+    Seq(8, 64).foreach { dim =>
+      val diff = df.select(
+          Embeddings.embedCol(col("text"), dim).as("native"),
+          Embeddings.embedColHof(col("text"), dim).as("hof"))
+        .filter(col("native") =!= col("hof"))
+      assert(diff.count() == 0, s"dim=$dim diverged")
+    }
+  }
+
   test("stratifiedSample: exact quota per stratum, subset of input, " +
       "rank filter compiles to WindowGroupLimit") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
