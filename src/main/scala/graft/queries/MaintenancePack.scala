@@ -550,7 +550,7 @@ object MaintenancePack extends QueryPack {
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_hist").toString
-      d.repartitionByRange(4, pmod(col("doc_id"), lit(4L)))
+      d.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
       try {
         val hist = graft.streaming.EventStream.streamFoldExact(
@@ -586,7 +586,7 @@ object MaintenancePack extends QueryPack {
           col("o_orderkey"))
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_stream_kmv").toString
-      o.repartitionByRange(4, pmod(col("o_orderkey"), lit(4L)))
+      o.repartitionByRange(4, col("o_orderkey"))
         .write.mode("overwrite").parquet(tmp)
       try {
         val st = graft.streaming.EventStream.streamFoldExact(

@@ -111,7 +111,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
         col("o_orderkey"))
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_stream_kmv_spec").toString
-    o.repartitionByRange(4, pmod(col("o_orderkey"), lit(4L)))
+    o.repartitionByRange(4, col("o_orderkey"))
       .write.mode("overwrite").parquet(tmp)
     val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
