@@ -143,6 +143,7 @@ object Bench {
     "stream_cdc" -> "harness: micro-batch loop; fold cost ∝ batch spec-gated",
     "stream_hist" -> "harness: micro-batch loop; histogram merge state-sized",
     "stream_kmv_sketch" -> "harness: micro-batch loop; KMV merge is k-longs-per-group state-sized (merge=rebuild spec-gated in SketchesSpec)",
+    "stream_cms" -> "harness: micro-batch loop; CMS merge is depth*width state-sized (merge=rebuild spec-gated in SketchesSpec; batch twin benched as tx_cms_counts)",
     "stream_anomaly" -> "harness: micro-batch loop; benched batch twin q46_anomaly",
     "tx_bm25_append" -> "family: append work ∝ batch (spec-pinned); query path benched as tx_bm25_built_index",
     "tx_bpe_vocab" -> "composition: the vocab fold is built and paid inside benched tx_bpe_tokens",

@@ -51,6 +51,35 @@ object MaintenancePack extends QueryPack {
     upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
   }
 
+  /** DuckDB twin of the CMS build + exact-top-20 point queries, shared
+    * by tx_cms_counts and stream_cms (the streamed fixed point equals
+    * the one-shot build bucket-for-bucket). */
+  private val cmsCountsOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+      |    AS w
+      |  FROM documents),
+      |rr AS (SELECT unnest(range(0, 3)) AS r),
+      |cms AS (
+      |  SELECT r, b, count(*) AS cnt FROM (
+      |    SELECT rr.r,
+      |      ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
+      |        ':' || t.w), 1, 15))::BIGINT % 1024 AS b
+      |    FROM tok t CROSS JOIN rr)
+      |  GROUP BY r, b),
+      |top AS (
+      |  SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w
+      |  ORDER BY exact_cnt DESC, w LIMIT 20)
+      |SELECT tp.w, tp.exact_cnt,
+      |  min(coalesce(c.cnt, 0)) AS est_cnt,
+      |  min(coalesce(c.cnt, 0)) >= tp.exact_cnt AS ok
+      |FROM top tp CROSS JOIN rr
+      |LEFT JOIN cms c ON c.r = rr.r AND
+      |  c.b = ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
+      |    ':' || tp.w), 1, 15))::BIGINT % 1024
+      |GROUP BY tp.w, tp.exact_cnt
+      |ORDER BY tp.exact_cnt DESC, tp.w""".stripMargin
+
   /** The per-status audit both CDC queries emit: row count, decimal
     * price sum, max key (pins the inserts). */
   private def audit(snapshot: DataFrame): DataFrame =
@@ -604,6 +633,48 @@ object MaintenancePack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Streaming CMS maintenance — the 10th streaming state kind under
+    // the gate, completing the stream-maintained mergeable-summary
+    // family (histograms: stream_hist; KMV: stream_kmv_sketch; CMS:
+    // here): the term-frequency sketch folds across a 4-micro-batch
+    // document stream (state ← mergeCms(state, cmsBuild(batch)) —
+    // counts are a commutative monoid, so merge ≡ rebuild EXACTLY and
+    // the fixed point is split-independent), then answers the same
+    // exact-top-20 point queries as tx_cms_counts, whose oracle it
+    // shares: the streamed estimates hash-match DuckDB's ONE-SHOT
+    // re-derivation, which is only possible because the streamed state
+    // equals the batch build bucket-for-bucket. State is depth×width
+    // longs forever; each fold is one partial-aggregable batch pass +
+    // a ≤depth·width-group merge.
+    "stream_cms" -> ((s, dir) => {
+      val depth = 3; val width = 1024
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def toks(df: DataFrame) = df.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_cms").toString
+      d.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      try {
+        val cms = graft.streaming.EventStream.streamFoldExact(
+          s, tmp, d.schema, None,
+          (prev, b) => {
+            val bs = Sketches.cmsBuild(toks(b).select(col("w")), "w",
+              depth, width)
+            prev.fold(bs)(Sketches.mergeCms(_, bs))
+          }).get
+        val top = toks(d).groupBy(col("w"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("w")).limit(20)
+        Sketches.cmsEstimate(top, cms, "w", depth, width)
+          .select(col("w"), col("exact_cnt"), col("est").as("est_cnt"),
+            (col("est") >= col("exact_cnt")).as("ok"))
+          .orderBy(col("exact_cnt").desc, col("w"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // HLL distinct-count maintenance: per-lang distinct sources and
     // doc_ids estimated from PERSISTABLE DataSketches binaries built per
     // batch and UNIONED (register-wise max ⇒ union-of-sketches ≡
@@ -915,31 +986,14 @@ object MaintenancePack extends QueryPack {
 
     // the whole sketch re-derived: every bucket count, every min-over-
     // rows estimate — integer/md5 arithmetic, hash-exact
-    "tx_cms_counts" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
-        |    AS w
-        |  FROM documents),
-        |rr AS (SELECT unnest(range(0, 3)) AS r),
-        |cms AS (
-        |  SELECT r, b, count(*) AS cnt FROM (
-        |    SELECT rr.r,
-        |      ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
-        |        ':' || t.w), 1, 15))::BIGINT % 1024 AS b
-        |    FROM tok t CROSS JOIN rr)
-        |  GROUP BY r, b),
-        |top AS (
-        |  SELECT w, count(*) AS exact_cnt FROM tok GROUP BY w
-        |  ORDER BY exact_cnt DESC, w LIMIT 20)
-        |SELECT tp.w, tp.exact_cnt,
-        |  min(coalesce(c.cnt, 0)) AS est_cnt,
-        |  min(coalesce(c.cnt, 0)) >= tp.exact_cnt AS ok
-        |FROM top tp CROSS JOIN rr
-        |LEFT JOIN cms c ON c.r = rr.r AND
-        |  c.b = ('0x' || substr(md5('cms:' || CAST(rr.r AS VARCHAR) ||
-        |    ':' || tp.w), 1, 15))::BIGINT % 1024
-        |GROUP BY tp.w, tp.exact_cnt
-        |ORDER BY tp.exact_cnt DESC, tp.w""".stripMargin,
+    "tx_cms_counts" -> cmsCountsOracle,
+
+    // IDENTICAL output by construction: the streamed CMS fixed point
+    // equals the one-shot build bucket-for-bucket (counts are a
+    // commutative monoid), so the same one-shot re-derivation gates
+    // the streaming path — the dd_contamination_bloom shared-oracle
+    // convention.
+    "stream_cms" -> cmsCountsOracle,
 
     // exhaustive-sketch regime at oracle SF: est_overlap hash-matches
     // the exact overlap (stronger than a boolean gate); ok carries the
