@@ -91,6 +91,18 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
         .filter(col("native") =!= col("hof"))
       assert(diff.count() == 0, s"dim=$dim diverged")
     }
+    // codegen participation (the DedupAnnSpec ANN-kernel pattern): over
+    // a real parquet scan the generated Java calls the static helper —
+    // no interpreted fallback sneaking the embed pass out of
+    // whole-stage codegen (a local-relation plan reports no codegen
+    // subtrees at all, so the fixture scan is the right probe)
+    import org.apache.spark.sql.execution.debug._
+    val gen = codegenString(
+      Tables.load(spark, TestSpark.sfDir, "documents")
+        .select(Embeddings.embedCol(col("text"), 64).as("v"))
+        .queryExecution.executedPlan)
+    assert(gen.contains("graft.functions.Md5EmbedUtil.embed"),
+      gen.take(500))
   }
 
   test("stratifiedSample: exact quota per stratum, subset of input, " +
