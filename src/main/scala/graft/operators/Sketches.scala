@@ -129,9 +129,13 @@ object Sketches {
     * arithmetic with no re-scan of either segment. Exact while both
     * sketches are exhaustive; in the estimating regime the error is
     * bounded by est|A|'s (relative to |A|) plus the intersection's
-    * (relative to the overlap), so gate against ~5% of |A|. */
+    * (relative to the overlap), so gate against ~5% of |A|. Clamped at
+    * zero (r13 advice): the two estimators carry independent noise, so
+    * when A is nearly a subset of B the raw difference can dip
+    * negative — a set size never can. */
   def kmvDifferenceEstimate(a: Column, b: Column, k: Int): Column =
-    kmvDistinctEstimate(a, k) - kmvIntersectEstimate(a, b, k)
+    greatest(lit(0.0),
+      kmvDistinctEstimate(a, k) - kmvIntersectEstimate(a, b, k))
 
   /** Intersection estimate between two sketch columns: common hashes
     * below the shared threshold, scaled by 1/θ — the column-native twin
@@ -195,15 +199,20 @@ object Sketches {
     * rows each get their own output row, and items relations that
     * already carry columns named `r`/`b`/`cnt` cannot collide with the
     * probe's internals (those are uniquely prefixed and the sketch's
-    * columns renamed before the join). The only reserved name is the
-    * OUTPUT column `est`, rejected up front. Returns `items.* + est`,
-    * one row per input row. */
+    * columns renamed before the join). Reserved names — the OUTPUT
+    * column `est` and every `_graft_cms_*` internal — are rejected up
+    * front with a clear message (r13 advice: a `_graft_cms_r` items
+    * column used to surface later as an opaque ambiguous-reference
+    * AnalysisException instead). Returns `items.* + est`, one row per
+    * input row. */
   def cmsEstimate(items: DataFrame, sketch: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame = {
     require(!items.columns.contains("est"),
       "cmsEstimate appends an `est` column; rename the existing one")
     val rid = "_graft_cms_rid"
-    require(!items.columns.contains(rid), s"$rid is reserved")
+    Seq(rid, "_graft_cms_r", "_graft_cms_b", "_graft_cms_cnt").foreach(n =>
+      require(!items.columns.contains(n),
+        s"$n is reserved by cmsEstimate; rename the items column"))
     val probes = items
       .withColumn(rid, monotonically_increasing_id())
       .select(col("*"),

@@ -125,9 +125,14 @@ object Versioned {
     * in-flight RIGHT NOW — an unconditional sweep would delete the
     * live writer's files mid-write and kill a healthy commit (no
     * committed data corrupted, but routine maintenance must not abort
-    * concurrent work). Only dirs whose modification time is older than
+    * concurrent work). Only dirs whose NEWEST tree entry is older than
     * `staleMs` (default 6 h — generously past any sane write duration)
-    * are swept; fresher ones are left for the next vacuum. */
+    * are swept; fresher ones are left for the next vacuum. The gate
+    * walks the staging TREE, not the top directory alone (r13 advice):
+    * on HDFS-like filesystems a directory's mtime only updates when
+    * its DIRECT children change, so a writer still streaming files
+    * into nested task/temporary subdirs past staleMs would look
+    * stale at the top while its leaves are seconds old. */
   def vacuum(root: String, keepLast: Int,
       staleMs: Long = 6L * 3600 * 1000): Seq[Long] = {
     require(keepLast >= 1, "vacuum must keep at least one version")
@@ -135,9 +140,19 @@ object Versioned {
     val doomed = versions(root).dropRight(keepLast)
     doomed.foreach(v => fs.delete(new Path(vdir(root, v)), true))
     val cutoff = System.currentTimeMillis() - staleMs
+    // newest mtime anywhere under p — the writer-liveness signal. The
+    // walk is metadata-only over ONE crashed/in-flight attempt's file
+    // count (bounded by a single write's task files), not the table.
+    def newestMtime(p: Path): Long = {
+      val entries = fs.listStatus(p).toSeq
+      (fs.getFileStatus(p).getModificationTime +:
+        entries.map(e =>
+          if (e.isDirectory) newestMtime(e.getPath)
+          else e.getModificationTime)).max
+    }
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_v="))
-      .filter(_.getModificationTime < cutoff)
+      .filter(s => newestMtime(s.getPath) < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
     doomed
   }

@@ -338,6 +338,21 @@ class SketchesSpec extends AnyFunSuite {
       KmvSketchAggregator.estimateUnion(a.toSeq, b.toSeq, k))
   }
 
+  test("kmvDifferenceEstimate clamps at zero when the estimators' " +
+      "independent noise drives the raw difference negative (r13 advice)") {
+    // handcrafted estimating-regime sketches (size == k): a's kth hash
+    // (40) sits ABOVE b's (35), so theta_a < theta_cut and the raw
+    // est|A| - est|A∩B| = 3·2^63/40 - 3·2^63/35 < 0 — exactly the
+    // near-subset case where a caller rounding to long got a negative
+    // set size before the clamp
+    val k = 4
+    val r = Seq((Seq(10L, 20L, 30L, 40L), Seq(10L, 20L, 30L, 35L)))
+      .toDF("a", "b")
+      .select(Sketches.kmvDifferenceEstimate(col("a"), col("b"), k).as("d"))
+      .head()
+    assert(r.getDouble(0) == 0.0, s"negative difference leaked: $r")
+  }
+
   test("cmsEstimate keeps duplicate query rows, tolerates items columns " +
       "named r/b/cnt, and rejects a pre-existing est column (r12 advice)") {
     val sketch = Sketches.cmsBuild(
@@ -358,6 +373,16 @@ class SketchesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sketches.cmsEstimate(items.withColumnRenamed("cnt", "est"),
         sketch, "w", 3, 64)
+    }
+    // reserved internals are refused UP FRONT with a clear message
+    // (r13 advice) — not as a later ambiguous-reference AnalysisException
+    Seq("_graft_cms_r", "_graft_cms_b", "_graft_cms_cnt",
+        "_graft_cms_rid").foreach { n =>
+      val e = intercept[IllegalArgumentException] {
+        Sketches.cmsEstimate(items.withColumnRenamed("cnt", n),
+          sketch, "w", 3, 64)
+      }
+      assert(e.getMessage.contains(n), s"unclear refusal for $n: $e")
     }
   }
 }

@@ -89,10 +89,22 @@ class VersionedSpec extends AnyFunSuite {
       Versioned.vacuum(root, keepLast = 2)
       assert(java.nio.file.Files.exists(torn),
         "age-gated vacuum must not sweep a fresh staging dir")
-      // backdate it past the gate — now it is provably a dead attempt
-      java.nio.file.Files.setLastModifiedTime(torn,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 7L * 3600 * 1000))
+      // backdate the TOP dir only, leaving the nested file fresh — the
+      // HDFS hazard (r13 advice): a directory mtime only tracks direct
+      // children, so a writer streaming into nested subdirs looks stale
+      // at the top while its leaves are seconds old. The tree-walking
+      // gate must keep it.
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7L * 3600 * 1000)
+      java.nio.file.Files.setLastModifiedTime(torn, old)
+      Versioned.vacuum(root, keepLast = 2)
+      assert(java.nio.file.Files.exists(torn),
+        "vacuum swept a staging dir whose TREE held fresh writes")
+      // backdate the whole tree past the gate — now it is provably a
+      // dead attempt and the sweep fires
+      java.nio.file.Files.setLastModifiedTime(
+        torn.resolve("part-0.parquet"), old)
+      java.nio.file.Files.setLastModifiedTime(torn, old)
       Versioned.vacuum(root, keepLast = 2)
       assert(!java.nio.file.Files.exists(torn))
       assert(Versioned.versions(root) == Seq(1L, 2L))
