@@ -66,7 +66,11 @@ object Bench {
     "tx_train_classifier", "dd_split_leakfree", "ann_jl_topk",
     // r13: the compound JL-prune x SQ8-rescore tier and the persisted-
     // KMV set-algebra closure
-    "ann_jl_sq8_topk", "q63_kmv_setops")
+    "ann_jl_sq8_topk", "q63_kmv_setops",
+    // r14: q41's write path as its own timed entry (the co-located join
+    // no longer re-pays the build), and the flagship audience served
+    // from persisted KMV segment sketches
+    "q41_bucket_build", "rcmn_audience_sketch")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion
@@ -144,6 +148,7 @@ object Bench {
     "stream_hist" -> "harness: micro-batch loop; histogram merge state-sized",
     "stream_kmv_sketch" -> "harness: micro-batch loop; KMV merge is k-longs-per-group state-sized (merge=rebuild spec-gated in SketchesSpec)",
     "stream_cms" -> "harness: micro-batch loop; CMS merge is depth*width state-sized (merge=rebuild spec-gated in SketchesSpec; batch twin benched as tx_cms_counts)",
+    "stream_ivf_append" -> "harness: micro-batch loop; per-trigger append work is batch-sized map-only assignment (streamed==one-shot spec-gated; batch twin benched as ann_ivf_append_topk)",
     "stream_anomaly" -> "harness: micro-batch loop; benched batch twin q46_anomaly",
     "tx_bm25_append" -> "family: append work ∝ batch (spec-pinned); query path benched as tx_bm25_built_index",
     "tx_bpe_vocab" -> "composition: the vocab fold is built and paid inside benched tx_bpe_tokens",

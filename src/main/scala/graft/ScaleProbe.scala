@@ -32,7 +32,8 @@ object ScaleProbe {
     "ann_bq_batch_topk", "tx_bm25_batch_topk", "q44_pagerank",
     "tx_chunk_retrieve", "q54_fuzzy_pairs", "dd_winnow_overlap",
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
-    "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental")
+    "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
+    "layout_write_bucketed")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -259,7 +260,22 @@ object ScaleProbe {
           d.filter(pmod(col("doc_id"), lit(2)) === 1),
           "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
           .count(): Unit
-      }, 9.0))
+      }, 9.0),
+      // the WRITE path (r13 missing #3: no layout build had a probe):
+      // hash-bucketed+sorted table write — one data-sized shuffle-free
+      // sort-within-partitions + parquet encode per bucket, committed
+      // through the catalog; wall must scale ∝ data with no driver-side
+      // choke (the commit/metadata cost is per-file, not per-row)
+      ("layout_write_bucketed", "docs", (d: DataFrame) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_probe_bkt").toString
+        try graft.operators.Layout.writeBucketed(
+          d, "graft_probe_bkt", s"$tmp/t", "doc_id", 8): Unit
+        finally {
+          spark.sql("DROP TABLE IF EXISTS `graft_probe_bkt`")
+          graft.streaming.EventStream.deleteDir(tmp)
+        }
+      }, 15.0))
     require(probes.map(_._1) == probeNames,
       s"probe list drifted from probeNames: ${probes.map(_._1)}")
 

@@ -1414,38 +1414,68 @@ object Dedup {
     * substring positions — and THAT is a gram-count aggregation plus a
     * per-document interval merge, both embarrassingly partitionable.
     *
-    * Three passes, each shuffle-bounded:
-    *  1. gram-hash count (8-byte hashes through a partial-aggregable
-    *     HashAggregate — the corpus's STRINGS never shuffle) → the
-    *     duplicated-hash set;
-    *  2. a broadcast bloom over that set prunes candidate sites
-    *     map-side (no false negatives, so every true site survives),
-    *     then one window count over the surviving gram STRINGS makes
-    *     the decision exact — hash collisions and bloom false
-    *     positives both die here, so the result equals the
-    *     brute-force string count (spec-pinned);
+    * Two corpus passes, each shuffle-bounded (r13 verdict #2 — the r12
+    * form made THREE: a hash-count pass, then a bloom-filtered site
+    * relation feeding both the string-count and the semi-join back, so
+    * the posexplode+bloom pass over the corpus ran twice; pinning that
+    * per-site relation instead was tried and measured strictly worse
+    * at 10× — its size grows with the corpus's duplicated mass, which
+    * is exactly what a boilerplate-heavy corpus maximizes):
+    *  1. the exact duplicated-gram DICTIONARY in one pass
+    *     ([[dupGramsOf]]): group the gram stream on `(hash, gram)` —
+    *     map-side partial collapse means at most one row per distinct
+    *     gram per partition reaches the exchange — and keep strings
+    *     seen ≥ 2 times. Grouping on the full string makes the
+    *     dictionary EXACT (a hash collision splits into two groups),
+    *     and the result is ONE row per duplicated DISTINCT gram — the
+    *     same bounded size class as the bloom built from it, so
+    *     pinning it is bloom-cheap;
+    *  2. a broadcast bloom over the dictionary's hashes prunes
+    *     candidate sites map-side (no false negatives, so every true
+    *     site survives), and one semi-join against the dictionary
+    *     makes the per-site decision exact — bloom false positives and
+    *     hash collisions both die on the string equality; the result
+    *     equals the brute-force string count (spec-pinned);
     *  3. gaps-and-islands per document over duplicated gram start
     *     positions merges overlapping windows into maximal spans.
     *
     * Driver sizing caveat (same as [[contaminationBloom]]): the bloom
     * holds ~9.6 bits per duplicated DISTINCT gram at fpp = 0.01 —
-    * 100 M duplicated grams ≈ 120 MB; past that, shard by hash range.
+    * 100 M duplicated grams ≈ 120 MB (the pinned dictionary holds each
+    * such gram's string once — executor storage, not driver); past
+    * that, shard by hash range.
     *
     * Returns `(idCol, span_start, span_end, n_dup_grams)` — token
     * index spans, end-exclusive. */
+  /** The exact duplicated-gram dictionary of [[exactSubstrSpans]] pass 1,
+    * lazy: `(h, g)` for every DISTINCT `minLen`-gram string occurring ≥ 2
+    * times in the corpus. One partial-aggregable pass — a
+    * `count() OVER (PARTITION BY g)` window here would funnel every
+    * occurrence of one hot boilerplate gram into ONE buffering task (r12
+    * verdict #3), while the groupBy collapses duplicates map-side: at
+    * most one row per distinct gram per partition reaches the exchange,
+    * and the filtered output is skew-free by construction (one row per
+    * duplicated gram). Package-visible so the plan-shape spec asserts
+    * the partial aggregation on THIS relation, not a downstream echo. */
+  private[graft] def dupGramsOf(docs: DataFrame, textCol: String,
+      minLen: Int): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(ngrams(col(textCol), minLen)).as("g"))
+      .select(shingleHash(col("g")).as("h"), col("g"))
+      .groupBy(col("h"), col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("g"))
+
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 50, fpp: Double = 0.01): DataFrame = {
     require(minLen > 1, s"minLen must be > 1, got $minLen")
     val spark = docs.sparkSession
     val np = spark.sparkContext.defaultParallelism
-    val dupH = docs.repartition(np)
-      .select(explode(ngrams(col(textCol), minLen)).as("g"))
-      .select(shingleHash(col("g")).as("h"))
-      .groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .select(col("h"))
-      .localCheckpoint(true) // feeds both the count and the bloom build
-    val bloom = dupH.stat.bloomFilter("h", math.max(dupH.count(), 1L), fpp)
+    // pinned: feeds the bloom build (an action here) and the semi-join
+    // in the returned plan — unpinned, the dictionary pass would re-run
+    // per consumer
+    val dupG = dupGramsOf(docs, textCol, minLen).localCheckpoint(true)
+    val bloom = dupG.stat.bloomFilter("h", math.max(dupG.count(), 1L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightDup = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // the UDF is a broadcast-local bitset probe applied BEFORE any
@@ -1455,24 +1485,10 @@ object Dedup {
         posexplode(ngrams(col(textCol), minLen)).as(Seq("p", "g")))
       .withColumn("h", shingleHash(col("g")))
       .filter(mightDup(col("h")))
-    // exact decision via a partial-aggregable count + semi-join back
-    // (r12 verdict #3) — a `count() OVER (PARTITION BY g)` window is
-    // NOT partial-aggregable: every occurrence of one hot duplicated
-    // gram (licence boilerplate, templated headers — exactly what
-    // ExactSubstr exists to find) funnels into ONE window task that
-    // buffers full gram strings. The groupBy collapses duplicates
-    // map-side (at most one row per distinct gram per partition
-    // reaches the exchange), the filtered set has ONE row per
-    // duplicated gram (skew-free by construction), and the semi-join
-    // back streams hot-key probe rows without buffering (AQE's
-    // skew-join splitting applies to them besides). Hash collisions
-    // and bloom false positives still die here — the count groups on
-    // the full gram string, so the result is the brute-force string
-    // count (spec-pinned).
-    val dupG = cand.groupBy(col("h"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 2)
-      .select(col("h"), col("g"))
+    // exact per-site decision: semi-join against the exact dictionary.
+    // The probe side streams (AQE skew-splitting applies to a hot
+    // boilerplate gram's sites); when the pinned dictionary is small
+    // the optimizer broadcasts it and no site row shuffles at all.
     val dupSites = cand.join(dupG, Seq("h", "g"), "left_semi")
       .select(col("id"), col("p"))
     // windows [p, p+L) merge iff the next start is within L of the

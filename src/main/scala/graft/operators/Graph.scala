@@ -73,13 +73,17 @@ object Graph {
       // adjacency ⋈ degree, partitioned on src once, reused every round
       val a = sym.join(deg, "src")
         .repartition(shuffle, col("src")).persist()
-      a.count()
-      (a, deg)
+      // ONE action both materializes the persisted adjacency and reads
+      // off |V| (r13 verdict #3's last fixed job): every node of the
+      // symmetrized graph has outdeg ≥ 1, so the adjacency's distinct
+      // src count IS deg's row count — the separate a.count() +
+      // deg.count() pair was one whole scheduler round trip per query
+      val n = a.agg(count_distinct(col("src"))).head().getLong(0)
+      (a, deg, n)
     } finally { sym.unpersist(); base.unpersist() }
-    val (adjacency, deg) = adj
+    val (adjacency, deg, n) = adj
     try {
       val nodes = deg.select(col("src").as("node"))
-      val n = deg.count() // one driver scalar — the graph's |V|
       require(n > 0, "pagerank over an empty graph")
       // teleport vector: uniform 1/n, or 1/|seed| on seed nodes. The
       // uniform form is a pure projection over the ALREADY-checkpointed

@@ -96,6 +96,18 @@ object Sketches {
       .agg(slice(array_sort(array_distinct(
         flatten(collect_list(col(sketchCol))))), 1, k).as(sketchCol))
 
+  /** Merge EVERY sketch row of `df` into one global sketch (one row,
+    * column `sketchCol`) — the query-time serving merge: pick the
+    * relevant segment sketches with a semi-join, fold them here, read
+    * the estimate off the result. Union-then-truncate nests
+    * associatively, so this equals the sketch of the union of all
+    * selected segments; the input is sketch rows (k longs each), never
+    * the corpus, and zero selected rows fold to the empty sketch
+    * (estimate 0). */
+  def mergeAllKmv(df: DataFrame, sketchCol: String, k: Int): DataFrame =
+    df.agg(slice(array_sort(array_distinct(
+      flatten(collect_list(col(sketchCol))))), 1, k).as(sketchCol))
+
   /** Normalized retention threshold θ of a sketch column (1.0 while the
     * sketch is exhaustive — fewer than k values — else kth/2⁶³). */
   def kmvTheta(sk: Column, k: Int): Column =

@@ -14,6 +14,34 @@ import graft.operators.{Ann, Bitext, Knn, TextAnalysis}
   * so those stay rows-only driver checks + recall specs. */
 object AnnPack extends QueryPack {
 
+  /** DuckDB re-derivation of the appended IVF (centroids from the even
+    * half, assignment over every vector) — shared verbatim by
+    * ann_ivf_append_topk and stream_ivf_append, because the streamed
+    * fold's fixed point IS the one-shot append. */
+  private val ivfAppendOracle: String =
+    """WITH c AS (
+      |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings WHERE vec_id % 2 = 0
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+      |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+      |asg AS (
+      |  SELECT vec_id, embedding FROM (
+      |    SELECT e.vec_id, e.embedding, c.centroid_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+      |                 c.centroid_id DESC) AS rn
+      |    FROM embeddings e CROSS JOIN c)
+      |  WHERE centroid_id IN (
+      |    SELECT centroid_id FROM c CROSS JOIN q
+      |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
+      |    LIMIT 4) AND rn = 1),
+      |topk AS (
+      |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
+      |  FROM asg CROSS JOIN q
+      |  ORDER BY s DESC, vec_id LIMIT 10)
+      |SELECT vec_id, round(s, 4) AS simil FROM topk
+      |ORDER BY simil DESC, vec_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // IVF: probe the 4 nearest of 32 fixed centroid buckets, top-10.
@@ -41,6 +69,46 @@ object AnnPack extends QueryPack {
       Ann.searchIvf(ivf, q, nprobe = 4, k = 10)
         .select(col("vec_id"), round(col("simil"), 4).as("simil"))
         .orderBy(col("simil").desc, col("vec_id"))
+    }),
+
+    // STREAM-MAINTAINED IVF — the 11th streaming state kind under the
+    // gate, closing the ingest→serve loop (r13 missing #1): the index
+    // is built on the EVEN half, then the odd half arrives as a
+    // 4-micro-batch FILE STREAM and each batch is appendIvf-folded into
+    // the serving state (assignment against the FROZEN centroids is
+    // per-row, so the fold is associative: folding b1 then b2 ≡
+    // appending b1 ∪ b2, and the streamed fixed point equals the
+    // one-shot append EXACTLY — ann_ivf_append_topk's oracle gates the
+    // search result through the streamed index verbatim). Work per
+    // trigger ∝ the micro-batch (one broadcast-centroid map pass +
+    // max_by); state is the assignments relation itself — the artifact
+    // being maintained, growing ∝ ingested data like any index, with
+    // constant-depth lineage via the harness's per-batch checkpoint.
+    // This is the streaming form of the index refresh the reference
+    // re-runs from scratch per build (camp_vec_save.py:59-79).
+    "stream_ivf_append" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val base = Ann.buildIvf(e.filter(pmod(col("vec_id"), lit(2)) === 0))
+      // the frozen quantizer is C rows — pin it once so each trigger's
+      // assignment broadcast does not re-derive the centroid pick
+      val centroids = base.centroids.localCheckpoint(true)
+      val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_stream_ivf").toString
+      odd.repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(tmp)
+      try {
+        val asg = graft.streaming.EventStream.streamFoldExact(
+          s, tmp, odd.schema, Some(base.assignments),
+          (st, b) => Ann.appendIvf(Ann.Ivf(st.get, centroids), b)
+            .assignments).get
+        Ann.searchIvf(Ann.Ivf(asg, centroids), q, nprobe = 4, k = 10)
+          .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+          .orderBy(col("simil").desc, col("vec_id"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // BATCH IVF: one plan answers 5 queries at once (the IVF twin of
@@ -673,29 +741,12 @@ object AnnPack extends QueryPack {
     // Identical IVF re-derivation, centroids drawn from the EVEN half only
     // (the build set); assignment still covers every vector — append and
     // build rows are indistinguishable downstream, which is the point.
-    "ann_ivf_append_topk" ->
-      """WITH c AS (
-        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
-        |  FROM embeddings WHERE vec_id % 2 = 0
-        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
-        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
-        |asg AS (
-        |  SELECT vec_id, embedding FROM (
-        |    SELECT e.vec_id, e.embedding, c.centroid_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
-        |                 c.centroid_id DESC) AS rn
-        |    FROM embeddings e CROSS JOIN c)
-        |  WHERE centroid_id IN (
-        |    SELECT centroid_id FROM c CROSS JOIN q
-        |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
-        |    LIMIT 4) AND rn = 1),
-        |topk AS (
-        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
-        |  FROM asg CROSS JOIN q
-        |  ORDER BY s DESC, vec_id LIMIT 10)
-        |SELECT vec_id, round(s, 4) AS simil FROM topk
-        |ORDER BY simil DESC, vec_id""".stripMargin,
+    "ann_ivf_append_topk" -> ivfAppendOracle,
+
+    // the streamed fixed point equals the one-shot append EXACTLY
+    // (per-row assignment against frozen centroids is associative), so
+    // the stream-maintained index is gated by the SAME oracle
+    "stream_ivf_append" -> ivfAppendOracle,
 
     // Full batch-IVF re-derivation: same centroid pick + assignment as
     // ann_ivf_topk, then a PER-QUERY probe (rank within qid) and a

@@ -26,6 +26,30 @@ object MaintenancePack extends QueryPack {
   private def dround2(c: org.apache.spark.sql.Column) =
     round(c.cast("decimal(28,12)"), 2).cast("double")
 
+  /** Process-lifetime bucketed-layout cache for q41_bucket_join (r13
+    * verdict #1): orders and lineitem hash-bucketed+sorted on the join
+    * key, built ONCE per (process, sf dir) and reused by every
+    * subsequent call — the build-once/query-many contract bucketing
+    * exists for (the rcmn_top5_built_index convention applied to the
+    * write path). Table names carry a dir tag so warmup-dir and
+    * bench-dir layouts coexist in one catalog; the temp dirs live for
+    * the process (bounded: one layout per sf dir touched). */
+  private[graft] val bucketedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def bucketedLayout(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    bucketedLayouts.computeIfAbsent(dir, _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bucket_ix").toString
+      val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
+        s"graft_bkt_orders_$tag", s"$tmp/o", "o_orderkey", 8)
+      val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
+        s"graft_bkt_lineitem_$tag", s"$tmp/l", "l_orderkey", 8)
+      (o, l)
+    })
+
   /** The derived CDC change batch over the orders snapshot (shared by
     * q39_merge_upsert and stream_cdc; the oracle re-derives it as CTEs):
     * 2% updates (keys ≡0 mod 50, +10% price) with a second-wave seq-2
@@ -233,31 +257,49 @@ object MaintenancePack extends QueryPack {
       Profile.profile(Tables.load(s, dir, "documents"),
         Seq("lang", "source", "n_chars"))),
 
-    // Bucketed co-located join: orders and lineitem written hash-
-    // bucketed+sorted on the join key (8 buckets each), then joined and
-    // aggregated — the bucket layout replaces the per-query exchange,
-    // paid once at write time (the spec pins the no-shuffle plan; at
+    // Bucketed co-located join over the BUILT layout: orders and
+    // lineitem written hash-bucketed+sorted on the join key (8 buckets
+    // each) ONCE per process+dir — the bucket layout replaces the
+    // per-query exchange, and that is the pay-once artifact the design
+    // exists for (r13 verdict #1: the old form re-paid both table
+    // writes inside every timed run, so the headline number measured
+    // the write, not the operator; at 100× data that misrepresentation
+    // compounds 100×). The write path stays visible as its own timed
+    // entry, q41_bucket_build. The spec pins the no-shuffle plan; at
     // this SF the optimizer may still broadcast, which is also
-    // shuffle-free). Result ≡ the plain join, which the oracle runs.
+    // shuffle-free. Result ≡ the plain join, which the oracle runs.
     "q41_bucket_join" -> ((s, dir) => {
+      val (o, l) = bucketedLayout(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // The bucketed-layout WRITE path, timed on its own (r13 verdict #1's
+    // counterpart): lineitem — the big side — written hash-bucketed+
+    // sorted on the join key each run, then read back through the table
+    // definition and aggregated, so the number is the build cost plus a
+    // round-trip proof the layout holds the data intact (the oracle runs
+    // the same aggregate over the raw table). One data-sized write, no
+    // driver-side choke — the 10× probe asserts the ∝-data scaling.
+    "q41_bucket_build" -> ((s, dir) => {
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bucket").toString
+        .createTempDirectory("graft_bucket_build").toString
       try {
-        val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
-          "graft_bkt_orders", s"$tmp/o", "o_orderkey", 8)
         val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
-          "graft_bkt_lineitem", s"$tmp/l", "l_orderkey", 8)
-        l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .groupBy(col("o_orderpriority"))
+          "graft_bkt_build", s"$tmp/l", "l_orderkey", 8)
+        l.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1.0) - col("l_discount")).cast("decimal(4,2)"))
-              .cast("double").as("revenue"))
-          .orderBy(col("o_orderpriority"))
-          .localCheckpoint(true) // pin before the table defs drop
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+          .localCheckpoint(true) // pin before the table def drops
       } finally {
-        s.sql("DROP TABLE IF EXISTS `graft_bkt_orders`")
-        s.sql("DROP TABLE IF EXISTS `graft_bkt_lineitem`")
+        s.sql("DROP TABLE IF EXISTS `graft_bkt_build`")
         graft.streaming.EventStream.deleteDir(tmp)
       }
     }),
@@ -870,6 +912,17 @@ object MaintenancePack extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // round-trip gate: the aggregate over the bucketed+sorted layout
+    // must equal the same aggregate over the raw table — a lost or
+    // duplicated row in the write breaks the hash
+    "q41_bucket_build" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "tx_stats_incremental" ->
       raw"""SELECT lang, source, count(*) AS n_docs,

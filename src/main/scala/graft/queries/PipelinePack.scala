@@ -85,6 +85,83 @@ object PipelinePack extends QueryPack {
       CampaignRecommend.audienceCount(s, dir)
     }),
 
+    // E1 AT SKETCH SCALE (r13 missing #2): the flagship audience served
+    // FROM persisted KMV sketches — the 100 TB serving shape where the
+    // segment sketches are maintained incrementally (built here in two
+    // batches and merged, the q62 convention, then WRITTEN and read
+    // back) and the audience is a query-time merge of sketch rows, not
+    // a corpus scan. The recommend front half (top-5 → conditions →
+    // mean+0.5σ threshold → string + interval consensus) runs verbatim;
+    // the tail swaps q22's countDistinct-over-members for: semi-join
+    // the kept segments/bands against the sketch relations (sketch-
+    // sized), fold the selected sketches (union-then-truncate), read
+    // off one estimate. The interval side serves from per-price-BAND
+    // sketches (width 50 000 — the discretization a pre-computable
+    // artifact needs; a band serves when it intersects a kept
+    // interval), so the served quantity is the band-resolution
+    // audience, which the oracle re-derives exactly. k = 16384 exceeds
+    // every customer count at oracle SFs, so the estimate is in the
+    // exhaustive regime and HASH-MATCHES the exact distinct count.
+    "rcmn_audience_sketch" -> ((s, dir) => {
+      val k = 16384
+      val bandW = 50000L
+      val cust = t(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          col("c_custkey").as("cust_id"))
+      val ord = t(s, dir, "orders")
+        .select(floor(col("o_totalprice") / lit(bandW.toDouble))
+            .cast("long").as("band"),
+          col("o_custkey").as("cust_id"), col("o_orderkey"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_aud_sketch").toString
+      try {
+        // incremental maintenance face: two independent batches per
+        // artifact, merged (merge ≡ rebuild exactly), persisted
+        def segSk(p: DataFrame) =
+          Sketches.kmvSketch(p, Seq("seg"), "cust_id", k)
+        Sketches.mergeKmvSketches(
+            segSk(cust.filter(pmod(col("cust_id"), lit(2)) === 0)),
+            segSk(cust.filter(pmod(col("cust_id"), lit(2)) === 1)),
+            Seq("seg"), "sk_cust_id", k)
+          .write.parquet(s"$tmp/seg")
+        def bandSk(p: DataFrame) =
+          Sketches.kmvSketch(p, Seq("band"), "cust_id", k)
+        Sketches.mergeKmvSketches(
+            bandSk(ord.filter(pmod(col("o_orderkey"), lit(2)) === 0)),
+            bandSk(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
+            Seq("band"), "sk_cust_id", k)
+          .write.parquet(s"$tmp/band")
+        // recommend front half — identical to q22 up to the kept sets
+        val t5 = CampaignRecommend.top5(s, dir).cache()
+        val (strConds, intConds) =
+          Conditions.synthesize(t5, CampaignRecommend.segments(s, dir))
+        val thr = Conditions.threshold(t5)
+        val keptSegs = Conditions.stringConsensus(strConds, thr)
+          .select(col("value"))
+        val keptInts = SweepLine.consensus(
+            intConds.select(col("name"), col("lo"), col("hi"), col("w")))
+          .crossJoin(broadcast(thr))
+          .filter(col("score") >= col("thr"))
+          .select(col("lo"), col("hi"))
+        // serve: pick sketch rows (bounded), fold, estimate — the
+        // customer/orders tables are never touched at query time
+        val segPick = s.read.parquet(s"$tmp/seg")
+          .join(broadcast(keptSegs), col("seg") === col("value"),
+            "left_semi")
+          .select(col("sk_cust_id"))
+        val bandPick = s.read.parquet(s"$tmp/band")
+          .join(broadcast(keptInts),
+            col("band") * lit(bandW) < col("hi") &&
+              (col("band") + 1) * lit(bandW) > col("lo"), "left_semi")
+          .select(col("sk_cust_id"))
+        Sketches.mergeAllKmv(segPick.unionByName(bandPick),
+            "sk_cust_id", k)
+          .select(round(Sketches.kmvDistinctEstimate(col("sk_cust_id"), k))
+            .cast("long").as("audience"))
+          .localCheckpoint(true) // pin before the temp artifacts vanish
+      } finally graft.streaming.EventStream.deleteDir(tmp)
+    }),
+
     // ---- index-build / stub-LLM path. The stub embedder is md5-derived
     // (Embeddings.embedCol), so even the vector math has a DuckDB twin. ----
 
@@ -600,6 +677,67 @@ object PipelinePack extends QueryPack {
         |  SELECT o_custkey AS cust_id
         |  FROM orders o JOIN kept_ints k
         |    ON o.o_totalprice >= k.lo AND o.o_totalprice < k.hi)
+        |SELECT count(DISTINCT cust_id) AS audience FROM aud""".stripMargin,
+
+    // q22's full pipeline re-derivation with the BAND-RESOLUTION tail:
+    // an order serves when its price band (width 50 000) intersects a
+    // kept interval — the discretized membership the persisted band
+    // sketches answer; in the exhaustive regime the sketch estimate IS
+    // this exact distinct count
+    "rcmn_audience_sketch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) AS simil,
+        |    row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qvec) DESC,
+        |               e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q),
+        |top5 AS (
+        |  SELECT vec_id, round(sum(simil)/5*100, 2) AS score
+        |  FROM scored WHERE rn <= 10 GROUP BY vec_id
+        |  ORDER BY score DESC, vec_id LIMIT 5),
+        |segs AS (
+        |  SELECT seg_val, row_number() OVER (ORDER BY seg_val) - 1 AS seg_idx
+        |  FROM (SELECT DISTINCT c_mktsegment AS seg_val FROM customer)),
+        |str_conds AS (
+        |  SELECT t.vec_id AS camp, 'c_mktsegment' AS name, s.seg_val AS value,
+        |         t.score AS w
+        |  FROM top5 t JOIN segs s ON (t.vec_id % 5) = s.seg_idx),
+        |int_conds AS (
+        |  SELECT vec_id AS camp, 'o_totalprice' AS name,
+        |         vec_id*500 AS lo, vec_id*500+200000 AS hi, score AS w FROM top5
+        |  UNION ALL
+        |  SELECT vec_id, 'o_totalprice',
+        |         vec_id*300+50000, vec_id*300+250000, score FROM top5),
+        |thr AS (SELECT avg(score) + 0.5*stddev_samp(score) AS thr FROM top5),
+        |kept_segs AS (
+        |  SELECT name, value, sum(w) AS total_w FROM str_conds GROUP BY name, value
+        |  HAVING sum(w) > (SELECT thr FROM thr)),
+        |events AS (
+        |  SELECT name, lo AS point, 0 AS tie, w AS delta FROM int_conds
+        |  UNION ALL SELECT name, hi, 1, -w FROM int_conds),
+        |eagg AS (SELECT name, point, tie, sum(delta) AS delta
+        |         FROM events GROUP BY name, point, tie),
+        |run AS (SELECT name, point, tie,
+        |  sum(delta) OVER (PARTITION BY name ORDER BY point, tie
+        |    ROWS UNBOUNDED PRECEDING) AS running,
+        |  lead(point) OVER (PARTITION BY name ORDER BY point, tie) AS next_point
+        |  FROM eagg),
+        |kept_ints AS (
+        |  SELECT point AS lo, next_point AS hi, running AS score FROM run
+        |  WHERE next_point IS NOT NULL AND next_point > point AND running > 0
+        |    AND running >= (SELECT thr FROM thr)),
+        |aud AS (
+        |  SELECT c_custkey AS cust_id FROM customer
+        |  WHERE c_mktsegment IN (SELECT value FROM kept_segs)
+        |  UNION ALL
+        |  SELECT o_custkey AS cust_id
+        |  FROM orders o JOIN kept_ints k
+        |    ON floor(o.o_totalprice/50000)*50000 < k.hi
+        |   AND (floor(o.o_totalprice/50000)+1)*50000 > k.lo)
         |SELECT count(DISTINCT cust_id) AS audience FROM aud""".stripMargin
   )
 }

@@ -152,9 +152,15 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
     // the duplicated-gram decision is a two-phase hash aggregate over
     // (h, g) — a partial (map-side) count collapses hot grams to one
-    // row per partition before any exchange
-    val planStr = q.queryExecution.executedPlan.toString
-    assert(planStr.contains("partial_count"),
-      s"no partial count in:\n$planStr")
+    // row per partition before any exchange. Asserted on the dictionary
+    // relation ITSELF (r14: exactSubstrSpans pins the dictionary, so
+    // the final plan only shows its checkpoint scan)
+    val dictPlan = Dedup.dupGramsOf(df, "text", 6)
+      .queryExecution.executedPlan.toString
+    assert(dictPlan.contains("partial_count"),
+      s"no partial count in:\n$dictPlan")
+    // and no window anywhere in the dictionary pass
+    assert(!dictPlan.contains("Window"),
+      s"dictionary pass must not window:\n$dictPlan")
   }
 }

@@ -337,6 +337,18 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("q41_bucket_join builds its bucketed layout ONCE per dir and " +
+      "reuses it — the pay-once contract the bench number now reflects") {
+    val q = graft.queries.MaintenancePack.queries("q41_bucket_join")
+    val r1 = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    val after1 = graft.queries.MaintenancePack.bucketedLayouts.size
+    assert(after1 >= 1, "first call must populate the layout cache")
+    val r2 = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    assert(graft.queries.MaintenancePack.bucketedLayouts.size == after1,
+      "second call rebuilt the layout instead of reusing it")
+    assert(r1 == r2, "reused layout changed the answer")
+  }
+
   // --------------------------------------------- incremental stats
 
   test("incremental stats maintenance: merge(stats(A), stats(B)) equals " +

@@ -137,6 +137,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally EventStream.deleteDir(tmp)
   }
 
+  test("stream-maintained IVF: the 4-micro-batch appendIvf fold's " +
+      "assignments equal the one-shot append row-for-row (frozen " +
+      "quantizer makes the fold associative)") {
+    import graft.operators.Ann
+    Graft.init(spark)
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val even = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val base = Ann.buildIvf(even)
+    val centroids = base.centroids.localCheckpoint(true)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf_spec").toString
+    odd.repartitionByRange(4, col("vec_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val streamed = EventStream.streamFoldExact(spark, tmp, odd.schema,
+        Some(base.assignments),
+        (st, b) => Ann.appendIvf(Ann.Ivf(st.get, centroids), b)
+          .assignments, onBatch = batches += _).get
+      assert(batches.distinct.size >= 4,
+        s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("centroid_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val oneShot = Ann.appendIvf(
+        Ann.Ivf(base.assignments, centroids), odd).assignments
+      assert(key(streamed) == key(oneShot),
+        "streamed index diverged from the one-shot append")
+      // every vector of the corpus is served exactly once
+      assert(key(streamed).map(_._1) ==
+        e.select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq)
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("streamAnomalyExact: multiple time-ordered micro-batches, state " +
       "bounded by user count, flags equal the batch rolling detector") {
     import graft.operators.Conditions
