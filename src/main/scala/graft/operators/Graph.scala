@@ -73,12 +73,19 @@ object Graph {
       // adjacency ⋈ degree, partitioned on src once, reused every round
       val a = sym.join(deg, "src")
         .repartition(shuffle, col("src")).persist()
-      // ONE action both materializes the persisted adjacency and reads
-      // off |V| (r13 verdict #3's last fixed job): every node of the
-      // symmetrized graph has outdeg ≥ 1, so the adjacency's distinct
-      // src count IS deg's row count — the separate a.count() +
-      // deg.count() pair was one whole scheduler round trip per query
-      val n = a.agg(count_distinct(col("src"))).head().getLong(0)
+      // the adjacency materialization and the |V| read were SEQUENTIAL
+      // actions — one whole scheduler round trip per query (r13 verdict
+      // #3's last fixed job). Run them as CONCURRENT jobs instead (the
+      // buildIvfPq shape): wall is max(two jobs), compute unchanged —
+      // deg.count() is a local-block scan of the checkpoint, so fusing
+      // it INTO the big action (e.g. count_distinct(src) over the |E|
+      // adjacency) was measured strictly worse than overlapping it.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val aCountF = Future { a.count() }
+      val n = deg.count() // one driver scalar — the graph's |V|
+      Await.result(aCountF, Duration.Inf)
       (a, deg, n)
     } finally { sym.unpersist(); base.unpersist() }
     val (adjacency, deg, n) = adj
