@@ -40,4 +40,32 @@ object Graft {
   def roundExact(c: Column, scale: Int): Column =
     org.apache.spark.sql.functions
       .round(c.cast("decimal(28,12)"), scale).cast("double")
+
+  /** RAM-backed scratch directory for intra-query artifacts (persisted
+    * sketches, built indexes, stream sources, bucketed layouts).
+    * `java.io.tmpdir` is this VM's /tmp DISK, whose asynchronous
+    * writeback stalls for multi-second stretches — measured degrading
+    * not the writing query but the queries in the NEXT window (two
+    * rounds of q44 bar-misses traced to the write-heavy q39–q43 block
+    * flushing during q44's runs; the same pathology that moved
+    * spark.local.dir to /dev/shm). Scratch artifacts are short-lived
+    * and bounded (≤ tens of MB at bench SF, cleaned in each query's
+    * finally), so tmpfs is the right home. Override with
+    * SPARK_GRAFT_TMP; falls back to java.io.tmpdir when /dev/shm is
+    * absent (non-Linux dev boxes). */
+  def scratchDir(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_TMP")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Option(java.nio.file.Paths.get("/dev/shm"))
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.isWritable(p)))
+    base match {
+      case Some(b) =>
+        val root = b.resolve("graft-scratch")
+        java.nio.file.Files.createDirectories(root)
+        java.nio.file.Files.createTempDirectory(root, prefix).toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+  }
 }

@@ -267,8 +267,7 @@ object ScaleProbe {
       // through the catalog; wall must scale ∝ data with no driver-side
       // choke (the commit/metadata cost is per-file, not per-row)
       ("layout_write_bucketed", "docs", (d: DataFrame) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_probe_bkt").toString
+        val tmp = graft.Graft.scratchDir("graft_probe_bkt")
         try graft.operators.Layout.writeBucketed(
           d, "graft_probe_bkt", s"$tmp/t", "doc_id", 8): Unit
         finally {

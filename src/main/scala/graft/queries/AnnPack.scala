@@ -95,8 +95,7 @@ object AnnPack extends QueryPack {
       // assignment broadcast does not re-derive the centroid pick
       val centroids = base.centroids.localCheckpoint(true)
       val odd = e.filter(pmod(col("vec_id"), lit(2)) === 1)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_ivf").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_ivf")
       odd.repartitionByRange(4, col("vec_id"))
         .write.mode("overwrite").parquet(tmp)
       try {

@@ -344,8 +344,7 @@ object DedupTextPack extends QueryPack {
     // dd_incremental grading pattern applied to a live stream).
     "stream_ingest_dedup" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_in").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_in")
       d.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
       // ingestDedupExact's state is localCheckpointed (source-independent)

@@ -41,8 +41,7 @@ object MaintenancePack extends QueryPack {
       dir: String): (DataFrame, DataFrame) =
     bucketedLayouts.computeIfAbsent(dir, _ => {
       val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bucket_ix").toString
+      val tmp = graft.Graft.scratchDir("graft_bucket_ix")
       val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
         s"graft_bkt_orders_$tag", s"$tmp/o", "o_orderkey", 8)
       val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
@@ -139,8 +138,7 @@ object MaintenancePack extends QueryPack {
       val o = Tables.load(s, dir, "orders")
       val changes = changeBatch(o)
       val snap0 = o.withColumn("op", lit("U")).withColumn("seq", lit(0L))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_cdc").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_cdc")
       changes
         .repartitionByRange(4,
           pmod(col("o_orderkey") + col("seq"), lit(4L)))
@@ -160,8 +158,7 @@ object MaintenancePack extends QueryPack {
     // snapshot and v2 through the shared CDC CTEs.
     "q49_time_travel" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_time_travel").toString + "/t"
+      val root = graft.Graft.scratchDir("graft_time_travel") + "/t"
       try {
         graft.operators.Versioned.write(o, root, 1L)
         graft.operators.Versioned.write(
@@ -287,8 +284,7 @@ object MaintenancePack extends QueryPack {
     // the same aggregate over the raw table). One data-sized write, no
     // driver-side choke — the 10× probe asserts the ∝-data scaling.
     "q41_bucket_build" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bucket_build").toString
+      val tmp = graft.Graft.scratchDir("graft_bucket_build")
       try {
         val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
           "graft_bkt_build", s"$tmp/l", "l_orderkey", 8)
@@ -348,8 +344,7 @@ object MaintenancePack extends QueryPack {
     // files were actually skipped). Result ≡ the full-scan filter, which
     // the oracle runs.
     "q43_pruned_scan" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_prune").toString
+      val tmp = graft.Graft.scratchDir("graft_prune")
       try {
         Layout.zorderBy(Tables.load(s, dir, "documents"),
             Seq("n_chars", "doc_id"), 16)
@@ -375,8 +370,7 @@ object MaintenancePack extends QueryPack {
     // runs; the spec pins that files were actually skipped.
     "q50_bloom_lookup" -> ((s, dir) => {
       val keys = Seq(11L, 55L, 222L, 333L, 444L)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bloom").toString
+      val tmp = graft.Graft.scratchDir("graft_bloom")
       try {
         Layout.zorderBy(Tables.load(s, dir, "documents"),
             Seq("n_chars", "doc_id"), 16)
@@ -448,8 +442,7 @@ object MaintenancePack extends QueryPack {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("seg"), col("o_custkey"),
           col("o_orderkey"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_kmv").toString
+      val tmp = graft.Graft.scratchDir("graft_kmv")
       try {
         // two batch builds, persisted independently — the artifact face
         Sketches.kmvSketch(o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
@@ -619,8 +612,7 @@ object MaintenancePack extends QueryPack {
       val d = Tables.load(s, dir, "documents")
         .select(col("lang"), col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_hist").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_hist")
       d.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
       try {
@@ -655,8 +647,7 @@ object MaintenancePack extends QueryPack {
       val o = Tables.load(s, dir, "orders")
         .select(col("o_orderpriority").as("seg"), col("o_custkey"),
           col("o_orderkey"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_kmv").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_kmv")
       o.repartitionByRange(4, col("o_orderkey"))
         .write.mode("overwrite").parquet(tmp)
       try {
@@ -694,8 +685,7 @@ object MaintenancePack extends QueryPack {
         .select(col("doc_id"), col("text"))
       def toks(df: DataFrame) = df.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_cms").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_cms")
       d.repartitionByRange(4, col("doc_id"))
         .write.mode("overwrite").parquet(tmp)
       try {

@@ -112,8 +112,7 @@ object PipelinePack extends QueryPack {
         .select(floor(col("o_totalprice") / lit(bandW.toDouble))
             .cast("long").as("band"),
           col("o_custkey").as("cust_id"), col("o_orderkey"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_aud_sketch").toString
+      val tmp = graft.Graft.scratchDir("graft_aud_sketch")
       try {
         // incremental maintenance face: two independent batches per
         // artifact, merged (merge ≡ rebuild exactly), persisted
@@ -255,8 +254,7 @@ object PipelinePack extends QueryPack {
           case (q, i) => (i.toLong, q)
         }).toDF("qid", "qtext")
         .select(col("qid"), Embeddings.embedCol(col("qtext")).as("qvec"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_camp_ix").toString
+      val tmp = graft.Graft.scratchDir("graft_camp_ix")
       try {
         IndexBuild.campaignIndex(s, dir)
           .select(col("camp_id").as("vec_id"),

@@ -295,8 +295,7 @@ object RelationalPack extends QueryPack {
     "stream_hourly" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("ts"), col("event_type"), col("value"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_ev").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_ev")
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(tmp)
       // the helper drains AvailableNow and materializes before returning,
       // so the temp shards can go immediately (r9 advisory: leak per run)
@@ -343,10 +342,8 @@ object RelationalPack extends QueryPack {
         .select(col("ts"), col("user_id"), col("value"), col("event_type"))
       val l = ev.filter(col("event_type") === "purchase").drop("event_type")
       val r = ev.filter(col("event_type") === "click").drop("event_type")
-      val lDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_l").toString
-      val rDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_r").toString
+      val lDir = graft.Graft.scratchDir("graft_stream_l")
+      val rDir = graft.Graft.scratchDir("graft_stream_r")
       l.repartitionByRange(2, col("ts")).write.mode("overwrite").parquet(lDir)
       r.repartitionByRange(2, col("user_id")).write.mode("overwrite").parquet(rDir)
       try graft.streaming.EventStream.streamJoinExact(s, lDir, rDir, l.schema)
@@ -386,8 +383,7 @@ object RelationalPack extends QueryPack {
     "stream_sessionize" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("value"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_sess").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_sess")
       ev.repartitionByRange(4, col("ts")).write.mode("overwrite").parquet(tmp)
       try graft.streaming.EventStream.streamSessionizeExact(s, tmp, ev.schema)
         .orderBy(col("user_id"), col("session_start"))
@@ -600,8 +596,7 @@ object RelationalPack extends QueryPack {
     "stream_anomaly" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_anom").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_anom")
       try {
         graft.streaming.EventStream.writeTimeOrderedBatches(
           e, Seq("ts", "event_id"), 4, tmp)

@@ -84,8 +84,7 @@ object RetrievalPack extends QueryPack {
     "tx_bm25_built_index" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bm25_ix").toString
+      val tmp = graft.Graft.scratchDir("graft_bm25_ix")
       try {
         Retrieval.saveBm25Index(Retrieval.buildBm25Index(d), tmp)
         Retrieval.bm25IndexTopK(Retrieval.loadBm25Index(s, tmp), terms,
@@ -126,8 +125,7 @@ object RetrievalPack extends QueryPack {
         .select(col("vec_id"), col("embedding"))
       val qs = e.filter(col("vec_id") < 3).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_stream_topk").toString
+      val tmp = graft.Graft.scratchDir("graft_stream_topk")
       e.repartitionByRange(4, col("vec_id"))
         .write.mode("overwrite").parquet(tmp)
       try graft.streaming.EventStream
