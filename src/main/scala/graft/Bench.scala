@@ -149,6 +149,7 @@ object Bench {
     "stream_kmv_sketch" -> "harness: micro-batch loop; KMV merge is k-longs-per-group state-sized (merge=rebuild spec-gated in SketchesSpec)",
     "stream_cms" -> "harness: micro-batch loop; CMS merge is depth*width state-sized (merge=rebuild spec-gated in SketchesSpec; batch twin benched as tx_cms_counts)",
     "stream_ivf_append" -> "harness: micro-batch loop; per-trigger append work is batch-sized map-only assignment (streamed==one-shot spec-gated; batch twin benched as ann_ivf_append_topk)",
+    "stream_scd2" -> "harness: micro-batch loop; per-trigger scd2Apply work is batch+touched-runs sized (apply==rebuild spec-gated; batch twins benched as q40_scd2/q58_scd2_apply)",
     "stream_anomaly" -> "harness: micro-batch loop; benched batch twin q46_anomaly",
     "tx_bm25_append" -> "family: append work ∝ batch (spec-pinned); query path benched as tx_bm25_built_index",
     "tx_bpe_vocab" -> "composition: the vocab fold is built and paid inside benched tx_bpe_tokens",

@@ -103,6 +103,39 @@ object MaintenancePack extends QueryPack {
       |GROUP BY tp.w, tp.exact_cnt
       |ORDER BY tp.exact_cnt DESC, tp.w""".stripMargin
 
+  /** DuckDB twin of the SCD-2 full-history interval build, shared by
+    * q40_scd2 and stream_scd2 (the streamed scd2Apply fold's fixed
+    * point equals the one-shot build exactly). */
+  private val scd2Oracle: String =
+    """WITH src AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value / 20.0) AS BIGINT) AS band
+      |  FROM events WHERE user_id < 5),
+      |marked AS (
+      |  SELECT user_id, ts, event_id, band,
+      |    CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM src
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |islands AS (
+      |  SELECT user_id, ts, band,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked),
+      |runs AS (
+      |  SELECT user_id, island, min(band) AS band,
+      |    min(ts) AS valid_from
+      |  FROM islands GROUP BY user_id, island),
+      |iv AS (
+      |  SELECT user_id, band, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+      |      AS valid_to
+      |  FROM runs)
+      |SELECT user_id, band, epoch_us(valid_from) AS valid_from,
+      |  epoch_us(valid_to) AS valid_to,
+      |  valid_to IS NULL AS is_current
+      |FROM iv""".stripMargin
+
   /** The per-status audit both CDC queries emit: row count, decimal
     * price sum, max key (pins the inserts). */
   private def audit(snapshot: DataFrame): DataFrame =
@@ -220,6 +253,44 @@ object MaintenancePack extends QueryPack {
           unix_micros(col("valid_from")).as("valid_from"),
           unix_micros(col("valid_to")).as("valid_to"),
           col("is_current"))
+    }),
+
+    // Streaming SCD-2 maintenance — the 12th streaming state kind under
+    // the gate, and the second ORDER-SENSITIVE one (stream_anomaly is
+    // the first): the dimension-history intervals maintained under a
+    // live event stream by folding `Cdc.scd2Apply` per micro-batch
+    // (state ← apply(state, batch); the first batch builds). The
+    // time-ordered source (writeTimeOrderedBatches — micro-batch
+    // arrival pinned to event time, the CDC-ingest regime) satisfies
+    // scd2Apply's append-only contract, under which apply ≡ the full
+    // rebuild over (history ∪ batch) EXACTLY — so the streamed fixed
+    // point is the one-shot q40 build and shares its oracle verbatim.
+    // Per-trigger work is ∝ batch + touched keys' run counts (untouched
+    // keys pass through a broadcast anti-join, never re-read); state is
+    // the interval table itself — the artifact being maintained. This
+    // is the streaming form of the dimension refresh the reference does
+    // by truncate-and-reload (nl_targeting_save.py:52-66).
+    "stream_scd2" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") / 20.0).cast("long").as("band"))
+      val tmp = graft.Graft.scratchDir("graft_stream_scd2")
+      graft.streaming.EventStream.writeTimeOrderedBatches(
+        e, Seq("ts", "event_id"), 4, tmp)
+      try {
+        val iv = graft.streaming.EventStream.streamFoldExact(
+          s, tmp, e.schema, None,
+          (st, b) => st.fold(
+            Cdc.scd2Intervals(b, "user_id", "band", "ts", "event_id"))(
+            prev => Cdc.scd2Apply(prev, b, "user_id", "band", "ts",
+              "event_id"))).get
+        iv.select(col("user_id"), col("band"),
+            unix_micros(col("valid_from")).as("valid_from"),
+            unix_micros(col("valid_to")).as("valid_to"),
+            col("is_current"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // SCD-2 dimension lookup AT EVENT TIME — how SCD-2 history is
@@ -833,35 +904,13 @@ object MaintenancePack extends QueryPack {
     "stream_cdc" -> cdcOracleFull,
     "q49_time_travel" -> timeTravelOracle,
 
-    "q40_scd2" ->
-      """WITH src AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(floor(value / 20.0) AS BIGINT) AS band
-        |  FROM events WHERE user_id < 5),
-        |marked AS (
-        |  SELECT user_id, ts, event_id, band,
-        |    CASE WHEN lag(band) OVER w IS NULL OR lag(band) OVER w <> band
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM src
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |islands AS (
-        |  SELECT user_id, ts, band,
-        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM marked),
-        |runs AS (
-        |  SELECT user_id, island, min(band) AS band,
-        |    min(ts) AS valid_from
-        |  FROM islands GROUP BY user_id, island),
-        |iv AS (
-        |  SELECT user_id, band, valid_from,
-        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
-        |      AS valid_to
-        |  FROM runs)
-        |SELECT user_id, band, epoch_us(valid_from) AS valid_from,
-        |  epoch_us(valid_to) AS valid_to,
-        |  valid_to IS NULL AS is_current
-        |FROM iv""".stripMargin,
+    "q40_scd2" -> scd2Oracle,
+
+    // the streamed fold's fixed point IS the one-shot interval build
+    // (scd2Apply ≡ rebuild under the append-only regime the
+    // time-ordered source guarantees), so the stream shares q40's
+    // full-history oracle verbatim
+    "stream_scd2" -> scd2Oracle,
 
     // the oracle is the FULL-history rebuild — the hash gate proves
     // incremental apply ≡ rebuild over (existing rows ∪ batch)

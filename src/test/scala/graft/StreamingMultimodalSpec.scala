@@ -172,6 +172,41 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     } finally EventStream.deleteDir(tmp)
   }
 
+  test("stream-maintained SCD-2: the time-ordered 4-micro-batch " +
+      "scd2Apply fold equals the one-shot interval build row-for-row") {
+    import graft.operators.Cdc
+    val e = Tables.load(spark, TestSpark.sfDir, "events")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / 20.0).cast("long").as("band"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_scd2_spec").toString
+    EventStream.writeTimeOrderedBatches(e, Seq("ts", "event_id"), 4, tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val streamed = EventStream.streamFoldExact(spark, tmp, e.schema,
+        None,
+        (st, b) => st.fold(
+          Cdc.scd2Intervals(b, "user_id", "band", "ts", "event_id"))(
+          prev => Cdc.scd2Apply(prev, b, "user_id", "band", "ts",
+            "event_id")), onBatch = batches += _).get
+      assert(batches.distinct.size >= 4,
+        s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("user_id"), col("band"),
+          unix_micros(col("valid_from")).as("f"),
+          unix_micros(col("valid_to")).as("t"), col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .sorted.toSeq
+      val oneShot = Cdc.scd2Intervals(e, "user_id", "band", "ts",
+        "event_id")
+      assert(key(streamed) == key(oneShot),
+        "streamed interval table diverged from the one-shot build")
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("streamAnomalyExact: multiple time-ordered micro-batches, state " +
       "bounded by user count, flags equal the batch rolling detector") {
     import graft.operators.Conditions
