@@ -417,4 +417,45 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     val b = agg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(a.nonEmpty && a == b)
   }
+
+  test("exactSubstrSpans equals a brute-force gram-count + island-merge " +
+      "reference on 200 random docs over a 4-word vocabulary (covers the " +
+      "r14 single-pass dictionary restructure on dup-heavy input)") {
+    val rnd = new scala.util.Random(303)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 200L).map { i =>
+      val n = rnd.nextInt(13)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val L = 3
+    val got = Dedup.exactSubstrSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sorted.toList
+    // reference: global gram-string counts -> duplicated start sites ->
+    // per-doc islands merged while the next start is within L
+    val grams = docs.flatMap { case (id, text) =>
+      val w = text.split("\\s+").toList
+      if (w.length < L) Nil
+      else w.sliding(L).zipWithIndex
+        .map { case (g, p) => (id, p, g.mkString(" ")) }.toList
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val want = grams.filter(g => counts(g._3) >= 2)
+      .groupBy(_._1).toList.flatMap { case (id, sites) =>
+        val ps = sites.map(_._2).sorted
+        val islands = scala.collection.mutable.ListBuffer
+          .empty[scala.collection.mutable.ListBuffer[Int]]
+        ps.foreach { p =>
+          if (islands.nonEmpty && p - islands.last.last <= L)
+            islands.last += p
+          else islands += scala.collection.mutable.ListBuffer(p)
+        }
+        islands.toList.map(is =>
+          (id, is.head, is.last + L, is.size.toLong))
+      }.sorted
+    assert(want.nonEmpty, "fixture produced no duplicated grams")
+    assert(got == want)
+  }
 }
