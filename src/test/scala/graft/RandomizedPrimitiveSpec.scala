@@ -458,4 +458,45 @@ class RandomizedPrimitiveSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture produced no duplicated grams")
     assert(got == want)
   }
+
+  test("scd2Apply folded over random time-split batches equals the " +
+      "one-shot interval build (the stream_scd2 contract at random " +
+      "split points)") {
+    import graft.operators.Cdc
+    val rnd = new scala.util.Random(404)
+    // 6 keys x ~40 events with SMALL band domain (forces real runs and
+    // run-extensions across split points) and strictly increasing ts
+    val events = (0L until 240L).map { i =>
+      (i % 6, // key
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i, // tie
+        rnd.nextInt(3).toLong) // band
+    }
+    val df = events.toDF("user_id", "ts", "event_id", "band")
+    val oneShot = Cdc.scd2Intervals(df, "user_id", "band", "ts", "event_id")
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("user_id"), col("band"),
+        unix_micros(col("valid_from")).as("f"),
+        unix_micros(col("valid_to")).as("t"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sorted.toSeq
+    val want = key(oneShot)
+    // three random 3-way time splits, each folded sequentially
+    for (trial <- 1 to 3) {
+      val cut1 = 40 + rnd.nextInt(80)
+      val cut2 = cut1 + 20 + rnd.nextInt(120 - cut1 / 2)
+      val parts = Seq(
+        df.filter(col("event_id") < cut1),
+        df.filter(col("event_id") >= cut1 && col("event_id") < cut2),
+        df.filter(col("event_id") >= cut2)).filter(_.count() > 0)
+      val folded = parts.tail.foldLeft(
+        Cdc.scd2Intervals(parts.head, "user_id", "band", "ts", "event_id")) {
+        (st, b) => Cdc.scd2Apply(st, b, "user_id", "band", "ts", "event_id")
+      }
+      assert(key(folded) == want, s"trial $trial (cuts $cut1/$cut2)")
+    }
+  }
 }
