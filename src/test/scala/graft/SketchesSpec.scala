@@ -338,6 +338,38 @@ class SketchesSpec extends AnyFunSuite {
       KmvSketchAggregator.estimateUnion(a.toSeq, b.toSeq, k))
   }
 
+  test("KMV set algebra is EXACT on 60 random set pairs in the " +
+      "exhaustive regime (union, intersection, difference — one pass)") {
+    import graft.functions.KmvSketchAggregator
+    val rnd = new scala.util.Random(505)
+    val k = 512
+    val agg = new KmvSketchAggregator(k)
+    def sk(xs: Set[Long]): Seq[Long] =
+      xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)).sortedValues.toSeq
+    // value domain 400 < k, so every sketch AND every union is
+    // exhaustive and the estimators must return exact set sizes
+    val pairs = (0 until 60).map { i =>
+      def set() = (0 until 1 + rnd.nextInt(200))
+        .map(_ => rnd.nextInt(400).toLong).toSet
+      (i, set(), set())
+    }
+    val got = pairs.map { case (i, a, b) => (i.toLong, sk(a), sk(b)) }
+      .toDF("i", "a", "b")
+      .select(col("i"),
+        Sketches.kmvUnionEstimate(col("a"), col("b"), k).as("u"),
+        Sketches.kmvIntersectEstimate(col("a"), col("b"), k).as("x"),
+        Sketches.kmvDifferenceEstimate(col("a"), col("b"), k).as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    pairs.foreach { case (i, a, b) =>
+      val (u, x, d) = got(i.toLong)
+      assert(u == a.union(b).size.toDouble, s"pair $i union")
+      assert(x == a.intersect(b).size.toDouble, s"pair $i intersection")
+      assert(d == a.diff(b).size.toDouble, s"pair $i difference")
+    }
+  }
+
   test("kmvDifferenceEstimate clamps at zero when the estimators' " +
       "independent noise drives the raw difference negative (r13 advice)") {
     // handcrafted estimating-regime sketches (size == k): a's kth hash
