@@ -303,16 +303,19 @@ object Bench {
       try qs(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
     }
-    // build-once artifacts warm at the BENCH dir too: q41_bucket_join's
-    // contract is pay-the-layout-once/query-many, so the layout build
+    // build-once artifacts warm at the BENCH dir too: these queries'
+    // contract is pay-the-artifact-once/query-many, so the build
     // belongs outside the timed runs (run 1 otherwise pays it, and on a
     // box that stalls mid-query it can end up the only clean-bracketed
     // run, poisoning the adjudicated median with exactly the cost the
-    // design amortizes away; the write path has its own timed entry,
-    // q41_bucket_build)
-    if (selected.contains("q41_bucket_join"))
-      try qs("q41_bucket_join")(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    // design amortizes away; the build paths have their own timed
+    // entries — q41_bucket_build for the layout write,
+    // q62_kmv_persisted for the sketch-artifact build)
+    Seq("q41_bucket_join", "rcmn_audience_sketch")
+      .filter(selected.contains).foreach { name =>
+        try qs(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     // median-of-N timed runs per query (default 5), with the per-query
     // [min,max] spread reported alongside — this box shows ±3-4x
     // scheduler/steal-time variance between runs, so a single (or min-of-2)

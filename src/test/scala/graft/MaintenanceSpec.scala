@@ -337,6 +337,18 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("rcmn_audience_sketch builds its sketch artifacts ONCE per dir " +
+      "and reuses them — the maintain-incrementally/serve-cheap contract") {
+    val q = graft.queries.PipelinePack.queries("rcmn_audience_sketch")
+    val r1 = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    val after1 = graft.queries.PipelinePack.audienceSketchDirs.size
+    assert(after1 >= 1, "first call must populate the artifact cache")
+    val r2 = q(spark, TestSpark.sfDir).collect().map(_.toString).toSeq
+    assert(graft.queries.PipelinePack.audienceSketchDirs.size == after1,
+      "second call rebuilt the artifacts instead of reusing them")
+    assert(r1 == r2, "reused artifacts changed the answer")
+  }
+
   test("q41_bucket_join builds its bucketed layout ONCE per dir and " +
       "reuses it — the pay-once contract the bench number now reflects") {
     val q = graft.queries.MaintenancePack.queries("q41_bucket_join")
