@@ -191,9 +191,12 @@ object Bench {
 
   /** One timed run with its four bracketing canaries: `c`/`cPost` are
     * the scan-shaped q1_agg canaries before this run and before the next
-    * (or the closing one), `ci`/`ciPost` the iteration-shaped pair. */
+    * (or the closing one), `ci`/`ciPost` the iteration-shaped pair.
+    * `epoch` is the floor-measurement window the run executed in (r14
+    * verdict #1b: adjudication compares canaries against the floor of
+    * the run's OWN window, not the minute-one session floor). */
   private case class Run(c: Double, cPost: Double, ci: Double,
-    ciPost: Double, sec: Double, snap: Vector[St])
+    ciPost: Double, sec: Double, snap: Vector[St], epoch: Int)
 
   /** Resolve a file name to an absolute path at the repo root (first parent
     * of user.dir holding build.sbt) — sbt may fork the main in a JVM whose
@@ -381,25 +384,62 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
+    // the canary gets its OWN try: a canary failure must not record the
+    // query under test as failed (-1) when that query never ran — it
+    // reports -1 canary (= unadjudicable run) and the timed run proceeds
+    def canary(): Double = canaryQ.fold(-1.0) { f =>
+      try {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        f(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    // FLOOR EPOCHS (r14 verdict #1b): the box drifts — GC/allocator
+    // state minutes in is not minute-one state, and a sustained stall
+    // can cover whole query windows. A single session-wide canary
+    // floor therefore misclassifies: against a minute-one floor, a
+    // late steady-state run reads degraded (and real stalls flood the
+    // retry queue); against a stall-window observation, a degraded
+    // floor would launder stalled runs as clean. Floors are instead
+    // re-measured in dedicated blocks (3 scan + 3 iter canaries, min)
+    // at session start, every [[floorEvery]] queries, and at the head
+    // of every retry pass; each run adjudicates against the floor of
+    // its OWN epoch (block min, further lowered by any faster canary
+    // observed inside the epoch — a fast observation is proof of box
+    // capability in that window). An epoch whose floor is itself
+    // degraded (> 1 s for the ~0.2-0.4 s canaries) is flagged in the
+    // JSON so its "clean" runs carry a visible caveat.
+    val floorEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR_EVERY", "20").toInt
+    val retryRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_RUNS", "3").toInt
+    val retryMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_MAX", "25").toInt
+    val retryPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_PASSES", "2").toInt
+    val floorScanBlocks = mutable.ArrayBuffer.empty[Double]
+    val floorIterBlocks = mutable.ArrayBuffer.empty[Double]
+    def newEpoch(): Unit = {
+      if (!canaryOn) { floorScanBlocks += -1.0; floorIterBlocks += -1.0 }
+      else {
+        teardown()
+        val cs = (1 to 3).map(_ => canary())
+        val cis = (1 to 3).map(_ => iterCanary())
+        floorScanBlocks += cs.filter(_ >= 0).minOption.getOrElse(-1.0)
+        floorIterBlocks += cis.filter(_ >= 0).minOption.getOrElse(-1.0)
+        System.err.println(f"[bench] floor epoch ${floorScanBlocks.size - 1}: " +
+          f"scan ${floorScanBlocks.last}%.3f s, iter ${floorIterBlocks.last}%.3f s")
+      }
+    }
+    var sinceFloor = Int.MaxValue // forces a block before query 1
+    def maybeNewEpoch(): Unit =
+      if (sinceFloor >= floorEvery) { newEpoch(); sinceFloor = 0 }
+    def curEpoch: Int = floorScanBlocks.size - 1
     // evidence collected for bench_stages.json: per-run wall times (run
     // order, not sorted) and the full stage breakdown of every slow run
-    val allRunsJson = mutable.ArrayBuffer.empty[String]
     val slowRunsJson = mutable.ArrayBuffer.empty[String]
-    val results = selected.filter(qs.contains).map { name =>
-      // the canary gets its OWN try: a canary failure must not record the
-      // query under test as failed (-1) when that query never ran — it
-      // reports -1 canary (= unadjudicable run) and the timed run proceeds
-      def canary(): Double = canaryQ.fold(-1.0) { f =>
-        try {
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          f(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] canary failed: ${e.getMessage}")
-          -1.0
-        }
-      }
+    def timeQuery(name: String, nRuns: Int): Vector[Run] = {
+      val epoch = curEpoch
       def once(): (Double, Vector[St]) = {
         // cold-cache per run: operators may cache() intra-query (their own
         // design); leaking those entries across runs/queries makes AQE
@@ -419,7 +459,7 @@ object Bench {
         } else Vector.empty[St]
         (dt, snap)
       }
-      val runsRaw = try (1 to runsPerQuery).map { _ =>
+      val runsRaw = try (1 to nRuns).map { _ =>
           // deterministic cleanup OUTSIDE the timed path, before EVERY
           // run (not once per query): localCheckpoint blocks and
           // intra-query persists of the PREVIOUS runs/queries otherwise
@@ -451,15 +491,13 @@ object Bench {
         val (cPost, ciPost) =
           if (i + 1 < runsRaw.length) (runsRaw(i + 1)._1, runsRaw(i + 1)._2)
           else (closingC, closingCi)
-        Run(c, cPost, ci, ciPost, dt, snap)
+        Run(c, cPost, ci, ciPost, dt, snap, epoch)
       }
       // stage-evidence dump: any run >3x the query's fastest run gets its
       // top stages printed AND persisted so a bad median is attributable
       // (low run_ms vs wall = tasks parked → environment; high run_ms =
       // compute degraded → plan) instead of adjudicated on faith.
       val minT = runs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0)
-      allRunsJson += "\"" + name + "\":[" +
-        runs.map(r => f"${r.sec}%.3f").mkString(",") + "]"
       if (stagesOn && minT > 0) runs.zipWithIndex.foreach { case (r, i) =>
         if (r.sec > 3 * minT && r.sec > 1.0) {
           System.err.println(
@@ -476,7 +514,86 @@ object Bench {
             f""""min_sec":$minT%.3f,"stages":[${top.map(_.json).mkString(",")}]}"""
         }
       }
-      name -> runs
+      runs
+    }
+    // main pass, floor blocks interleaved every floorEvery queries
+    val order = selected.filter(qs.contains)
+    val resultsMap = mutable.LinkedHashMap.empty[String, Vector[Run]]
+    order.foreach { name =>
+      maybeNewEpoch()
+      resultsMap(name) = timeQuery(name, runsPerQuery)
+      sinceFloor += 1
+    }
+    def cOk(c: Double, floor: Double): Boolean =
+      floor < 0 || (c >= 0 && c <= 2 * floor)
+    // per-epoch floors: the dedicated block min, lowered by any faster
+    // canary observation made inside the epoch (extra floor evidence
+    // for free); -1 (no evidence) classifies everything clean, as
+    // before. Recomputed after every pass since later observations
+    // can lower an epoch's floor only if made IN that epoch — they
+    // can't, so strictly this is stable per epoch once its window
+    // closes; recomputing is just the simplest correct form.
+    def epochFloors(): (Int => Double, Int => Double) = {
+      val nE = floorScanBlocks.size
+      val scanF = Array.fill(nE)(Double.MaxValue)
+      val iterF = Array.fill(nE)(Double.MaxValue)
+      def upd(a: Array[Double], e: Int, v: Double): Unit =
+        if (v >= 0 && e >= 0 && e < nE && v < a(e)) a(e) = v
+      for (rs <- resultsMap.values; r <- rs) {
+        upd(scanF, r.epoch, r.c); upd(scanF, r.epoch, r.cPost)
+        upd(iterF, r.epoch, r.ci); upd(iterF, r.epoch, r.ciPost)
+      }
+      for (e <- 0 until nE) {
+        upd(scanF, e, floorScanBlocks(e)); upd(iterF, e, floorIterBlocks(e))
+      }
+      def get(a: Array[Double])(e: Int): Double =
+        if (e >= 0 && e < nE && a(e) != Double.MaxValue) a(e) else -1.0
+      (get(scanF), get(iterF))
+    }
+    def cleanWith(r: Run, sF: Int => Double, iF: Int => Double): Boolean =
+      cOk(r.c, sF(r.epoch)) && cOk(r.cPost, sF(r.epoch)) &&
+        cOk(r.ci, iF(r.epoch)) && cOk(r.ciPost, iF(r.epoch))
+    // RETRY BLOCKS (r14 verdict #1a): a query whose timed window was
+    // degraded must not have that window's number accepted — it is
+    // re-queued for a retry block at session end (by then an acute
+    // stall has typically passed; r14's per-run evidence shows stall
+    // windows of minutes, not the whole session). A query retries
+    // while it has fewer than min(3, runsPerQuery) clean-bracketed
+    // runs; up to retryPasses passes, at most retryMax queries per
+    // pass (slowest first — the queries that dominate the total and
+    // the per-query bars), retryRuns runs each, each pass opening
+    // with a fresh floor block so retry runs adjudicate against the
+    // box state that actually hosted them.
+    val retried = mutable.ArrayBuffer.empty[String]
+    val cleanTarget = math.min(3, runsPerQuery)
+    var pass = 0
+    while (pass < retryPasses) {
+      val (sF, iF) = epochFloors()
+      val needing = resultsMap.toSeq
+        .filter { case (_, rs) => rs.count(cleanWith(_, sF, iF)) < cleanTarget }
+        .sortBy { case (_, rs) =>
+          -rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(0.0) }
+        .take(retryMax).map(_._1)
+      if (needing.isEmpty) pass = retryPasses
+      else {
+        System.err.println(s"[bench] retry pass ${pass + 1}: " +
+          s"${needing.size} queries with degraded windows: ${needing.mkString(",")}")
+        sinceFloor = Int.MaxValue
+        needing.foreach { name =>
+          maybeNewEpoch()
+          resultsMap(name) = resultsMap(name) ++ timeQuery(name, retryRuns)
+          sinceFloor += 1
+        }
+        retried ++= needing.filterNot(retried.contains)
+        pass += 1
+      }
+    }
+    val results = resultsMap.toSeq
+    val allRunsJson = results.map { case (name, runs) =>
+      "\"" + name + "\":[" + runs.map(r => f"${r.sec}%.3f").mkString(",") + "]"
+    }
+    val runEpochsJson = results.map { case (name, runs) =>
+      "\"" + name + "\":[" + runs.map(_.epoch).mkString(",") + "]"
     }
     def fmt(d: Double) = f"$d%.3f"
     def median(ts: Seq[Double]): Double =
@@ -484,22 +601,17 @@ object Bench {
     // box-state classification: a run is CLEAN if all FOUR bracketing
     // canaries (scan-shaped q1_agg and the iteration-shaped mini-loop,
     // each before the run and before the NEXT run / the closing pair)
-    // stayed within 2x their session-wide minimums — a degraded
+    // stayed within 2x the floors of the run's OWN epoch — a degraded
     // post-canary means contention started mid-run and the wall time is
     // environment, not plan; a degraded ITER canary with a clean scan
     // canary is the state that penalized q44/dd_incremental invisibly
     // for three rounds. With no canary every run counts as clean.
-    val canaryFloor = results
-      .flatMap(_._2.flatMap(r => Seq(r.c, r.cPost))).filter(_ >= 0)
-      .minOption.getOrElse(-1.0)
-    val iterFloor = results
-      .flatMap(_._2.flatMap(r => Seq(r.ci, r.ciPost))).filter(_ >= 0)
-      .minOption.getOrElse(-1.0)
-    def cOk(c: Double, floor: Double): Boolean =
-      floor < 0 || (c >= 0 && c <= 2 * floor)
-    def clean(r: Run): Boolean =
-      cOk(r.c, canaryFloor) && cOk(r.cPost, canaryFloor) &&
-        cOk(r.ci, iterFloor) && cOk(r.ciPost, iterFloor)
+    val (scanFloorOf, iterFloorOf) = epochFloors()
+    val canaryFloor = (0 until floorScanBlocks.size)
+      .map(scanFloorOf).filter(_ >= 0).minOption.getOrElse(-1.0)
+    val iterFloor = (0 until floorIterBlocks.size)
+      .map(iterFloorOf).filter(_ >= 0).minOption.getOrElse(-1.0)
+    def clean(r: Run): Boolean = cleanWith(r, scanFloorOf, iterFloorOf)
     val qJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + fmt(median(rs.map(_.sec))) }.mkString("{", ",", "}")
     val qAdjJson = results.map { case (k, rs) =>
@@ -530,6 +642,21 @@ object Bench {
       if (cleanTs.nonEmpty) median(cleanTs)
       else rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0) }
       .filter(_ >= 0).sum
+    // per-epoch floor evidence: the windows adjudication compared
+    // against, plus a per-epoch degraded flag (floor > 1 s for a
+    // ~0.2-0.4 s canary means the whole window was stalled and its
+    // "clean" classifications carry that caveat)
+    val nEpochs = floorScanBlocks.size
+    val floorsScanJson = (0 until nEpochs).map(e => fmt(scanFloorOf(e)))
+      .mkString("[", ",", "]")
+    val floorsIterJson = (0 until nEpochs).map(e => fmt(iterFloorOf(e)))
+      .mkString("[", ",", "]")
+    val epochDegradedJson = (0 until nEpochs)
+      .map(e => scanFloorOf(e) > 1.0 || iterFloorOf(e) > 1.0)
+      .mkString("[", ",", "]")
+    val cleanRunsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.count(clean) }.mkString("{", ",", "}")
+    val retriedJson = retried.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,""" +
       f""""total_adjudicated":$totalAdj%.3f,"queries_adjudicated":$qAdjJson,""" +
@@ -538,9 +665,13 @@ object Bench {
       // a session degraded THROUGHOUT has an inflated floor, which would
       // silently classify every run as clean — flag it so the adjudicated
       // numbers carry a visible caveat (q1_agg floor is ~0.2-0.4 s here)
-      s""""floor_degraded":${canaryFloor > 1.0},"times":$canaryJson},""" +
+      s""""floor_degraded":${canaryFloor > 1.0},"floors":$floorsScanJson,""" +
+      s""""times":$canaryJson},""" +
       f""""canary_iter":{"name":"iter2round","floor":${fmt(iterFloor)},""" +
-      s""""floor_degraded":${iterFloor > 1.0},"times":$canaryIterJson},""" +
+      s""""floor_degraded":${iterFloor > 1.0},"floors":$floorsIterJson,""" +
+      s""""times":$canaryIterJson},""" +
+      s""""epoch_degraded":$epochDegradedJson,""" +
+      s""""clean_runs":$cleanRunsJson,"retried":$retriedJson,""" +
       f""""runs":$runsPerQuery,"sf":"$sfDir"}"""
     // stdout contract (r11 What's-wrong #4): the full-evidence line is
     // ~10 KB and the driver's captured stdout tail truncates it mid-line
@@ -595,6 +726,8 @@ object Bench {
     writeFile(stagesFile,
       s"""{"runs_per_query":$runsPerQuery,"sf":"$sfDir",""" +
       s""""runs":${allRunsJson.mkString("{", ",", "}")},""" +
+      s""""run_epochs":${runEpochsJson.mkString("{", ",", "}")},""" +
+      s""""floors_scan":$floorsScanJson,"floors_iter":$floorsIterJson,""" +
       s""""slow_runs":${slowRunsJson.mkString("[", ",", "]")}}""" + "\n")
     println(compactJson)
     println(slimJson)

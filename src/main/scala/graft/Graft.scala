@@ -52,20 +52,91 @@ object Graft {
     * and bounded (≤ tens of MB at bench SF, cleaned in each query's
     * finally), so tmpfs is the right home. Override with
     * SPARK_GRAFT_TMP; falls back to java.io.tmpdir when /dev/shm is
-    * absent (non-Linux dev boxes). */
+    * absent (non-Linux dev boxes).
+    *
+    * Leak discipline (r14 advice): tmpfs pages are RAM — dirs that
+    * outlive the process (process-lifetime caches, crash-interrupted
+    * queries) would accumulate across bench/test runs until /dev/shm
+    * pressure degrades UNRELATED runs on the same box (the shuffle
+    * dirs live there too). Two backstops close that: a JVM shutdown
+    * hook removes every dir this process created, and the first
+    * scratchDir call of a process sweeps entries under graft-scratch
+    * whose newest mtime is older than [[staleScratchMs]] (2 h —
+    * generously past any session; a concurrent live session's dirs
+    * are minutes old and untouched). Budget: a full bench session's
+    * live scratch peaks ≈ 1 GiB at sf0.1; /dev/shm must hold that
+    * plus spark.local.dir's shuffle spill. */
+  private val staleScratchMs = 2L * 3600 * 1000
+  private val createdScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val scratchHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val scratchSwept = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val es = java.nio.file.Files.list(p)
+        try es.iterator().asScala.toList.foreach(deleteTree) finally es.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // racing sweeper/writer
+
+  /** Newest mtime anywhere under p; a vanished entry (concurrent
+    * cleanup) reads as maximally fresh so the sweep skips it. */
+  private def newestMtime(p: java.nio.file.Path): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      val self = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      if (!java.nio.file.Files.isDirectory(p,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS)) self
+      else {
+        val es = java.nio.file.Files.list(p)
+        val kids = try es.iterator().asScala.toList finally es.close()
+        (self +: kids.map(newestMtime)).max
+      }
+    } catch { case _: java.io.IOException => Long.MaxValue }
+
+  private def sweepStale(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val cutoff = System.currentTimeMillis() - staleScratchMs
+      val es = java.nio.file.Files.list(root)
+      val kids = try es.iterator().asScala.toList finally es.close()
+      kids.filter(newestMtime(_) < cutoff).foreach(deleteTree)
+    } catch { case _: java.io.IOException => () }
+
   def scratchDir(prefix: String): String = {
     val base = sys.env.get("SPARK_GRAFT_TMP")
       .map(java.nio.file.Paths.get(_))
       .orElse(Option(java.nio.file.Paths.get("/dev/shm"))
         .filter(p => java.nio.file.Files.isDirectory(p) &&
           java.nio.file.Files.isWritable(p)))
-    base match {
+    if (scratchHooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import scala.jdk.CollectionConverters._
+        createdScratch.asScala.toList.foreach(deleteTree)
+      }, "graft-scratch-cleanup"))
+    val dir = base match {
       case Some(b) =>
         val root = b.resolve("graft-scratch")
         java.nio.file.Files.createDirectories(root)
-        java.nio.file.Files.createTempDirectory(root, prefix).toString
+        if (scratchSwept.compareAndSet(false, true)) sweepStale(root)
+        java.nio.file.Files.createTempDirectory(root, prefix)
       case None =>
-        java.nio.file.Files.createTempDirectory(prefix).toString
+        java.nio.file.Files.createTempDirectory(prefix)
     }
+    createdScratch.add(dir)
+    dir.toString
+  }
+
+  /** Remove a scratch dir created by [[scratchDir]] right now — the
+    * caller-side `finally`/failed-build form; the shutdown hook above
+    * is only the backstop for paths that never reach their cleanup. */
+  def dropScratch(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    deleteTree(p)
+    createdScratch.remove(p)
   }
 }

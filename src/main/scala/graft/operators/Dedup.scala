@@ -854,15 +854,15 @@ object Dedup {
     val bloom = trainGrams.stat.bloomFilter(
       "h", math.max(trainGrams.count(), 1L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightHit = udf((h: Long) => bloomBc.value.mightContainLong(h))
     val testGrams = test.repartition(np)
       .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
       .select(col(idCol), shingleHash(col("g")).as("h"))
     val totals = testGrams.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"))
-    // the UDF is a broadcast-local bitset probe on a map-side path, applied
-    // before any shuffle; the exact semi-join after it restores exactness
-    val hits = testGrams.filter(mightHit(col("h")))
+    // codegen broadcast-bitset probe on a map-side path, applied before
+    // any shuffle; the exact semi-join after it restores exactness
+    val hits = testGrams
+      .filter(graft.functions.BloomMightContain(bloomBc, col("h")))
       .join(trainGrams, Seq("h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq(idCol))
@@ -1477,14 +1477,13 @@ object Dedup {
     val dupG = dupGramsOf(docs, textCol, minLen).localCheckpoint(true)
     val bloom = dupG.stat.bloomFilter("h", math.max(dupG.count(), 1L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightDup = udf((h: Long) => bloomBc.value.mightContainLong(h))
-    // the UDF is a broadcast-local bitset probe applied BEFORE any
-    // shuffle; only might-be-duplicated gram strings reach the confirm
+    // codegen broadcast-bitset probe applied BEFORE any shuffle; only
+    // might-be-duplicated gram strings reach the confirm
     val cand = docs.repartition(np)
       .select(col(idCol).as("id"),
         posexplode(ngrams(col(textCol), minLen)).as(Seq("p", "g")))
       .withColumn("h", shingleHash(col("g")))
-      .filter(mightDup(col("h")))
+      .filter(graft.functions.BloomMightContain(bloomBc, col("h")))
     // exact per-site decision: semi-join against the exact dictionary.
     // The probe side streams (AQE skew-splitting applies to a hot
     // boilerplate gram's sites); when the pinned dictionary is small

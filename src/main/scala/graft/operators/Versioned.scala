@@ -143,17 +143,27 @@ object Versioned {
     // newest mtime anywhere under p — the writer-liveness signal. The
     // walk is metadata-only over ONE crashed/in-flight attempt's file
     // count (bounded by a single write's task files), not the table.
-    def newestMtime(p: Path): Long = {
-      val entries = fs.listStatus(p).toSeq
-      (fs.getFileStatus(p).getModificationTime +:
-        entries.map(e =>
-          if (e.isDirectory) newestMtime(e.getPath)
-          else e.getModificationTime)).max
-    }
+    // A LIVE writer renames/removes task files between our listing and
+    // the recursion — a vanished path is proof the writer is active
+    // this instant, so it reports as maximally fresh rather than
+    // aborting the whole sweep (routine maintenance must not crash on
+    // concurrent work).
+    def newestMtime(p: Path): Long =
+      try {
+        val entries = fs.listStatus(p).toSeq
+        (fs.getFileStatus(p).getModificationTime +:
+          entries.map(e =>
+            if (e.isDirectory) newestMtime(e.getPath)
+            else e.getModificationTime)).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
     fs.listStatus(new Path(root)).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging_v="))
       .filter(s => newestMtime(s.getPath) < cutoff)
-      .foreach(s => fs.delete(s.getPath, true))
+      .foreach(s =>
+        // same race on the delete itself: another vacuum (or the
+        // writer's own cleanup) may have removed the dir already
+        try fs.delete(s.getPath, true)
+        catch { case _: java.io.FileNotFoundException => () })
     doomed
   }
 }

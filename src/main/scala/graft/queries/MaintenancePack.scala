@@ -40,13 +40,26 @@ object MaintenancePack extends QueryPack {
   private def bucketedLayout(s: SparkSession,
       dir: String): (DataFrame, DataFrame) =
     bucketedLayouts.computeIfAbsent(dir, _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      // collision-proof per-dir tag (r14 advice): two sf dirs with
+      // colliding String.hashCode would share catalog table names and
+      // clobber each other's definitions — a SHA-256 prefix of the
+      // full path makes the name unique per dir for all practical
+      // purposes (64-bit prefix, handful of dirs per process)
+      val tag = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString
+      // failure-atomic like audienceSketchArtifacts: if the second
+      // table's build throws, nothing is cached, so drop the
+      // half-written RAM-backed dir before rethrowing
       val tmp = graft.Graft.scratchDir("graft_bucket_ix")
-      val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
-        s"graft_bkt_orders_$tag", s"$tmp/o", "o_orderkey", 8)
-      val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
-        s"graft_bkt_lineitem_$tag", s"$tmp/l", "l_orderkey", 8)
-      (o, l)
+      try {
+        val o = Layout.writeBucketed(Tables.load(s, dir, "orders"),
+          s"graft_bkt_orders_$tag", s"$tmp/o", "o_orderkey", 8)
+        val l = Layout.writeBucketed(Tables.load(s, dir, "lineitem"),
+          s"graft_bkt_lineitem_$tag", s"$tmp/l", "l_orderkey", 8)
+        (o, l)
+      } catch { case e: Throwable =>
+        graft.Graft.dropScratch(tmp); throw e }
     })
 
   /** The derived CDC change batch over the orders snapshot (shared by

@@ -36,7 +36,20 @@ object PipelinePack extends QueryPack {
   private def audienceSketchArtifacts(s: SparkSession,
       dir: String): String =
     audienceSketchDirs.computeIfAbsent(dir, _ => {
+      // failure-atomic (r14 advice): if the seg write succeeds and the
+      // band write throws, computeIfAbsent caches nothing, so the next
+      // call would build a FRESH dir while the half-written RAM-backed
+      // one leaks — delete the scratch dir before rethrowing so a
+      // failed attempt leaves no tmpfs residue
       val tmp = graft.Graft.scratchDir("graft_aud_sketch_ix")
+      try buildAudienceSketch(s, dir, tmp)
+      catch { case e: Throwable =>
+        graft.Graft.dropScratch(tmp); throw e }
+      tmp
+    })
+
+  private def buildAudienceSketch(s: SparkSession, dir: String,
+      tmp: String): Unit = {
       val cust = t(s, dir, "customer")
         .select(col("c_mktsegment").as("seg"),
           col("c_custkey").as("cust_id"))
@@ -58,8 +71,7 @@ object PipelinePack extends QueryPack {
           bandSk(ord.filter(pmod(col("o_orderkey"), lit(2)) === 1)),
           Seq("band"), "sk_cust_id", AudK)
         .write.parquet(s"$tmp/band")
-      tmp
-    })
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -177,10 +189,17 @@ object PipelinePack extends QueryPack {
           col("band") * lit(AudBandW) < col("hi") &&
             (col("band") + 1) * lit(AudBandW) > col("lo"), "left_semi")
         .select(col("sk_cust_id"))
-      Sketches.mergeAllKmv(segPick.unionByName(bandPick),
+      val served = Sketches.mergeAllKmv(segPick.unionByName(bandPick),
           "sk_cust_id", AudK)
         .select(round(Sketches.kmvDistinctEstimate(col("sk_cust_id"), AudK))
           .cast("long").as("audience"))
+      // materialize the one-row answer eagerly so t5's cache can be
+      // released HERE (r14 advice) — otherwise the pin outlives the
+      // query until the caller's teardown; the collect is a single
+      // bounded row, not row data
+      val row = served.collect().toSeq
+      t5.unpersist(blocking = false)
+      s.createDataFrame(s.sparkContext.parallelize(row, 1), served.schema)
     }),
 
     // ---- index-build / stub-LLM path. The stub embedder is md5-derived

@@ -163,4 +163,30 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(!dictPlan.contains("Window"),
       s"dictionary pass must not window:\n$dictPlan")
   }
+
+  test("BloomMightContain participates in whole-stage codegen and " +
+      "matches direct filter probes (no false negatives)") {
+    import org.apache.spark.sql.execution.debug._
+    val members = (0L until 512L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(512, 0.01)
+    members.foreach(bloom.putLong)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val probe = spark.range(0, 6000)
+      .select((col("id") * 7919L).as("h"))
+      .filter(graft.functions.BloomMightContain(bc, col("h")))
+    // codegen participation (the Md5Embed convention): the generated
+    // Java probes the resolved filter directly — no Scala-udf boundary
+    val gen = codegenString(probe.queryExecution.executedPlan)
+    assert(gen.contains("mightContainLong"), gen.take(500))
+    assert(!gen.contains("ScalaUDF"), gen.take(500))
+    val kept = probe.collect().map(_.getLong(0)).toSet
+    // bloom contract: every member survives; non-members only as fpp
+    assert(members.toSet.subsetOf(kept))
+    // 5488 non-members at fpp 0.01 → ~55 expected; 3x headroom for the
+    // sketch's actual bit/hash rounding
+    val extras = kept -- members.toSet
+    assert(extras.size <= 165, s"fpp blowout: ${extras.size} of 5488")
+    // interpreted path (eval) agrees with the generated path
+    members.take(16).foreach(h => assert(bc.value.mightContainLong(h)))
+  }
 }
