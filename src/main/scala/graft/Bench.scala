@@ -141,6 +141,9 @@ object Bench {
     "q38_range_window" -> "family: range-frame window, q17_running_window family",
     "stream_hourly" -> "harness: micro-batch loop wall time measures trigger scheduling; state cost spec-gated",
     "stream_ingest_dedup" -> "harness: micro-batch loop; dedup state cost spec-gated",
+    "stream_ingest_upsert_delete" -> "harness: micro-batch loop; upsert+delete fold is tombstone-union + batch-append (∝ batch), fixed point oracle-gated",
+    "dd_incremental_delete" -> "composition: dd_incremental's benched probe over the tombstoned live view; delete cost probe-gated (index_delete_tomb)",
+    "ann_ivf_delete_topk" -> "family: ann_ivf_topk's benched plan plus a broadcast tombstone anti-join; delete cost probe-gated (index_delete_tomb)",
     "stream_join" -> "harness: micro-batch loop; join state cost spec-gated",
     "stream_sessionize" -> "harness: micro-batch loop; session state cost spec-gated",
     "stream_topk" -> "harness: micro-batch loop; top-k state cost spec-gated",

@@ -131,6 +131,50 @@ object Graft {
     dir.toString
   }
 
+  /** Shared executor for intra-query CONCURRENT SPARK ACTIONS — the
+    * replacement for the `scala.concurrent` global-pool + `Await`
+    * idiom (r14 verdict #8). Each submitted thunk just drives a Spark
+    * job and blocks on it, so the pool is a CACHED daemon pool: thread
+    * count tracks the number of live blocked actions and nothing else,
+    * which means NESTED use (a corpusReady chain that itself runs a
+    * concurrent index build) can never deadlock the way a bounded
+    * shared pool can — outer tasks never hold a slot an inner task is
+    * queued behind, because there are no slots. Threads are daemons
+    * (they must not pin the JVM past the session) and idle ones die
+    * after the default 60 s. */
+  private lazy val actionPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-action-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  private def await[A](f: java.util.concurrent.Future[A]): A =
+    try f.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      throw e.getCause }
+
+  /** Run `a` on the action pool while `b` runs on the CALLER's thread,
+    * then join — two concurrent Spark jobs, one extra thread, failures
+    * rethrown with their original cause. */
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val fa = actionPool.submit(
+      new java.util.concurrent.Callable[A] { def call(): A = a })
+    val rb = b
+    (await(fa), rb)
+  }
+
+  /** Run every thunk concurrently on the action pool and join in
+    * order. */
+  def inParallelSeq[A](thunks: Seq[() => A]): Seq[A] =
+    thunks.map(t => actionPool.submit(
+      new java.util.concurrent.Callable[A] { def call(): A = t() }))
+      .map(await)
+
   /** Remove a scratch dir created by [[scratchDir]] right now — the
     * caller-side `finally`/failed-build form; the shutdown hook above
     * is only the backstop for paths that never reach their cleanup. */

@@ -33,7 +33,7 @@ object ScaleProbe {
     "tx_chunk_retrieve", "q54_fuzzy_pairs", "dd_winnow_overlap",
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
-    "layout_write_bucketed")
+    "layout_write_bucketed", "index_delete_tomb")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -126,6 +126,30 @@ object ScaleProbe {
         codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
       index.count()
     }
+    // pre-built (and pinned) index fixtures for the delete probe — the
+    // builds run HERE, outside any timed region, because the probe
+    // measures the delete, not the build
+    def pinIndex(ix: Dedup.CorpusIndex) = Dedup.CorpusIndex(
+      ix.texts.localCheckpoint(true),
+      ix.buckets.localCheckpoint(true),
+      ix.wsets.localCheckpoint(true))
+    def pinIvf(v: Ann.Ivf) = Ann.Ivf(
+      v.assignments.localCheckpoint(true),
+      v.centroids.localCheckpoint(true))
+    val deleteFixtures = (
+      (pinIndex(Dedup.buildCorpusIndex(docs1, "doc_id", "text")),
+        pinIvf(Ann.buildIvf(emb1))),
+      (pinIndex(Dedup.buildCorpusIndex(docsX, "doc_id", "text")),
+        pinIvf(Ann.buildIvf(embX))))
+    // FIXED tombstone sets, drawn from the base fixture's id space
+    // (copy 0 rides unchanged inside the exploded fixture, so the same
+    // rows exist in both indexes): ~1% of base docs/vectors
+    val deleteDocRows = docs1
+      .filter(pmod(col("doc_id"), lit(97)) === 5)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val deleteVecIds = emb1
+      .filter(pmod(col("vec_id"), lit(97)) === 5)
+      .select(col("vec_id")).localCheckpoint(true)
     // (name, fixture, op, maxRatio): maxRatio is the ASSERTED bound on
     // scaled/base wall at this `factor` — the gate that makes a scale
     // regression fail loudly like a correctness failure (r10 verdict
@@ -274,7 +298,27 @@ object ScaleProbe {
           spark.sql("DROP TABLE IF EXISTS `graft_probe_bkt`")
           graft.streaming.EventStream.deleteDir(tmp)
         }
-      }, 15.0))
+      }, 15.0),
+      // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
+      // base-fixture doc/vector set out of a PRE-BUILT corpus index +
+      // IVF index and persisting the tombstone relations. The indexes
+      // are built outside the timed region (their build paths have
+      // their own probes/bench entries); the timed work — normalize,
+      // distinct, write tombstones — must scale with the TOMBSTONES
+      // (identical at both points), not the indexed corpus, so the
+      // asserted bound is a constant-headroom 3.0, not a growth bound.
+      ("index_delete_tomb", "docs", (d: DataFrame) => {
+        val (ix, ivf) = if (d eq docs1) deleteFixtures._1
+          else deleteFixtures._2
+        val tmp = graft.Graft.scratchDir("graft_probe_del")
+        try {
+          val ix2 = Dedup.deleteFromCorpusIndex(ix, deleteDocRows,
+            "doc_id", "text")
+          Dedup.saveCorpusTombstones(ix2, s"$tmp/ci")
+          val ivf2 = Ann.deleteFromIvf(ivf, deleteVecIds)
+          Ann.saveIvfTombstones(ivf2, s"$tmp/ivf")
+        } finally graft.streaming.EventStream.deleteDir(tmp)
+      }, 3.0))
     require(probes.map(_._1) == probeNames,
       s"probe list drifted from probeNames: ${probes.map(_._1)}")
 

@@ -25,8 +25,109 @@ import graft.Graft
   */
 object Ann {
 
-  /** IVF index: (assignments: vec_id→centroid_id, centroids). */
-  case class Ivf(assignments: DataFrame, centroids: DataFrame)
+  /** IVF index: (assignments: vec_id→centroid_id, centroids, pending
+    * delete tombstones). `tombs` (one id column, named as the index's
+    * id column) is recorded by [[deleteFromIvf]] and anti-joined out of
+    * every search's candidate scan; [[compactIvf]] folds the debt into
+    * the assignments. `None` ⇒ no pending deletes, zero plan overhead
+    * (the common case). The quantizer (centroids) is FROZEN across
+    * deletes, same as across [[appendIvf]] — FAISS remove_ids
+    * semantics: posting lists shrink, the coarse geometry doesn't. */
+  case class Ivf(assignments: DataFrame, centroids: DataFrame,
+      tombs: Option[DataFrame] = None)
+
+  /** Delete vectors from an IVF index by id — work ∝ tombstones (a
+    * distinct + union recording the ids; no assignment row moves until
+    * [[compactIvf]]). Every search tier reading this index
+    * ([[searchIvf]]/[[searchIvfBatch]]/[[searchIvfPq]]/
+    * [[searchIvfPqBatch]]) anti-joins the tombstones out of its
+    * candidate scan, so delete-then-search ≡ search of an index whose
+    * posting lists never contained those ids (spec-pinned against the
+    * frozen-quantizer rebuild). Incremental counterpart of the
+    * reference's truncate-and-reload refresh
+    * (/root/reference/camp_vec_save.py:59-79). */
+  def deleteFromIvf(ivf: Ivf, ids: DataFrame,
+      idCol: String = "vec_id"): Ivf = {
+    val t = ids.select(col(idCol)).distinct()
+    ivf.copy(tombs = Some(ivf.tombs.fold(t)(_.unionByName(t))))
+  }
+
+  /** The live (tombstones-applied) assignments view every search reads. */
+  private[graft] def liveAssignments(ivf: Ivf): DataFrame =
+    ivf.tombs.fold(ivf.assignments)(t =>
+      ivf.assignments.join(t, t.columns.toSeq, "left_anti"))
+
+  /** Apply `ivf`'s tombstones to a sibling per-vector relation (the
+    * PQ codes index rides next to the assignments and must shrink with
+    * them). */
+  private def liveRelation(rel: DataFrame, ivf: Ivf): DataFrame =
+    ivf.tombs.fold(rel)(t => rel.join(t, t.columns.toSeq, "left_anti"))
+
+  /** Fold pending tombstones into the assignments — the threshold-
+    * triggered maintenance pass (each search pays the anti-join until
+    * compaction). */
+  def compactIvf(ivf: Ivf): Ivf =
+    Ivf(liveAssignments(ivf), ivf.centroids, None)
+
+  /** Quantizer-drift monitor (r14 verdict #6): [[appendIvf]] assigns
+    * new vectors against FROZEN centroids — correct per batch, but
+    * after many batches whose distribution has moved (a new language,
+    * a new data source) the centroids no longer tile the data: recall
+    * at fixed nprobe decays SILENTLY while every append succeeds. This
+    * one-row summary over the live index is the cheap drift signal —
+    * one co-partitioned pass, partial-aggregable, no shuffle beyond
+    * C rows:
+    *   - `n` — live vectors;
+    *   - `mean_centroid_sim` — mean cosine of each vector to its
+    *     assigned centroid (the quantization quality the build
+    *     optimized; drops as appended mass lands far from every
+    *     frozen centroid);
+    *   - `max_bucket_share` — the largest bucket's fraction of the
+    *     index (a shifted distribution crowds few buckets, so probe
+    *     cost rises with this even when recall survives).
+    *
+    * Retrain policy (spec-pinned on a shifted-append fixture): record
+    * `mean_centroid_sim` at build time; when a later reading breaches
+    * [[retrainDue]]'s drop tolerance, rebuild the quantizer on the
+    * live corpus ([[buildIvfKMeans]] over `liveAssignments`) and
+    * re-encode — the FAISS re-train counterpart. Appends stay valid
+    * meanwhile (results are exact within probed buckets; only WHICH
+    * buckets are probed degrades). */
+  def driftStats(ivf: Ivf, vecCol: String = "embedding"): DataFrame = {
+    val per = liveAssignments(ivf)
+      .join(broadcast(ivf.centroids), Seq("centroid_id"))
+      .select(col("centroid_id"),
+        Graft.cosine(col(vecCol), col("cvec")).as("cs"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("bn"), sum(col("cs")).as("s"))
+    per.agg(sum(col("bn")).as("n"),
+      (sum(col("s")) / sum(col("bn"))).as("mean_centroid_sim"),
+      (max(col("bn")).cast("double") / sum(col("bn")))
+        .as("max_bucket_share"))
+  }
+
+  /** The documented retrain trigger: true when the current
+    * mean-assigned-centroid similarity has dropped more than `maxDrop`
+    * below the build-time baseline. 0.05 is a conservative default for
+    * unit-ish embeddings — small enough to catch a real distribution
+    * shift (the spec's new-cluster fixture drops ~0.2), large enough
+    * to ignore append noise. The baseline RE-ANCHORS at every
+    * (re)build: record the fresh build's own [[driftStats]] reading as
+    * the new baseline — a corpus that has genuinely moved never
+    * quantizes back to the old corpus's figure, and comparing against
+    * it forever would retrain in a loop. */
+  def retrainDue(baselineMeanSim: Double, currentMeanSim: Double,
+      maxDrop: Double = 0.05): Boolean =
+    currentMeanSim < baselineMeanSim - maxDrop
+
+  /** Pending-tombstone fraction — the compaction trigger (two counts;
+    * compact when it crosses the deployment's threshold, ~0.1). */
+  def ivfTombstoneFraction(ivf: Ivf): Double = ivf.tombs match {
+    case None => 0.0
+    case Some(t) =>
+      val total = ivf.assignments.count()
+      if (total == 0) 1.0 else t.count().toDouble / total
+  }
 
   /** Deterministic FIXED-COUNT centroid pick + nearest-centroid assignment.
     *
@@ -221,7 +322,8 @@ object Ann {
   def appendIvf(ivf: Ivf, newEmb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Ivf = {
     val add = assignToCentroids(newEmb, ivf.centroids, idCol, vecCol)
-    Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids)
+    Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids,
+      ivf.tombs)
   }
 
   /** Incremental IVF-PQ ingestion: the batch is assigned to the existing
@@ -234,7 +336,8 @@ object Ann {
       vecCol: String = "embedding"): (Ivf, DataFrame) = {
     val add = assignToCentroids(newEmb, ivf.centroids, idCol, vecCol)
     val addIdx = encodeIvfPq(add, cb, idCol, vecCol)
-    (Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids),
+    (Ivf(ivf.assignments.unionByName(add.assignments), ivf.centroids,
+        ivf.tombs),
       index.unionByName(addIdx))
   }
 
@@ -278,6 +381,19 @@ object Ann {
     ivf.assignments.write.mode("overwrite")
       .partitionBy("centroid_id").parquet(s"$dir/assignments")
     ivf.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    saveIvfTombstones(ivf, dir)
+  }
+
+  /** Persist ONLY the tombstones — the delete path's write (load →
+    * deleteFromIvf → this): work ∝ tombstones, the partitioned
+    * assignment files on disk are untouched. */
+  def saveIvfTombstones(ivf: Ivf, dir: String): Unit = ivf.tombs match {
+    case Some(t) => t.write.mode("overwrite").parquet(s"$dir/tombs")
+    case None =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+      val fs = p.getFileSystem(ivf.centroids.sparkSession
+        .sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
   }
 
   /** Reload a [[saveIvf]] directory. Partition-column values come back as
@@ -286,7 +402,11 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding"): Ivf = {
     val assignments = spark.read.parquet(s"$dir/assignments")
       .select(col(idCol), col(vecCol), col("centroid_id").cast("long"))
-    Ivf(assignments, spark.read.parquet(s"$dir/centroids"))
+    val tombsPath = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+    val fs = tombsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ivf(assignments, spark.read.parquet(s"$dir/centroids"),
+      if (fs.exists(tombsPath)) Some(spark.read.parquet(s"$dir/tombs"))
+      else None)
   }
 
   /** Persist the full IVF-PQ artifact set: coarse index, 16 B/vector codes
@@ -327,7 +447,7 @@ object Ann {
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
-    ivf.assignments
+    liveAssignments(ivf)
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
       .crossJoin(broadcast(queryVec))
       .select(col("vec_id"), Graft.cosine(col("embedding"), col("qvec")).as("simil"))
@@ -363,7 +483,7 @@ object Ann {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id"))
     Knn.groupedTopK(
-      ivf.assignments
+      liveAssignments(ivf)
         .join(broadcast(probed), Seq("centroid_id"))
         .select(col("qid"), col(idCol),
           Graft.cosine(col(vecCol), col("qvec")).as("simil")),
@@ -604,9 +724,6 @@ object Ann {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxIter: Int = 10, fitFraction: Double = 1.0,
       fitPartitions: Int = 4): Seq[Seq[Seq[Float]]] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     require(ksub <= 256, s"ksub=$ksub exceeds what a byte code can index")
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim is not divisible by m=$m")
@@ -623,14 +740,13 @@ object Ann {
       .cache()
     try {
       fitSet.count() // materialize ONCE before the concurrent fits race
-      val fits = (0 until m).map(j => Future {
+      // shared cached action pool (r14 verdict #8)
+      Graft.inParallelSeq((0 until m).map(j => () =>
         new org.apache.spark.ml.clustering.KMeans()
           .setK(ksub).setSeed(42L + j).setMaxIter(maxIter)
           .setInitMode("random").setFeaturesCol(s"f$j")
           .fit(fitSet)
-          .clusterCenters.toSeq.map(_.toArray.map(_.toFloat).toSeq)
-      })
-      Await.result(Future.sequence(fits), Duration.Inf)
+          .clusterCenters.toSeq.map(_.toArray.map(_.toFloat).toSeq)))
     } finally fitSet.unpersist(blocking = false)
   }
 
@@ -802,9 +918,6 @@ object Ann {
     // default codebook sample is SALTED — see buildPqCodebook: unsalted it
     // would sample the coarse-centroid rows themselves, whose residuals
     // are zero.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val ivf = coarse(emb, numCentroids, idCol, vecCol)
     // the ENCODE pass reads a materialized residual relation (eager
     // localCheckpoint) so it never re-runs the N·C assignment join; the
@@ -817,10 +930,11 @@ object Ann {
     // IVFADC trains on x − centroid(x)) — the overlap is fit ∥ encode-
     // input materialization, not fit ∥ coarse.
     val resView = withResiduals(ivf.assignments, ivf.centroids, idCol, vecCol)
-    val resF = Future { resView.localCheckpoint(true) }
-    val cbF = Future { codebook(resView, m, ksub, idCol, "residual") }
-    val res = Await.result(resF, Duration.Inf)
-    val cb = Await.result(cbF, Duration.Inf)
+    // shared cached action pool (r14 verdict #8) — safe if a caller
+    // ever composes this build inside another concurrent chain
+    val (res, cb) = Graft.inParallel(
+      resView.localCheckpoint(true),
+      codebook(resView, m, ksub, idCol, "residual"))
     // the index keeps the centroid (partition pruning) and the norm (the
     // cosine denominator ADC needs) — same arithmetic as encodeIvfPq,
     // which append/rebuild parity is spec-asserted against
@@ -858,7 +972,7 @@ object Ann {
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"), col("qc"))
-    val cands = index
+    val cands = liveRelation(index, ivf)
       .join(broadcast(probed), Seq("centroid_id"))
       .crossJoin(broadcast(queryVec))
       .select(col(idCol),
@@ -900,7 +1014,7 @@ object Ann {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qvec"), col("centroid_id"), col("qc"))
     val cands = Knn.groupedTopK(
-      index
+      liveRelation(index, ivf)
         .join(broadcast(probed), Seq("centroid_id"))
         .select(col("qid"), col(idCol),
           when(col("vnorm") > 0.0f,

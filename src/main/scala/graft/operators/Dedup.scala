@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1014,18 +1015,89 @@ object Dedup {
     * subsequent batch does only batch-proportional work. Deriving them
     * from raw corpus text costs one full corpus pass; the convenience
     * overload above does exactly that, which is fine for one-shot use but
-    * defeats the ingestion shape if called per micro-batch. */
+    * defeats the ingestion shape if called per micro-batch.
+    *
+    * `texts` carries a per-distinct-text multiplicity `n` (how many
+    * corpus docs have exactly that text) so DELETION can decide whether
+    * a text is still live without re-scanning the corpus: a deleted
+    * doc's text stays in the exact-dup filter iff some surviving doc
+    * shares it. `tombs` is the pending tombstone relation —
+    * `(id_d, text_d)` rows recorded by [[deleteFromCorpusIndex]],
+    * anti-joined/netted out at probe time and folded in by
+    * [[compactCorpusIndex]]. `None` ⇒ no pending deletes (the common
+    * case pays zero overhead). */
   case class CorpusIndex(texts: DataFrame, buckets: DataFrame,
-      wsets: DataFrame)
+      wsets: DataFrame, tombs: Option[DataFrame] = None)
 
   def buildCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4): CorpusIndex = {
     val rows = k / bands
     CorpusIndex(
-      corpus.select(col(textCol)).distinct(),
+      corpus.groupBy(col(textCol)).agg(count(lit(1)).as("n")),
       lshBuckets(sigsOf(corpus, idCol, textCol, k),
         idCol, "sig", bands, rows).toDF("id_b", "band", "key"),
       wsetsOf(corpus, idCol, textCol))
+  }
+
+  /** GDPR-style deletion from a [[CorpusIndex]] — the incremental form
+    * of the reference's truncate-and-reload refresh
+    * (/root/reference/camp_vec_save.py:59-79 rebuilds the whole index to
+    * pick up removals; at 100 TB a rebuild per delete request is not an
+    * option). `deleted` must be the `(idCol, textCol)` rows of docs
+    * CURRENTLY in the index (the deleting caller knows its documents;
+    * ids must not repeat across calls). The operation only RECORDS
+    * tombstones — a distinct + union, work ∝ tombstones, nothing
+    * corpus-sized moves — and every probe ([[dedupIncremental]]) serves
+    * from the live view: buckets/wsets anti-joined on the tombstoned
+    * ids, texts netted against the tombstones' per-text counts (a text
+    * stays in the exact-dup filter iff surviving multiplicity > 0).
+    * Spec-pinned: delete-then-probe ≡ probe of
+    * `buildCorpusIndex(corpus \ deleted)`. Fold the debt in with
+    * [[compactCorpusIndex]] once [[tombstoneFraction]] crosses the
+    * deployment's threshold. */
+  def deleteFromCorpusIndex(index: CorpusIndex, deleted: DataFrame,
+      idCol: String, textCol: String): CorpusIndex = {
+    val t = deleted
+      .select(col(idCol).as("id_d"), col(textCol).as("text_d"))
+      .distinct()
+    index.copy(tombs = Some(index.tombs.fold(t)(_.unionByName(t))))
+  }
+
+  /** The live (tombstones-applied) view of an index — what every probe
+    * reads. No-op (zero plan overhead) when no deletes are pending. */
+  private[graft] def liveCorpusIndex(index: CorpusIndex,
+      textCol: String): CorpusIndex = index.tombs match {
+    case None => index
+    case Some(t) =>
+      val ids = t.select(col("id_d"))
+      val delta = t.groupBy(col("text_d").as(textCol))
+        .agg((-count(lit(1))).as("n"))
+      CorpusIndex(
+        index.texts.unionByName(delta)
+          .groupBy(col(textCol)).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0),
+        index.buckets.join(ids, col("id_b") === col("id_d"), "left_anti"),
+        index.wsets.join(ids, col("id") === col("id_d"), "left_anti"))
+  }
+
+  /** Fold pending tombstones into the base artifacts (the threshold-
+    * triggered maintenance step: each probe pays the anti-joins until
+    * someone compacts). One corpus-sized pass, exactly what the
+    * tombstones deferred; the result has no pending deletes. */
+  def compactCorpusIndex(index: CorpusIndex,
+      textCol: String): CorpusIndex =
+    liveCorpusIndex(index, textCol)
+
+  /** Pending-tombstone fraction (tombstoned docs / indexed docs) — the
+    * compaction trigger. Costs two counts; callers compact when it
+    * crosses their threshold (probe overhead grows with the fraction,
+    * so ~0.1 is a sane default):
+    * `if (tombstoneFraction(ix) > 0.1) compactCorpusIndex(ix, "text")`. */
+  def tombstoneFraction(index: CorpusIndex): Double = index.tombs match {
+    case None => 0.0
+    case Some(t) =>
+      val total = index.wsets.count()
+      if (total == 0) 1.0 else t.count().toDouble / total
   }
 
   /** Close the ingestion loop: fold a batch's ACCEPTED rows (the
@@ -1054,11 +1126,16 @@ object Dedup {
       bands: Int = 4): CorpusIndex = {
     val rows = k / bands
     CorpusIndex(
-      index.texts.unionByName(accepted.select(col(textCol))),
+      // accepted survivors are distinct-by-text and disjoint from the
+      // LIVE texts, so each arrives with multiplicity 1; a text whose
+      // last owner was tombstoned nets back to 1 through the view
+      index.texts.unionByName(
+        accepted.select(col(textCol), lit(1L).as("n"))),
       index.buckets.unionByName(
         lshBuckets(sigsOf(accepted, idCol, textCol, k),
           idCol, "sig", bands, rows).toDF("id_b", "band", "key")),
-      index.wsets.unionByName(wsetsOf(accepted, idCol, textCol)))
+      index.wsets.unionByName(wsetsOf(accepted, idCol, textCol)),
+      index.tombs)
   }
 
   /** Materialize the three index frames as parquet under `dir` — the
@@ -1072,23 +1149,55 @@ object Dedup {
     index.buckets.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/buckets")
     index.wsets.write.mode("overwrite").parquet(s"$dir/wsets")
+    saveCorpusTombstones(index, dir)
   }
 
-  /** Reload a [[saveCorpusIndex]] directory. */
+  /** Persist ONLY the tombstone relation — the delete path's write.
+    * A delete request against a saved index is `load → delete → THIS`:
+    * work ∝ tombstones (the base artifacts on disk are untouched),
+    * which is the whole point of tombstoning over rewrite. */
+  def saveCorpusTombstones(index: CorpusIndex, dir: String): Unit =
+    index.tombs match {
+      case Some(t) => t.write.mode("overwrite").parquet(s"$dir/tombs")
+      case None =>
+        val p = new Path(s"$dir/tombs")
+        val fs = fsOfIndex(p, index.texts)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+
+  private def fsOfIndex(p: Path, any: DataFrame) =
+    p.getFileSystem(
+      any.sparkSession.sparkContext.hadoopConfiguration)
+
+  /** Reload a [[saveCorpusIndex]] directory (pre-multiplicity indexes
+    * load with n=1 — exact-dup semantics unchanged; deletes of shared
+    * texts need a rebuilt or compacted index to be multiplicity-aware). */
   def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): CorpusIndex =
+      dir: String): CorpusIndex = {
+    val textsRaw = spark.read.parquet(s"$dir/texts")
+    val texts = if (textsRaw.columns.contains("n")) textsRaw
+      else textsRaw.withColumn("n", lit(1L))
+    val tombsPath = new Path(s"$dir/tombs")
+    val fs = tombsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     CorpusIndex(
-      spark.read.parquet(s"$dir/texts"),
+      texts,
       spark.read.parquet(s"$dir/buckets")
         .select(col("id_b"), col("band"), col("key")),
-      spark.read.parquet(s"$dir/wsets"))
+      spark.read.parquet(s"$dir/wsets"),
+      if (fs.exists(tombsPath)) Some(spark.read.parquet(s"$dir/tombs"))
+      else None)
+  }
 
   /** [[dedupIncremental]] against pre-materialized corpus artifacts —
     * every stage here scales with the BATCH: the exact anti-join probes
     * `index.texts`, the batch's bands probe `index.buckets`, and
     * verification prunes `index.wsets` to candidate ids first. */
-  def dedupIncremental(index: CorpusIndex, batch: DataFrame, idCol: String,
+  def dedupIncremental(rawIndex: CorpusIndex, batch: DataFrame, idCol: String,
       textCol: String, k: Int, bands: Int, minJ: Double): DataFrame = {
+    // probes always read the LIVE view — pending tombstones (deleted
+    // docs) must neither reject a batch doc (stage 1) nor vote as a
+    // near-dup neighbor (stage 2); zero plan change when none pending
+    val index = liveCorpusIndex(rawIndex, textCol)
     val rows = k / bands
     val b1 = batch.select(col(idCol), col(textCol))
       .join(index.texts, Seq(textCol), "left_anti")

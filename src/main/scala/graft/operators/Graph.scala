@@ -80,12 +80,11 @@ object Graph {
       // deg.count() is a local-block scan of the checkpoint, so fusing
       // it INTO the big action (e.g. count_distinct(src) over the |E|
       // adjacency) was measured strictly worse than overlapping it.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val aCountF = Future { a.count() }
-      val n = deg.count() // one driver scalar — the graph's |V|
-      Await.result(aCountF, Duration.Inf)
+      // shared cached action pool (r14 verdict #8) — the global EC +
+      // Await idiom could deadlock under composition
+      val (_, n) = graft.Graft.inParallel(
+        a.count(),
+        deg.count()) // one driver scalar — the graph's |V|
       (a, deg, n)
     } finally { sym.unpersist(); base.unpersist() }
     val (adjacency, deg, n) = adj

@@ -71,6 +71,25 @@ object AnnPack extends QueryPack {
         .orderBy(col("simil").desc, col("vec_id"))
     }),
 
+    // Deletion from a live IVF index (r14 verdict #5): every 7th vector
+    // is tombstoned (deleteFromIvf — ids recorded, no posting list
+    // rewritten, FAISS remove_ids semantics with the quantizer frozen)
+    // and the search serves from the live view. The oracle re-derives
+    // ann_ivf_topk with the SAME full-corpus centroid pick (frozen
+    // quantizer) and the deleted ids absent from the assignment
+    // relation — hash-matching it states delete-then-search ≡ search
+    // of an index whose lists never held those ids.
+    "ann_ivf_delete_topk" -> ((s, dir) => {
+      Graft.init(s)
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val ivf = Ann.deleteFromIvf(Ann.buildIvf(e),
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      Ann.searchIvf(ivf, q, nprobe = 4, k = 10)
+        .select(col("vec_id"), round(col("simil"), 4).as("simil"))
+        .orderBy(col("simil").desc, col("vec_id"))
+    }),
+
     // STREAM-MAINTAINED IVF — the 11th streaming state kind under the
     // gate, closing the ingest→serve loop (r13 missing #1): the index
     // is built on the EVEN half, then the odd half arrives as a
@@ -515,22 +534,22 @@ object AnnPack extends QueryPack {
     // k-means PQ codebooks through the same pluggable IVFADC build —
     // the quality-path composition of the two learned tiers above.
     "ann_ivfpq_kmeans_topk" -> ((s, dir) => {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       Graft.init(s)
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
         .select(lit(0L).as("qid"), col("embedding").as("qvec"))
       // the recall gate's exact side is INDEPENDENT of the index build —
       // materialize it concurrently with the quantizer fits (the
-      // corpusReady concurrent-chain shape) instead of serializing the
-      // corpus scan behind them
-      val exactF = Future { exactSingle(e, q).localCheckpoint(true) }
-      val (ivf, index, cb) = Ann.buildIvfPq(e, numCentroids = 32,
-        m = 16, ksub = 32,
-        coarse = Ann.buildIvfKMeansLloyd(_, _, _, _, maxIter = 5),
-        codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5))
+      // corpusReady concurrent-chain shape, on the shared action pool;
+      // this call NESTS buildIvfPq's own inParallel, the composition
+      // the cached pool exists to keep deadlock-free) instead of
+      // serializing the corpus scan behind them
+      val (exact, (ivf, index, cb)) = Graft.inParallel(
+        exactSingle(e, q).localCheckpoint(true),
+        Ann.buildIvfPq(e, numCentroids = 32,
+          m = 16, ksub = 32,
+          coarse = Ann.buildIvfKMeansLloyd(_, _, _, _, maxIter = 5),
+          codebook = Ann.buildPqCodebookLloyd(_, _, _, _, _, maxIter = 5)))
       val ann = Ann.searchIvfPq(ivf, index, cb, e,
           q.select(col("qvec")), nprobe = 12, k = 10, overfetch = 10)
         .select(lit(0L).as("qid"), col("vec_id"))
@@ -542,8 +561,7 @@ object AnnPack extends QueryPack {
       // partition layout, so an environment change (core count, split
       // size) may move hits
       // without any real index regression (r8 advisory)
-      Ann.recallVsExact(Await.result(exactF, Duration.Inf), ann,
-        k = 10, minRecall = 0.6)
+      Ann.recallVsExact(exact, ann, k = 10, minRecall = 0.6)
     }),
 
     // CLIP-score-analog alignment filter (LAION pattern): score every
@@ -741,6 +759,33 @@ object AnnPack extends QueryPack {
     // (the build set); assignment still covers every vector — append and
     // build rows are indistinguishable downstream, which is the point.
     "ann_ivf_append_topk" -> ivfAppendOracle,
+
+    // ann_ivf_topk's re-derivation with the FULL-corpus centroid pick
+    // (the quantizer is frozen across deletes) and the tombstoned ids
+    // excluded from the assignment relation — the rebuild the live
+    // delete view must hash-match.
+    "ann_ivf_delete_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+        |q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, embedding FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+        |                 c.centroid_id DESC) AS rn
+        |    FROM embeddings e CROSS JOIN c)
+        |  WHERE centroid_id IN (
+        |    SELECT centroid_id FROM c CROSS JOIN q
+        |    ORDER BY list_cosine_similarity(cvec, qvec) DESC, centroid_id
+        |    LIMIT 4) AND rn = 1 AND vec_id % 7 <> 3),
+        |topk AS (
+        |  SELECT vec_id, list_cosine_similarity(embedding::DOUBLE[], qvec) AS s
+        |  FROM asg CROSS JOIN q
+        |  ORDER BY s DESC, vec_id LIMIT 10)
+        |SELECT vec_id, round(s, 4) AS simil FROM topk
+        |ORDER BY simil DESC, vec_id""".stripMargin,
 
     // the streamed fixed point equals the one-shot append EXACTLY
     // (per-row assignment against frozen centroids is associative), so

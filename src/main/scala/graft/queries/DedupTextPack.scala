@@ -35,24 +35,21 @@ object DedupTextPack extends QueryPack {
     * the tokenize+LM work (the buildIvfPq concurrent-quantizer shape;
     * Spark schedules concurrent jobs from one session fine). */
   def corpusReady(s: SparkSession, d: DataFrame): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val tokLmF = Future {
-      val tok = d.repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"),
-          Dedup.tokens(col("text")).as("toks"))
-        .localCheckpoint(true)
-      val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
-        .filter(col("lm_score") >= -3.45).select("doc_id")
-        .localCheckpoint(true)
-      (tok, lmOk)
-    }
-    val keptF = Future {
-      Dedup.dedupCorpus(d, "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
-    }
-    val (tok, lmOk) = Await.result(tokLmF, Duration.Inf)
-    val kept = Await.result(keptF, Duration.Inf)
+    // shared cached action pool (r14 verdict #8): safe under nesting,
+    // unlike the global EC whose bounded slots could deadlock if a
+    // chain here ever composed another concurrent builder
+    val ((tok, lmOk), kept) = graft.Graft.inParallel(
+      {
+        val tok = d.repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            Dedup.tokens(col("text")).as("toks"))
+          .localCheckpoint(true)
+        val lmOk = TextAnalysis.lmScoreOf(tok, "doc_id", "toks")
+          .filter(col("lm_score") >= -3.45).select("doc_id")
+          .localCheckpoint(true)
+        (tok, lmOk)
+      },
+      Dedup.dedupCorpus(d, "doc_id", "text", k = 12, bands = 4, minJ = 0.6))
     val q = TextAnalysis.qualityFeaturesOf(col("toks"))
       .collectFirst { case ("quality", c) => c }.get
     val ready = tok.join(kept, Seq("doc_id"), "left_semi")
@@ -333,6 +330,86 @@ object DedupTextPack extends QueryPack {
           d.filter(pmod(col("doc_id"), lit(2)) === 1),
           "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
         .orderBy(col("doc_id"))
+    }),
+
+    // GDPR-style deletion folded into the ingestion loop (r14 verdict
+    // #5): every third corpus doc is tombstoned (deleteFromCorpusIndex
+    // — work ∝ tombstones, no rebuild) and the SAME batch then probes
+    // the live view. The oracle is dd_incremental's full re-derivation
+    // with the deleted docs simply absent from the corpus — i.e. the
+    // hash-matched statement that delete-then-probe ≡ probe of a
+    // rebuild on the surviving set. Deleted docs must neither reject a
+    // batch doc (exact stage: a shared text stays live while any owner
+    // survives — the multiplicity netting) nor vote as near-dup
+    // neighbors (band/wset anti-joins).
+    "dd_incremental_delete" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val ix = Dedup.buildCorpusIndex(corpus, "doc_id", "text",
+        k = 12, bands = 4)
+      val ix2 = Dedup.deleteFromCorpusIndex(ix,
+        corpus.filter(pmod(col("doc_id"), lit(6)) === 0),
+        "doc_id", "text")
+      Dedup.dedupIncremental(ix2,
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+        .orderBy(col("doc_id"))
+    }),
+
+    // 13th oracle-gated streaming state kind (r14 verdict #7): a
+    // micro-batch stream carrying UPSERTS and DELETES folded into the
+    // corpus index — deletes tombstone base docs
+    // (deleteFromCorpusIndex), upserts append new docs
+    // (appendCorpusIndex), both work-∝-batch against the maintained
+    // state. Ids are disjoint across op kinds (deletes hit existing
+    // docs, upserts add new ones — the production shape), so the fold
+    // is order-independent and the FIXED POINT equals a batch rebuild
+    // on the surviving set: the final index, probed by the full odd
+    // batch, is gated by dd_incremental's oracle re-derivation with
+    // corpus = (base \ deleted) ∪ upserted. This is the incremental
+    // form of the reference's truncate-and-reload refresh
+    // (/root/reference/camp_vec_save.py:59-79) with deletion folded in.
+    "stream_ingest_upsert_delete" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val ops = d.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .withColumn("op", lit("U"))
+        .unionByName(
+          base.filter(pmod(col("doc_id"), lit(12)) === 0)
+            .withColumn("op", lit("D")))
+      val tmp = graft.Graft.scratchDir("graft_stream_ud")
+      ops.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      try {
+        var ix = Dedup.buildCorpusIndex(base, "doc_id", "text",
+          k = 12, bands = 4)
+        def pin(i: Dedup.CorpusIndex) = Dedup.CorpusIndex(
+          i.texts.localCheckpoint(true),
+          i.buckets.localCheckpoint(true),
+          i.wsets.localCheckpoint(true),
+          i.tombs.map(_.localCheckpoint(true)))
+        // state threaded through the harness is a 1-row batch counter
+        // (the index itself is multi-frame and lives in `ix`); each
+        // trigger's fold is delete-tombstone ∪ append — no corpus
+        // rescan, constant-depth lineage via the per-batch pins
+        graft.streaming.EventStream.streamFoldExact(
+          s, tmp, ops.schema, Some(s.range(1).toDF()),
+          (st, b) => {
+            val dels = b.filter(col("op") === "D")
+              .select(col("doc_id"), col("text"))
+            val ups = b.filter(col("op") === "U")
+              .select(col("doc_id"), col("text"))
+            ix = pin(Dedup.appendCorpusIndex(
+              Dedup.deleteFromCorpusIndex(ix, dels, "doc_id", "text"),
+              ups, "doc_id", "text", k = 12, bands = 4))
+            st.get
+          })
+        Dedup.dedupIncremental(ix,
+            d.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", "text", k = 12, bands = 4, minJ = 0.6)
+          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+      } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // STREAMING ingestion dedup (oracle-gated Structured Streaming): the
@@ -889,6 +966,76 @@ object DedupTextPack extends QueryPack {
       |UNION ALL SELECT 'w_bias', b FROM w4
       |UNION ALL SELECT 'w_len', wl FROM w4
       |ORDER BY name""".stripMargin
+
+  /** The dd_incremental re-derivation (exact anti-join, cross-side
+    * band probe + jaccard verify, within-batch clusters) with the
+    * CORPUS and BATCH membership predicates as parameters — one SQL
+    * body gates the plain split (`dd_incremental`), the tombstoned
+    * live view (`dd_incremental_delete`: corpus minus the deleted
+    * docs), and the streamed upsert+delete fixed point
+    * (`stream_ingest_upsert_delete`: corpus = (base \ deleted) ∪
+    * upserted). Sharing the body IS the equivalence statement: the
+    * incremental/deleted/streamed paths must land exactly where a
+    * batch rebuild over the predicate-defined corpus lands. */
+  private def incrementalOracle(corpusPred: String,
+      batchPred: String): String =
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |corpus AS (SELECT * FROM base WHERE $corpusPred),
+       |b1 AS (
+       |  SELECT * FROM base WHERE ($batchPred)
+       |    AND text NOT IN (SELECT text FROM corpus)),
+       |b2 AS (SELECT min(doc_id) AS doc_id, any_value(w) AS w, text
+       |       FROM b1 GROUP BY text),
+       |sh AS (SELECT doc_id, list_distinct(w) AS wset,
+       |  list_transform(range(1, len(w)-1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+       |  FROM base),
+       |sigs AS (SELECT doc_id, wset,
+       |  list_transform(range(0,12),
+       |    s -> list_min(list_transform(shingles,
+       |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
+       |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
+       |  FROM sh WHERE len(shingles) > 0),
+       |bb AS (
+       |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+       |  FROM sigs s JOIN b2 USING (doc_id), range(0,4) t(b)),
+       |cbk AS (
+       |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
+       |  FROM sigs s JOIN corpus USING (doc_id), range(0,4) t(b)),
+       |crosscand AS (
+       |  SELECT DISTINCT bb.doc_id AS id_a, cbk.doc_id AS id_b
+       |  FROM bb JOIN cbk ON bb.b = cbk.b AND bb.key = cbk.key),
+       |crosshit AS (
+       |  SELECT DISTINCT id_a FROM (
+       |    SELECT id_a,
+       |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
+       |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
+       |    FROM crosscand JOIN sigs x ON crosscand.id_a = x.doc_id
+       |                   JOIN sigs y ON crosscand.id_b = y.doc_id)
+       |  WHERE jac >= 0.6),
+       |b3 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_a FROM crosshit)),
+       |bb3 AS (SELECT doc_id, b, key FROM bb WHERE doc_id IN (SELECT doc_id FROM b3)),
+       |cand3 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bb3 a JOIN bb3 c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
+       |mh3 AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
+       |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
+       |    FROM cand3 JOIN sigs x ON cand3.id_a = x.doc_id
+       |               JOIN sigs y ON cand3.id_b = y.doc_id)
+       |  WHERE jac >= 0.6),
+       |sym AS (SELECT id_a, id_b FROM mh3 UNION ALL SELECT id_b, id_a FROM mh3),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT id_a, id_a FROM sym
+       |  UNION
+       |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
+       |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+       |SELECT doc_id FROM b3
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
+       |ORDER BY doc_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
     // every iteration's gradient longs, weight doubles, and the final
@@ -1612,63 +1759,23 @@ object DedupTextPack extends QueryPack {
     // (exact anti-join, cross-side band probe + verify, within-batch
     // clusters) over the same parity split.
     "dd_incremental" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
-        |corpus AS (SELECT * FROM base WHERE doc_id % 2 = 0),
-        |b1 AS (
-        |  SELECT * FROM base WHERE doc_id % 2 = 1
-        |    AND text NOT IN (SELECT text FROM corpus)),
-        |b2 AS (SELECT min(doc_id) AS doc_id, any_value(w) AS w, text
-        |       FROM b1 GROUP BY text),
-        |sh AS (SELECT doc_id, list_distinct(w) AS wset,
-        |  list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
-        |  FROM base),
-        |sigs AS (SELECT doc_id, wset,
-        |  list_transform(range(0,12),
-        |    s -> list_min(list_transform(shingles,
-        |      g -> xor(('0x' || substr(md5(g), 1, 15))::BIGINT,
-        |               ('0x' || substr(md5('perm:' || s), 1, 15))::BIGINT)))) AS sig
-        |  FROM sh WHERE len(shingles) > 0),
-        |bb AS (
-        |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
-        |  FROM sigs s JOIN b2 USING (doc_id), range(0,4) t(b)),
-        |cbk AS (
-        |  SELECT s.doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3], '|')) AS key
-        |  FROM sigs s JOIN corpus USING (doc_id), range(0,4) t(b)),
-        |crosscand AS (
-        |  SELECT DISTINCT bb.doc_id AS id_a, cbk.doc_id AS id_b
-        |  FROM bb JOIN cbk ON bb.b = cbk.b AND bb.key = cbk.key),
-        |crosshit AS (
-        |  SELECT DISTINCT id_a FROM (
-        |    SELECT id_a,
-        |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
-        |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
-        |    FROM crosscand JOIN sigs x ON crosscand.id_a = x.doc_id
-        |                   JOIN sigs y ON crosscand.id_b = y.doc_id)
-        |  WHERE jac >= 0.6),
-        |b3 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_a FROM crosshit)),
-        |bb3 AS (SELECT doc_id, b, key FROM bb WHERE doc_id IN (SELECT doc_id FROM b3)),
-        |cand3 AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM bb3 a JOIN bb3 c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id),
-        |mh3 AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      round(CAST(len(list_intersect(x.wset, y.wset))::DOUBLE /
-        |        len(list_distinct(list_cat(x.wset, y.wset))) AS DECIMAL(28,12)), 4)::DOUBLE AS jac
-        |    FROM cand3 JOIN sigs x ON cand3.id_a = x.doc_id
-        |               JOIN sigs y ON cand3.id_b = y.doc_id)
-        |  WHERE jac >= 0.6),
-        |sym AS (SELECT id_a, id_b FROM mh3 UNION ALL SELECT id_b, id_a FROM mh3),
-        |reach(id, r) AS (
-        |  SELECT DISTINCT id_a, id_a FROM sym
-        |  UNION
-        |  SELECT s.id_a, reach.r FROM sym s JOIN reach ON s.id_b = reach.id),
-        |comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
-        |SELECT doc_id FROM b3
-        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
-        |ORDER BY doc_id""".stripMargin,
+      incrementalOracle("doc_id % 2 = 0", "doc_id % 2 = 1"),
+
+    // Delete-then-probe ≡ probe-of-rebuild-on-survivors, stated as SQL:
+    // the SAME re-derivation with the tombstoned docs simply absent
+    // from the corpus — the hash-match IS the equivalence claim.
+    "dd_incremental_delete" ->
+      incrementalOracle("doc_id % 2 = 0 AND doc_id % 6 <> 0",
+        "doc_id % 2 = 1"),
+
+    // The streamed upsert+delete fixed point probed by the odd batch:
+    // corpus = (base \ deleted) ∪ upserted, order-independent because
+    // op kinds live in disjoint id spaces.
+    "stream_ingest_upsert_delete" ->
+      incrementalOracle(
+        "(doc_id % 4 = 0 AND doc_id % 12 <> 0) OR doc_id % 4 = 2",
+        "doc_id % 2 = 1"),
+
 
     // Same recipe re-derived: epoch count = floor(ep) + (u < frac), with
     // the identical 60-bit md5 uniform; one row per (doc, epoch).

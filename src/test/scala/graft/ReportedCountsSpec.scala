@@ -50,6 +50,34 @@ class ReportedCountsSpec extends AnyFunSuite {
     }
   }
 
+  test("every closing-bench number SURVEY quotes exists, verbatim, in " +
+      "its named TRACKED artifact (r14 verdict #3: §17's quoted numbers " +
+      "pointed at bench_out.json, which git does not track and the " +
+      "driver overwrites — the evidence vanished on the next run)") {
+    // convention: SURVEY quotes a closing-session number as
+    // `name=V.VVVs@bench_closing_rNN.json` — the value must equal the
+    // artifact's queries_adjudicated entry at the printed precision
+    val quotes = raw"([a-z0-9_]+)=([0-9]+\.[0-9]{3})s@([A-Za-z0-9_.]+\.json)"
+      .r.findAllMatchIn(survey).toSeq
+    assert(quotes.nonEmpty,
+      "SURVEY must quote closing-bench numbers as name=V.VVVs@artifact")
+    quotes.groupBy(_.group(3)).foreach { case (file, ms) =>
+      assert(file.startsWith("bench_closing_") || file.startsWith("BENCH_r"),
+        s"bench quotes must cite a round-stamped tracked artifact, not $file")
+      val p = repoRoot.resolve(file)
+      assert(Files.exists(p), s"SURVEY quotes $file — not in the repo")
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+      val adjIdx = txt.indexOf("\"queries_adjudicated\"")
+      val hay = if (adjIdx >= 0) txt.substring(adjIdx) else txt
+      ms.foreach { m =>
+        val needle = "\"" + m.group(1) + "\":" + m.group(2)
+        assert(hay.contains(needle),
+          s"SURVEY quotes ${m.matched} but $file's adjudicated map has " +
+            s"no $needle")
+      }
+    }
+  }
+
   test("SURVEY's claimed spec count equals the suite's registered tests") {
     // every spec in this repo registers tests with a line-initial
     // `test(` — count them straight from the sources, the same number
