@@ -136,7 +136,15 @@ object ScaleProbe {
     def pinIvf(v: Ann.Ivf) = Ann.Ivf(
       v.assignments.localCheckpoint(true),
       v.centroids.localCheckpoint(true))
-    val deleteFixtures = (
+    // LAZY: the 10× corpus index pins gigabytes of checkpointed
+    // texts/buckets/wsets in the block manager; built eagerly it
+    // starved every later probe's storage memory for the whole session
+    // (measured: tx_corpus_ready's scaled point 24.4 → 56.4 s with the
+    // fixtures resident — a 14.4× "ratio" that was fixture pressure,
+    // not the operator). index_delete_tomb is the LAST probe, so lazy
+    // construction keeps every other probe's memory profile
+    // fixture-free; its own min-of-reps excludes the build rep.
+    lazy val deleteFixtures = (
       (pinIndex(Dedup.buildCorpusIndex(docs1, "doc_id", "text")),
         pinIvf(Ann.buildIvf(emb1))),
       (pinIndex(Dedup.buildCorpusIndex(docsX, "doc_id", "text")),

@@ -634,10 +634,15 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
     val np = pairs.sparkSession.sparkContext.defaultParallelism
+    // partitioned on NB — the per-round join key: the propagation join
+    // then reuses this cached partitioning every round instead of
+    // re-exchanging the |E| relation each pass (the old id-partitioned
+    // form paid exactly that; the groupBy(id) after the join exchanges
+    // |V|-sized partial aggregates either way)
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("nb"))
       .union(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
-      .repartition(np, col("id"))
+      .repartition(np, col("nb"))
       .cache()
     // localCheckpoint each round: an iterative DataFrame loop otherwise
     // grows its logical plan every pass and the ANALYZER, not the data,
@@ -647,13 +652,17 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val nbMin = sym.join(lab.toDF("nb", "rep"), Seq("nb"))
+      // shuffle_hash on the |V|-sized label side (the q44 pattern):
+      // sort-merge would re-sort the cached |E| relation every round —
+      // hashing the labels streams it unsorted
+      val nbMin = sym.join(lab.toDF("nb", "rep").hint("shuffle_hash"),
+          Seq("nb"))
         .groupBy(col("id")).agg(min(col("rep")).as("nbrep"))
       // carry the OLD label through the checkpoint so the convergence
       // check is a filter-count over the checkpointed rows — the previous
       // shape re-joined next⋈lab, a whole extra shuffle per round whose
       // only output was the `changed` counter
-      val next = lab.join(nbMin, Seq("id"), "left_outer")
+      val next = lab.join(nbMin.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbrep"), col("rep"))).as("rep"),
           col("rep").as("old"))
@@ -759,25 +768,30 @@ object Dedup {
     }
 
     // set signature: (count, XOR of row hashes) — XOR is order-independent
-    // and cannot overflow (an ANSI-mode sum of hashes would)
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
-        .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // and cannot overflow (an ANSI-mode sum of hashes would). Collected
+    // via `observe` DURING the checkpoint materialization, so each round
+    // runs ONE job, not checkpoint + a separate signature action (the
+    // loop is scheduling-bound on small fixtures: ~6 rounds × 1 saved
+    // scheduler round trip each).
+    def checkpointWithSig(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ce = e.observe(obs, count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (ce, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
 
-    var edges = pairs
+    var (edges, sig) = checkpointWithSig(pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .repartition(np, col("u")).localCheckpoint(true)
-    var sig = signature(edges)
+      .repartition(np, col("u")))
     var i = 0
     var converged = false
     while (!converged && i < maxIters) {
       // localCheckpoint: truncate the iterative lineage (see
       // duplicateClusters — planning cost, not data, dominates otherwise)
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSig(smallStar(largeStar(edges)))
       edges = next
       converged = nextSig == sig
       sig = nextSig
@@ -852,9 +866,15 @@ object Dedup {
       .select(shingleHash(col("g")).as("h"))
       .distinct()
       .localCheckpoint(true)
-    val bloom = trainGrams.stat.bloomFilter(
-      "h", math.max(trainGrams.count(), 1L), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val nTrain = trainGrams.count()
+    // empty train side: nothing can be contaminated, and
+    // stat.bloomFilter over an empty relation returns a null sketch
+    val probeFilter =
+      if (nTrain == 0) lit(false)
+      else graft.functions.BloomMightContain(
+        spark.sparkContext.broadcast(
+          trainGrams.stat.bloomFilter("h", nTrain, fpp)),
+        col("h"))
     val testGrams = test.repartition(np)
       .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
       .select(col(idCol), shingleHash(col("g")).as("h"))
@@ -863,7 +883,7 @@ object Dedup {
     // codegen broadcast-bitset probe on a map-side path, applied before
     // any shuffle; the exact semi-join after it restores exactness
     val hits = testGrams
-      .filter(graft.functions.BloomMightContain(bloomBc, col("h")))
+      .filter(probeFilter)
       .join(trainGrams, Seq("h"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
     totals.join(hits, Seq(idCol))
@@ -1214,9 +1234,13 @@ object Dedup {
     // is shingled/hashed and tokenized ONCE: the cross-probe reads
     // these, and the within-batch stage REUSES them via id semi-joins
     // (the r12 driver profile showed the batch minhashed twice — once
-    // for bBuckets, once inside minhashNearDups(b3))
-    val sigs2 = sigsOf(b2, idCol, textCol, k).localCheckpoint(true)
-    val wsets2 = wsetsOf(b2, idCol, textCol).localCheckpoint(true)
+    // for bBuckets, once inside minhashNearDups(b3)). The two
+    // materializations are independent reads of the pinned b2, so they
+    // run as CONCURRENT jobs on the shared action pool — wall is
+    // max(minhash, tokenize), not their sum
+    val (sigs2, wsets2) = Graft.inParallel(
+      sigsOf(b2, idCol, textCol, k).localCheckpoint(true),
+      wsetsOf(b2, idCol, textCol).localCheckpoint(true))
     val bBuckets = lshBuckets(sigs2, idCol, "sig", bands, rows)
       .toDF("id_a", "band", "key")
     val cands = bBuckets.join(index.buckets, Seq("band", "key"))
@@ -1241,7 +1265,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val pairs = verifyJaccard(cands3, wsets2, minJ, keepCols = Seq.empty)
-    val dropped = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+    // size-adaptive clustering (the dedupCorpus convention): the
+    // WITHIN-BATCH near-dup graph is batch-bounded — far under the
+    // driver union-find cutoff on every sane micro-batch — so the
+    // common case pays one bounded collect + a broadcast join instead
+    // of label propagation's per-round shuffle+checkpoint jobs
+    // (measured 5.5 → 4.6 s on the sf0.1 bench split; past the cutoff
+    // it falls back to the distributed loop unchanged)
+    val dropped = duplicateClustersAuto(pairs.select(col("id_a"), col("id_b")))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as(idCol))
     b3.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
@@ -1263,7 +1294,7 @@ object Dedup {
       quality: Column, k: Int = 12, bands: Int = 4,
       minJ: Double = 0.6): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, k, bands, minJ)
-    val comp = duplicateClusters(pairs.select(col("id_a"), col("id_b")))
+    val comp = duplicateClustersAuto(pairs.select(col("id_a"), col("id_b")))
       .withColumnRenamed("doc_id", idCol)
     val scored = docs.select(col(idCol), quality.as("q"))
     val best = comp.join(scored, Seq(idCol))
@@ -1422,9 +1453,10 @@ object Dedup {
     *
     * `pairs` is any near-dup pair relation (`id_a`, `id_b` — minhash,
     * simhash, embedding, winnowing…); singleton documents are their own
-    * cluster. Scale shape: [[duplicateClusters]]' label propagation +
-    * one broadcast-sized hash range per doc — no shuffle beyond the
-    * cluster join.
+    * cluster. Scale shape: [[duplicateClustersAuto]] (driver union-find
+    * on the usual tiny verified edge set, label propagation past the
+    * bound) + one broadcast-sized hash range per doc — no shuffle
+    * beyond the cluster join.
     *
     * Returns `(idCol, split)`. */
   def leakFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
@@ -1432,7 +1464,7 @@ object Dedup {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits need positive weights")
     val total = splits.map(_._2).sum
-    val clusters = duplicateClusters(pairs)
+    val clusters = duplicateClustersAuto(pairs)
       .select(col("doc_id").as(idCol), col("cluster_rep"))
     val withRep = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left_outer")
@@ -1473,7 +1505,7 @@ object Dedup {
     *     so first-round output (`prior` empty) equals [[leakFreeSplit]]
     *     exactly.
     *
-    * Scale shape: the cluster pass is [[duplicateClusters]]; the
+    * Scale shape: the cluster pass is [[duplicateClustersAuto]]; the
     * inheritance is one partial-aggregable `min_by` per rep plus two
     * hash joins on id/rep — nothing corpus-quadratic, work ∝ docs.
     *
@@ -1483,7 +1515,7 @@ object Dedup {
     require(splits.nonEmpty && splits.forall(_._2 > 0),
       "splits need positive weights")
     val total = splits.map(_._2).sum
-    val clusters = duplicateClusters(pairs)
+    val clusters = duplicateClustersAuto(pairs)
       .select(col("doc_id").as(idCol), col("cluster_rep"))
     val withRep = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left_outer")
@@ -1575,6 +1607,53 @@ object Dedup {
       .filter(col("cnt") >= 2)
       .select(col("h"), col("g"))
 
+  /** Hash-first twin of [[dupGramsOf]] (r14 advice): pass A counts
+    * HASHES only — the exchange carries 8-byte longs instead of
+    * minLen-token strings, the difference that dominates on a
+    * MOSTLY-UNIQUE corpus where map-side combine collapses nothing —
+    * then pass B re-explodes and fetches the strings of might-dup
+    * hashes through a broadcast bloom, with the exact `(h, g)` count
+    * restoring string-exactness (a hash collision between two
+    * singleton grams passes the bloom and then dies on `cnt >= 2`).
+    * Costs one extra explode+hash scan; wins when the string-shuffle
+    * saving exceeds it. Measured on this box at sf0.1 (DupGramProbe,
+    * min-of-3, clean canaries): fixture corpus (dup-moderate)
+    * single-pass 1.02 s vs hash-first 1.77 s — the extra scan loses;
+    * ZERO-DUP corpus (every token doc-prefixed) single-pass 1.97 s vs
+    * hash-first 0.95 s — the string shuffle loses 2×. The regimes
+    * genuinely flip, exactly the r14 advice's concern.
+    * [[exactSubstrSpans]] keeps the single-pass dictionary as the
+    * default because the 100 TB DANGER case is the boilerplate-heavy
+    * corpus (duplicated mass maximized — where single-pass wins and
+    * where the r13/r14 restructures were measured); a deployment that
+    * KNOWS its corpus is mostly unique swaps this twin in (equal
+    * output, parity spec-pinned), and on a network-crossing exchange
+    * the ~30× byte ratio moves the flip point far toward single-digit
+    * dup shares. */
+  private[graft] def dupGramsOfHashFirst(docs: DataFrame, textCol: String,
+      minLen: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val np = spark.sparkContext.defaultParallelism
+    def grams = docs.repartition(np)
+      .select(explode(ngrams(col(textCol), minLen)).as("g"))
+    val dupH = grams.select(shingleHash(col("g")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+      .localCheckpoint(true)
+    val nDup = dupH.count()
+    // fully-unique corpus: nothing repeats, and stat.bloomFilter over
+    // an EMPTY relation returns a null sketch buffer — short-circuit
+    if (nDup == 0)
+      return grams.select(shingleHash(col("g")).as("h"), col("g")).limit(0)
+    val bloom = dupH.stat.bloomFilter("h", nDup, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    grams.select(shingleHash(col("g")).as("h"), col("g"))
+      .filter(graft.functions.BloomMightContain(bloomBc, col("h")))
+      .groupBy(col("h"), col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"), col("g"))
+  }
+
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 50, fpp: Double = 0.01): DataFrame = {
     require(minLen > 1, s"minLen must be > 1, got $minLen")
@@ -1584,15 +1663,22 @@ object Dedup {
     // in the returned plan — unpinned, the dictionary pass would re-run
     // per consumer
     val dupG = dupGramsOf(docs, textCol, minLen).localCheckpoint(true)
-    val bloom = dupG.stat.bloomFilter("h", math.max(dupG.count(), 1L), fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val nDup = dupG.count()
+    // a corpus with NO duplicated gram short-circuits the probe: the
+    // span set is empty by definition, and stat.bloomFilter over an
+    // empty relation returns a null sketch buffer (NPE on first probe)
+    val probeFilter =
+      if (nDup == 0) lit(false)
+      else graft.functions.BloomMightContain(
+        spark.sparkContext.broadcast(dupG.stat.bloomFilter("h", nDup, fpp)),
+        col("h"))
     // codegen broadcast-bitset probe applied BEFORE any shuffle; only
     // might-be-duplicated gram strings reach the confirm
     val cand = docs.repartition(np)
       .select(col(idCol).as("id"),
         posexplode(ngrams(col(textCol), minLen)).as(Seq("p", "g")))
       .withColumn("h", shingleHash(col("g")))
-      .filter(graft.functions.BloomMightContain(bloomBc, col("h")))
+      .filter(probeFilter)
     // exact per-site decision: semi-join against the exact dictionary.
     // The probe side streams (AQE skew-splitting applies to a hot
     // boilerplate gram's sites); when the pinned dictionary is small

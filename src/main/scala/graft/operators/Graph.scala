@@ -113,16 +113,28 @@ object Graph {
               Seq("node"), "left_outer")
             .select(col("node"), coalesce(col("reset"), lit(0.0)).as("reset"))
       }
+      // SHUFFLED-HASH hints on the |V|-sized sides: Catalyst's default
+      // sort-merge join would RE-SORT the persisted |E|-row adjacency
+      // on every iteration (the adjacency is hash-partitioned once but
+      // cannot be stored sorted), so each round paid sort(|E|) +
+      // 2·sort(|V|) pure overhead. Hashing the rank vector instead
+      // builds a per-partition map over |V|/shuffle rows — the side a
+      // cluster sizes its shuffle partitions to fit in executor memory
+      // anyway — and streams the adjacency unsorted. Measured at
+      // sf0.1, same box window (min-of-3/median-of-3): q44
+      // 6.33 → 3.92 s median (min 3.58), q45 5.57 → 4.79 s.
       var ranks = reset.select(col("node"), col("reset").as("rank"))
       for (_ <- 1 to iters) {
-        val contribs = adjacency.join(ranks, adjacency("src") === ranks("node"))
+        val contribs = adjacency.join(ranks.hint("shuffle_hash"),
+            adjacency("src") === ranks("node"))
           .select(col("dst").as("node"),
             floor(col("rank") / col("outdeg") * lit(1e15)).as("c"))
         val summed = contribs.groupBy(col("node"))
           .agg((sum(col("c")) / lit(1e15)).as("s"))
         // nodes can lose ALL in-mass only via a zero-rank neighborhood;
         // the left join keeps them on the teleport term regardless
-        ranks = reset.join(summed, Seq("node"), "left_outer")
+        ranks = reset.join(summed.hint("shuffle_hash"), Seq("node"),
+            "left_outer")
           .select(col("node"),
             ((lit(1.0) - lit(damping)) * col("reset") +
               lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))

@@ -92,8 +92,8 @@ object MultimodalPack extends QueryPack {
       Multimodal.keyframes(v).orderBy(col("media_id"), col("f"))
     }),
 
-    // Image duplicate GROUPS: the pairs above through the same proven
-    // connected-components path the text side uses (dd_clusters) — the
+    // Image duplicate GROUPS: the pairs above through the size-adaptive
+    // connected-components path the text side uses (dedupCorpus) — the
     // media_id → representative mapping an image dedup pipeline acts on
     // (keep the representative, drop the rest).
     "mm_phash_clusters" -> ((s, dir) => {
@@ -108,7 +108,7 @@ object MultimodalPack extends QueryPack {
         encode(col("text"), "UTF-8").as("payload"),
         lit("stub/v1").as("meta_format"))
       val hashed = Multimodal.phash(media, new Multimodal.StubPixelDecoder)
-      graft.operators.Dedup.duplicateClusters(
+      graft.operators.Dedup.duplicateClustersAuto(
           Multimodal.phashPairs(hashed, maxHamming = 3)
             .select(col("id_a"), col("id_b")))
         .toDF("media_id", "cluster_rep")

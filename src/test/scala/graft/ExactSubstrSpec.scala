@@ -164,6 +164,27 @@ class ExactSubstrSpec extends AnyFunSuite {
       s"dictionary pass must not window:\n$dictPlan")
   }
 
+  test("dupGramsOfHashFirst equals the single-pass dictionary on a " +
+      "planted-duplicate corpus and on a zero-dup corpus (r14 advice: " +
+      "the low-duplication regime's measured alternative)") {
+    val run = (1 to 12).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $run u4 u5"),
+      (2L, s"v1 $run v2 v3 v4 v5 v6 $run v7"),
+      (3L, (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    def dict(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = dict(Dedup.dupGramsOf(docs, "text", 5))
+    assert(want.nonEmpty)
+    assert(dict(Dedup.dupGramsOfHashFirst(docs, "text", 5)) == want)
+    // zero-dup corpus: both empty, and hash-first's empty-dictionary
+    // short-circuit must not NPE (stat.bloomFilter over zero rows)
+    val unique = Seq((1L, (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    assert(dict(Dedup.dupGramsOfHashFirst(unique, "text", 5)).isEmpty)
+    assert(Dedup.exactSubstrSpans(unique, "doc_id", "text", 5).count() == 0)
+  }
+
   test("BloomMightContain participates in whole-stage codegen and " +
       "matches direct filter probes (no false negatives)") {
     import org.apache.spark.sql.execution.debug._
