@@ -604,6 +604,23 @@ object Ann {
     * quantize job. */
   def quantizeSq8(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // native one-pass codegen expression — the HOF twin below is its
+    // executable spec (parity spec-checked). The twin's per-element
+    // lambda INLINES the amax fold (Catalyst cannot share a
+    // subexpression into a lambda), which re-ran the full aggregate
+    // ~2·dim times per row interpreted — the SQ8 tier's dominant cost.
+    val qz = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Sq8Quantize(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(vecCol))))
+    emb.select(col(idCol), qz.as("_qz"))
+      .select(col(idCol), col("_qz.q8").as("q8"),
+        col("_qz.scale").as("scale"))
+  }
+
+  /** Interpreted HOF twin of [[quantizeSq8]] (spec-checked equal) —
+    * the executable definition of the quantization arithmetic. */
+  private[graft] def quantizeSq8Hof(emb: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def finite(x: Column): Column = !isnan(x) && abs(x) <= lit(Float.MaxValue)
     val amax = aggregate(col(vecCol), lit(0.0f),
       (acc, x) => greatest(acc, when(finite(x), abs(x)).otherwise(lit(0.0f))))

@@ -900,6 +900,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(keptTied == Set(5L), s"got $keptTied")
   }
 
+  test("Sq8Quantize codegen expression equals the HOF twin row-for-row " +
+      "on the fixture, on null elements, and participates in whole-stage " +
+      "codegen") {
+    import org.apache.spark.sql.execution.debug._
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("q8"), col("scale"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toList, r.getFloat(2)))
+        .sortBy(_._1).toList
+    assert(canon(Ann.quantizeSq8(e)) == canon(Ann.quantizeSq8Hof(e)))
+    // null ELEMENT quantizes to 0 and is excluded from amax, same as
+    // the twin's CASE-through-null lambda behavior
+    import spark.implicits._
+    val withNull = Seq((1L, Array(2.54f, 0.0f, -1.27f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), transform(col("embedding"),
+        x => when(x === 0.0f, lit(null)).otherwise(x)).as("embedding"))
+    assert(canon(Ann.quantizeSq8(withNull)) ==
+      canon(Ann.quantizeSq8Hof(withNull)))
+    // stays inside whole-stage codegen (the Md5Embed convention)
+    val gen = codegenString(
+      Ann.quantizeSq8(e).queryExecution.executedPlan)
+    assert(gen.contains("Sq8QuantizeUtil"),
+      "sq8_quantize not found in generated code")
+  }
+
   test("SQ8 quantization: per-component reconstruction error <= amax/254, " +
       "zero vectors survive, and quantized search recalls the exact top-10") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
