@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -63,6 +63,34 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("stub/v1").as("meta_format"))
+
+  /** Real media-lake ingestion: a directory (or lake prefix) of media
+    * files through Spark's `binaryFile` source, normalized to the
+    * [[mediaSchema]] contract. media_id is the 64-bit xxhash of the full
+    * path (stable across runs/executors — re-ingesting the same lake
+    * yields the same ids, so downstream dedup/phash indexes stay
+    * incremental); kind is derived from the extension.
+    *
+    * Scale shape: `binaryFile` splits by FILE (each row is one whole
+    * file, large files never straddle partitions), the glob prunes at
+    * LISTING time (files that don't match are never opened), and the
+    * payload column stays map-local — composing with [[extractFeatures]]
+    * or [[phash]] adds no shuffle, exactly like the fixture-driven media
+    * relations. Decode failures on a dirty lake are row-local when the
+    * decoder uses the `*Opt` forms (see [[MediaCodecs.decodeImageOpt]]). */
+  def readMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), lit("image"))
+          .when(ext.isin("wav"), lit("audio"))
+          .otherwise(lit("binary")).as("kind"),
+        col("content").as("payload"),
+        ext.as("meta_format"))
+  }
 
   /** Batched partition-local decode: the mapInPandas shape — one decoder
     * per partition, rows processed in batches, features appended columnar.

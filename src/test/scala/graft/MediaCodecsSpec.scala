@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[MediaCodecs]] — the REAL JDK codecs behind the multimodal seam.
+  * Contracts pinned here:
+  *   - gray-PNG encode→decode is lossless (the property the
+  *     `mm_png_roundtrip` oracle match rests on);
+  *   - [[MediaCodecs.grayGrid]] resize is exact on block images and
+  *     deterministic/luma-correct on RGB;
+  *   - JPEG — an actually LOSSY codec — keeps phash near for re-encodes and
+  *     far for distinct content (the BMP seam spec's contract, now through
+  *     `ImageIO`'s real DCT path);
+  *   - WAV container round trip is sample-exact, parser skips foreign
+  *     chunks, and corrupt/truncated media drop rows, not tasks;
+  *   - both decoders ride [[Multimodal.phash]]/[[Multimodal.extractFeatures]]
+  *     with a map-only (shuffle-free) lineage — payload bytes never leave
+  *     their partition.
+  */
+class MediaCodecsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    rdd.dependencies.exists {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+      case d => hasShuffle(d.rdd)
+    }
+
+  test("gray PNG round trip is lossless and the block resize is exact " +
+      "(the mm_png_roundtrip oracle contract)") {
+    val rows = Multimodal.PhashGridRows
+    val cols = Multimodal.PhashGridCols
+    // a deterministic 'random-looking' grid, all 256 values reachable
+    val grid = Array.tabulate(rows * cols)(i => (i * 197 + 31) % 256)
+    for (k <- 1 to 3) {
+      val w = cols * k
+      val px = Array.tabulate(rows * k * w) { i =>
+        grid((i / w / k) * cols + (i % w) / k)
+      }
+      val png = MediaCodecs.encodeGrayPng(w, rows * k, px)
+      // real PNG signature
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+      val img = MediaCodecs.decodeImage(png)
+      assert(img.getWidth == w && img.getHeight == rows * k)
+      assert(MediaCodecs.grayGrid(img, rows, cols).toSeq == grid.toSeq,
+        s"k=$k resize did not recover the source grid")
+    }
+  }
+
+  test("grayGrid on RGB input applies integer BT.601 luma and averages " +
+      "within cells deterministically") {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(2, 0, 0x0000ff); img.setRGB(3, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0x808080)
+    img.setRGB(2, 1, 0x404040); img.setRGB(3, 1, 0xc0c0c0)
+    // 1×1 grid: one cell averaging all 8 lumas (integer division floors)
+    val want = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff,
+      0x000000, 0x808080, 0x404040, 0xc0c0c0).map(MediaCodecs.luma).sum / 8
+    assert(MediaCodecs.grayGrid(img, 1, 1).toSeq == Seq(want))
+    // 2×4 grid: identity per pixel
+    assert(MediaCodecs.grayGrid(img, 2, 4)(0) == MediaCodecs.luma(0xff0000))
+    assert(MediaCodecs.grayGrid(img, 2, 4)(7) == MediaCodecs.luma(0xc0c0c0))
+  }
+
+  test("JPEG re-encode (real lossy codec) stays phash-near; distinct " +
+      "content stays far; decoder seam is map-only on a DataFrame") {
+    def tex(x: Int, y: Int): Int = (x * x * 7 + y * 13 * x + y * y * 3) % 251
+    def rgbImage(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(
+        33, 18, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 18; x <- 0 until 33)
+        im.setRGB(x, y, f(x, y) * 0x010101)
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(im, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val basePng = enc(rgbImage(tex), "png")
+    val reJpeg = enc(rgbImage(tex), "jpg") // same pixels, lossy container
+    val otherPng = enc(rgbImage((x, y) => tex(y * 2, x)), "png")
+    val media = spark.createDataFrame(Seq(
+      (1L, "image", basePng), (2L, "image", reJpeg), (3L, "image", otherPng)))
+      .toDF("media_id", "kind", "payload")
+    val hashed = Multimodal.phash(media, new MediaCodecs.ImageIoPixelDecoder)
+    assert(!hasShuffle(hashed.rdd), "real-codec phash lineage has a shuffle")
+    val hs = hashed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 8,
+      s"JPEG re-encode moved ${ham(hs(1L), hs(2L))} of 60 bits")
+    assert(ham(hs(1L), hs(3L)) > 8,
+      s"distinct content only ${ham(hs(1L), hs(3L))} bits apart")
+    // metadata decoder reads the real headers of BOTH formats
+    val feats = Multimodal
+      .extractFeatures(media, new MediaCodecs.ImageIoDecoder)
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(feats.values.toSet == Set((33, 18)))
+  }
+
+  test("WAV PCM-16 round trip is sample-exact; parser skips foreign " +
+      "chunks and word-aligns odd-size ones") {
+    val samples = Array.tabulate(501)(i =>
+      ((i * 7919L + 13) % 4001L - 2000L).toShort)
+    val wav = MediaCodecs.encodeWavPcm16(16000, samples)
+    assert(new String(wav, 0, 4, "US-ASCII") == "RIFF")
+    val pcm = MediaCodecs.decodeWavPcm16(wav)
+    assert(pcm.sampleRate == 16000 && pcm.channels == 1)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    // splice an odd-size LIST chunk (needs a pad byte) before data, the
+    // shape real encoders emit — parser must skip it and stay aligned
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad to even
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // fix the RIFF size field (bytes 4-7, little-endian)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val pcm2 = MediaCodecs.decodeWavPcm16(spliced)
+    assert(pcm2.samples.toSeq == samples.toSeq && pcm2.sampleRate == 16000)
+    // stereo interleave survives
+    val st = MediaCodecs.decodeWavPcm16(
+      MediaCodecs.encodeWavPcm16(8000, samples.take(500), channels = 2))
+    assert(st.channels == 2 && st.samples.length == 500)
+  }
+
+  test("animated GIF: multi-frame round trip is pixel-exact through the " +
+      "real palette/LZW path, and scene cuts land exactly at is_key rows") {
+    val rows = Multimodal.PhashGridRows
+    val cols = Multimodal.PhashGridCols
+    val text = "the quick brown fox jumps over the lazy dog, twice over"
+    val nFrames = 12 // scenes 0,0,0,0,0, 1,1,1,1,1, 2,2
+    val grids = (0 until nFrames).map(f =>
+      MediaCodecs.mdGridTagged(text, "#" + (f / 5)))
+    val gif = MediaCodecs.encodeGifFrames(cols, rows, grids)
+    assert(new String(gif, 0, 3, "US-ASCII") == "GIF")
+    val back = MediaCodecs.decodeGifFrames(gif)
+    assert(back.length == nFrames)
+    back.zip(grids).zipWithIndex.foreach { case ((img, want), f) =>
+      assert(MediaCodecs.grayGrid(img, rows, cols).toSeq == want.toSeq,
+        s"frame $f not recovered exactly")
+    }
+    // frames within a scene hash identically; scene starts are keys
+    val hs = back.map(img =>
+      Multimodal.dHash(MediaCodecs.grayGrid(img, rows, cols)))
+    (0 until nFrames).foreach { f =>
+      if (f % 5 != 0) assert(hs(f) == hs(f - 1), s"intra-scene cut at $f")
+    }
+    assert(hs(0) != hs(5) || hs(5) != hs(10)) // content really varies
+  }
+
+  test("mm_gif_keyframes on the fixture dir: frame counts match metadata " +
+      "and every intra-scene row is hamming-0 non-key") {
+    val got = SparkEntry.queries("mm_gif_keyframes")(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    val byMedia = got.groupBy(_.getLong(0))
+    byMedia.foreach { case (_, frames) =>
+      assert(frames.map(_.getInt(1)).toSeq.sorted ==
+        (0 until frames.length))
+    }
+    got.foreach { r =>
+      val f = r.getInt(1)
+      if (f == 0) assert(r.getInt(2) == -1 && r.getBoolean(3))
+      else if (f % 5 != 0)
+        assert(r.getInt(2) == 0 && !r.getBoolean(3),
+          s"media ${r.getLong(0)} frame $f: intra-scene change")
+    }
+    // at least one genuine scene cut exists somewhere in the corpus
+    assert(got.exists(r => r.getInt(1) % 5 == 0 && r.getInt(1) > 0 &&
+      r.getBoolean(3)))
+  }
+
+  test("corrupt media: decodeImageOpt drops rows, never tasks; truncated " +
+      "WAV and non-PCM reject with a message") {
+    assert(MediaCodecs.decodeImageOpt("not an image".getBytes).isEmpty)
+    assert(MediaCodecs.decodeImageOpt(Array[Byte]()).isEmpty)
+    val good = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, -2, 3))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWavPcm16(good.take(20)) // truncated mid-fmt
+    }
+    intercept[IllegalArgumentException] {
+      val bad = good.clone()
+      bad(20) = 3 // fmt code 3 = IEEE float, unsupported
+      MediaCodecs.decodeWavPcm16(bad)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWavPcm16("RIFFxxxxJUNK".getBytes)
+    }
+    // and a decodable-but-weird payload: WavDecoder features are finite
+    val (n, rate, frames, feat) =
+      new MediaCodecs.WavDecoder().decode("audio", good)
+    assert(n == 3 && rate == 8000 && frames == 1)
+    assert(feat.length == 4 && feat.forall(f => !f.isNaN && !f.isInfinite))
+    // zero-crossing rate of (1, -2, 3): both adjacent pairs cross
+    assert(math.abs(feat(2) - 1.0f) < 1e-6)
+  }
+
+  test("readMediaDir: a real on-disk media lake through the binaryFile " +
+      "source — glob prunes at listing, kinds from extensions, payloads " +
+      "decode through the real codecs") {
+    val dir = java.nio.file.Files.createTempDirectory("media_lake")
+    try {
+      val grid = Array.tabulate(66)(i => (i * 31) % 256)
+      val png = MediaCodecs.encodeGrayPng(11, 6, grid)
+      java.nio.file.Files.write(dir.resolve("a.png"), png)
+      java.nio.file.Files.write(dir.resolve("b.png"), png)
+      val wav = MediaCodecs.encodeWavPcm16(8000, Array[Short](5, -5, 7))
+      java.nio.file.Files.write(dir.resolve("c.wav"), wav)
+      java.nio.file.Files.write(dir.resolve("junk.dat"),
+        "not media".getBytes)
+      val media = Multimodal.readMediaDir(spark, dir.toString)
+      val rows = media.collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getString(1)).sorted.toSeq ==
+        Seq("audio", "binary", "image", "image"))
+      // ids are stable path hashes: re-read yields identical ids
+      val again = Multimodal.readMediaDir(spark, dir.toString)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(again == rows.map(_.getLong(0)).toSet)
+      // glob prunes at LISTING time (junk never opened)
+      assert(Multimodal.readMediaDir(spark, dir.toString, "*.png")
+        .count() == 2)
+      // and the payloads decode through the real codecs end to end
+      val imgs = media.filter(col("kind") === "image")
+      val feats = Multimodal
+        .extractFeatures(imgs, new MediaCodecs.ImageIoDecoder)
+        .select("width", "height").collect()
+      assert(feats.forall(r => r.getInt(0) == 11 && r.getInt(1) == 6))
+      val hashed = Multimodal.phash(imgs, new MediaCodecs.ImageIoPixelDecoder)
+        .collect().map(_.getLong(1)).toSet
+      assert(hashed == Set(Multimodal.dHash(grid)))
+      val audio = media.filter(col("kind") === "audio").collect()
+      val (n, rate, _, _) = new MediaCodecs.WavDecoder()
+        .decode("audio", audio(0).getAs[Array[Byte]](2))
+      assert(n == 3 && rate == 8000)
+    } finally
+      graft.streaming.EventStream.deleteDir(dir.toString)
+  }
+
+  test("mm_png_roundtrip / mm_wav_features run green on the fixture dir " +
+      "and agree with engine-side recomputation") {
+    val png = SparkEntry.queries("mm_png_roundtrip")(spark, TestSpark.sfDir)
+      .collect()
+    assert(png.nonEmpty)
+    png.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val k = (id % 3 + 1).toInt
+      assert(r.getInt(1) == Multimodal.PhashGridCols * k &&
+        r.getInt(2) == Multimodal.PhashGridRows * k,
+        s"media $id header dims wrong")
+    }
+    // hash equals a direct (no-codec) dHash of the md5 grid — proving the
+    // PNG leg changed nothing
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    png.take(20).foreach { r =>
+      val want = Multimodal.dHash(MediaCodecs.mdGrid256(docs(r.getLong(0))))
+      assert(r.getLong(3) == want, s"media ${r.getLong(0)} hash mismatch")
+    }
+    val wav = SparkEntry.queries("mm_wav_features")(spark, TestSpark.sfDir)
+      .collect()
+    assert(wav.nonEmpty)
+    wav.take(20).foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == ((id % 97 + 3) * 40).toInt && r.getInt(2) == 8000)
+      val samples = Array.tabulate(r.getInt(1))(i =>
+        ((id * 131L + i * 7919L) % 4001L - 2000L).toInt)
+      assert(r.getLong(3) == samples.map(v => v.toLong * v).sum)
+      assert(r.getInt(4) == samples.map(math.abs).max)
+      assert(r.getInt(5) == samples.sliding(2)
+        .count(p => p(0) * p(1) < 0))
+    }
+  }
+}
