@@ -198,6 +198,53 @@ object Multimodal {
     media.sparkSession.createDataFrame(rdd, outSchema)
   }
 
+  /** Decode-tolerant twin of [[phash]] for dirty lakes: a payload whose
+    * decode throws is DROPPED (row-local failure — a truncated JPEG in a
+    * 100 TB crawl must cost one row, not a task retry storm; Spark
+    * retries the whole task on an escaped exception, and four failures
+    * kill the job). Same map-only shape; the survivors' hashes are
+    * byte-identical to [[phash]]'s. */
+  def phashSafe(media: DataFrame, decoder: PixelDecoder,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      media.schema("media_id"),
+      StructField("phash", LongType, nullable = false)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          try Some(Row(r.get(idIdx), dHash(decoder.decodeGray(
+            r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx)))))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
+  /** Decode-tolerant twin of [[extractFeatures]] — same row-drop contract
+    * as [[phashSafe]]. */
+  def extractFeaturesSafe(media: DataFrame, decoder: Decoder,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ featureSchema.fields)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          try {
+            val (w, h, f, feat) = decoder.decode(
+              r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
+            Some(Row.fromSeq(r.toSeq ++ Seq(w, h, f, feat.toSeq)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
+
   /** Image near-dup pairs: banded pigeonhole join over [[phash]] values —
     * `bands > maxHamming` makes recall exact with NO all-pairs stage (see
     * [[graft.operators.Dedup.bandedHammingPairs]]); the default 4 bands of

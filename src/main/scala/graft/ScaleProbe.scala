@@ -33,7 +33,7 @@ object ScaleProbe {
     "tx_chunk_retrieve", "q54_fuzzy_pairs", "dd_winnow_overlap",
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
-    "layout_write_bucketed", "index_delete_tomb")
+    "layout_write_bucketed", "mm_media_decode", "index_delete_tomb")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -306,6 +306,28 @@ object ScaleProbe {
           spark.sql("DROP TABLE IF EXISTS `graft_probe_bkt`")
           graft.streaming.EventStream.deleteDir(tmp)
         }
+      }, 15.0),
+      // the MEDIA-CODEC path (r14 missing #3): real PNG encode → ImageIO
+      // decode → grid resize → dHash per row, end to end — pure map-only
+      // work, so wall must scale ∝ rows with zero shuffle growth (the
+      // payload bytes never leave their partition; only the 8-byte hash
+      // reaches the count). A breach here means a codec-side regression
+      // (e.g. an accidental ImageIO disk cache or per-row reader leak),
+      // which no shuffle-focused probe would catch.
+      ("mm_media_decode", "docs", (d: DataFrame) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("media_id", LongType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("payload", BinaryType, nullable = false)))
+        val media = spark.createDataFrame(
+          d.rdd.mapPartitions(_.map(r => Row(r.getLong(0), "image",
+            MediaCodecs.encodeGrayPng(11, 6,
+              MediaCodecs.mdGrid256(r.getString(2)))))),
+          schema)
+        Multimodal.phash(media, new MediaCodecs.ImageIoPixelDecoder)
+          .count(): Unit
       }, 15.0),
       // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
       // base-fixture doc/vector set out of a PRE-BUILT corpus index +

@@ -243,6 +243,34 @@ class MediaCodecsSpec extends AnyFunSuite {
       graft.streaming.EventStream.deleteDir(dir.toString)
   }
 
+  test("dirty lake: phashSafe/extractFeaturesSafe drop corrupt payloads " +
+      "row-locally while the strict forms fail the job; survivors match " +
+      "the strict hashes exactly") {
+    val grid = Array.tabulate(66)(i => (i * 53 + 7) % 256)
+    val png = MediaCodecs.encodeGrayPng(11, 6, grid)
+    val media = spark.createDataFrame(Seq(
+      (1L, "image", png),
+      (2L, "image", "truncated garbage".getBytes),
+      (3L, "image", png.take(20)), // valid signature, truncated body
+      (4L, "image", png)))
+      .toDF("media_id", "kind", "payload")
+    val safe = Multimodal
+      .phashSafe(media, new MediaCodecs.ImageIoPixelDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(safe.keySet == Set(1L, 4L))
+    assert(safe.values.toSet == Set(Multimodal.dHash(grid)))
+    val feats = Multimodal
+      .extractFeaturesSafe(media, new MediaCodecs.ImageIoDecoder)
+      .select("media_id", "width").collect()
+    assert(feats.map(_.getLong(0)).toSet == Set(1L, 4L))
+    assert(feats.forall(_.getInt(1) == 11))
+    // the strict form surfaces the corruption instead of hiding it
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.phash(media, new MediaCodecs.ImageIoPixelDecoder)
+        .collect()
+    }
+  }
+
   test("mm_png_roundtrip / mm_wav_features run green on the fixture dir " +
       "and agree with engine-side recomputation") {
     val png = SparkEntry.queries("mm_png_roundtrip")(spark, TestSpark.sfDir)
