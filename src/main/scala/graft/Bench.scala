@@ -112,6 +112,9 @@ object Bench {
     "nl_target_codes" -> "fixture: reference E2 grammar normalization, fixture-scale",
     "nl_target_from_text" -> "fixture: reference E2 parity, fixture-scale",
     "q2_filter_pushdown" -> "family: pushdown evidence is ExplainProbe's job (q43_pruned_scan); sub-second scan",
+    "tx_html_extract" -> "map-only: codegen regex strip/decode projection, no shuffle beyond the final orderBy",
+    "tx_url_canonical" -> "map-only: codegen regex normalization projection, no shuffle beyond the final orderBy",
+    "tx_url_domain_psl" -> "fixture: literal-host PSL resolve (broadcast semi-join + tiny longest-match agg)",
     "q4_dim_broadcast" -> "family: broadcast-dim join inside the benched q3_join_agg family",
     "q5_latest_order" -> "family: row_number-per-key window, q17_running_window family",
     "q6_group_concat" -> "family: sub-second hash agg with collect_list",

@@ -81,6 +81,79 @@ object ParsingPack extends QueryPack {
           concat_ws(" ", slice(toks, lit(1), (j - 1).cast("int"))).as("column_nm"),
           element_at(toks, j.cast("int")).as("op"))
         .orderBy(col("name"))
+    }),
+
+    // HTML main-text extraction (the crawl→corpus front door): wrap every
+    // document in deterministic markup — script/style/comment subtrees,
+    // a doc_id-varying anchor count, entity-encoded tail — then strip it
+    // back to text with graft.operators.Web.htmlText and score link
+    // density. The oracle runs the SAME regex pipeline in DuckDB (the
+    // patterns are restricted to the Java∩RE2 dialect), so the md5 of the
+    // extracted text gates every strip/decode/collapse step end to end.
+    // Pure codegen column math; map-only.
+    "tx_html_extract" -> ((s, dir) => {
+      import graft.operators.Web
+      val anchor = "<a href=\"/l\">go there</a>"
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = "),
+        col("doc_id").cast("string"),
+        lit(";</script><style>.c { color: red }</style></head>"),
+        lit("<body><!-- nav --><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p>"),
+        element_at(array(lit(""), lit(anchor), lit(anchor * 2),
+          lit(anchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
+        lit("<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>"))
+      val clean = Web.htmlText(html)
+      val anchors = Web.anchorTexts(html)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(encode(clean, "UTF-8")).as("text_md5"),
+          length(clean).as("clean_len"),
+          size(anchors).as("n_links"),
+          length(array_join(anchors, "")).as("link_chars"),
+          Web.linkDensityBp(html).as("link_density_bp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization (normalize-before-dedup): doc_id-derived URLs
+    // with uppercase scheme/host, www, an explicit default port, utm_*
+    // tracking params in leading AND trailing positions, and a fragment —
+    // canonicalized to the group-by key URL-level dedup runs on, plus
+    // host/registrable-domain extraction. Every step is a regex both
+    // dialects execute identically; the oracle re-runs them in DuckDB.
+    "tx_url_canonical" -> ((s, dir) => {
+      import graft.operators.Web
+      val raw = concat(
+        lit("HTTPS://WWW.ShopSite"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        lit(".COM:443/Item/"), col("doc_id").cast("string"),
+        lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit("&utm_campaign=Spring&ref=Home#Sec"),
+        pmod(col("doc_id"), lit(3)).cast("string"))
+      val canon = Web.canonicalUrl(raw)
+      val host = Web.urlHost(canon)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), canon.as("canon_url"), host.as("host"),
+          Web.registrableDomain(host).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT registrable-domain resolution against a public-suffix list:
+    // the broadcast-join form (explode proper suffixes → semi-join PSL →
+    // longest match wins → prepend one label; unknown TLDs fall back to
+    // two labels). Literal hosts + literal PSL rows (q24-26 convention);
+    // the oracle re-derives the longest-suffix logic in DuckDB, so multi-
+    // label suffixes (.co.uk, .com.au) — exactly what the two-label
+    // approximation gets wrong — gate the join.
+    "tx_url_domain_psl" -> ((s, dir) => {
+      import graft.operators.Web
+      val hosts = s.createDataFrame(Seq(
+        "a.b.example.co.uk", "www.example.com", "example.com.au",
+        "localhost", "svc.internal.corp", "uk").map(Tuple1(_))).toDF("host")
+      val psl = s.createDataFrame(Seq(
+        "com", "org", "co.uk", "com.au", "uk").map(Tuple1(_))).toDF("suffix")
+      Web.registrableDomainPsl(hosts, "host", psl).orderBy(col("host"))
     })
   )
 
@@ -184,6 +257,128 @@ object ParsingPack extends QueryPack {
         |  FROM x)
         |SELECT name, array_to_string(toks[1:j-1], ' ') AS column_nm,
         |  toks[j] AS op
-        |FROM p ORDER BY name""".stripMargin
+        |FROM p ORDER BY name""".stripMargin,
+
+    // The SAME fixture markup and the SAME regex pipeline, in RE2 ('g'
+    // flag = Spark's replace-all default; inline (?s) for the subtree
+    // strips) — the md5 gates every strip/decode/collapse step.
+    "tx_html_extract" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+        |    || '</title><script type="text/javascript">var x = '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || ';</script><style>.c { color: red }</style></head>'
+        |    || '<body><!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text || '</p>'
+        |    || repeat('<a href="/l">go there</a>',
+        |         CAST(doc_id % 4 AS INTEGER))
+        |    || '<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean,
+        |    -- array_to_string of an EMPTY list is NULL in DuckDB; the
+        |    -- zero-anchor docs must read as '' or the int columns float
+        |    coalesce(array_to_string(
+        |      regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1), ''), '')
+        |      AS linktxt,
+        |    len(regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1))
+        |      AS n_links
+        |  FROM src)
+        |SELECT doc_id, md5(clean) AS text_md5,
+        |  CAST(length(clean) AS INTEGER) AS clean_len,
+        |  CAST(n_links AS INTEGER) AS n_links,
+        |  CAST(length(linktxt) AS INTEGER) AS link_chars,
+        |  CAST(floor(length(linktxt) * 10000.0
+        |    / greatest(length(clean), 1)) AS INTEGER) AS link_density_bp
+        |FROM stripped ORDER BY doc_id""".stripMargin,
+
+    // Same canonicalization passes in RE2: authority-prefix lowercase,
+    // fragment, scheme-default port (delimiter-captured, no lookahead),
+    // www, and the three separator-exact utm strips.
+    "tx_url_canonical" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.ShopSite' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.COM:443/Item/' || CAST(doc_id AS VARCHAR)
+        |    || '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+        |    || '&utm_campaign=Spring&ref=Home#Sec'
+        |    || CAST(doc_id % 3 AS VARCHAR) AS u
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(u,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |        || regexp_replace(u,
+        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |      '#.*', ''),
+        |      '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |      '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
+        |      '^(https?://)www\.', '\1'),
+        |      '&utm_[^&#]*', '', 'g'),
+        |      '\?utm_[^&#]*&', '?'),
+        |      '\?utm_[^&#]*$', '') AS canon_url
+        |  FROM src),
+        |parts AS (
+        |  SELECT doc_id, canon_url,
+        |    regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+        |      AS host
+        |  FROM canon)
+        |SELECT doc_id, canon_url, host,
+        |  CASE WHEN regexp_matches(host, '[^.]+\.[^.]+$')
+        |    THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    ELSE host END AS domain
+        |FROM parts ORDER BY doc_id""".stripMargin,
+
+    // Longest-matching-suffix re-derivation: proper suffixes via list
+    // slicing, join the PSL, max suffix length wins, last best+1 labels;
+    // non-matching hosts take the two-label fallback.
+    "tx_url_domain_psl" ->
+      """WITH hosts(host) AS (VALUES
+        |  ('a.b.example.co.uk'), ('www.example.com'), ('example.com.au'),
+        |  ('localhost'), ('svc.internal.corp'), ('uk')),
+        |psl(suffix) AS (VALUES
+        |  ('com'), ('org'), ('co.uk'), ('com.au'), ('uk')),
+        |h AS (SELECT host, string_split(host, '.') AS labels,
+        |        len(string_split(host, '.')) AS n FROM hosts),
+        |cand AS (
+        |  SELECT host, labels, n,
+        |    array_to_string(labels[CAST(u.i + 1 AS INTEGER):CAST(n AS INTEGER)], '.') AS suffix,
+        |    n - u.i AS slen
+        |  FROM h, LATERAL unnest(range(1, greatest(n, 2))) u(i)),
+        |m AS (
+        |  SELECT c.host, c.labels, c.n, max(c.slen) AS best
+        |  FROM cand c JOIN psl p ON c.suffix = p.suffix
+        |  GROUP BY c.host, c.labels, c.n),
+        |matched AS (
+        |  SELECT host,
+        |    array_to_string(labels[CAST(n - best AS INTEGER):CAST(n AS INTEGER)], '.') AS domain
+        |  FROM m),
+        |unmatched AS (
+        |  SELECT h.host,
+        |    CASE WHEN regexp_matches(h.host, '[^.]+\.[^.]+$')
+        |      THEN regexp_extract(h.host, '([^.]+\.[^.]+)$', 1)
+        |      ELSE h.host END AS domain
+        |  FROM h WHERE h.host NOT IN (SELECT host FROM matched))
+        |SELECT host, domain FROM
+        |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+        |ORDER BY host""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Web
+
+/** [[graft.operators.Web]] — HTML extraction + URL canonicalization edge
+  * cases the fixture-driven oracles don't reach: script-content leaks,
+  * port-before-query, utm-only query strings, hosts without a dot. */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(in: String, c: org.apache.spark.sql.Column => org.apache.spark.sql.Column): String = {
+    val df = spark.createDataFrame(Seq(Tuple1(in))).toDF("u")
+    df.select(c(col("u")).as("out")).collect()(0).getString(0)
+  }
+
+  test("htmlText drops script/style/comment CONTENT (not just tags), " +
+      "decodes entities, collapses whitespace") {
+    val html = "<html><body><script>var secret = 1;</script>" +
+      "<style>.x { color: red }</style><!-- hidden -->" +
+      "<p>Hello   &amp;\n <b>world</b>&nbsp;&lt;ok&gt;</p></body></html>"
+    val got = one(html, Web.htmlText)
+    assert(got == "Hello & world <ok>")
+    assert(!got.contains("secret") && !got.contains("color") &&
+      !got.contains("hidden"))
+  }
+
+  test("linkDensityBp: boilerplate-heavy page scores high, prose low, " +
+      "zero anchors give 0") {
+    val nav = "<body>" + ("<a href=\"/x\">Section link text</a>" * 8) +
+      "<p>hi</p></body>"
+    val prose = "<body><p>" + ("lorem ipsum dolor sit amet " * 20) +
+      "</p><a href=\"/x\">more</a></body>"
+    def bp(h: String): Int = {
+      val df = spark.createDataFrame(Seq(Tuple1(h))).toDF("u")
+      df.select(Web.linkDensityBp(col("u")).as("b")).collect()(0).getInt(0)
+    }
+    assert(bp(nav) > 3000, s"nav page scored ${bp(nav)}")
+    assert(bp(prose) < 1000, s"prose scored ${bp(prose)}")
+    assert(bp("<p>plain</p>") == 0)
+  }
+
+  test("canonicalUrl: case, www, default ports (incl. port-before-query " +
+      "and bare-authority), fragments, and utm params in every position") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/Path?a=1#f" ->
+        "https://example.com/Path?a=1",
+      "https://example.com:443?q=1" -> "https://example.com?q=1",
+      "http://Example.com:80" -> "http://example.com",
+      "http://example.com:8080/x" -> "http://example.com:8080/x", // non-default kept
+      "https://a.com/p?utm_source=x" -> "https://a.com/p",
+      "https://a.com/p?utm_a=1&utm_b=2" -> "https://a.com/p",
+      "https://a.com/p?utm_a=1&id=2&utm_b=3&z=4" -> "https://a.com/p?id=2&z=4",
+      "https://a.com/p?id=2" -> "https://a.com/p?id=2", // untouched
+      // path/query case is resource-significant and survives
+      "HTTP://A.com/CaseSensitive?Q=Vv" -> "http://a.com/CaseSensitive?Q=Vv")
+    cases.foreach { case (in, want) =>
+      assert(one(in, Web.canonicalUrl) == want, s"for $in")
+    }
+  }
+
+  test("urlHost / registrableDomain: subdomains collapse to the last two " +
+      "labels; dotless hosts pass through") {
+    assert(one("https://a.b.example.com/x", Web.urlHost) == "a.b.example.com")
+    val df = spark.createDataFrame(Seq(
+      Tuple1("a.b.example.com"), Tuple1("example.com"), Tuple1("localhost")))
+      .toDF("h")
+    val got = df.select(Web.registrableDomain(col("h")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("example.com", "example.com", "localhost"))
+  }
+
+  test("registrableDomainPsl: multi-label public suffixes resolve exactly " +
+      "(the cases the two-label approximation gets wrong), unknown TLDs " +
+      "fall back, duplicate hosts resolve once") {
+    val hosts = spark.createDataFrame(Seq(
+      "a.b.example.co.uk", "deep.sub.shop.co.uk", "www.example.com",
+      "www.example.com", // duplicate — the mapping must stay distinct
+      "example.internal", "single").map(Tuple1(_))).toDF("host")
+    val psl = spark.createDataFrame(Seq("com", "co.uk").map(Tuple1(_)))
+      .toDF("suffix")
+    val got = graft.operators.Web
+      .registrableDomainPsl(hosts, "host", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a.b.example.co.uk" -> "example.co.uk",
+      "deep.sub.shop.co.uk" -> "shop.co.uk",
+      "www.example.com" -> "example.com",
+      "example.internal" -> "example.internal", // two-label fallback
+      "single" -> "single"))
+    // distinct mapping: the duplicate host yields ONE row
+    assert(graft.operators.Web.registrableDomainPsl(hosts, "host", psl)
+      .count() == 5)
+  }
+
+  test("URL-level dedup composes: canonical variants of one page collapse " +
+      "to a single group, distinct resources stay apart") {
+    val urls = Seq(
+      "HTTPS://WWW.Shop.COM:443/item/1?utm_source=a",
+      "https://shop.com/item/1",
+      "https://shop.com/item/1#reviews",
+      "https://shop.com/item/2")
+    val df = spark.createDataFrame(urls.map(Tuple1(_))).toDF("url")
+    val groups = df.groupBy(Web.canonicalUrl(col("url")).as("canon"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(groups == Map("https://shop.com/item/1" -> 3L,
+      "https://shop.com/item/2" -> 1L))
+  }
+}
