@@ -115,6 +115,7 @@ object Bench {
     "tx_html_extract" -> "map-only: codegen regex strip/decode projection, no shuffle beyond the final orderBy",
     "tx_url_canonical" -> "map-only: codegen regex normalization projection, no shuffle beyond the final orderBy",
     "tx_url_domain_psl" -> "fixture: literal-host PSL resolve (broadcast semi-join + tiny longest-match agg)",
+    "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "q4_dim_broadcast" -> "family: broadcast-dim join inside the benched q3_join_agg family",
     "q5_latest_order" -> "family: row_number-per-key window, q17_running_window family",
     "q6_group_concat" -> "family: sub-second hash agg with collect_list",

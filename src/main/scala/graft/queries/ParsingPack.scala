@@ -154,6 +154,41 @@ object ParsingPack extends QueryPack {
       val psl = s.createDataFrame(Seq(
         "com", "org", "co.uk", "com.au", "uk").map(Tuple1(_))).toDF("suffix")
       Web.registrableDomainPsl(hosts, "host", psl).orderBy(col("host"))
+    }),
+
+    // WARC container round trip (the web-crawl ingest format): each
+    // partition's documents are chunked into real WARC blobs (spec-shaped
+    // version line / headers / Content-Length-driven bodies), gzipped
+    // with the real JDK codec, then gunzipped and byte-parsed back into
+    // records. Partition-local end to end — no grouping shuffle, the
+    // distributed-writer sharding shape — and the oracle re-derives every
+    // field from the TEXT, so the hash gates both codec directions.
+    "tx_warc_roundtrip" -> ((s, dir) => {
+      import graft.operators.Warc
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("uri",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("body_md5",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("body_len",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.grouped(32).flatMap { batch =>
+          val recs = batch.map(r => ("https://ex.com/doc/" + r.getLong(0),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val gz = Warc.gzip(Warc.writeRecords(recs))
+          // ---- real parse: everything below reads the gzipped WARC
+          Warc.parseRecords(Warc.gunzip(gz)).map { rec =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            org.apache.spark.sql.Row(rec.headers("WARC-Target-URI"),
+              md.digest(rec.body).map("%02x".format(_)).mkString,
+              rec.body.length)
+          }
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("uri"))
     })
   )
 
@@ -379,6 +414,14 @@ object ParsingPack extends QueryPack {
         |  FROM h WHERE h.host NOT IN (SELECT host FROM matched))
         |SELECT host, domain FROM
         |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
-        |ORDER BY host""".stripMargin
+        |ORDER BY host""".stripMargin,
+
+    // Re-derives the record fields from text only; the engine's path to
+    // the same values runs through WARC write → gzip → gunzip → parse.
+    "tx_warc_roundtrip" ->
+      """SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  md5(text) AS body_md5,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS body_len
+        |FROM documents ORDER BY uri""".stripMargin
   )
 }

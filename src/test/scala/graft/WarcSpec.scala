@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Warc
+
+/** [[graft.operators.Warc]] — byte-level container contracts the fixture
+  * round trip can't pin: binary bodies containing the record delimiter,
+  * extra/foreign headers, multi-member gzip chains, truncation errors. */
+class WarcSpec extends AnyFunSuite {
+
+  test("write ∘ parse = id, including a BINARY body that contains the " +
+      "version line bytes (length-driven parsing, never delimiter scan)") {
+    val trap = ("evil\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+      "not a record").getBytes("UTF-8") ++ Array[Byte](0, -1, 13, 10, 0)
+    val recs = Seq(
+      "https://a.com/1" -> "plain text".getBytes("UTF-8"),
+      "https://a.com/2" -> trap,
+      "https://a.com/3" -> Array.tabulate[Byte](256)(_.toByte),
+      "https://a.com/empty" -> Array[Byte]())
+    val back = Warc.parseRecords(Warc.writeRecords(recs))
+    assert(back.length == 4)
+    back.zip(recs).foreach { case (r, (uri, body)) =>
+      assert(r.headers("WARC-Target-URI") == uri)
+      assert(r.headers("WARC-Type") == "response")
+      assert(r.headers("Content-Length").toInt == body.length)
+      assert(java.util.Arrays.equals(r.body, body), s"body of $uri")
+    }
+  }
+
+  test("parser tolerates foreign headers and extra inter-record CRLFs; " +
+      "header values keep their colons (URIs)") {
+    val blob = ("WARC/1.0\r\n" +
+      "WARC-Type: request\r\n" +
+      "WARC-Target-URI: https://x.com/a?q=1:2\r\n" +
+      "WARC-Record-ID: <urn:uuid:1234>\r\n" +
+      "X-Custom: v: with: colons\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n\r\n\r\n" + // extra CRLFs
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.com/b\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("UTF-8")
+    val rs = Warc.parseRecords(blob)
+    assert(rs.length == 2)
+    assert(rs(0).headers("WARC-Target-URI") == "https://x.com/a?q=1:2")
+    assert(rs(0).headers("X-Custom") == "v: with: colons")
+    assert(new String(rs(0).body, "UTF-8") == "hi")
+    assert(rs(1).body.isEmpty)
+  }
+
+  test("truncated blobs and missing Content-Length fail loudly with " +
+      "offsets, not silently drop records") {
+    val good = Warc.writeRecords(Seq(
+      "https://a.com/1" -> "0123456789".getBytes("UTF-8")))
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(good.dropRight(8)) // cuts into the body
+    }
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords(("WARC/1.0\r\nWARC-Type: response\r\n\r\n" +
+        "body").getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes("UTF-8"))
+    }
+  }
+
+  test("gzip round trip is exact and gunzip consumes concatenated " +
+      "members (the .warc.gz member-per-record convention)") {
+    val a = "first record payload".getBytes("UTF-8")
+    val b = Array.tabulate[Byte](10000)(i => (i * 31).toByte)
+    assert(java.util.Arrays.equals(Warc.gunzip(Warc.gzip(a)), a))
+    // member chain: gzip(a) ++ gzip(b) must decompress to a ++ b
+    val chained = Warc.gunzip(Warc.gzip(a) ++ Warc.gzip(b))
+    assert(java.util.Arrays.equals(chained, a ++ b))
+    // and a gzipped WARC blob survives end to end
+    val recs = Seq("https://a.com/z" -> b)
+    val back = Warc.parseRecords(
+      Warc.gunzip(Warc.gzip(Warc.writeRecords(recs))))
+    assert(java.util.Arrays.equals(back.head.body, b))
+  }
+
+  test("tx_warc_roundtrip on the fixture dir matches a direct per-doc " +
+      "derivation (the oracle twin, engine-side)") {
+    val spark = TestSpark.spark
+    val got = SparkEntry.queries("tx_warc_roundtrip")(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => "https://ex.com/doc/" + r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.take(50).foreach { r =>
+      val text = docs(r.getString(0))
+      md.reset()
+      val want = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(1) == want && r.getInt(2) ==
+        text.getBytes("UTF-8").length, s"record ${r.getString(0)}")
+    }
+  }
+}
