@@ -10,7 +10,13 @@ import graft.operators.{ConditionCodec, SweepLine}
   * F9 (date↔epoch) + W2-date (sweep-line on a date axis), F13
   * (Python-literal list parsing with scalar wrap), F15 (operator-token
   * scan over PRMP_STRING). Literal-input queries use identical VALUES rows
-  * in the DuckDB oracle. */
+  * in the DuckDB oracle.
+  *
+  * Plus the web-corpus front door ([[graft.operators.Web]] /
+  * [[graft.operators.Warc]]): HTML extraction, URL canonicalization, PSL
+  * registrable domains, the gzipped-WARC container round trip, and the
+  * composed crawl→corpus funnel (`tx_web_corpus`) — regexes restricted to
+  * the Java∩RE2 dialect so every one is a full hash-matched oracle. */
 object ParsingPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -189,6 +195,52 @@ object ParsingPack extends QueryPack {
         }
       }
       s.createDataFrame(rdd, outSchema).orderBy(col("uri"))
+    }),
+
+    // The crawl→corpus funnel composed end to end: every document gets
+    // the tx_html_extract markup AND a crawl URL where doc_id % 200
+    // identifies the PAGE (several docs are re-crawls of one page, their
+    // URLs differing only in tracking params / fragments — doc_id-varying
+    // utm and #Sec noise). Extract text, gate on link density (< 3000 bp,
+    // the standard boilerplate threshold) and length (≥ 120 chars), then
+    // collapse re-crawls by canonical URL keeping the earliest crawl
+    // (min doc_id — the reference keep-first dedup convention). One
+    // shuffle total (the canonical-URL group); everything upstream is
+    // codegen regex projection.
+    "tx_web_corpus" -> ((s, dir) => {
+      import graft.operators.Web
+      val anchor = "<a href=\"/l\">go there</a>"
+      val html = concat(
+        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("</title><script type=\"text/javascript\">var x = "),
+        col("doc_id").cast("string"),
+        lit(";</script><style>.c { color: red }</style></head>"),
+        lit("<body><!-- nav --><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"), lit("</p>"),
+        element_at(array(lit(""), lit(anchor), lit(anchor * 2),
+          lit(anchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
+        lit("<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>"))
+      val url = concat(
+        lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit(".COM:443/page/"), pmod(col("doc_id"), lit(200)).cast("string"),
+        lit("?utm_source=crawl"), col("doc_id").cast("string"),
+        lit("&ref=r#Sec"), pmod(col("doc_id"), lit(3)).cast("string"))
+      val extracted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Web.canonicalUrl(url).as("canon_url"),
+          Web.htmlText(html).as("clean"),
+          Web.linkDensityBp(html).as("ld_bp"))
+        .filter(col("ld_bp") < 800 && length(col("clean")) >= 150)
+      extracted
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_crawls"))
+        .join(extracted.select(col("doc_id"), col("clean"), col("ld_bp")),
+          Seq("doc_id"))
+        .select(col("canon_url"), col("doc_id"), col("n_crawls"),
+          md5(encode(col("clean"), "UTF-8")).as("text_md5"),
+          col("ld_bp"))
+        .orderBy(col("canon_url"))
     })
   )
 
@@ -422,6 +474,82 @@ object ParsingPack extends QueryPack {
       """SELECT 'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS uri,
         |  md5(text) AS body_md5,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS body_len
-        |FROM documents ORDER BY uri""".stripMargin
+        |FROM documents ORDER BY uri""".stripMargin,
+
+    // The funnel re-derived: same markup/URL fixtures, same regex
+    // extraction pipeline, same gates, same keep-first collapse.
+    "tx_web_corpus" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
+        |    || '</title><script type="text/javascript">var x = '
+        |    || CAST(doc_id AS VARCHAR)
+        |    || ';</script><style>.c { color: red }</style></head>'
+        |    || '<body><!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || text || '</p>'
+        |    || repeat('<a href="/l">go there</a>',
+        |         CAST(doc_id % 4 AS INTEGER))
+        |    || '<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>'
+        |      AS html,
+        |    'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.COM:443/page/' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '?utm_source=crawl' || CAST(doc_id AS VARCHAR)
+        |    || '&ref=r#Sec' || CAST(doc_id % 3 AS VARCHAR) AS u
+        |  FROM documents),
+        |ext AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(
+        |        lower(regexp_extract(u,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |        || regexp_replace(u,
+        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |      '#.*', ''),
+        |      '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
+        |      '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
+        |      '^(https?://)www\.', '\1'),
+        |      '&utm_[^&#]*', '', 'g'),
+        |      '\?utm_[^&#]*&', '?'),
+        |      '\?utm_[^&#]*$', '') AS canon_url,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean,
+        |    CAST(floor(length(coalesce(array_to_string(
+        |      regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1), ''),
+        |      '')) * 10000.0 / greatest(length(trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '\s+', ' ', 'g'))), 1)) AS INTEGER) AS ld_bp
+        |  FROM src),
+        |gated AS (
+        |  SELECT * FROM ext WHERE ld_bp < 800 AND length(clean) >= 150),
+        |kept AS (
+        |  SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_crawls
+        |  FROM gated GROUP BY canon_url)
+        |SELECT k.canon_url, k.doc_id, k.n_crawls,
+        |  md5(g.clean) AS text_md5, g.ld_bp
+        |FROM kept k JOIN gated g ON g.doc_id = k.doc_id
+        |ORDER BY k.canon_url""".stripMargin
   )
 }

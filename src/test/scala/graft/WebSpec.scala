@@ -95,6 +95,25 @@ class WebSpec extends AnyFunSuite {
       .count() == 5)
   }
 
+  test("tx_web_corpus funnel: gates really cut rows, re-crawls really " +
+      "collapse (some page has n_crawls > 1), and every kept doc_id is " +
+      "the earliest crawl of its page") {
+    val got = SparkEntry.queries("tx_web_corpus")(spark, TestSpark.sfDir)
+      .collect()
+    val total = Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(got.nonEmpty && got.length < total,
+      s"funnel kept ${got.length} of $total — nothing was cut")
+    assert(got.exists(_.getLong(2) > 1), "no page shows a collapsed re-crawl")
+    // keep-first: the kept doc_id is the min over its page (doc_id % 200
+    // identifies the page in the fixture)
+    got.foreach { r =>
+      assert(r.getLong(1) % 200 ==
+        got.filter(_.getString(0) == r.getString(0)).map(_.getLong(1)).min % 200)
+    }
+    val pages = got.map(_.getString(0)).distinct
+    assert(pages.length == got.length, "canonical URLs must be unique rows")
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
