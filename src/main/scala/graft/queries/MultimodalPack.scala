@@ -254,6 +254,28 @@ object MultimodalPack extends QueryPack {
       }
       s.createDataFrame(rdd, outSchema)
         .orderBy(col("media_id"), col("f"))
+    }),
+
+    // STREAMING media ingestion (14th oracle-gated streaming state kind):
+    // the real-PNG media relation is re-sharded into 4 parquet files and
+    // streamed back with maxFilesPerTrigger=1; every micro-batch decodes
+    // its payloads through the REAL ImageIO codec and folds (min id, copy
+    // count) per perceptual hash. The fold is associative+commutative, so
+    // the streamed fixed point equals the batch answer the oracle derives
+    // from the text — without ever seeing a PNG. The live loop a media
+    // lake's continuous-ingest dedup runs.
+    "stream_media_phash" -> ((s, dir) => {
+      val media = pngMedia(s, dir)
+      val tmp = graft.Graft.scratchDir("graft_stream_media")
+      media.repartitionByRange(4, col("media_id"))
+        .write.mode("overwrite").parquet(tmp)
+      // the fold state is localCheckpoint-pinned (source-independent) by
+      // the time the harness returns, so the temp shards can go
+      try graft.streaming.EventStream
+        .ingestMediaPhash(s, tmp, media.schema)
+        .orderBy(col("media_id"))
+        .localCheckpoint(true)
+      finally graft.streaming.EventStream.deleteDir(tmp)
     })
   )
 
@@ -513,6 +535,34 @@ object MultimodalPack extends QueryPack {
         |  CAST(CASE WHEN prev IS NULL THEN -1
         |    ELSE bit_count(xor(ph, prev)) END AS INTEGER) AS hamming,
         |  (prev IS NULL OR xor(ph, prev) <> 0) AS is_key
-        |FROM lagged ORDER BY media_id, f""".stripMargin
+        |FROM lagged ORDER BY media_id, f""".stripMargin,
+
+    // The batch twin of the streamed fold: the same md5-cell dHash as the
+    // mm_png_roundtrip oracle, grouped to (min id, copies) per hash —
+    // derived from text; the engine's numbers came through a live stream
+    // of real PNG decodes.
+    "stream_media_phash" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cells AS (
+        |  SELECT media_id, i,
+        |    ('0x' || substr(md5(substr(text, CAST((i * L) // 66 AS INTEGER) + 1,
+        |       CAST(((i + 1) * L) // 66 AS INTEGER)
+        |         - CAST((i * L) // 66 AS INTEGER))), 1, 2))::BIGINT AS px
+        |  FROM m, range(0, 66) t(i)),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.px > a.px
+        |      THEN 1::BIGINT << CAST((a.i // 11) * 10 + (a.i % 11) AS INTEGER)
+        |      ELSE 0::BIGINT END AS p
+        |  FROM cells a JOIN cells b
+        |    ON b.media_id = a.media_id AND b.i = a.i + 1
+        |  WHERE a.i % 11 < 10),
+        |h AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS ph
+        |      FROM bits GROUP BY media_id)
+        |SELECT min(media_id) AS media_id, ph AS phash,
+        |  count(*) AS n_copies
+        |FROM h GROUP BY ph ORDER BY media_id""".stripMargin
   )
 }

@@ -213,6 +213,37 @@ object EventStream {
     state.select(col("doc_id"), col("n").as("n_copies"))
   }
 
+  /** Oracle-gated streaming MEDIA ingestion (driver query
+    * `stream_media_phash`) — the 14TH streaming state kind under the
+    * gate, and the first whose per-batch work runs a REAL binary codec:
+    * media payloads (actual PNG bytes) arrive as a file stream, each
+    * micro-batch is decoded through [[graft.MediaCodecs.ImageIoPixelDecoder]]
+    * (map-only — payload bytes never enter the fold) and hashed, and the
+    * perceptual-dedup state folds as (min media_id, copy count) per
+    * 60-bit phash. Min/sum are associative+commutative, so the streamed
+    * fixed point is split-independent and a BATCH oracle — which
+    * re-derives the hashes from the fixture TEXT, never decoding a PNG —
+    * gates the whole loop: stream delivery, real decode, fold. State is
+    * one row per distinct hash; per-batch cost ∝ the batch. */
+  def ingestMediaPhash(spark: org.apache.spark.sql.SparkSession,
+      mediaSrcDir: String, schema: org.apache.spark.sql.types.StructType,
+      onBatch: Long => Unit = _ => ()): DataFrame = {
+    val folded = streamFoldExact(spark, mediaSrcDir, schema, None,
+      (st, batch) => {
+        val b = graft.Multimodal
+          .phash(batch, new graft.MediaCodecs.ImageIoPixelDecoder)
+          .groupBy(col("phash"))
+          .agg(min(col("media_id")).as("media_id"), count(lit(1)).as("n"))
+        st.map(_.unionByName(b)
+            .groupBy(col("phash"))
+            .agg(min(col("media_id")).as("media_id"), sum(col("n")).as("n")))
+          .getOrElse(b)
+      }, onBatch)
+    folded.map(_.select(col("media_id"), col("phash"),
+        col("n").cast("long").as("n_copies")))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Oracle-gated streaming CDC ingestion (driver query `stream_cdc`) —
     * the SIXTH streaming state kind under the gate: a change stream
     * (upserts/deletes with per-key sequence numbers) arrives as a file

@@ -57,6 +57,49 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming media ingest: real PNG decodes run per micro-batch " +
+      "(>=4 batches) and the phash-dedup fixed point equals the batch " +
+      "twin computed with the same codec in one shot") {
+    val media = spark.createDataFrame(
+      (0L until 40L).map { i =>
+        // 10 distinct grids, 4 copies each → n_copies = 4 per hash. The
+        // contents must differ EVERYWHERE (every token carries the group
+        // tag): dHash is locality-preserving by design, so texts that
+        // differ in one character legitimately hash equal — near-dup
+        // recall, not a bug — and a 1-char fixture collapses groups.
+        val g = i % 10
+        val grid = MediaCodecs.mdGrid256(
+          (0 until 70).map(j => s"w${g * 71 + j * 13}").mkString(" "))
+        (i, "image", MediaCodecs.encodeGrayPng(
+          Multimodal.PhashGridCols, Multimodal.PhashGridRows, grid))
+      }).toDF("media_id", "kind", "payload")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_media_spec").toString
+    media.repartitionByRange(4, col("media_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val got = EventStream.ingestMediaPhash(spark, tmp, media.schema,
+          onBatch = batches += _)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(batches.distinct.size >= 4,
+        s"expected >=4 micro-batches, saw ${batches.distinct.size}")
+      val want = Multimodal
+        .phash(media, new MediaCodecs.ImageIoPixelDecoder)
+        .groupBy(col("phash"))
+        .agg(min(col("media_id")).as("media_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("media_id"), col("phash"), col("n_copies"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got == want && got.nonEmpty)
+      // the dedup really deduped: 10 hashes, 4 copies each, reps 0..9
+      assert(got.size == 10 && got.forall(_._3 == 4L))
+      assert(got.map(_._1) == (0L until 10L).toSet)
+    } finally EventStream.deleteDir(tmp)
+  }
+
   test("streamFoldExact: the summary fold really crosses micro-batches, " +
       "its fixed point equals the one-shot batch histogram, and zero " +
       "batches returns the init unchanged") {
