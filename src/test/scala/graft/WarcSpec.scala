@@ -78,6 +78,35 @@ class WarcSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back.head.body, b))
   }
 
+  test("property (seeded): write ∘ parse = id over 60 random blobs of " +
+      "random binary bodies — lengths 0–2000, bytes spanning the full " +
+      "range including CRLF and header-like sequences") {
+    val rnd = new scala.util.Random(20250816L)
+    (1 to 60).foreach { blobIdx =>
+      val recs = (0 until 1 + rnd.nextInt(8)).map { i =>
+        val body = new Array[Byte](rnd.nextInt(2001))
+        rnd.nextBytes(body)
+        // splice header-shaped bytes into some bodies to hunt for
+        // delimiter-scan bugs
+        if (body.length > 40 && rnd.nextBoolean()) {
+          val trap = "\r\nWARC/1.0\r\nContent-Length: 0\r\n\r\n"
+            .getBytes("UTF-8")
+          System.arraycopy(trap, 0, body, rnd.nextInt(body.length - 40),
+            trap.length)
+        }
+        (s"https://ex.com/$blobIdx/$i?q=${rnd.nextInt(100)}", body)
+      }
+      val back = Warc.parseRecords(
+        Warc.gunzip(Warc.gzip(Warc.writeRecords(recs))))
+      assert(back.length == recs.length, s"blob $blobIdx record count")
+      back.zip(recs).foreach { case (r, (uri, body)) =>
+        assert(r.headers("WARC-Target-URI") == uri)
+        assert(java.util.Arrays.equals(r.body, body),
+          s"blob $blobIdx body of $uri")
+      }
+    }
+  }
+
   test("tx_warc_roundtrip on the fixture dir matches a direct per-doc " +
       "derivation (the oracle twin, engine-side)") {
     val spark = TestSpark.spark

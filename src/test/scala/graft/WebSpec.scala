@@ -61,6 +61,51 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("property (seeded): canonicalUrl is IDEMPOTENT and scrubs every " +
+      "utm param on 300 randomized URL assemblies — one DataFrame pass") {
+    val rnd = new scala.util.Random(8161515L)
+    def casey(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c)
+    val urls = (0 until 300).map { i =>
+      val scheme = casey(if (rnd.nextBoolean()) "https" else "http")
+      val www = if (rnd.nextBoolean()) casey("www.") else ""
+      val host = casey(s"site$i.example.com")
+      val port = rnd.nextInt(4) match {
+        case 0 => if (scheme.equalsIgnoreCase("https")) ":443" else ":80"
+        case 1 => ":8443"
+        case _ => ""
+      }
+      val path = if (rnd.nextBoolean()) s"/P$i/Item" else ""
+      val params = new scala.util.Random(i).shuffle(List(
+        s"utm_source=s$i", s"id=$i", s"utm_medium=m", s"Ref=R$i"))
+        .take(1 + rnd.nextInt(4))
+      val query = if (params.nonEmpty) "?" + params.mkString("&") else ""
+      val frag = if (rnd.nextBoolean()) s"#Frag$i" else ""
+      s"$scheme://$www$host$port$path$query$frag"
+    }
+    val df = spark.createDataFrame(urls.map(Tuple1(_))).toDF("u")
+    val out = df.select(col("u"),
+        Web.canonicalUrl(col("u")).as("c1"),
+        Web.canonicalUrl(Web.canonicalUrl(col("u"))).as("c2"))
+      .collect()
+    out.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent for $u: '$c1' -> '$c2'")
+      assert(!c1.contains("utm_"), s"utm survived for $u: '$c1'")
+      assert(!c1.contains("#"), s"fragment survived for $u: '$c1'")
+      val prefix = c1.takeWhile(_ != '/') // scheme + ':'
+      assert(prefix == prefix.toLowerCase, s"prefix case for $u: '$c1'")
+      assert(!c1.matches("^https://[^/:?#]*:443([/?#].*|$)") &&
+        !c1.matches("^http://[^/:?#]*:80([/?#].*|$)"),
+        s"default port survived for $u: '$c1'")
+      // non-utm params survive with their values intact
+      val idIn = "[?&]id=([0-9]+)".r
+        .findFirstMatchIn(u.replaceAll("utm_[^&#]*", ""))
+      idIn.foreach(m =>
+        assert(c1.contains("id=" + m.group(1)), s"id param lost for $u"))
+    }
+  }
+
   test("urlHost / registrableDomain: subdomains collapse to the last two " +
       "labels; dotless hosts pass through") {
     assert(one("https://a.b.example.com/x", Web.urlHost) == "a.b.example.com")
