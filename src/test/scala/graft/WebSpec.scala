@@ -140,6 +140,37 @@ class WebSpec extends AnyFunSuite {
       .count() == 5)
   }
 
+  test("plan: registrableDomainPsl joins the PSL as a BROADCAST semi-join " +
+      "(never a sort-merge — the host table must not shuffle for the " +
+      "suffix match at lake scale)") {
+    val hosts = spark.createDataFrame(
+      (0 until 100).map(i => Tuple1(s"a$i.b.example.co.uk"))).toDF("host")
+    val psl = spark.createDataFrame(Seq("com", "co.uk").map(Tuple1(_)))
+      .toDF("suffix")
+    val plan = graft.operators.Web.registrableDomainPsl(hosts, "host", psl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"expected broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("plan: tx_web_corpus pays exactly ONE hash shuffle (the keep-first " +
+      "group); the join-back is broadcast and the regex extraction is " +
+      "map-side partial-agg input — the 100 TB shape") {
+    val df = SparkEntry.queries("tx_web_corpus")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val hashExchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(hashExchanges == 1,
+      s"expected exactly one hash shuffle, found $hashExchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"join-back must be broadcast:\n$plan")
+    // the only aggregate pair is partial-below-exchange / final-above it:
+    // the extraction feeds partial_min/partial_count map-side
+    assert(plan.contains("partial_min"), s"no map-side partial agg:\n$plan")
+  }
+
   test("tx_web_corpus funnel: gates really cut rows, re-crawls really " +
       "collapse (some page has n_crawls > 1), and every kept doc_id is " +
       "the earliest crawl of its page") {
