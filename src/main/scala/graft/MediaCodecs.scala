@@ -56,10 +56,13 @@ object MediaCodecs {
 
   /** Ingest-tolerant variant: undecodable bytes → None (a 100 TB crawl
     * always contains truncated files; a codec exception must drop the row,
-    * not the task). */
+    * not the task). NonFatal, not just IOException: the JDK's GIF/JPEG/BMP
+    * readers throw IndexOutOfBounds/IllegalArgument/NegativeArraySize on
+    * malformed headers (e.g. a GIF whose screen descriptor lies about its
+    * palette size) — those must drop the row too. */
   def decodeImageOpt(payload: Array[Byte]): Option[BufferedImage] =
     try Option(ImageIO.read(new ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Integer ITU-R BT.601 luma — all-integer so every JVM agrees. */
   @inline def luma(argb: Int): Int = {
@@ -102,7 +105,18 @@ object MediaCodecs {
       }
       y += 1
     }
-    Array.tabulate(rows * cols)(i => (sums(i) / counts(i)).toInt)
+    // images SMALLER than the grid (1×1 tracking pixels are everywhere in
+    // a crawl) leave some cells with no member under floor-division
+    // assignment — fill those by nearest-pixel sampling instead of
+    // dividing by zero
+    Array.tabulate(rows * cols) { i =>
+      if (counts(i) > 0) (sums(i) / counts(i)).toInt
+      else {
+        val x = math.min(w - 1, ((i % cols).toLong * w / cols).toInt)
+        val yy = math.min(h - 1, ((i / cols).toLong * h / rows).toInt)
+        if (gray) raster.getSample(x, yy, 0) else luma(img.getRGB(x, yy))
+      }
+    }
   }
 
   /** Real-codec [[Multimodal.PixelDecoder]]: ImageIO decode + [[grayGrid]]
@@ -274,8 +288,9 @@ object MediaCodecs {
     require(tag4() == "WAVE", "not a WAVE form")
     var rate = -1
     var channels = -1
-    var samples: Array[Short] = null
-    while (b.remaining() >= 8 && (rate < 0 || samples == null)) {
+    var dataPos = -1
+    var dataLen = -1
+    while (b.remaining() >= 8 && (rate < 0 || dataPos < 0)) {
       val tag = tag4()
       val len = b.getInt()
       require(len >= 0 && len <= b.remaining(), s"corrupt chunk '$tag'")
@@ -290,15 +305,20 @@ object MediaCodecs {
           require(fmt == 1 && bits == 16,
             s"only PCM-16 supported (fmt=$fmt bits=$bits)")
         case "data" =>
-          require(rate > 0, "data chunk before fmt")
-          samples = new Array[Short](len / 2)
-          var i = 0
-          while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
+          // remember the span; decode AFTER the walk, so a data chunk
+          // arriving before fmt (any chunk order is spec-legal) works
+          dataPos = b.position()
+          dataLen = len
         case _ => () // LIST/fact/cue — skip
       }
       b.position(math.min(next, payload.length))
     }
-    require(samples != null, "no data chunk")
+    require(dataPos >= 0, "no data chunk")
+    require(rate > 0, "no fmt chunk")
+    val samples = new Array[Short](dataLen / 2)
+    b.position(dataPos)
+    var i = 0
+    while (i < samples.length) { samples(i) = b.getShort(); i += 1 }
     WavPcm(rate, channels, samples)
   }
 

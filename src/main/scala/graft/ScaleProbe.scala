@@ -323,7 +323,8 @@ object ScaleProbe {
           StructField("payload", BinaryType, nullable = false)))
         val media = spark.createDataFrame(
           d.rdd.mapPartitions(_.map(r => Row(r.getLong(0), "image",
-            MediaCodecs.encodeGrayPng(11, 6,
+            MediaCodecs.encodeGrayPng(Multimodal.PhashGridCols,
+              Multimodal.PhashGridRows,
               MediaCodecs.mdGrid256(r.getString(2)))))),
           schema)
         Multimodal.phash(media, new MediaCodecs.ImageIoPixelDecoder)

@@ -39,6 +39,11 @@ object Warc {
   def writeRecords(records: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     records.foreach { case (uri, body) =>
+      // a CR/LF inside the URI would inject header lines (e.g. a forged
+      // Content-Length) and break the write∘parse identity — reject
+      // loudly; crawl URIs are attacker-influenced
+      require(!uri.exists(c => c == '\r' || c == '\n'),
+        s"URI contains CR/LF: ${uri.take(80)}")
       val header = "WARC/1.0" + Crlf +
         "WARC-Type: response" + Crlf +
         "WARC-Target-URI: " + uri + Crlf +

@@ -24,14 +24,17 @@ object Web {
   /** Strip an HTML payload to its text: drop script/style subtrees (their
     * CONTENT is not text — a tag-only strip would leak JavaScript into
     * the corpus, the classic extraction bug), drop comments, strip the
-    * remaining tags, decode the common entities, collapse whitespace. */
+    * remaining tags, decode the common entities, collapse whitespace.
+    * Tag matching is case-INsensitive (`(?is)` — HTML is; legacy pages
+    * use `<SCRIPT>`), and `&amp;` decodes LAST so escaped entities stay
+    * literal (`&amp;lt;` → `&lt;` the text, never `<` the markup). */
   def htmlText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
     val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
       regexp_replace(c, e, v)
     }
@@ -40,17 +43,22 @@ object Web {
 
   /** The anchor texts of every `<a …>…</a>` in document order — the
     * numerator of [[linkDensityBp]] and the input of anchor-text corpora
-    * (a common retrieval-training signal). */
+    * (a common retrieval-training signal). Case-insensitive, and the
+    * attribute list is optional (`<a>` anchors exist). */
   def anchorTexts(html: Column): Column =
-    regexp_extract_all(html, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1))
+    regexp_extract_all(html, lit("(?is)<a(?: [^>]*)?>(.*?)</a>"), lit(1))
 
   /** Link density in basis points: 10⁴ · anchor-text chars / total text
     * chars (integers end to end — ⌊·⌋ of an exactly-defined IEEE division,
     * so both engines agree bit-for-bit; a rounded DOUBLE column would
-    * hash-mismatch on ties). Boilerplate/navigation pages score high;
-    * prose scores low — the standard quality gate threshold is ~3000. */
+    * hash-mismatch on ties). The numerator runs through the SAME
+    * [[htmlText]] cleanup as the denominator — an image-only anchor
+    * (`<a><img …></a>`) contributes its visible text (none), not its
+    * markup bytes — so the ratio is commensurate and ≤ 10⁴.
+    * Boilerplate/navigation pages score high; prose scores low — the
+    * standard quality-gate threshold is ~3000. */
   def linkDensityBp(html: Column): Column = {
-    val linkChars = length(array_join(anchorTexts(html), ""))
+    val linkChars = length(htmlText(array_join(anchorTexts(html), " ")))
     val total = greatest(length(htmlText(html)), lit(1))
     floor(linkChars.cast("double") * 10000.0 / total).cast("int")
   }

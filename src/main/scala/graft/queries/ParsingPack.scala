@@ -201,8 +201,10 @@ object ParsingPack extends QueryPack {
     // the tx_html_extract markup AND a crawl URL where doc_id % 200
     // identifies the PAGE (several docs are re-crawls of one page, their
     // URLs differing only in tracking params / fragments — doc_id-varying
-    // utm and #Sec noise). Extract text, gate on link density (< 3000 bp,
-    // the standard boilerplate threshold) and length (≥ 120 chars), then
+    // utm and #Sec noise). Extract text, gate on link density (< 800 bp —
+    // placed where it BITES on this fixture: p90 of the distribution is
+    // ~983, so the boilerplate-heaviest pages are really cut) and length
+    // (≥ 150 chars, cuts the short tail), then
     // collapse re-crawls by canonical URL keeping the earliest crawl
     // (min doc_id — the reference keep-first dedup convention). One
     // shuffle total (the canonical-URL group); everything upstream is
@@ -365,34 +367,47 @@ object ParsingPack extends QueryPack {
         |  FROM documents),
         |stripped AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
         |      '&lt;', '<', 'g'),
         |      '&gt;', '>', 'g'),
         |      '&quot;', '"', 'g'),
         |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
         |      '\s+', ' ', 'g')) AS clean,
         |    -- array_to_string of an EMPTY list is NULL in DuckDB; the
         |    -- zero-anchor docs must read as '' or the int columns float
         |    coalesce(array_to_string(
-        |      regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1), ''), '')
+        |      regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ''), '')
         |      AS linktxt,
-        |    len(regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1))
+        |    coalesce(array_to_string(
+        |      regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ' '), '')
+        |      AS linkjoined,
+        |    len(regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1))
         |      AS n_links
-        |  FROM src)
+        |  FROM src),
+        |cleaned AS (
+        |  SELECT *, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(linkjoined,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS linkclean FROM stripped)
         |SELECT doc_id, md5(clean) AS text_md5,
         |  CAST(length(clean) AS INTEGER) AS clean_len,
         |  CAST(n_links AS INTEGER) AS n_links,
         |  CAST(length(linktxt) AS INTEGER) AS link_chars,
-        |  CAST(floor(length(linktxt) * 10000.0
+        |  CAST(floor(length(linkclean) * 10000.0
         |    / greatest(length(clean), 1)) AS INTEGER) AS link_density_bp
-        |FROM stripped ORDER BY doc_id""".stripMargin,
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     // Same canonicalization passes in RE2: authority-prefix lowercase,
     // fragment, scheme-default port (delimiter-captured, no lookahead),
@@ -512,38 +527,36 @@ object ParsingPack extends QueryPack {
         |      '&utm_[^&#]*', '', 'g'),
         |      '\?utm_[^&#]*&', '?'),
         |      '\?utm_[^&#]*$', '') AS canon_url,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
         |      '&lt;', '<', 'g'),
         |      '&gt;', '>', 'g'),
         |      '&quot;', '"', 'g'),
         |      '&nbsp;', ' ', 'g'),
+        |      '&amp;', '&', 'g'),
         |      '\s+', ' ', 'g')) AS clean,
-        |    CAST(floor(length(coalesce(array_to_string(
-        |      regexp_extract_all(html, '(?s)<a [^>]*>(.*?)</a>', 1), ''),
-        |      '')) * 10000.0 / greatest(length(trim(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(html,
-        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ' '), ''),
+        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '(?s)<!--.*?-->', ' ', 'g'),
         |      '<[^>]+>', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
         |      '&lt;', '<', 'g'),
         |      '&gt;', '>', 'g'),
         |      '&quot;', '"', 'g'),
         |      '&nbsp;', ' ', 'g'),
-        |      '\s+', ' ', 'g'))), 1)) AS INTEGER) AS ld_bp
+        |      '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS linkclean
         |  FROM src),
+        |scored AS (
+        |  SELECT doc_id, canon_url, clean,
+        |    CAST(floor(length(linkclean) * 10000.0
+        |      / greatest(length(clean), 1)) AS INTEGER) AS ld_bp
+        |  FROM ext),
         |gated AS (
-        |  SELECT * FROM ext WHERE ld_bp < 800 AND length(clean) >= 150),
+        |  SELECT * FROM scored WHERE ld_bp < 800 AND length(clean) >= 150),
         |kept AS (
         |  SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_crawls
         |  FROM gated GROUP BY canon_url)

@@ -241,7 +241,17 @@ object EventStream {
       }, onBatch)
     folded.map(_.select(col("media_id"), col("phash"),
         col("n").cast("long").as("n_copies")))
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("media_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("phash",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_copies",
+            org.apache.spark.sql.types.LongType)))))
+    // ^ zero-batch sources still return the TYPED empty relation, so
+    // callers' column references (orderBy media_id) keep resolving
   }
 
   /** Oracle-gated streaming CDC ingestion (driver query `stream_cdc`) —

@@ -176,10 +176,62 @@ class MediaCodecsSpec extends AnyFunSuite {
       r.getBoolean(3)))
   }
 
+  test("images SMALLER than the grid (1x1 tracking pixels, tiny icons) " +
+      "decode without dividing by zero — empty cells fill by nearest " +
+      "pixel, deterministically") {
+    // 1×1: every cell must read the single pixel
+    val one = new java.awt.image.BufferedImage(
+      1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    one.getRaster.setSample(0, 0, 0, 137)
+    assert(MediaCodecs.grayGrid(one,
+      Multimodal.PhashGridRows, Multimodal.PhashGridCols).toSeq ==
+      Seq.fill(66)(137))
+    // 8×3 (< 11 cols, < 6 rows): no crash, and a re-decode agrees
+    val small = new java.awt.image.BufferedImage(
+      8, 3, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 8)
+      small.getRaster.setSample(x, y, 0, (x * 31 + y * 7) % 256)
+    val g1 = MediaCodecs.grayGrid(small, 6, 11)
+    assert(g1.length == 66 && g1.sameElements(
+      MediaCodecs.grayGrid(small, 6, 11)))
+    // and the full pipeline survives a real tiny PNG
+    val png = MediaCodecs.encodeGrayPng(1, 1, Array(137))
+    assert(new MediaCodecs.ImageIoPixelDecoder()
+      .decodeGray("image", png).toSeq == Seq.fill(66)(137))
+    val (w, h, _, feat) = new MediaCodecs.ImageIoDecoder()
+      .decode("image", png)
+    assert(w == 1 && h == 1 && feat.forall(f => !f.isNaN))
+  }
+
+  test("WAV chunk order is free: a data chunk BEFORE fmt parses (the " +
+      "spec allows any order; the walk decodes data after fmt is known)") {
+    val samples = Array[Short](100, -200, 300)
+    // hand-build: RIFF | data | fmt
+    val data = new java.io.ByteArrayOutputStream()
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 6 + 8 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(12 + 8 + 6 + 8 + 16 - 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(6)
+    samples.foreach(bb.putShort)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1).putInt(8000).putInt(16000)
+    bb.putShort(2).putShort(16)
+    val pcm = MediaCodecs.decodeWavPcm16(bb.array())
+    assert(pcm.sampleRate == 8000 && pcm.samples.toSeq == samples.toSeq)
+  }
+
   test("corrupt media: decodeImageOpt drops rows, never tasks; truncated " +
       "WAV and non-PCM reject with a message") {
     assert(MediaCodecs.decodeImageOpt("not an image".getBytes).isEmpty)
     assert(MediaCodecs.decodeImageOpt(Array[Byte]()).isEmpty)
+    // valid-signature-then-garbage: JDK readers throw RUNTIME exceptions
+    // (not IOException) on some malformed headers — NonFatal must catch
+    assert(MediaCodecs.decodeImageOpt(
+      "GIF89a".getBytes ++ Array.fill[Byte](30)(-1)).isEmpty)
+    assert(MediaCodecs.decodeImageOpt(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+        Array.fill[Byte](20)(7)).isEmpty)
     val good = MediaCodecs.encodeWavPcm16(8000, Array[Short](1, -2, 3))
     intercept[IllegalArgumentException] {
       MediaCodecs.decodeWavPcm16(good.take(20)) // truncated mid-fmt

@@ -47,6 +47,17 @@ class WarcSpec extends AnyFunSuite {
     assert(rs(1).body.isEmpty)
   }
 
+  test("writeRecords rejects CR/LF in URIs loudly — a newline there " +
+      "would inject forged header lines (e.g. a lying Content-Length)") {
+    intercept[IllegalArgumentException] {
+      Warc.writeRecords(Seq(
+        "https://a.com/x\r\nContent-Length: 999" -> "hi".getBytes("UTF-8")))
+    }
+    intercept[IllegalArgumentException] {
+      Warc.writeRecords(Seq("https://a.com/\ny" -> Array[Byte]()))
+    }
+  }
+
   test("truncated blobs and missing Content-Length fail loudly with " +
       "offsets, not silently drop records") {
     val good = Warc.writeRecords(Seq(

@@ -27,6 +27,33 @@ class WebSpec extends AnyFunSuite {
       !got.contains("hidden"))
   }
 
+  test("htmlText is case-insensitive on tags and decodes &amp; LAST: " +
+      "<SCRIPT> content never leaks, escaped entities stay literal") {
+    val html = "<SCRIPT>var secret = 1;</SCRIPT><STYLE>.x{}</STYLE>" +
+      "<P>shows &amp;lt; as text</P><A HREF=\"/x\">Go</A><a>bare</a>"
+    val got = one(html, Web.htmlText)
+    assert(!got.contains("secret") && !got.contains(".x{}"),
+      s"uppercase subtree leaked: '$got'")
+    // &amp;lt; is the TEXT '&lt;', not the markup '<'
+    assert(got.contains("shows &lt; as text"), s"double-decoded: '$got'")
+    // anchors: uppercase and attribute-less forms both captured
+    val anchors = spark.createDataFrame(Seq(Tuple1(html))).toDF("u")
+      .select(Web.anchorTexts(col("u")).as("a")).collect()(0)
+      .getSeq[String](0)
+    assert(anchors == Seq("Go", "bare"), s"anchors: $anchors")
+  }
+
+  test("linkDensityBp is commensurate: an image-only anchor contributes " +
+      "its visible text (none), and the ratio never exceeds 10000") {
+    def bp(h: String): Int = {
+      val df = spark.createDataFrame(Seq(Tuple1(h))).toDF("u")
+      df.select(Web.linkDensityBp(col("u")).as("b")).collect()(0).getInt(0)
+    }
+    assert(bp("<a href=\"/x\"><img src=\"/y.png\"></a><p>hi</p>") == 0)
+    val allLinks = "<a href=\"/x\">every single char is anchor text</a>"
+    assert(bp(allLinks) <= 10000 && bp(allLinks) > 9000)
+  }
+
   test("linkDensityBp: boilerplate-heavy page scores high, prose low, " +
       "zero anchors give 0") {
     val nav = "<body>" + ("<a href=\"/x\">Section link text</a>" * 8) +
