@@ -92,25 +92,56 @@ object Multimodal {
         ext.as("meta_format"))
   }
 
-  /** Batched partition-local decode: the mapInPandas shape — one decoder
-    * per partition, rows processed in batches, features appended columnar.
-    * Payload bytes stay where they are; no shuffle. */
-  def extractFeatures(media: DataFrame, decoder: Decoder,
-      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(media.schema.fields ++ featureSchema.fields)
-    val kindIdx = media.schema.fieldIndex("kind")
-    val payloadIdx = media.schema.fieldIndex("payload")
+  /** The shared batched partition-local decode core of the strict and
+    * `*Safe` forms: one decoder per partition, rows in batches, payload
+    * bytes never leave their partition. `tolerant = true` drops a row
+    * whose decode throws (NonFatal) instead of failing the task. */
+  private def decodeRows(media: DataFrame, outSchema: StructType,
+      batchSize: Int, tolerant: Boolean)(
+      one: Row => Row): DataFrame = {
     val rdd = media.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val (w, h, f, feat) = decoder.decode(
-            r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
-          Row.fromSeq(r.toSeq ++ Seq(w, h, f, feat.toSeq))
+        batch.flatMap { r =>
+          if (!tolerant) Some(one(r))
+          else try Some(one(r))
+          catch { case scala.util.control.NonFatal(_) => None }
         }
       }
     }
     media.sparkSession.createDataFrame(rdd, outSchema)
   }
+
+  private def featureRow(media: DataFrame, decoder: Decoder): Row => Row = {
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    r => {
+      val (w, h, f, feat) = decoder.decode(
+        r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
+      Row.fromSeq(r.toSeq ++ Seq(w, h, f, feat.toSeq))
+    }
+  }
+
+  private def phashRow(media: DataFrame,
+      decoder: PixelDecoder): Row => Row = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val kindIdx = media.schema.fieldIndex("kind")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    r => Row(r.get(idIdx), dHash(decoder.decodeGray(
+      r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))))
+  }
+
+  private def phashSchema(media: DataFrame): StructType = StructType(Seq(
+    media.schema("media_id"),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Batched partition-local decode: the mapInPandas shape — one decoder
+    * per partition, rows processed in batches, features appended columnar.
+    * Payload bytes stay where they are; no shuffle. */
+  def extractFeatures(media: DataFrame, decoder: Decoder,
+      batchSize: Int = 64): DataFrame =
+    decodeRows(media,
+      StructType(media.schema.fields ++ featureSchema.fields),
+      batchSize, tolerant = false)(featureRow(media, decoder))
 
   /** Perceptual-hash grid contract: [[PixelDecoder]] emits a row-major
     * `PhashGridRows × PhashGridCols` grayscale grid; [[dHash]] compares
@@ -180,23 +211,9 @@ object Multimodal {
     * [[extractFeatures]] — payload bytes never shuffle; only the 8-byte
     * hash (with the id) flows downstream into the banded pair join. */
   def phash(media: DataFrame, decoder: PixelDecoder,
-      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(Seq(
-      media.schema("media_id"),
-      StructField("phash", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val kindIdx = media.schema.fieldIndex("kind")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          Row(r.get(idIdx), dHash(decoder.decodeGray(
-            r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))))
-        }
-      }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
-  }
+      batchSize: Int = 64): DataFrame =
+    decodeRows(media, phashSchema(media), batchSize, tolerant = false)(
+      phashRow(media, decoder))
 
   /** Decode-tolerant twin of [[phash]] for dirty lakes: a payload whose
     * decode throws is DROPPED (row-local failure — a truncated JPEG in a
@@ -205,45 +222,17 @@ object Multimodal {
     * kill the job). Same map-only shape; the survivors' hashes are
     * byte-identical to [[phash]]'s. */
   def phashSafe(media: DataFrame, decoder: PixelDecoder,
-      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(Seq(
-      media.schema("media_id"),
-      StructField("phash", LongType, nullable = false)))
-    val idIdx = media.schema.fieldIndex("media_id")
-    val kindIdx = media.schema.fieldIndex("kind")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          try Some(Row(r.get(idIdx), dHash(decoder.decodeGray(
-            r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx)))))
-          catch { case scala.util.control.NonFatal(_) => None }
-        }
-      }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
-  }
+      batchSize: Int = 64): DataFrame =
+    decodeRows(media, phashSchema(media), batchSize, tolerant = true)(
+      phashRow(media, decoder))
 
   /** Decode-tolerant twin of [[extractFeatures]] — same row-drop contract
     * as [[phashSafe]]. */
   def extractFeaturesSafe(media: DataFrame, decoder: Decoder,
-      batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(media.schema.fields ++ featureSchema.fields)
-    val kindIdx = media.schema.fieldIndex("kind")
-    val payloadIdx = media.schema.fieldIndex("payload")
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          try {
-            val (w, h, f, feat) = decoder.decode(
-              r.getString(kindIdx), r.getAs[Array[Byte]](payloadIdx))
-            Some(Row.fromSeq(r.toSeq ++ Seq(w, h, f, feat.toSeq)))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }
-      }
-    }
-    media.sparkSession.createDataFrame(rdd, outSchema)
-  }
+      batchSize: Int = 64): DataFrame =
+    decodeRows(media,
+      StructType(media.schema.fields ++ featureSchema.fields),
+      batchSize, tolerant = true)(featureRow(media, decoder))
 
   /** Image near-dup pairs: banded pigeonhole join over [[phash]] values —
     * `bands > maxHamming` makes recall exact with NO all-pairs stage (see
