@@ -681,13 +681,41 @@ object Bench {
       .map(iterFloorOf).filter(_ >= 0).minOption.getOrElse(-1.0)
     val cleanOf: Map[String, Vector[Run]] = results.map { case (k, rs) =>
       k -> cleanWith(rs, scanFloorOf, iterFloorOf) }.toMap
+    // ADJUDICATION (r15 verdict #1): the median-of-clean rule has one
+    // remaining hole — a query whose retry passes yielded only 1-2
+    // clean-bracketed runs adjudicates a median that can sit FAR above
+    // a completed (bracket-dirty) run of the identical deterministic
+    // work (r15 record: dd_minhash_lsh adjudicated 3.11 s from 2 clean
+    // runs while a 1.80 s run existed; dd_exact_substr 2.87 vs a 1.37
+    // min — both inside the 3x guard, both stalls by construction,
+    // since wall time cannot go below compute). LOW-EVIDENCE rule:
+    // with fewer than 3 clean runs AND a clean median more than 1.5x
+    // the query's fastest completed run, the adjudicated value is the
+    // FASTEST CLEAN-BRACKETED run — still bracket-certified (its
+    // canary windows were clean), just not laundered through a median
+    // whose sample is too small to reject a mid-window stall. The mode
+    // each query adjudicated under is disclosed in "adjudication"
+    // (median_clean | min_clean_low_evidence | min_fallback) so the
+    // record says which rule produced every number.
+    def adjudicate(rs: Vector[Run], clean: Vector[Run]): (Double, String) = {
+      val cleanTs = clean.map(_.sec)
+      val minAll = rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0)
+      if (cleanTs.isEmpty) (minAll, "min_fallback")
+      else {
+        val med = median(cleanTs)
+        if (cleanTs.size < 3 && minAll > 0 && med > 1.5 * minAll)
+          (cleanTs.min, "min_clean_low_evidence")
+        else (med, "median_clean")
+      }
+    }
+    val adjOf: Map[String, (Double, String)] = results.map { case (k, rs) =>
+      k -> adjudicate(rs, cleanOf(k)) }.toMap
     val qJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + fmt(median(rs.map(_.sec))) }.mkString("{", ",", "}")
-    val qAdjJson = results.map { case (k, rs) =>
-      val cleanTs = cleanOf(k).map(_.sec)
-      val adj = if (cleanTs.nonEmpty) median(cleanTs)
-        else rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0)
-      "\"" + k + "\":" + fmt(adj) }.mkString("{", ",", "}")
+    val qAdjJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + fmt(adjOf(k)._1) }.mkString("{", ",", "}")
+    val adjModeJson = results.map { case (k, _) =>
+      "\"" + k + "\":\"" + adjOf(k)._2 + "\"" }.mkString("{", ",", "}")
     val qMinJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + fmt(rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0)) }
       .mkString("{", ",", "}")
@@ -706,10 +734,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map { case (_, rs) => median(rs.map(_.sec)) }
       .filter(_ >= 0).sum
-    val totalAdj = results.map { case (k, rs) =>
-      val cleanTs = cleanOf(k).map(_.sec)
-      if (cleanTs.nonEmpty) median(cleanTs)
-      else rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0) }
+    val totalAdj = results.map { case (k, _) => adjOf(k)._1 }
       .filter(_ >= 0).sum
     // per-epoch floor evidence: the windows adjudication compared
     // against, plus a per-epoch degraded flag (floor > 1 s for a
@@ -740,6 +765,7 @@ object Bench {
       s""""floor_degraded":${iterFloor > 1.0},"floors":$floorsIterJson,""" +
       s""""times":$canaryIterJson},""" +
       s""""epoch_degraded":$epochDegradedJson,""" +
+      s""""adjudication":$adjModeJson,""" +
       s""""clean_runs":$cleanRunsJson,"retried":$retriedJson,""" +
       f""""runs":$runsPerQuery,"sf":"$sfDir"}"""
     // stdout contract (r11 What's-wrong #4): the full-evidence line is
