@@ -15,38 +15,92 @@ import org.apache.spark.sql.functions._
   * functions — whole-stage-codegen'd, shuffle-free, and (deliberately)
   * restricted to regex constructs with IDENTICAL semantics in Java regex
   * and RE2 (inline `(?s)` flags, non-greedy `.*?`, character classes — no
-  * backreferences, no lookaround), so the DuckDB oracles run the same
+  * backreferences, no lookaround; whitespace inside tags is the explicit
+  * `[ \t\r\n]` class, identical in both dialects, where Java's `\s`
+  * additionally matches `\x0B`), so the DuckDB oracles run the same
   * patterns verbatim. At 100 TB both ops are map-only scans; the
   * canonical URL then feeds the ordinary exact-dedup groupBy.
   */
 object Web {
 
+  /** Tag-boundary fragment: a tag name may be followed by an attribute
+    * list only after WHITESPACE (newline/tab-separated attributes are
+    * legal HTML and common in prettified markup — a literal-space
+    * pattern missed `<a\nhref=…>` anchors, r15 verdict #1), and a bare
+    * `>` otherwise — so `<scriptfoo>`/`<a-widget>` custom tags never
+    * match as script/anchor starts. */
+  private val TagAttrs = "(?:[ \t\r\n][^>]*)?>"
+
+  /** The bounded entity-decode table (order matters; applied first to
+    * last): the common NAMED set plus the numeric/hex references for the
+    * same characters (`&#39;`/`&#x27;` debris is endemic in real crawl
+    * HTML — r15 missing #3). Fixed-string `replace`, not regex. The
+    * ampersand-producing forms are NOT here — they decode via ONE
+    * [[AmpEntityPattern]] regex pass at the very end, because (a)
+    * decoding `&amp;` early would turn escaped entities (`&amp;lt;`)
+    * into live markup, and (b) chaining two ampersand replaces would
+    * double-decode `&#38;amp;` → `&` (a single left-to-right regex pass
+    * never rescans its own output, so it correctly yields the literal
+    * text `&amp;`). */
+  val entityTable: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<", "&#x3C;" -> "<",
+    "&gt;" -> ">", "&#62;" -> ">", "&#x3e;" -> ">", "&#x3E;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+    "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'",
+    "&nbsp;" -> " ", "&#160;" -> " ", "&#xa0;" -> " ", "&#xA0;" -> " ",
+    "&rsquo;" -> "’", "&lsquo;" -> "‘",
+    "&rdquo;" -> "”", "&ldquo;" -> "“",
+    "&ndash;" -> "–", "&mdash;" -> "—",
+    "&hellip;" -> "…", "&middot;" -> "·",
+    "&copy;" -> "©", "&reg;" -> "®", "&trade;" -> "™",
+    "&deg;" -> "°", "&euro;" -> "€", "&pound;" -> "£")
+
+  /** The ampersand forms, decoded LAST in one non-rescanning regex pass
+    * (see [[entityTable]]). */
+  val AmpEntityPattern: String = "&(amp|#38|#x26);"
+
+  /** The script/style subtree-strip patterns — public so the DuckDB
+    * oracle generators embed the IDENTICAL pattern text (the r15 regex
+    * fix must move both engines in lockstep, by construction). */
+  val ScriptPattern: String = s"(?is)<script$TagAttrs.*?</script>"
+  val StylePattern: String = s"(?is)<style$TagAttrs.*?</style>"
+
   /** Strip an HTML payload to its text: drop script/style subtrees (their
     * CONTENT is not text — a tag-only strip would leak JavaScript into
     * the corpus, the classic extraction bug), drop comments, strip the
-    * remaining tags, decode the common entities, collapse whitespace.
-    * Tag matching is case-INsensitive (`(?is)` — HTML is; legacy pages
-    * use `<SCRIPT>`), and `&amp;` decodes LAST so escaped entities stay
-    * literal (`&amp;lt;` → `&lt;` the text, never `<` the markup). */
+    * remaining tags, decode the [[entityTable]] entities, collapse
+    * whitespace. Tag matching is case-INsensitive (`(?is)` — HTML is;
+    * legacy pages use `<SCRIPT>`) and attribute lists may follow any
+    * whitespace, not just a space. Known residual: `<[^>]+>` can
+    * mis-split a tag whose ATTRIBUTE VALUE contains a literal `>` (rare,
+    * and strictly better than leaving the tag in). Ampersand entities
+    * decode LAST so escaped entities stay literal (`&amp;lt;` → `&lt;`
+    * the text, never `<` the markup). */
   def htmlText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noScript = regexp_replace(html, ScriptPattern, " ")
+    val noStyle = regexp_replace(noScript, StylePattern, " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val entities = Seq("&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
-    val decoded = entities.foldLeft(noTags) { case (c, (e, v)) =>
-      regexp_replace(c, e, v)
+    val decoded = entityTable.foldLeft(noTags) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
     }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    val ampDecoded = regexp_replace(decoded, AmpEntityPattern, "&")
+    trim(regexp_replace(ampDecoded, "\\s+", " "))
   }
+
+  /** The anchor-open/capture/close pattern [[anchorTexts]] and the
+    * oracles share: attributes after any whitespace, bare `<a>` allowed,
+    * `<a-widget>`-style custom tags excluded. */
+  val AnchorPattern: String = s"(?is)<a$TagAttrs(.*?)</a>"
 
   /** The anchor texts of every `<a …>…</a>` in document order — the
     * numerator of [[linkDensityBp]] and the input of anchor-text corpora
-    * (a common retrieval-training signal). Case-insensitive, and the
-    * attribute list is optional (`<a>` anchors exist). */
+    * (a common retrieval-training signal). Case-insensitive, attributes
+    * may follow any whitespace (a link farm whose anchors break lines
+    * must not score 0), and the attribute list is optional (`<a>`
+    * anchors exist). */
   def anchorTexts(html: Column): Column =
-    regexp_extract_all(html, lit("(?is)<a(?: [^>]*)?>(.*?)</a>"), lit(1))
+    regexp_extract_all(html, lit(AnchorPattern), lit(1))
 
   /** Link density in basis points: 10⁴ · anchor-text chars / total text
     * chars (integers end to end — ⌊·⌋ of an exactly-defined IEEE division,
@@ -104,39 +158,89 @@ object Web {
       regexp_extract(host, "([^.]+\\.[^.]+)$", 1)).otherwise(host)
 
   /** EXACT registrable domain via a public-suffix-list broadcast join —
-    * the scale-correct form of what a per-row PSL library lookup does.
-    * Returns the DISTINCT `(host, domain)` mapping (hosts repeat heavily
-    * in a crawl — resolve each once, broadcast-join the mapping back):
-    * explode each distinct host's proper dot-suffixes (bounded fan-out —
-    * hosts have ≤ a handful of labels), semi-join the broadcast
-    * `psl(suffix)` relation, keep the LONGEST matching suffix per host
-    * (partial-aggregable max — the op's only shuffle, keyed on the
-    * distinct host), and prepend one label. Hosts matching no suffix fall
-    * back to [[registrableDomain]]'s two-label approximation (the PSL's
-    * own convention for unknown TLDs). */
+    * the scale-correct form of what a per-row PSL library lookup does,
+    * with the real PSL rule semantics (r15 missing #2): `psl.suffix`
+    * rows may be plain suffixes (`co.uk`), WILDCARD rules (`*.ck` — any
+    * single extra label under `ck` is itself a public suffix), or
+    * EXCEPTION rules (`!www.ck` — carved back out of a wildcard; the
+    * public suffix is the rule minus its leading label). Per the PSL
+    * algorithm, a matching exception rule prevails over everything;
+    * otherwise the matching rule with the most labels wins, and the
+    * registrable domain is the public suffix plus one label. A host
+    * that IS a public suffix (`host = co.uk`) has NO registrable
+    * domain — `domain` is NULL, never the host mislabeled as its own
+    * domain.
+    *
+    * Returns the DISTINCT `(host, domain, source)` mapping (hosts repeat
+    * heavily in a crawl — resolve each once, broadcast-join the mapping
+    * back): explode each distinct host's dot-suffixes INCLUDING the host
+    * itself (bounded fan-out — hosts have ≤ a handful of labels),
+    * broadcast-join the parsed rule relation (exact base for
+    * plain/exception rules, the suffix's PARENT for wildcards), reduce
+    * per host (partial-aggregable max — the op's only shuffle, keyed on
+    * the distinct host). Hosts matching no rule fall back to
+    * [[registrableDomain]]'s two-label approximation (the PSL's own
+    * convention for unknown TLDs) and carry `source = 'fallback'` so
+    * downstream domain-level logic can weight the guess accordingly
+    * (r15 task #8); PSL-resolved rows carry `source = 'psl'`. */
   def registrableDomainPsl(hosts: org.apache.spark.sql.DataFrame,
       hostCol: String,
       psl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // rule parse: kind + base (the suffix text the match keys on)
+    val rules = psl.select(col("suffix").as("rule"))
+      .withColumn("kind",
+        when(col("rule").startsWith("!"), lit("exc"))
+          .when(col("rule").startsWith("*."), lit("wild"))
+          .otherwise(lit("plain")))
+      .withColumn("base",
+        when(col("kind") === "exc", expr("substring(rule, 2)"))
+          .when(col("kind") === "wild", expr("substring(rule, 3)"))
+          .otherwise(col("rule")))
     val h = hosts.select(col(hostCol).as("host")).distinct()
       .withColumn("labels", split(col("host"), "\\."))
       .withColumn("n", size(col("labels")))
-    // proper suffixes L(i+1..n) for i = 1..n-1 (single-label hosts emit
-    // one empty suffix, which matches no PSL row and falls through)
+    // candidate suffixes L(i+1..n) for i = 0..n-1 — the host ITSELF is a
+    // candidate (i = 0): host==public-suffix must be detectable. parent
+    // is the suffix minus its first label (what a wildcard's * consumes).
     val cand = h.select(col("host"), col("labels"), col("n"),
-        explode(transform(sequence(lit(1), greatest(col("n") - 1, lit(1))),
-          i => array_join(slice(col("labels"), i + 1, col("n") - i), ".")))
-          .as("suffix"))
-      .withColumn("slen", size(split(col("suffix"), "\\.")))
-    val matched = cand
-      .join(broadcast(psl.select(col("suffix"))), Seq("suffix"), "left_semi")
+        explode(sequence(lit(0), col("n") - 1)).as("i"))
+      .select(col("host"), col("labels"), col("n"),
+        array_join(slice(col("labels"), col("i") + 1, col("n") - col("i")),
+          ".").as("suffix"),
+        array_join(slice(col("labels"), col("i") + 2,
+          greatest(col("n") - col("i") - 1, lit(0))), ".").as("parent"),
+        (col("n") - col("i")).as("slen"))
+    // plain/exception rules match the candidate suffix exactly; a
+    // wildcard rule *.base matches a candidate whose parent is base
+    // (the candidate's own first label is the *). Exception rules'
+    // public suffix drops the leading label: ps_len = slen - 1.
+    val exact = cand
+      .join(broadcast(rules.filter(col("kind") =!= "wild")
+        .select(col("base"), col("kind"))), col("suffix") === col("base"))
+      .select(col("host"), col("labels"), col("n"),
+        when(col("kind") === "exc", col("slen") - 1).otherwise(col("slen"))
+          .as("ps_len"),
+        (col("kind") === "exc").as("is_exc"))
+    val wild = cand.filter(col("slen") >= 2)
+      .join(broadcast(rules.filter(col("kind") === "wild")
+        .select(col("base"))), col("parent") === col("base"))
+      .select(col("host"), col("labels"), col("n"),
+        col("slen").as("ps_len"), lit(false).as("is_exc"))
+    val matched = exact.unionByName(wild)
       .groupBy(col("host"), col("labels"), col("n"))
-      .agg(max(col("slen")).as("best"))
+      .agg(max(when(col("is_exc"), col("ps_len"))).as("exc_ps"),
+        max(when(!col("is_exc"), col("ps_len"))).as("norm_ps"))
+      .withColumn("ps", coalesce(col("exc_ps"), col("norm_ps")))
       .select(col("host"),
-        array_join(slice(col("labels"), col("n") - col("best"),
-          col("best") + 1), ".").as("domain"))
+        when(col("n") === col("ps"), lit(null).cast("string"))
+          .otherwise(array_join(
+            slice(col("labels"), col("n") - col("ps"), col("ps") + 1), "."))
+          .as("domain"),
+        lit("psl").as("source"))
     val unmatched = h
       .join(matched.select(col("host")), Seq("host"), "left_anti")
-      .select(col("host"), registrableDomain(col("host")).as("domain"))
+      .select(col("host"), registrableDomain(col("host")).as("domain"),
+        lit("fallback").as("source"))
     matched.unionByName(unmatched)
   }
 }

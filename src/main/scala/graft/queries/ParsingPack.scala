@@ -19,6 +19,62 @@ import graft.operators.{ConditionCodec, SweepLine}
   * the Java∩RE2 dialect so every one is a full hash-matched oracle. */
 object ParsingPack extends QueryPack {
 
+  import graft.operators.Web
+
+  /** Fixture markup pieces shared VERBATIM by the Spark queries and the
+    * DuckDB oracles (interpolated through [[sqlLit]]): the anchor's
+    * attribute separator is a NEWLINE — legal HTML the pre-r16 literal-
+    * space pattern missed — and the tail carries numeric/hex/named
+    * entity debris plus a double-escaped `&amp;#39;` that must decode to
+    * the literal text `&#39;`. */
+  private val FixAnchor = "<a\nhref=\"/l\">go there</a>"
+  private val FixTail = "<div>&amp; one &lt;tail&gt;&nbsp;mid " +
+    "&#39;q&#x27; &rsquo;s &amp;#39; end</div></body></html>"
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The [[Web.htmlText]] pipeline as a DuckDB scalar expression over
+    * `inner` — GENERATED from the same pattern constants and entity
+    * table the Spark column folds over, so the two engines cannot
+    * drift (r15 verdict task 3: regex fixes move in lockstep by
+    * construction). */
+  private def htmlTextSql(inner: String): String = {
+    val noScript =
+      s"regexp_replace($inner, ${sqlLit(Web.ScriptPattern)}, ' ', 'g')"
+    val noStyle =
+      s"regexp_replace($noScript, ${sqlLit(Web.StylePattern)}, ' ', 'g')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
+    val noTags = s"regexp_replace($noComment, '<[^>]+>', ' ', 'g')"
+    val decoded = Web.entityTable.foldLeft(noTags) { case (acc, (e, v)) =>
+      s"replace($acc, ${sqlLit(e)}, ${sqlLit(v)})"
+    }
+    val amp =
+      s"regexp_replace($decoded, ${sqlLit(Web.AmpEntityPattern)}, '&', 'g')"
+    raw"trim(regexp_replace($amp, '\s+', ' ', 'g'))"
+  }
+
+  /** All anchor texts of `inner` joined by `sep` (DuckDB's
+    * array_to_string of an EMPTY list is NULL; zero-anchor docs must
+    * read as ''). */
+  private def anchorsJoinedSql(inner: String, sep: String): String =
+    s"coalesce(array_to_string(regexp_extract_all($inner, " +
+      s"${sqlLit(Web.AnchorPattern)}, 1), ${sqlLit(sep)}), '')"
+
+  /** The tx_html_extract / tx_web_corpus markup fixture as a DuckDB
+    * expression (same pieces as the Spark `lit`s). Concatenation `||`s
+    * sit at line ENDS: this string is embedded into oracle strings whose
+    * own `.stripMargin` would otherwise eat the first `|` of a
+    * line-leading `||`. */
+  private def fixtureHtmlSql(title: String): String =
+    s"""'<html><head><title>$title' || CAST(doc_id AS VARCHAR) ||
+       '</title><script type="text/javascript">var x = ' ||
+       CAST(doc_id AS VARCHAR) ||
+       ';</script><style>.c { color: red }</style></head>' ||
+       '<body><!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+       '</h1><p>' || text || '</p>' ||
+       repeat(${sqlLit(FixAnchor)}, CAST(doc_id % 4 AS INTEGER)) ||
+       ${sqlLit(FixTail)}"""
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // F9 + W2-date: interval consensus on a yyyyMMdd date axis — convert
@@ -98,8 +154,6 @@ object ParsingPack extends QueryPack {
     // extracted text gates every strip/decode/collapse step end to end.
     // Pure codegen column math; map-only.
     "tx_html_extract" -> ((s, dir) => {
-      import graft.operators.Web
-      val anchor = "<a href=\"/l\">go there</a>"
       val html = concat(
         lit("<html><head><title>D"), col("doc_id").cast("string"),
         lit("</title><script type=\"text/javascript\">var x = "),
@@ -107,9 +161,9 @@ object ParsingPack extends QueryPack {
         lit(";</script><style>.c { color: red }</style></head>"),
         lit("<body><!-- nav --><h1>Doc "), col("doc_id").cast("string"),
         lit("</h1><p>"), col("text"), lit("</p>"),
-        element_at(array(lit(""), lit(anchor), lit(anchor * 2),
-          lit(anchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
-        lit("<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>"))
+        element_at(array(lit(""), lit(FixAnchor), lit(FixAnchor * 2),
+          lit(FixAnchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
+        lit(FixTail))
       val clean = Web.htmlText(html)
       val anchors = Web.anchorTexts(html)
       Tables.load(s, dir, "documents")
@@ -145,21 +199,29 @@ object ParsingPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // EXACT registrable-domain resolution against a public-suffix list:
-    // the broadcast-join form (explode proper suffixes → semi-join PSL →
-    // longest match wins → prepend one label; unknown TLDs fall back to
-    // two labels). Literal hosts + literal PSL rows (q24-26 convention);
-    // the oracle re-derives the longest-suffix logic in DuckDB, so multi-
-    // label suffixes (.co.uk, .com.au) — exactly what the two-label
-    // approximation gets wrong — gate the join.
+    // EXACT registrable-domain resolution against a public-suffix list
+    // with the REAL rule semantics (r15 missing #2): plain suffixes,
+    // wildcard rules (*.ck), exception rules (!www.ck), and the
+    // host==public-suffix → no-registrable-domain edge (bar.ck / co.uk /
+    // uk resolve to an EMPTY domain, never themselves). Literal hosts +
+    // literal PSL rows (q24-26 convention); the oracle re-derives the
+    // whole rule-priority algorithm in DuckDB. The `source` column says
+    // whether the row is a PSL resolution or the two-label fallback
+    // guess (r15 task #8 — downstream domain dedup weights them
+    // differently).
     "tx_url_domain_psl" -> ((s, dir) => {
-      import graft.operators.Web
       val hosts = s.createDataFrame(Seq(
         "a.b.example.co.uk", "www.example.com", "example.com.au",
-        "localhost", "svc.internal.corp", "uk").map(Tuple1(_))).toDF("host")
+        "localhost", "svc.internal.corp", "uk",
+        "foo.bar.ck", "bar.ck", "www.ck", "co.uk").map(Tuple1(_)))
+        .toDF("host")
       val psl = s.createDataFrame(Seq(
-        "com", "org", "co.uk", "com.au", "uk").map(Tuple1(_))).toDF("suffix")
-      Web.registrableDomainPsl(hosts, "host", psl).orderBy(col("host"))
+        "com", "org", "co.uk", "com.au", "uk", "*.ck", "!www.ck")
+        .map(Tuple1(_))).toDF("suffix")
+      Web.registrableDomainPsl(hosts, "host", psl)
+        .select(col("host"), coalesce(col("domain"), lit("")).as("domain"),
+          col("source"))
+        .orderBy(col("host"))
     }),
 
     // WARC container round trip (the web-crawl ingest format): each
@@ -210,8 +272,6 @@ object ParsingPack extends QueryPack {
     // shuffle total (the canonical-URL group); everything upstream is
     // codegen regex projection.
     "tx_web_corpus" -> ((s, dir) => {
-      import graft.operators.Web
-      val anchor = "<a href=\"/l\">go there</a>"
       val html = concat(
         lit("<html><head><title>D"), col("doc_id").cast("string"),
         lit("</title><script type=\"text/javascript\">var x = "),
@@ -219,9 +279,9 @@ object ParsingPack extends QueryPack {
         lit(";</script><style>.c { color: red }</style></head>"),
         lit("<body><!-- nav --><h1>Doc "), col("doc_id").cast("string"),
         lit("</h1><p>"), col("text"), lit("</p>"),
-        element_at(array(lit(""), lit(anchor), lit(anchor * 2),
-          lit(anchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
-        lit("<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>"))
+        element_at(array(lit(""), lit(FixAnchor), lit(FixAnchor * 2),
+          lit(FixAnchor * 3)), pmod(col("doc_id"), lit(4)).cast("int") + 1),
+        lit(FixTail))
       val url = concat(
         lit("HTTPS://WWW.Site"), pmod(col("doc_id"), lit(50)).cast("string"),
         lit(".COM:443/page/"), pmod(col("doc_id"), lit(200)).cast("string"),
@@ -348,66 +408,33 @@ object ParsingPack extends QueryPack {
         |  toks[j] AS op
         |FROM p ORDER BY name""".stripMargin,
 
-    // The SAME fixture markup and the SAME regex pipeline, in RE2 ('g'
-    // flag = Spark's replace-all default; inline (?s) for the subtree
-    // strips) — the md5 gates every strip/decode/collapse step.
+    // The SAME fixture markup (shared constants) and the SAME regex
+    // pipeline, GENERATED from Web's pattern/entity tables ('g' flag =
+    // Spark's replace-all default) — the md5 gates every
+    // strip/decode/collapse step.
     "tx_html_extract" ->
-      """WITH src AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
-        |    || '</title><script type="text/javascript">var x = '
-        |    || CAST(doc_id AS VARCHAR)
-        |    || ';</script><style>.c { color: red }</style></head>'
-        |    || '<body><!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</h1><p>' || text || '</p>'
-        |    || repeat('<a href="/l">go there</a>',
-        |         CAST(doc_id % 4 AS INTEGER))
-        |    || '<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>'
-        |      AS html
-        |  FROM documents),
-        |stripped AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
-        |      '&lt;', '<', 'g'),
-        |      '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'),
-        |      '&nbsp;', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
-        |      '\s+', ' ', 'g')) AS clean,
-        |    -- array_to_string of an EMPTY list is NULL in DuckDB; the
-        |    -- zero-anchor docs must read as '' or the int columns float
-        |    coalesce(array_to_string(
-        |      regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ''), '')
-        |      AS linktxt,
-        |    coalesce(array_to_string(
-        |      regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ' '), '')
-        |      AS linkjoined,
-        |    len(regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1))
-        |      AS n_links
-        |  FROM src),
-        |cleaned AS (
-        |  SELECT *, trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(linkjoined,
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
-        |      '&lt;', '<', 'g'),
-        |      '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'),
-        |      '&nbsp;', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
-        |      '\s+', ' ', 'g')) AS linkclean FROM stripped)
-        |SELECT doc_id, md5(clean) AS text_md5,
-        |  CAST(length(clean) AS INTEGER) AS clean_len,
-        |  CAST(n_links AS INTEGER) AS n_links,
-        |  CAST(length(linktxt) AS INTEGER) AS link_chars,
-        |  CAST(floor(length(linkclean) * 10000.0
-        |    / greatest(length(clean), 1)) AS INTEGER) AS link_density_bp
-        |FROM cleaned ORDER BY doc_id""".stripMargin,
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    ${fixtureHtmlSql("D")}
+         |      AS html
+         |  FROM documents),
+         |stripped AS (
+         |  SELECT doc_id,
+         |    ${htmlTextSql("html")} AS clean,
+         |    ${anchorsJoinedSql("html", "")} AS linktxt,
+         |    ${anchorsJoinedSql("html", " ")} AS linkjoined,
+         |    len(regexp_extract_all(html, ${sqlLit(Web.AnchorPattern)}, 1))
+         |      AS n_links
+         |  FROM src),
+         |cleaned AS (
+         |  SELECT *, ${htmlTextSql("linkjoined")} AS linkclean FROM stripped)
+         |SELECT doc_id, md5(clean) AS text_md5,
+         |  CAST(length(clean) AS INTEGER) AS clean_len,
+         |  CAST(n_links AS INTEGER) AS n_links,
+         |  CAST(length(linktxt) AS INTEGER) AS link_chars,
+         |  CAST(floor(length(linkclean) * 10000.0
+         |    / greatest(length(clean), 1)) AS INTEGER) AS link_density_bp
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
 
     // Same canonicalization passes in RE2: authority-prefix lowercase,
     // fragment, scheme-default port (delimiter-captured, no lookahead),
@@ -449,37 +476,69 @@ object ParsingPack extends QueryPack {
         |    ELSE host END AS domain
         |FROM parts ORDER BY doc_id""".stripMargin,
 
-    // Longest-matching-suffix re-derivation: proper suffixes via list
-    // slicing, join the PSL, max suffix length wins, last best+1 labels;
-    // non-matching hosts take the two-label fallback.
+    // The full PSL algorithm re-derived: rules parsed into
+    // plain/wildcard/exception kinds, every host suffix (INCLUDING the
+    // host itself) matched — exact base for plain/exception, the
+    // suffix's parent for wildcards — exceptions prevail (public suffix
+    // = rule minus leading label), else most labels; registrable domain
+    // = public suffix + 1 label, EMPTY when host == public suffix;
+    // non-matching hosts take the two-label fallback with
+    // source='fallback'.
     "tx_url_domain_psl" ->
       """WITH hosts(host) AS (VALUES
         |  ('a.b.example.co.uk'), ('www.example.com'), ('example.com.au'),
-        |  ('localhost'), ('svc.internal.corp'), ('uk')),
-        |psl(suffix) AS (VALUES
-        |  ('com'), ('org'), ('co.uk'), ('com.au'), ('uk')),
+        |  ('localhost'), ('svc.internal.corp'), ('uk'),
+        |  ('foo.bar.ck'), ('bar.ck'), ('www.ck'), ('co.uk')),
+        |psl(rule) AS (VALUES
+        |  ('com'), ('org'), ('co.uk'), ('com.au'), ('uk'),
+        |  ('*.ck'), ('!www.ck')),
+        |rules AS (
+        |  SELECT rule,
+        |    CASE WHEN rule LIKE '!%' THEN 'exc'
+        |         WHEN rule LIKE '*.%' THEN 'wild'
+        |         ELSE 'plain' END AS kind,
+        |    CASE WHEN rule LIKE '!%' THEN substr(rule, 2)
+        |         WHEN rule LIKE '*.%' THEN substr(rule, 3)
+        |         ELSE rule END AS base
+        |  FROM psl),
         |h AS (SELECT host, string_split(host, '.') AS labels,
         |        len(string_split(host, '.')) AS n FROM hosts),
         |cand AS (
         |  SELECT host, labels, n,
         |    array_to_string(labels[CAST(u.i + 1 AS INTEGER):CAST(n AS INTEGER)], '.') AS suffix,
+        |    coalesce(array_to_string(labels[CAST(u.i + 2 AS INTEGER):CAST(n AS INTEGER)], '.'), '') AS parent,
         |    n - u.i AS slen
-        |  FROM h, LATERAL unnest(range(1, greatest(n, 2))) u(i)),
+        |  FROM h, LATERAL unnest(range(0, n)) u(i)),
+        |exact AS (
+        |  SELECT c.host, c.labels, c.n,
+        |    CASE WHEN r.kind = 'exc' THEN c.slen - 1 ELSE c.slen END AS ps_len,
+        |    r.kind = 'exc' AS is_exc
+        |  FROM cand c JOIN rules r ON r.kind <> 'wild' AND c.suffix = r.base),
+        |wild AS (
+        |  SELECT c.host, c.labels, c.n, c.slen AS ps_len, false AS is_exc
+        |  FROM cand c JOIN rules r
+        |    ON r.kind = 'wild' AND c.slen >= 2 AND c.parent = r.base),
         |m AS (
-        |  SELECT c.host, c.labels, c.n, max(c.slen) AS best
-        |  FROM cand c JOIN psl p ON c.suffix = p.suffix
-        |  GROUP BY c.host, c.labels, c.n),
+        |  SELECT host, labels, n,
+        |    max(CASE WHEN is_exc THEN ps_len END) AS exc_ps,
+        |    max(CASE WHEN NOT is_exc THEN ps_len END) AS norm_ps
+        |  FROM (SELECT * FROM exact UNION ALL SELECT * FROM wild)
+        |  GROUP BY host, labels, n),
         |matched AS (
         |  SELECT host,
-        |    array_to_string(labels[CAST(n - best AS INTEGER):CAST(n AS INTEGER)], '.') AS domain
+        |    CASE WHEN coalesce(exc_ps, norm_ps) = n THEN ''
+        |      ELSE array_to_string(labels[CAST(n - coalesce(exc_ps, norm_ps) AS INTEGER):CAST(n AS INTEGER)], '.')
+        |      END AS domain,
+        |    'psl' AS source
         |  FROM m),
         |unmatched AS (
         |  SELECT h.host,
         |    CASE WHEN regexp_matches(h.host, '[^.]+\.[^.]+$')
         |      THEN regexp_extract(h.host, '([^.]+\.[^.]+)$', 1)
-        |      ELSE h.host END AS domain
+        |      ELSE h.host END AS domain,
+        |    'fallback' AS source
         |  FROM h WHERE h.host NOT IN (SELECT host FROM matched))
-        |SELECT host, domain FROM
+        |SELECT host, domain, source FROM
         |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         |ORDER BY host""".stripMargin,
 
@@ -494,62 +553,34 @@ object ParsingPack extends QueryPack {
     // The funnel re-derived: same markup/URL fixtures, same regex
     // extraction pipeline, same gates, same keep-first collapse.
     "tx_web_corpus" ->
-      """WITH src AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>D' || CAST(doc_id AS VARCHAR)
-        |    || '</title><script type="text/javascript">var x = '
-        |    || CAST(doc_id AS VARCHAR)
-        |    || ';</script><style>.c { color: red }</style></head>'
-        |    || '<body><!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR)
-        |    || '</h1><p>' || text || '</p>'
-        |    || repeat('<a href="/l">go there</a>',
-        |         CAST(doc_id % 4 AS INTEGER))
-        |    || '<div>&amp; one &lt;tail&gt;&nbsp;end</div></body></html>'
-        |      AS html,
-        |    'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
-        |    || '.COM:443/page/' || CAST(doc_id % 200 AS VARCHAR)
-        |    || '?utm_source=crawl' || CAST(doc_id AS VARCHAR)
-        |    || '&ref=r#Sec' || CAST(doc_id % 3 AS VARCHAR) AS u
-        |  FROM documents),
-        |ext AS (
-        |  SELECT doc_id,
-        |    regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(
-        |        lower(regexp_extract(u,
-        |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
-        |        || regexp_replace(u,
-        |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-        |      '#.*', ''),
-        |      '^(https://[^/:?#]*):443([/?#]|$)', '\1\2'),
-        |      '^(http://[^/:?#]*):80([/?#]|$)', '\1\2'),
-        |      '^(https?://)www\.', '\1'),
-        |      '&utm_[^&#]*', '', 'g'),
-        |      '\?utm_[^&#]*&', '?'),
-        |      '\?utm_[^&#]*$', '') AS canon_url,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
-        |      '&lt;', '<', 'g'),
-        |      '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'),
-        |      '&nbsp;', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
-        |      '\s+', ' ', 'g')) AS clean,
-        |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(coalesce(array_to_string(regexp_extract_all(html, '(?is)<a(?: [^>]*)?>(.*?)</a>', 1), ' '), ''),
-        |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |      '(?s)<!--.*?-->', ' ', 'g'),
-        |      '<[^>]+>', ' ', 'g'),
-        |      '&lt;', '<', 'g'),
-        |      '&gt;', '>', 'g'),
-        |      '&quot;', '"', 'g'),
-        |      '&nbsp;', ' ', 'g'),
-        |      '&amp;', '&', 'g'),
-        |      '\s+', ' ', 'g')) AS linkclean
-        |  FROM src),
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    ${fixtureHtmlSql("D")}
+         |      AS html,
+         |    'HTTPS://WWW.Site' || CAST(doc_id % 50 AS VARCHAR)
+         |    || '.COM:443/page/' || CAST(doc_id % 200 AS VARCHAR)
+         |    || '?utm_source=crawl' || CAST(doc_id AS VARCHAR)
+         |    || '&ref=r#Sec' || CAST(doc_id % 3 AS VARCHAR) AS u
+         |  FROM documents),
+         |ext AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(
+         |        lower(regexp_extract(u,
+         |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+         |        || regexp_replace(u,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+         |      '#.*', ''),
+         |      '^(https://[^/:?#]*):443([/?#]|$$)', '\\1\\2'),
+         |      '^(http://[^/:?#]*):80([/?#]|$$)', '\\1\\2'),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '&utm_[^&#]*', '', 'g'),
+         |      '\\?utm_[^&#]*&', '?'),
+         |      '\\?utm_[^&#]*$$', '') AS canon_url,
+         |    ${htmlTextSql("html")} AS clean,
+         |    ${htmlTextSql(anchorsJoinedSql("html", " "))} AS linkclean
+         |  FROM src),
         |scored AS (
         |  SELECT doc_id, canon_url, clean,
         |    CAST(floor(length(linkclean) * 10000.0

@@ -146,39 +146,108 @@ class WebSpec extends AnyFunSuite {
 
   test("registrableDomainPsl: multi-label public suffixes resolve exactly " +
       "(the cases the two-label approximation gets wrong), unknown TLDs " +
-      "fall back, duplicate hosts resolve once") {
+      "fall back (source says so), duplicate hosts resolve once") {
     val hosts = spark.createDataFrame(Seq(
       "a.b.example.co.uk", "deep.sub.shop.co.uk", "www.example.com",
       "www.example.com", // duplicate — the mapping must stay distinct
       "example.internal", "single").map(Tuple1(_))).toDF("host")
     val psl = spark.createDataFrame(Seq("com", "co.uk").map(Tuple1(_)))
       .toDF("suffix")
-    val got = graft.operators.Web
-      .registrableDomainPsl(hosts, "host", psl)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val rows = graft.operators.Web
+      .registrableDomainPsl(hosts, "host", psl).collect()
+    val got = rows.map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map(
       "a.b.example.co.uk" -> "example.co.uk",
       "deep.sub.shop.co.uk" -> "shop.co.uk",
       "www.example.com" -> "example.com",
       "example.internal" -> "example.internal", // two-label fallback
       "single" -> "single"))
+    val src = rows.map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(src("a.b.example.co.uk") == "psl" && src("single") == "fallback" &&
+      src("example.internal") == "fallback")
     // distinct mapping: the duplicate host yields ONE row
-    assert(graft.operators.Web.registrableDomainPsl(hosts, "host", psl)
-      .count() == 5)
+    assert(rows.length == 5)
   }
 
-  test("plan: registrableDomainPsl joins the PSL as a BROADCAST semi-join " +
-      "(never a sort-merge — the host table must not shuffle for the " +
-      "suffix match at lake scale)") {
+  test("registrableDomainPsl: wildcard (*.ck) and exception (!www.ck) " +
+      "rules follow the PSL algorithm, and a host that IS a public " +
+      "suffix has NO registrable domain (NULL, never itself)") {
+    val hosts = spark.createDataFrame(Seq(
+      "foo.bar.ck", "x.foo.bar.ck", "bar.ck", "www.ck", "sub.www.ck",
+      "co.uk", "uk", "example.co.uk").map(Tuple1(_))).toDF("host")
+    val psl = spark.createDataFrame(
+      Seq("uk", "co.uk", "*.ck", "!www.ck").map(Tuple1(_))).toDF("suffix")
+    val rows = graft.operators.Web
+      .registrableDomainPsl(hosts, "host", psl).collect()
+    val got = rows.map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      // *.ck: bar.ck is a public suffix → foo.bar.ck registers under it
+      "foo.bar.ck" -> Some("foo.bar.ck"),
+      "x.foo.bar.ck" -> Some("foo.bar.ck"),
+      "bar.ck" -> None, // host IS a (wildcard) public suffix
+      // !www.ck carves www.ck back out: its public suffix is ck
+      "www.ck" -> Some("www.ck"),
+      "sub.www.ck" -> Some("www.ck"),
+      "co.uk" -> None, // host IS a plain public suffix
+      "uk" -> None,
+      "example.co.uk" -> Some("example.co.uk")))
+    assert(rows.forall(_.getString(2) == "psl"))
+  }
+
+  test("plan: registrableDomainPsl joins the rule relation as BROADCAST " +
+      "hash joins (never a sort-merge — the host table must not shuffle " +
+      "for the suffix match at lake scale)") {
     val hosts = spark.createDataFrame(
       (0 until 100).map(i => Tuple1(s"a$i.b.example.co.uk"))).toDF("host")
     val psl = spark.createDataFrame(Seq("com", "co.uk").map(Tuple1(_)))
       .toDF("suffix")
     val plan = graft.operators.Web.registrableDomainPsl(hosts, "host", psl)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftSemi"), s"expected broadcast semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast joins:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("anchorTexts / htmlText tag boundaries: newline- and tab-separated " +
+      "attributes match (r15 verdict #1 — the link-farm page whose " +
+      "anchors break lines), custom tags (<a-widget>, <scriptfoo>) do " +
+      "not match as anchor/script starts") {
+    val farm = "<body>" +
+      "<a\nhref=\"/1\">one link</a><a\thref=\"/2\">two link</a>" +
+      "<a\r\nclass=\"x\"\nhref=\"/3\">three link</a><p>hi</p></body>"
+    val anchors = spark.createDataFrame(Seq(Tuple1(farm))).toDF("u")
+      .select(Web.anchorTexts(col("u")).as("a")).collect()(0)
+      .getSeq[String](0)
+    assert(anchors == Seq("one link", "two link", "three link"),
+      s"anchors: $anchors")
+    val df = spark.createDataFrame(Seq(Tuple1(farm))).toDF("u")
+    val bp = df.select(Web.linkDensityBp(col("u")).as("b"))
+      .collect()(0).getInt(0)
+    assert(bp > 3000, s"line-broken link farm scored $bp bp")
+    // custom elements are NOT script/anchor: content survives, text kept
+    val custom = "<scriptfoo>keep me</scriptfoo><a-widget>and me</a-widget>" +
+      "<script\ntype=\"module\">drop();</script>"
+    val got = one(custom, Web.htmlText)
+    assert(got == "keep me and me", s"got '$got'")
+    val ca = spark.createDataFrame(Seq(Tuple1("<a-widget>w</a-widget>" +
+        "<a>real</a>"))).toDF("u")
+      .select(Web.anchorTexts(col("u")).as("a")).collect()(0)
+      .getSeq[String](0)
+    assert(ca == Seq("real"), s"custom tag matched as anchor: $ca")
+  }
+
+  test("htmlText entity decode: numeric (&#39;) and hex (&#x27;) " +
+      "references and the common named set decode; double-escaped " +
+      "forms (&amp;#39;, &#38;amp;) stay literal entity TEXT") {
+    assert(one("<p>it&#39;s &#x27;q&#X27; &apos;ok&rsquo;</p>",
+      Web.htmlText) == "it's 'q&#X27; 'ok’") // capital X: not in table
+    assert(one("<p>a &ndash; b &mdash; c&hellip; 5&deg; &copy;X</p>",
+      Web.htmlText) == "a – b — c… 5° ©X")
+    // ampersand forms decode in ONE pass, never re-scanning output:
+    assert(one("&amp;#39; and &#38;amp; and &#x26;lt;", Web.htmlText) ==
+      "&#39; and &amp; and &lt;")
+    assert(one("&#38; plain &#x26; amps &amp; too", Web.htmlText) ==
+      "& plain & amps & too")
   }
 
   test("plan: tx_web_corpus pays exactly ONE hash shuffle (the keep-first " +
