@@ -164,6 +164,7 @@ object Bench {
     "stream_scd2" -> "harness: micro-batch loop; per-trigger scd2Apply work is batch+touched-runs sized (apply==rebuild spec-gated; batch twins benched as q40_scd2/q58_scd2_apply)",
     "stream_anomaly" -> "harness: micro-batch loop; benched batch twin q46_anomaly",
     "tx_bm25_append" -> "family: append work ∝ batch (spec-pinned); query path benched as tx_bm25_built_index",
+    "tx_bm25_delete_topk" -> "family: the benched tx_bm25_built_index scoring plan plus broadcast tombstone anti-joins; delete cost probe-gated (index_delete_tomb)",
     "tx_bpe_vocab" -> "composition: the vocab fold is built and paid inside benched tx_bpe_tokens",
     "tx_curriculum" -> "map-only: difficulty-score sort key projection over doc stats",
     "tx_dedup_funnel" -> "composition: chains benched dd_* stages with count taps",

@@ -136,6 +136,10 @@ object ScaleProbe {
     def pinIvf(v: Ann.Ivf) = Ann.Ivf(
       v.assignments.localCheckpoint(true),
       v.centroids.localCheckpoint(true))
+    def pinBm25(ix: graft.operators.Retrieval.Bm25Index) =
+      graft.operators.Retrieval.Bm25Index(
+        ix.postings.localCheckpoint(true),
+        ix.docLens.localCheckpoint(true))
     // LAZY: the 10× corpus index pins gigabytes of checkpointed
     // texts/buckets/wsets in the block manager; built eagerly it
     // starved every later probe's storage memory for the whole session
@@ -146,9 +150,11 @@ object ScaleProbe {
     // fixture-free; its own min-of-reps excludes the build rep.
     lazy val deleteFixtures = (
       (pinIndex(Dedup.buildCorpusIndex(docs1, "doc_id", "text")),
-        pinIvf(Ann.buildIvf(emb1))),
+        pinIvf(Ann.buildIvf(emb1)),
+        pinBm25(graft.operators.Retrieval.buildBm25Index(docs1))),
       (pinIndex(Dedup.buildCorpusIndex(docsX, "doc_id", "text")),
-        pinIvf(Ann.buildIvf(embX))))
+        pinIvf(Ann.buildIvf(embX)),
+        pinBm25(graft.operators.Retrieval.buildBm25Index(docsX))))
     // FIXED tombstone sets, drawn from the base fixture's id space
     // (copy 0 rides unchanged inside the exploded fixture, so the same
     // rows exist in both indexes): ~1% of base docs/vectors
@@ -339,7 +345,7 @@ object ScaleProbe {
       // (identical at both points), not the indexed corpus, so the
       // asserted bound is a constant-headroom 3.0, not a growth bound.
       ("index_delete_tomb", "docs", (d: DataFrame) => {
-        val (ix, ivf) = if (d eq docs1) deleteFixtures._1
+        val (ix, ivf, bm25) = if (d eq docs1) deleteFixtures._1
           else deleteFixtures._2
         val tmp = graft.Graft.scratchDir("graft_probe_del")
         try {
@@ -348,6 +354,11 @@ object ScaleProbe {
           Dedup.saveCorpusTombstones(ix2, s"$tmp/ci")
           val ivf2 = Ann.deleteFromIvf(ivf, deleteVecIds)
           Ann.saveIvfTombstones(ivf2, s"$tmp/ivf")
+          // the r16 lexical member of the tombstone family: same
+          // fixed ~1% delete set, work ∝ tombstones
+          val bm2 = graft.operators.Retrieval.deleteFromBm25Index(
+            bm25, deleteDocRows.select(col("doc_id")))
+          graft.operators.Retrieval.saveBm25Tombstones(bm2, s"$tmp/bm25")
         } finally graft.streaming.EventStream.deleteDir(tmp)
       }, 3.0))
     require(probes.map(_._1) == probeNames,

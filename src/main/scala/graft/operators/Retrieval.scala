@@ -82,8 +82,71 @@ object Retrieval {
     * avgdl — derives from these two with bounded aggregations, so the
     * index is built ONCE (one tokenize+group pass over the corpus) and
     * serves any number of queries that never touch the raw text again
-    * (the `saveIvf` build-once/serve-many shape, lexical edition). */
-  case class Bm25Index(postings: DataFrame, docLens: DataFrame)
+    * (the `saveIvf` build-once/serve-many shape, lexical edition).
+    *
+    * `tombs` (one id column, named as the index's id column) records
+    * pending deletes ([[deleteFromBm25Index]]) — the r15 tombstone
+    * family's lexical member. BOTH index relations are viewed through
+    * the tombstones at query time, and because df, N and avgdl are all
+    * DERIVED from those two relations inside the scorer, deleted
+    * documents leave the corpus statistics too: delete-then-search
+    * scores equal a from-scratch rebuild on the survivors exactly
+    * (spec-pinned) — the subtle half of lexical deletion, since a
+    * tombstone filter on results alone would leave every surviving
+    * score drifted by the ghosts' df/avgdl mass. */
+  case class Bm25Index(postings: DataFrame, docLens: DataFrame,
+      tombs: Option[DataFrame] = None)
+
+  /** Delete documents from a BM25 index by id — work ∝ tombstones (a
+    * distinct + union recording the ids; no posting row moves until
+    * [[compactBm25Index]]). Incremental counterpart of the reference's
+    * truncate-and-reload refresh
+    * (/root/reference/nl_targeting_save.py:52-66), the `deleteFromIvf`
+    * convention applied to the lexical index. */
+  def deleteFromBm25Index(index: Bm25Index, ids: DataFrame,
+      idCol: String = "doc_id"): Bm25Index = {
+    val t = ids.select(col(idCol)).distinct()
+    index.copy(tombs = Some(index.tombs.fold(t)(_.unionByName(t))))
+  }
+
+  /** The live (tombstones-applied) views every query reads. The
+    * tombstone relation is tiny relative to the corpus — both
+    * anti-joins broadcast. */
+  private[graft] def livePostings(index: Bm25Index): DataFrame =
+    index.tombs.fold(index.postings)(t =>
+      index.postings.join(broadcast(t), t.columns.toSeq, "left_anti"))
+
+  private[graft] def liveDocLens(index: Bm25Index): DataFrame =
+    index.tombs.fold(index.docLens)(t =>
+      index.docLens.join(broadcast(t), t.columns.toSeq, "left_anti"))
+
+  /** Fold pending tombstones into both relations — the threshold-
+    * triggered maintenance pass (each query pays the anti-joins until
+    * compaction). */
+  def compactBm25Index(index: Bm25Index): Bm25Index =
+    Bm25Index(livePostings(index), liveDocLens(index), None)
+
+  /** Pending-tombstone fraction — the compaction trigger (two counts;
+    * compact when it crosses the deployment's threshold, ~0.1). */
+  def bm25TombstoneFraction(index: Bm25Index): Double = index.tombs match {
+    case None => 0.0
+    case Some(t) =>
+      val total = index.docLens.count()
+      if (total == 0) 1.0 else t.count().toDouble / total
+  }
+
+  /** Persist ONLY the tombstones — the delete path's write (load →
+    * [[deleteFromBm25Index]] → this): work ∝ tombstones, the
+    * term-range-clustered posting files on disk are untouched. */
+  def saveBm25Tombstones(index: Bm25Index, dir: String): Unit =
+    index.tombs match {
+      case Some(t) => t.write.mode("overwrite").parquet(s"$dir/tombs")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+        val fs = p.getFileSystem(index.docLens.sparkSession
+          .sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true): Unit
+    }
 
   /** One corpus pass: explode → (idCol, term, tf) postings + map-only
     * doc lengths. */
@@ -99,12 +162,16 @@ object Retrieval {
 
   /** Ingestion append: tokenize ONLY the new batch and union — work ∝
     * batch, the corpus postings are never rebuilt (the `appendIvf`
-    * contract). Caller guarantees the batch's ids are new. */
+    * contract). Caller guarantees the batch's ids are new (in
+    * particular, not a tombstoned id — re-adding a deleted id needs
+    * [[compactBm25Index]] first). Pending tombstones CARRY OVER:
+    * dropping them here would silently resurrect deleted documents on
+    * the next ingest (spec-pinned in TombstoneSpec). */
   def appendBm25Index(index: Bm25Index, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Bm25Index = {
     val b = buildBm25Index(newDocs, idCol, textCol)
     Bm25Index(index.postings.unionByName(b.postings),
-      index.docLens.unionByName(b.docLens))
+      index.docLens.unionByName(b.docLens), index.tombs)
   }
 
   /** Persist the index term-range-clustered: postings sorted by term
@@ -117,24 +184,32 @@ object Retrieval {
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$dir/postings")
     index.docLens.write.mode("overwrite").parquet(s"$dir/doclens")
+    saveBm25Tombstones(index, dir)
   }
 
   def loadBm25Index(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Bm25Index =
+      dir: String): Bm25Index = {
+    val tombsPath = new org.apache.hadoop.fs.Path(s"$dir/tombs")
+    val fs = tombsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Bm25Index(spark.read.parquet(s"$dir/postings"),
-      spark.read.parquet(s"$dir/doclens"))
+      spark.read.parquet(s"$dir/doclens"),
+      if (fs.exists(tombsPath)) Some(spark.read.parquet(s"$dir/tombs"))
+      else None)
+  }
 
   /** Score from a prebuilt [[Bm25Index]]: the query-term filter prunes
     * the postings scan (term-range files when loaded from
-    * [[saveBm25Index]]); df/stats are bounded aggregations. Identical
-    * scores to [[bm25TopK]] by construction (spec-pinned). */
+    * [[saveBm25Index]]); df/stats are bounded aggregations over the
+    * LIVE (tombstones-applied) views, so pending deletes leave both the
+    * result set and the statistics. Identical scores to [[bm25TopK]]
+    * over the live corpus by construction (spec-pinned). */
   def bm25IndexTopK(index: Bm25Index, terms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       idCol: String = "doc_id"): DataFrame = {
     val qterms = terms.select(lit(0L).as("qid"), col("term"))
     val uniq = qterms.select(col("term")).distinct()
-    val tf = index.postings.join(broadcast(uniq), Seq("term"))
-    scoreTf(tf, index.docLens, qterms, k1, b, idCol)
+    val tf = livePostings(index).join(broadcast(uniq), Seq("term"))
+    scoreTf(tf, liveDocLens(index), qterms, k1, b, idCol)
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -96,6 +96,25 @@ object RetrievalPack extends QueryPack {
       } finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
+    // Index DELETION (r15 missing #1): the full-corpus index with the
+    // doc_id % 7 == 3 documents tombstoned out — the GDPR-delete /
+    // recrawled-page path. The subtle half is statistical: deleted docs
+    // must leave df/N/avgdl too, or every surviving score drifts; both
+    // index relations are viewed through the tombstones and the stats
+    // DERIVE from those views, so the oracle is simply the bm25
+    // re-derivation over the survivor corpus — delete-then-search ≡
+    // rebuild, gated by hash.
+    "tx_bm25_delete_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      val ix = Retrieval.deleteFromBm25Index(
+        Retrieval.buildBm25Index(d),
+        d.filter(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      Retrieval.bm25IndexTopK(ix, terms, k = 10)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Ingestion append: index built on the EVEN docs, the odd half
     // APPENDED (tokenize work ∝ batch, corpus postings never rebuilt —
     // the appendIvf contract) — then searched. Union stats ≡ full-corpus
@@ -328,6 +347,16 @@ object RetrievalPack extends QueryPack {
     "tx_bm25_built_index" ->
       s"""WITH $seedQtCte,
          |${bm25Ctes()}
+         |SELECT doc_id, score FROM bm25
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Deletion: seed terms from the FULL corpus (the query is fixed;
+    // doc 0 survives 0 % 7), scores re-derived over the SURVIVOR corpus
+    // only — tombstoned docs gone from results AND from df/N/avgdl.
+    "tx_bm25_delete_topk" ->
+      s"""WITH $seedQtCte,
+         |docs_live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+         |${bm25Ctes("docs_live")}
          |SELECT doc_id, score FROM bm25
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 

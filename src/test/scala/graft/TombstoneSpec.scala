@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Retrieval}
 
 /** Index deletion via tombstones (r14 verdict #5): delete-then-probe
   * must equal a rebuild on the surviving set — for the corpus dedup
@@ -174,5 +174,57 @@ class TombstoneSpec extends AnyFunSuite {
     Ann.saveIvf(deleted, dir)
     val loaded = Ann.loadIvf(spark, dir)
     assert(loaded.tombs.nonEmpty && got(loaded) == want)
+  }
+
+  test("BM25 index: delete-then-search equals a rebuild on survivors " +
+      "EXACTLY — including the df/avgdl statistics, not just the result " +
+      "set (the drift a result-side filter would leave)") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val terms = Retrieval.seedTerms(d, "doc_id", "text", seedId = 0L, n = 4)
+      .localCheckpoint(true)
+    val delIds = d.filter(pmod(col("doc_id"), lit(5)) === 2)
+      .select(col("doc_id"))
+    def got(ix: Retrieval.Bm25Index): Seq[(Long, Double)] =
+      Retrieval.bm25IndexTopK(ix, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Retrieval.buildBm25Index(d)
+    val deleted = Retrieval.deleteFromBm25Index(full, delIds)
+    val rebuilt = Retrieval.buildBm25Index(
+      d.join(delIds, Seq("doc_id"), "left_anti"))
+    val want = got(rebuilt)
+    assert(want.nonEmpty && got(deleted) == want)
+    assert(want.forall(_._1 % 5 != 2))
+    // the STATISTICS moved: the same query against the undeleted index
+    // scores differently (ghost df/avgdl mass) — if this ever matched,
+    // the equality above would stop being evidence
+    assert(got(full) != want)
+    // delete recorded tombstones only; base relations untouched
+    assert(deleted.postings eq full.postings)
+    assert(deleted.docLens eq full.docLens)
+    assert(Retrieval.bm25TombstoneFraction(full) == 0.0 &&
+      Retrieval.bm25TombstoneFraction(deleted) > 0.15)
+    // compaction folds the debt, same scores
+    val compacted = Retrieval.compactBm25Index(deleted)
+    assert(compacted.tombs.isEmpty && got(compacted) == want)
+    // persisted round-trip with pending tombstones; a tombstone-free
+    // save clears the tombs dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_tomb")
+      .toString
+    Retrieval.saveBm25Index(deleted, dir)
+    val loaded = Retrieval.loadBm25Index(spark, dir)
+    assert(loaded.tombs.nonEmpty && got(loaded) == want)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25_tomb2")
+      .toString
+    Retrieval.saveBm25Index(Retrieval.compactBm25Index(loaded), dir2)
+    assert(Retrieval.loadBm25Index(spark, dir2).tombs.isEmpty)
+    // append composes with pending deletes: re-adding one deleted doc's
+    // row equals rebuilding with it present
+    val readd = d.filter(col("doc_id") === 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val appended = Retrieval.appendBm25Index(deleted, readd)
+    val rebuiltPlus = Retrieval.buildBm25Index(
+      d.join(delIds, Seq("doc_id"), "left_anti").unionByName(readd))
+    assert(got(appended) == got(rebuiltPlus))
   }
 }
