@@ -117,6 +117,7 @@ object Bench {
     "tx_url_canonical" -> "map-only: codegen regex normalization projection, no shuffle beyond the final orderBy",
     "tx_url_domain_psl" -> "fixture: literal-host PSL resolve (broadcast semi-join + tiny longest-match agg)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
+    "tx_warc_media" -> "map-only: partition-local WARC parse + Content-Type route + PNG decode (codec-bound); payloads never leave the iterator, no shuffle beyond the final orderBy",
     "tx_web_corpus" -> "composition: codegen regex projections + one keep-first group (dd_exact/q1_agg families) over the tx_html_extract/tx_url_canonical fixtures",
     "q4_dim_broadcast" -> "family: broadcast-dim join inside the benched q3_join_agg family",
     "q5_latest_order" -> "family: row_number-per-key window, q17_running_window family",

@@ -232,7 +232,17 @@ object MediaCodecs {
 
   /** Decode every frame of a (possibly animated) GIF payload. Frames come
     * back palettized (TYPE_BYTE_INDEXED); [[grayGrid]]'s getRGB+luma path
-    * recovers gray values exactly (luma(v,v,v) = v). */
+    * recovers gray values exactly (luma(v,v,v) = v).
+    *
+    * FULL-FRAME GIFs only: optimized animations encode partial-update
+    * frames (sub-rectangles at an offset, composited under a disposal
+    * method) — returning those raw would silently hand keyframe/hamming
+    * analysis a crop instead of the logical screen. Rather than
+    * implement GIF compositing, such payloads fail LOUDLY here (each
+    * frame must cover the whole logical screen at offset 0,0); the
+    * tolerant `*Safe` pipelines then drop the row. Self-encoded
+    * [[encodeGifFrames]] output — the oracle path — is always
+    * full-frame. */
   def decodeGifFrames(payload: Array[Byte]): IndexedSeq[BufferedImage] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
@@ -240,7 +250,25 @@ object MediaCodecs {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       require(n > 0, "no frames in GIF payload")
-      (0 until n).map(reader.read)
+      (0 until n).map { i =>
+        val desc = reader.getImageMetadata(i)
+          .getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+          .getElementsByTagName("ImageDescriptor").item(0)
+          .asInstanceOf[org.w3c.dom.Element]
+        val left = desc.getAttribute("imageLeftPosition").toInt
+        val top = desc.getAttribute("imageTopPosition").toInt
+        require(left == 0 && top == 0,
+          s"partial-update GIF frame $i at ($left,$top) — only " +
+            "full-frame GIFs are supported (no compositing)")
+        val img = reader.read(i)
+        require(img.getWidth == reader.getWidth(0) &&
+            img.getHeight == reader.getHeight(0),
+          s"GIF frame $i is ${img.getWidth}x${img.getHeight}, screen is " +
+            s"${reader.getWidth(0)}x${reader.getHeight(0)} — only " +
+            "full-frame GIFs are supported (no compositing)")
+        img
+      }
     } finally { reader.dispose(); iis.close() }
   }
 
@@ -304,6 +332,12 @@ object MediaCodecs {
           val bits = b.getShort()
           require(fmt == 1 && bits == 16,
             s"only PCM-16 supported (fmt=$fmt bits=$bits)")
+          // a crafted fmt chunk with channels=0 would flow into
+          // duration = n/(rate·channels) as Infinity/NaN features —
+          // malformed audio must fail LOUDLY here (row-local; the
+          // tolerant *Safe paths drop the row)
+          require(channels > 0 && rate > 0,
+            s"corrupt fmt chunk (channels=$channels rate=$rate)")
         case "data" =>
           // remember the span; decode AFTER the walk, so a data chunk
           // arriving before fmt (any chunk order is spec-legal) works

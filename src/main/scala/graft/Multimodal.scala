@@ -71,6 +71,15 @@ object Multimodal {
     * yields the same ids, so downstream dedup/phash indexes stay
     * incremental); kind is derived from the extension.
     *
+    * ID width: a 64-bit id collides at the birthday bound (~50% once the
+    * lake holds ~2³² files) — at billions-of-files crawl scale that
+    * silently merges distinct media in downstream dedup/phash state. The
+    * `media_uid` column (128-bit: md5 of path + size) is emitted
+    * alongside for lake-scale pipelines to key on; `media_id` stays the
+    * compact join key for bounded corpora. Both are PATH-derived: a
+    * moved/renamed file changes identity — content-addressed identity is
+    * what [[phash]] / the dedup family provide downstream.
+    *
     * Scale shape: `binaryFile` splits by FILE (each row is one whole
     * file, large files never straddle partitions), the glob prunes at
     * LISTING time (files that don't match are never opened), and the
@@ -85,6 +94,8 @@ object Multimodal {
       .option("pathGlobFilter", glob).load(dir)
       .select(
         xxhash64(col("path")).as("media_id"),
+        md5(concat(encode(col("path"), "UTF-8"),
+          encode(col("length").cast("string"), "UTF-8"))).as("media_uid"),
         when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), lit("image"))
           .when(ext.isin("wav"), lit("audio"))
           .otherwise(lit("binary")).as("kind"),

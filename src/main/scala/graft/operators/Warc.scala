@@ -25,8 +25,19 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 object Warc {
 
   /** One parsed record: its WARC headers (name → value, names
-    * case-preserved) and raw body bytes. */
-  final case class Record(headers: Map[String, String], body: Array[Byte])
+    * case-preserved; REPEATED header names collapse to the LAST
+    * occurrence — WARC named fields are single-valued, and a forged
+    * duplicate must not shadow the value the parser acted on) and raw
+    * body bytes. Prefer [[Record.header]] over raw map access:
+    * externally-produced WARCs vary header-name case freely. */
+  final case class Record(headers: Map[String, String], body: Array[Byte]) {
+    /** Case-insensitive header lookup (exact-case match wins when both
+      * exist). */
+    def header(name: String): Option[String] =
+      headers.get(name).orElse(headers.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      })
+  }
 
   private val Crlf = "\r\n"
 
@@ -36,17 +47,29 @@ object Warc {
     * since bodies are binary and may contain anything, including the
     * record delimiter itself), a blank line, the body, and the two blank
     * lines the spec requires between records. */
-  def writeRecords(records: Seq[(String, Array[Byte])]): Array[Byte] = {
+  def writeRecords(records: Seq[(String, Array[Byte])]): Array[Byte] =
+    writeRecordsTyped(records.map { case (u, b) => (u, None, b) })
+
+  /** [[writeRecords]] with an optional `Content-Type` per record — the
+    * header a crawl consumer ROUTES on (text extraction vs image decode;
+    * the `tx_warc_media` funnel). `None` omits the header, keeping the
+    * untyped writer's byte output unchanged. */
+  def writeRecordsTyped(
+      records: Seq[(String, Option[String], Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    records.foreach { case (uri, body) =>
-      // a CR/LF inside the URI would inject header lines (e.g. a forged
-      // Content-Length) and break the write∘parse identity — reject
-      // loudly; crawl URIs are attacker-influenced
+    records.foreach { case (uri, contentType, body) =>
+      // a CR/LF inside the URI or content type would inject header lines
+      // (e.g. a forged Content-Length) and break the write∘parse
+      // identity — reject loudly; crawl URIs are attacker-influenced
       require(!uri.exists(c => c == '\r' || c == '\n'),
         s"URI contains CR/LF: ${uri.take(80)}")
+      contentType.foreach(ct =>
+        require(!ct.exists(c => c == '\r' || c == '\n'),
+          s"Content-Type contains CR/LF: ${ct.take(80)}"))
       val header = "WARC/1.0" + Crlf +
         "WARC-Type: response" + Crlf +
         "WARC-Target-URI: " + uri + Crlf +
+        contentType.fold("")(ct => "Content-Type: " + ct + Crlf) +
         "Content-Length: " + body.length + Crlf + Crlf
       out.write(header.getBytes(StandardCharsets.UTF_8))
       out.write(body)

@@ -250,13 +250,79 @@ object ParsingPack extends QueryPack {
           // ---- real parse: everything below reads the gzipped WARC
           Warc.parseRecords(Warc.gunzip(gz)).map { rec =>
             val md = java.security.MessageDigest.getInstance("MD5")
-            org.apache.spark.sql.Row(rec.headers("WARC-Target-URI"),
+            org.apache.spark.sql.Row(rec.header("WARC-Target-URI").get,
               md.digest(rec.body).map("%02x".format(_)).mkString,
               rec.body.length)
           }
         }
       }
       s.createDataFrame(rdd, outSchema).orderBy(col("uri"))
+    }),
+
+    // WARC → MEDIA routing (r15 verdict task #6 — the crawl container
+    // feeding BOTH pipelines): one gzipped WARC stream carries text/html
+    // records AND real PNG records (every 5th doc rendered via the
+    // mm_png_roundtrip contract), tagged by Content-Type. The crawl side
+    // reads ONLY the container bytes: parse → route on the Content-Type
+    // header → images through the real ImageIO decode → grid resize →
+    // dHash; text through md5. The oracle re-derives both branches from
+    // text alone (never sees a container or a PNG), so the hash match
+    // proves container round trip, header routing, AND the codec path.
+    // Partition-local end to end — payload bytes exist only inside the
+    // mapPartitions iterator; only (id, kind, dims, hex sig) rows flow
+    // into the final orderBy (spec-pinned).
+    "tx_warc_media" -> ((s, dir) => {
+      import graft.operators.Warc
+      import graft.{MediaCodecs, Multimodal}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("dim1", IntegerType, nullable = false),
+        StructField("dim2", IntegerType, nullable = false),
+        StructField("sig", StringType, nullable = false)))
+      val rGrid = Multimodal.PhashGridRows
+      val cGrid = Multimodal.PhashGridCols
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.grouped(32).flatMap { batch =>
+          val recs = batch.map { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            if (id % 5 == 0) {
+              val k = (id % 3 + 1).toInt
+              val grid = MediaCodecs.mdGrid256(text)
+              val w = cGrid * k
+              val px = Array.tabulate(rGrid * k * w) { i =>
+                grid((i / w / k) * cGrid + (i % w) / k)
+              }
+              ("https://ex.com/media/" + id, Some("image/png"),
+                MediaCodecs.encodeGrayPng(w, rGrid * k, px))
+            } else
+              ("https://ex.com/doc/" + id, Some("text/html"),
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val gz = Warc.gzip(Warc.writeRecordsTyped(recs))
+          // ---- crawl side: everything below reads only the gzipped WARC
+          Warc.parseRecords(Warc.gunzip(gz)).map { rec =>
+            val uri = rec.header("WARC-Target-URI").get
+            val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+            if (rec.header("Content-Type").exists(_.startsWith("image/"))) {
+              val img = MediaCodecs.decodeImage(rec.body)
+              val ph = Multimodal.dHash(
+                MediaCodecs.grayGrid(img, rGrid, cGrid))
+              Row(id, "image", img.getWidth, img.getHeight, f"$ph%016x")
+            } else {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              Row(id, "text", rec.body.length, 0,
+                md.digest(rec.body).map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
     }),
 
     // The crawl→corpus funnel composed end to end: every document gets
@@ -541,6 +607,45 @@ object ParsingPack extends QueryPack {
         |SELECT host, domain, source FROM
         |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         |ORDER BY host""".stripMargin,
+
+    // Both branches re-derived from TEXT only (the mm_png_roundtrip
+    // pixel/bit derivation for the image branch, md5/octet_length for
+    // the text branch); the engine's path to the same values runs
+    // through WARC write → gzip → gunzip → parse → Content-Type route →
+    // real PNG decode.
+    "tx_warc_media" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS L
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |cells AS (
+        |  SELECT media_id, i,
+        |    ('0x' || substr(md5(substr(text, CAST((i * L) // 66 AS INTEGER) + 1,
+        |       CAST(((i + 1) * L) // 66 AS INTEGER)
+        |         - CAST((i * L) // 66 AS INTEGER))), 1, 2))::BIGINT AS px
+        |  FROM m, range(0, 66) t(i)),
+        |bits AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.px > a.px
+        |      THEN 1::BIGINT << CAST((a.i // 11) * 10 + (a.i % 11) AS INTEGER)
+        |      ELSE 0::BIGINT END AS p
+        |  FROM cells a JOIN cells b
+        |    ON b.media_id = a.media_id AND b.i = a.i + 1
+        |  WHERE a.i % 11 < 10),
+        |h AS (SELECT media_id, CAST(sum(p) AS BIGINT) AS ph
+        |      FROM bits GROUP BY media_id),
+        |img AS (
+        |  SELECT media_id, 'image' AS kind,
+        |    CAST(11 * (media_id % 3 + 1) AS INTEGER) AS dim1,
+        |    CAST(6 * (media_id % 3 + 1) AS INTEGER) AS dim2,
+        |    printf('%016x', ph) AS sig
+        |  FROM h),
+        |txt AS (
+        |  SELECT doc_id AS media_id, 'text' AS kind,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS dim1,
+        |    0 AS dim2, md5(text) AS sig
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM txt)
+        |ORDER BY media_id""".stripMargin,
 
     // Re-derives the record fields from text only; the engine's path to
     // the same values runs through WARC write → gzip → gunzip → parse.

@@ -269,12 +269,15 @@ class MediaCodecsSpec extends AnyFunSuite {
       val media = Multimodal.readMediaDir(spark, dir.toString)
       val rows = media.collect()
       assert(rows.length == 4)
-      assert(rows.map(_.getString(1)).sorted.toSeq ==
+      assert(rows.map(_.getAs[String]("kind")).sorted.toSeq ==
         Seq("audio", "binary", "image", "image"))
-      // ids are stable path hashes: re-read yields identical ids
+      // ids are stable path hashes: re-read yields identical ids, and
+      // the 128-bit media_uid rides alongside (distinct per file)
       val again = Multimodal.readMediaDir(spark, dir.toString)
         .select("media_id").collect().map(_.getLong(0)).toSet
-      assert(again == rows.map(_.getLong(0)).toSet)
+      assert(again == rows.map(_.getAs[Long]("media_id")).toSet)
+      val uids = rows.map(_.getAs[String]("media_uid"))
+      assert(uids.distinct.length == 4 && uids.forall(_.length == 32))
       // glob prunes at LISTING time (junk never opened)
       assert(Multimodal.readMediaDir(spark, dir.toString, "*.png")
         .count() == 2)
@@ -289,7 +292,7 @@ class MediaCodecsSpec extends AnyFunSuite {
       assert(hashed == Set(Multimodal.dHash(grid)))
       val audio = media.filter(col("kind") === "audio").collect()
       val (n, rate, _, _) = new MediaCodecs.WavDecoder()
-        .decode("audio", audio(0).getAs[Array[Byte]](2))
+        .decode("audio", audio(0).getAs[Array[Byte]]("payload"))
       assert(n == 3 && rate == 8000)
     } finally
       graft.streaming.EventStream.deleteDir(dir.toString)

@@ -139,4 +139,71 @@ class WarcSpec extends AnyFunSuite {
         text.getBytes("UTF-8").length, s"record ${r.getString(0)}")
     }
   }
+
+  test("typed records: Content-Type survives the round trip, None omits " +
+      "the header, header() is case-insensitive (externally-produced " +
+      "WARCs vary header case), CR/LF in a content type is rejected") {
+    val recs = Seq(
+      ("https://x/1", Some("image/png"), Array[Byte](1, 2, 3)),
+      ("https://x/2", Some("text/html; charset=utf-8"), "hi".getBytes),
+      ("https://x/3", None, "bare".getBytes))
+    val back = Warc.parseRecords(Warc.writeRecordsTyped(recs))
+    assert(back.map(_.header("Content-Type")) ==
+      Seq(Some("image/png"), Some("text/html; charset=utf-8"), None))
+    // case-insensitive accessor, exact-case map untouched
+    assert(back(0).header("content-type") == Some("image/png"))
+    assert(back(0).header("WARC-TARGET-URI") == Some("https://x/1"))
+    assert(back(0).headers.get("content-type").isEmpty)
+    // untyped writer ≡ typed writer with None (byte-identical output)
+    val untyped = Warc.writeRecords(Seq(("https://x/3", "bare".getBytes)))
+    assert(java.util.Arrays.equals(untyped,
+      Warc.writeRecordsTyped(Seq(("https://x/3", None, "bare".getBytes)))))
+    intercept[IllegalArgumentException] {
+      Warc.writeRecordsTyped(Seq(("https://x/1",
+        Some("image/png\r\nContent-Length: 0"), Array[Byte](1))))
+    }
+  }
+
+  test("tx_warc_media routes on the Content-Type header and never " +
+      "shuffles payload bytes: every 5th doc decodes as a real PNG " +
+      "(dims from the decoded image), the rest hash as text; the only " +
+      "exchange carries the tiny projected schema") {
+    val spark = TestSpark.spark
+    val df = SparkEntry.queries("tx_warc_media")(spark, TestSpark.sfDir)
+    // payload-shuffle pin: the plan's row schema has NO binary column —
+    // payloads exist only inside the mapPartitions iterator
+    assert(!df.schema.exists(_.dataType ==
+      org.apache.spark.sql.types.BinaryType))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("binary"),
+      s"binary column in the physical plan:\n$plan")
+    val got = df.collect()
+    val total = Tables.load(spark, TestSpark.sfDir, "documents").count()
+    assert(got.length == total)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) {
+        val k = (id % 3 + 1).toInt
+        assert(r.getString(1) == "image" && r.getInt(2) == 11 * k &&
+          r.getInt(3) == 6 * k, s"media $id")
+        assert(r.getString(4).matches("[0-9a-f]{16}"), s"media $id sig")
+      } else {
+        assert(r.getString(1) == "text" && r.getInt(3) == 0, s"doc $id")
+        assert(r.getString(4).matches("[0-9a-f]{32}"), s"doc $id sig")
+      }
+    }
+    // the image branch really ran the codec: its dHash equals the
+    // direct mdGrid256 → dHash derivation (PNG encode→decode is the
+    // only path between them)
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(5)) === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.filter(_.getLong(0) % 5 == 0).take(20).foreach { r =>
+      val want = Multimodal.dHash(MediaCodecs.mdGrid256(docs(r.getLong(0))))
+      assert(r.getString(4) == f"$want%016x", s"media ${r.getLong(0)}")
+    }
+  }
 }
