@@ -108,15 +108,19 @@ object ScaleProbe {
     val part = Tables.load(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_name"))
     // materialize the exploded inputs OUTSIDE the timed region — the
-    // probe measures the operators, not the synthetic explode
-    val docsX = explodeDocs(docs, factor).localCheckpoint(true)
-    val embX = explodeEmb(emb, factor).localCheckpoint(true)
-    val partX = explodePart(part, factor).localCheckpoint(true)
+    // probe measures the operators, not the synthetic explode. LAZY per
+    // fixture kind: a SPARK_GRAFT_SCALE_ONLY subset run (the 100x spot
+    // probes) must not pin 100x copies of fixtures its probes never
+    // read — at factor 100 an unused exploded table is gigabytes of
+    // checkpointed block-manager pressure on every timed point.
+    lazy val docsX = explodeDocs(docs, factor).localCheckpoint(true)
+    lazy val embX = explodeEmb(emb, factor).localCheckpoint(true)
+    lazy val partX = explodePart(part, factor).localCheckpoint(true)
     val docs1 = explodeDocs(docs, 1).localCheckpoint(true)
-    val emb1 = explodeEmb(emb, 1).localCheckpoint(true)
-    val part1 = explodePart(part, 1).localCheckpoint(true)
-    val docsW1 = explodeDocsTok(docs, 1).localCheckpoint(true)
-    val docsWX = explodeDocsTok(docs, factor).localCheckpoint(true)
+    lazy val emb1 = explodeEmb(emb, 1).localCheckpoint(true)
+    lazy val part1 = explodePart(part, 1).localCheckpoint(true)
+    lazy val docsW1 = explodeDocsTok(docs, 1).localCheckpoint(true)
+    lazy val docsWX = explodeDocsTok(docs, factor).localCheckpoint(true)
 
     import graft.operators.{Ann, Dedup}
     def ivfpqBuild(e: DataFrame): Unit = {
@@ -363,6 +367,17 @@ object ScaleProbe {
       }, 3.0))
     require(probes.map(_._1) == probeNames,
       s"probe list drifted from probeNames: ${probes.map(_._1)}")
+    // OFF-GATE spot runs (r15 verdict task #7): SPARK_GRAFT_SCALE_ONLY
+    // limits the probe set and SPARK_GRAFT_SCALE_OUT redirects the
+    // artifact, so a 100x curvature check on the highest-10x-ratio
+    // probes doesn't overwrite the 18-probe gate artifact the
+    // ReportedCountsSpec pins. Asserted bounds scale with factor/10
+    // (they are calibrated at the gate's factor 10); the gate run
+    // itself — no ONLY filter, factor 10, default out — is unchanged.
+    val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet)
+    val probesRun = onlyProbes.fold(probes)(f => probes.filter(p => f(p._1)))
+    val boundScale = factor / 10.0
 
     // min-of-N per point: this box shows intermittent multi-second
     // scheduler stalls (the bench adjudicates them away with bracketing
@@ -378,7 +393,8 @@ object ScaleProbe {
     def canary(): Double =
       best(docs1.groupBy(col("lang")).count().count(): Unit)
     val canaryPre = canary()
-    val results = probes.map { case (name, fixture, f, bound) =>
+    val results = probesRun.map { case (name, fixture, f, bound0) =>
+      val bound = bound0 * boundScale
       val (base, scaled) = fixture match {
         case "emb" => (emb1, embX)
         case "docsw" => (docsW1, docsWX)
@@ -405,7 +421,8 @@ object ScaleProbe {
       else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
       else repoRoot(p.getParent)
     val path = repoRoot(java.nio.file.Paths.get(sys.props("user.dir"))
-      .toAbsolutePath).resolve("scale_probe.json")
+      .toAbsolutePath).resolve(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json"))
     java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
     System.err.println(s"[scale-probe] wrote $path")
     val breaches = results.filterNot(_._2)

@@ -194,6 +194,59 @@ class WebSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(2) == "psl"))
   }
 
+  test("property (seeded): registrableDomainPsl matches a direct " +
+      "per-host PSL-algorithm evaluation over 300 random hosts against " +
+      "a rule set with plain/wildcard/exception rules — one DataFrame " +
+      "pass vs the spec'd reference semantics") {
+    val rules = Seq("com", "org", "co.uk", "uk", "com.au",
+      "*.ck", "!www.ck", "*.nom.br", "!city.kobe.jp", "*.kobe.jp", "jp")
+    // reference implementation, straight from the published algorithm:
+    // all matching rules; exception prevails (minus leading label),
+    // else most labels; registrable = public suffix + 1 label; host ==
+    // public suffix → None; no match → caller's fallback
+    def ref(host: String): Option[(Option[String], String)] = {
+      val labels = host.split('.')
+      val suffixes = labels.indices.map(i => labels.drop(i).mkString("."))
+      def labelsOf(s: String) = s.split('.').length
+      val exc = suffixes.filter(s => rules.contains("!" + s))
+        .map(s => labelsOf(s) - 1)
+      val norm = suffixes.filter(rules.contains).map(labelsOf) ++
+        suffixes.filter { s =>
+          val l = s.split('.')
+          l.length >= 2 && rules.contains("*." + l.drop(1).mkString("."))
+        }.map(labelsOf)
+      val ps = if (exc.nonEmpty) Some(exc.max)
+        else if (norm.nonEmpty) Some(norm.max) else None
+      ps.map { p =>
+        if (p == labels.length) (None, "psl")
+        else (Some(labels.takeRight(p + 1).mkString(".")), "psl")
+      }
+    }
+    val rnd = new scala.util.Random(8161600L)
+    val tlds = Seq("com", "org", "net", "uk", "co.uk", "ck", "www.ck",
+      "nom.br", "x.nom.br", "kobe.jp", "city.kobe.jp", "foo.kobe.jp", "jp")
+    val hosts = (0 until 300).map { i =>
+      val depth = rnd.nextInt(3)
+      val subs = (0 until depth).map(d => s"s$d${i % 7}")
+      (subs :+ tlds(rnd.nextInt(tlds.length))).mkString(".")
+    }.distinct
+    val hostsDf = spark.createDataFrame(hosts.map(Tuple1(_))).toDF("host")
+    val pslDf = spark.createDataFrame(rules.map(Tuple1(_))).toDF("suffix")
+    val got = graft.operators.Web.registrableDomainPsl(hostsDf, "host", pslDf)
+      .collect()
+      .map(r => r.getString(0) -> (Option(r.getString(1)), r.getString(2)))
+      .toMap
+    assert(got.size == hosts.size)
+    hosts.foreach { h =>
+      val want = ref(h).getOrElse {
+        val l = h.split('.')
+        (Some(if (l.length >= 2) l.takeRight(2).mkString(".") else h),
+          "fallback")
+      }
+      assert(got(h) == want, s"host $h: got ${got(h)}, want $want")
+    }
+  }
+
   test("plan: registrableDomainPsl joins the rule relation as BROADCAST " +
       "hash joins (never a sort-merge — the host table must not shuffle " +
       "for the suffix match at lake scale)") {
