@@ -90,7 +90,13 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the thread count (the bench
+      // convention); SPARK_GRAFT_SHUFFLE_PARTS overrides for curvature
+      // A/Bs — at factor 100 a fixed 32 makes each shuffle partition
+      // 100x the gate's size, and distinguishing partition-granularity
+      // spill from algorithmic superlinearity needs the knob
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
