@@ -65,22 +65,33 @@ object Web {
   val ScriptPattern: String = s"(?is)<script$TagAttrs.*?</script>"
   val StylePattern: String = s"(?is)<style$TagAttrs.*?</style>"
 
+  /** The generic tag-strip pattern, QUOTE-AWARE: a literal `>` inside a
+    * quoted attribute value (`<div data-x="a>b">`) must not terminate
+    * the tag early — the naive `<[^>]+>` left `b">` as text debris. The
+    * pattern walks plain chars and complete quoted strings until the
+    * first `>` OUTSIDE quotes; an unterminated quote simply fails to
+    * match (the malformed tag stays visible rather than eating the rest
+    * of the document). Plain alternation + classes — identical in Java
+    * regex and RE2. */
+  val TagPattern: String =
+    "<[^>\"']*(?:\"[^\"]*\"[^>\"']*|'[^']*'[^>\"']*)*>"
+
   /** Strip an HTML payload to its text: drop script/style subtrees (their
     * CONTENT is not text — a tag-only strip would leak JavaScript into
     * the corpus, the classic extraction bug), drop comments, strip the
     * remaining tags, decode the [[entityTable]] entities, collapse
     * whitespace. Tag matching is case-INsensitive (`(?is)` — HTML is;
     * legacy pages use `<SCRIPT>`) and attribute lists may follow any
-    * whitespace, not just a space. Known residual: `<[^>]+>` can
-    * mis-split a tag whose ATTRIBUTE VALUE contains a literal `>` (rare,
-    * and strictly better than leaving the tag in). Ampersand entities
+    * whitespace, not just a space. Tag stripping is quote-aware
+    * ([[TagPattern]]): a `>` inside a quoted attribute value does not
+    * split the tag. Ampersand entities
     * decode LAST so escaped entities stay literal (`&amp;lt;` → `&lt;`
     * the text, never `<` the markup). */
   def htmlText(html: Column): Column = {
     val noScript = regexp_replace(html, ScriptPattern, " ")
     val noStyle = regexp_replace(noScript, StylePattern, " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val noTags = regexp_replace(noComment, TagPattern, " ")
     val decoded = entityTable.foldLeft(noTags) { case (c, (e, v)) =>
       replace(c, lit(e), lit(v))
     }

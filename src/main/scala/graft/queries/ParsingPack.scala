@@ -28,8 +28,8 @@ object ParsingPack extends QueryPack {
     * entity debris plus a double-escaped `&amp;#39;` that must decode to
     * the literal text `&#39;`. */
   private val FixAnchor = "<a\nhref=\"/l\">go there</a>"
-  private val FixTail = "<div>&amp; one &lt;tail&gt;&nbsp;mid " +
-    "&#39;q&#x27; &rsquo;s &amp;#39; end</div></body></html>"
+  private val FixTail = "<div data-note=\"x>y\">&amp; one &lt;tail&gt;" +
+    "&nbsp;mid &#39;q&#x27; &rsquo;s &amp;#39; end</div></body></html>"
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -44,7 +44,8 @@ object ParsingPack extends QueryPack {
     val noStyle =
       s"regexp_replace($noScript, ${sqlLit(Web.StylePattern)}, ' ', 'g')"
     val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', ' ', 'g')"
-    val noTags = s"regexp_replace($noComment, '<[^>]+>', ' ', 'g')"
+    val noTags =
+      s"regexp_replace($noComment, ${sqlLit(Web.TagPattern)}, ' ', 'g')"
     val decoded = Web.entityTable.foldLeft(noTags) { case (acc, (e, v)) =>
       s"replace($acc, ${sqlLit(e)}, ${sqlLit(v)})"
     }

@@ -289,6 +289,21 @@ class WebSpec extends AnyFunSuite {
     assert(ca == Seq("real"), s"custom tag matched as anchor: $ca")
   }
 
+  test("tag strip is quote-aware: a '>' inside a quoted attribute value " +
+      "does not split the tag (no 'b\">' debris in the corpus text); an " +
+      "unterminated quote leaves the malformed tag visible instead of " +
+      "eating the rest of the document") {
+    assert(one("<div data-x=\"a>b\">keep</div>", Web.htmlText) == "keep")
+    assert(one("<img alt='5 > 3'><p>text</p>", Web.htmlText) == "text")
+    // plain-text comparison operators between tags survive
+    assert(one("<p>a &lt; b</p> stray > here", Web.htmlText) ==
+      "a < b stray > here")
+    // unterminated quote: the tag fails to match and stays visible —
+    // the following text is NOT swallowed
+    val got = one("<a href=\"broken>rest of doc</p>", Web.htmlText)
+    assert(got.contains("rest of doc"), s"text swallowed: '$got'")
+  }
+
   test("htmlText entity decode: numeric (&#39;) and hex (&#x27;) " +
       "references and the common named set decode; double-escaped " +
       "forms (&amp;#39;, &#38;amp;) stay literal entity TEXT") {
