@@ -203,6 +203,35 @@ object Bench {
     }
   }
 
+  private[graft] def medianOf(ts: Seq[Double]): Double =
+    if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
+
+  /** Per-query adjudication (r15 verdict #1) over (all completed run
+    * times, clean-bracketed run times) — object-level so the rule is
+    * SPEC-TESTABLE (BenchCoverageSpec pins all three modes on the r15
+    * record's own numbers):
+    *  - `median_clean`: ≥1 clean run and the sample is trustworthy —
+    *    the median of clean runs (the standard path);
+    *  - `min_clean_low_evidence`: FEWER than 3 clean runs whose median
+    *    sits >1.5× above the query's fastest completed run — every run
+    *    executes identical deterministic work, so wall time cannot go
+    *    below compute and the fast run proves the stall; adjudicate to
+    *    the fastest CLEAN run (still bracket-certified) instead of
+    *    laundering a mid-window stall through a 1-2 sample median;
+    *  - `min_fallback`: no clean run at all — the fastest completed
+    *    run lower-bounds true cost. */
+  private[graft] def adjudicateTimes(all: Seq[Double],
+      clean: Seq[Double]): (Double, String) = {
+    val minAll = all.filter(_ >= 0).minOption.getOrElse(-1.0)
+    if (clean.isEmpty) (minAll, "min_fallback")
+    else {
+      val med = medianOf(clean)
+      if (clean.size < 3 && minAll > 0 && med > 1.5 * minAll)
+        (clean.min, "min_clean_low_evidence")
+      else (med, "median_clean")
+    }
+  }
+
   /** One timed run with its four bracketing canaries: `c`/`cPost` are
     * the scan-shaped q1_agg canaries before this run and before the next
     * (or the closing one), `ci`/`ciPost` the iteration-shaped pair.
@@ -666,8 +695,7 @@ object Bench {
       "\"" + name + "\":[" + runs.map(_.epoch).mkString(",") + "]"
     }
     def fmt(d: Double) = f"$d%.3f"
-    def median(ts: Seq[Double]): Double =
-      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.length / 2)
+    def median(ts: Seq[Double]): Double = medianOf(ts)
     // box-state classification: a run is CLEAN if all FOUR bracketing
     // canaries (scan-shaped q1_agg and the iteration-shaped mini-loop,
     // each before the run and before the NEXT run / the closing pair)
@@ -683,35 +711,15 @@ object Bench {
       .map(iterFloorOf).filter(_ >= 0).minOption.getOrElse(-1.0)
     val cleanOf: Map[String, Vector[Run]] = results.map { case (k, rs) =>
       k -> cleanWith(rs, scanFloorOf, iterFloorOf) }.toMap
-    // ADJUDICATION (r15 verdict #1): the median-of-clean rule has one
-    // remaining hole — a query whose retry passes yielded only 1-2
-    // clean-bracketed runs adjudicates a median that can sit FAR above
-    // a completed (bracket-dirty) run of the identical deterministic
-    // work (r15 record: dd_minhash_lsh adjudicated 3.11 s from 2 clean
-    // runs while a 1.80 s run existed; dd_exact_substr 2.87 vs a 1.37
-    // min — both inside the 3x guard, both stalls by construction,
-    // since wall time cannot go below compute). LOW-EVIDENCE rule:
-    // with fewer than 3 clean runs AND a clean median more than 1.5x
-    // the query's fastest completed run, the adjudicated value is the
-    // FASTEST CLEAN-BRACKETED run — still bracket-certified (its
-    // canary windows were clean), just not laundered through a median
-    // whose sample is too small to reject a mid-window stall. The mode
-    // each query adjudicated under is disclosed in "adjudication"
-    // (median_clean | min_clean_low_evidence | min_fallback) so the
+    // ADJUDICATION (r15 verdict #1): [[adjudicateTimes]] — the r14
+    // median-of-clean rule plus the low-evidence guard (r15 record:
+    // dd_minhash_lsh adjudicated a 3.11 s 2-clean-run median while a
+    // 1.80 s run existed; dd_exact_substr 2.87 vs a 1.37 min — both
+    // inside the 3x guard, both stalls by construction). The mode each
+    // query adjudicated under is disclosed in "adjudication" so the
     // record says which rule produced every number.
-    def adjudicate(rs: Vector[Run], clean: Vector[Run]): (Double, String) = {
-      val cleanTs = clean.map(_.sec)
-      val minAll = rs.map(_.sec).filter(_ >= 0).minOption.getOrElse(-1.0)
-      if (cleanTs.isEmpty) (minAll, "min_fallback")
-      else {
-        val med = median(cleanTs)
-        if (cleanTs.size < 3 && minAll > 0 && med > 1.5 * minAll)
-          (cleanTs.min, "min_clean_low_evidence")
-        else (med, "median_clean")
-      }
-    }
     val adjOf: Map[String, (Double, String)] = results.map { case (k, rs) =>
-      k -> adjudicate(rs, cleanOf(k)) }.toMap
+      k -> adjudicateTimes(rs.map(_.sec), cleanOf(k).map(_.sec)) }.toMap
     val qJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + fmt(median(rs.map(_.sec))) }.mkString("{", ",", "}")
     val qAdjJson = results.map { case (k, _) =>
