@@ -160,6 +160,97 @@ object Web {
   def urlHost(url: Column): Column =
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
+  /** Path+query of an (already canonical) URL — the string robots.txt
+    * rules match against ("/" when the URL has no path). */
+  def urlPath(url: Column): Column = {
+    val tail = regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    when(tail === "", lit("/")).otherwise(tail)
+  }
+
+  /** Parse per-host robots.txt bodies into the `(host, rule, prefix)`
+    * relation [[robotsFilter]] consumes — the crawl-compliance front
+    * door (a training-data pipeline that ignores robots.txt ships
+    * content it was asked not to take). Follows RFC 9309 group
+    * semantics: consecutive `User-agent` lines open a group whose
+    * rules run until the next group; only groups naming `*` apply
+    * (a per-product override group is deliberately IGNORED here — this
+    * engine evaluates the generic crawler's view); comments (`#…`)
+    * strip; keys are case-insensitive; empty-prefix rules (the
+    * "Disallow:" allow-all idiom) drop. PREFIX rules only — RFC 9309
+    * `*`/`$` wildcards are out of scope and such rules are dropped
+    * (conservative for `$`, permissive for `*`; documented boundary).
+    *
+    * Scale shape: one `posexplode` over the (tiny — one row per host)
+    * robots relation and one host-keyed window for the running group
+    * id; output is rules-sized, meant to be broadcast. */
+  def parseRobots(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+      .filter(col("line") =!= "")
+      .withColumn("key",
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value",
+        trim(regexp_replace(col("line"), "^[^:]+:", "")))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("pos"))
+    val grouped = lines
+      .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
+      .withColumn("new_group",
+        (col("is_ua") === 1 &&
+          lag(col("is_ua"), 1, 0).over(w) === 0).cast("int"))
+      .withColumn("group_id", sum(col("new_group")).over(w))
+    val starGroups = grouped
+      .filter(col("key") === "user-agent" && col("value") === "*")
+      .select(col("host"), col("group_id")).distinct()
+    grouped
+      .join(starGroups, Seq("host", "group_id"), "left_semi")
+      .filter(col("key") =!= "user-agent" && col("value") =!= "")
+      .filter(!col("value").contains("*") && !col("value").contains("$"))
+      .select(col("host"), col("key").as("rule"), col("value").as("prefix"))
+  }
+
+  /** Filter a URL relation by [[parseRobots]] rules — RFC 9309 §2.2
+    * evaluation: among the rules whose prefix matches the URL path, the
+    * LONGEST prefix wins; on a length tie `allow` wins; no matching
+    * rule (or no robots.txt for the host) means allowed.
+    *
+    * Scale shape: rules collapse to ONE array row per host (tiny) and
+    * broadcast-join the URL relation; the per-URL evaluation is a
+    * higher-order `filter`/`transform`/`array_max` over that array —
+    * MAP-ONLY over the crawl table, zero shuffle at 100 TB (struct
+    * ordering gives longest-prefix-then-allow priority for free).
+    * Returns the input plus `(allowed: boolean, matched_prefix)`. */
+  def robotsFilter(urls: org.apache.spark.sql.DataFrame, urlCol: String,
+      rules: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byHost = rules.groupBy(col("host"))
+      .agg(collect_list(struct(
+        length(col("prefix")).as("plen"),
+        (col("rule") === "allow").as("is_allow"),
+        col("prefix").as("prefix"))).as("_rules"))
+    val joined = urls
+      .withColumn("_host", urlHost(col(urlCol)))
+      .join(broadcast(byHost), col("_host") === col("host"), "left")
+    val path = urlPath(col(urlCol))
+    val matched = filter(col("_rules"),
+      r => startswith(path, r.getField("prefix")))
+    val best = array_max(transform(matched,
+      r => struct(r.getField("plen").as("plen"),
+        r.getField("is_allow").as("is_allow"),
+        r.getField("prefix").as("prefix"))))
+    joined
+      .withColumn("allowed",
+        coalesce(best.getField("is_allow"), lit(true)))
+      .withColumn("matched_prefix",
+        coalesce(best.getField("prefix"), lit("")))
+      .drop("_host", "host", "_rules")
+  }
+
   /** Registrable-domain approximation: the last two dot-labels of the
     * host — the standard fallback when the public-suffix list is
     * unavailable (exact for .com/.org-style hosts). For the exact form

@@ -33,6 +33,23 @@ object ParsingPack extends QueryPack {
 
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  /** robots.txt fixture bodies, shared verbatim by both engines (real
+    * newlines inside the SQL literal): a disallow/allow overlap where
+    * the longest prefix must win (site0), the "Disallow:" allow-all
+    * idiom + comments (site1), a multi-user-agent group where `*` rides
+    * second plus an allow-beats-disallow length tie region (site2), and
+    * a host whose only group names another product — the generic
+    * crawler must treat it as allow-all (site3). site2 also carries a
+    * wildcard rule that must be DROPPED (documented prefix-only
+    * boundary). */
+  private val FixRobots: Seq[(String, String)] = Seq(
+    ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
+      "\nUser-agent: evilbot\nDisallow: /"),
+    ("site1.com", "# all welcome\nUser-agent: *\nDisallow:"),
+    ("site2.com", "User-agent: googlebot\nUser-agent: *\n" +
+      "Disallow: /tmp/\nDisallow: /p\nAllow: /page/\nDisallow: /*.gif"),
+    ("site3.com", "User-agent: otherbot\nDisallow: /"))
+
   /** The [[Web.htmlText]] pipeline as a DuckDB scalar expression over
     * `inner` — GENERATED from the same pattern constants and entity
     * table the Spark column folds over, so the two engines cannot
@@ -258,6 +275,36 @@ object ParsingPack extends QueryPack {
         }
       }
       s.createDataFrame(rdd, outSchema).orderBy(col("uri"))
+    }),
+
+    // robots.txt COMPLIANCE filtering (the crawl-politeness front door a
+    // training-data pipeline legally needs): per-host robots bodies are
+    // parsed under RFC 9309 group semantics (consecutive User-agent
+    // lines open a group; only *-groups apply; comments strip;
+    // "Disallow:" empty = allow-all; wildcard rules dropped — prefix
+    // boundary documented), then a doc_id-derived URL table is filtered
+    // by longest-prefix-wins / allow-wins-ties. Scale shape: rules
+    // collapse to ONE array row per host and broadcast; the per-URL
+    // verdict is a higher-order filter/array_max — MAP-ONLY over the
+    // crawl table, zero shuffle. The oracle re-derives group parsing
+    // (window lag + running sum) and the RFC priority in DuckDB.
+    "tx_robots_filter" -> ((s, dir) => {
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      val path = element_at(array(lit(""),
+        concat(lit("/page/"), col("doc_id").cast("string")),
+        concat(lit("/private/"), col("doc_id").cast("string")),
+        concat(lit("/private/ok"), col("doc_id").cast("string"))),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(4)).cast("int")
+          + 1)
+      val urls = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://site"),
+            pmod(col("doc_id"), lit(4)).cast("string"),
+            lit(".com"), path).as("url"))
+      Web.robotsFilter(urls, "url", Web.parseRobots(robots))
+        .select(col("doc_id"), col("url"), col("allowed"),
+          col("matched_prefix"))
+        .orderBy(col("doc_id"))
     }),
 
     // WARC → MEDIA routing (r15 verdict task #6 — the crawl container
@@ -608,6 +655,78 @@ object ParsingPack extends QueryPack {
         |SELECT host, domain, source FROM
         |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         |ORDER BY host""".stripMargin,
+
+    // RFC 9309 re-derived: line split with positions, comment strip,
+    // group ids via lag + running sum, *-group selection, wildcard-rule
+    // drop, longest-prefix-then-allow priority via struct max.
+    "tx_robots_filter" ->
+      (s"""WITH robots(host, body) AS (VALUES
+         |  ${FixRobots.map { case (h, b) =>
+               s"(${sqlLit(h)}, ${sqlLit(b)})" }.mkString(",\n  ")}),
+         |""".stripMargin +
+      """lines0 AS (
+        |  SELECT host, u.i AS pos,
+        |    trim(regexp_replace(parts[CAST(u.i + 1 AS INTEGER)], '#.*', ''))
+        |      AS line
+        |  FROM (SELECT host, string_split(body, chr(10)) AS parts
+        |        FROM robots),
+        |    LATERAL unnest(range(0, len(parts))) u(i)),
+        |kept AS (
+        |  SELECT host, pos,
+        |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+        |    trim(regexp_replace(line, '^[^:]+:', '')) AS value
+        |  FROM lines0 WHERE line <> ''),
+        |ua AS (
+        |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+        |  FROM kept WHERE key IN ('user-agent', 'allow', 'disallow')),
+        |marked AS (
+        |  SELECT *, CASE WHEN is_ua = 1 AND coalesce(lag(is_ua)
+        |      OVER (PARTITION BY host ORDER BY pos), 0) = 0
+        |    THEN 1 ELSE 0 END AS new_group
+        |  FROM ua),
+        |grp AS (
+        |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS group_id
+        |  FROM marked),
+        |star AS (SELECT DISTINCT host, group_id FROM grp
+        |         WHERE key = 'user-agent' AND value = '*'),
+        |rules AS (
+        |  SELECT g.host, g.key AS rule, g.value AS prefix
+        |  FROM grp g JOIN star USING (host, group_id)
+        |  WHERE g.key <> 'user-agent' AND g.value <> ''
+        |    AND g.value NOT LIKE '%*%' AND g.value NOT LIKE '%$%'),
+        |urls AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.com' ||
+        |    CASE CAST((doc_id // 4) % 4 AS INTEGER)
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN '/page/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/private/ok' || CAST(doc_id AS VARCHAR) END AS url
+        |  FROM documents),
+        |up AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+        |      AS host,
+        |    CASE WHEN regexp_replace(url,
+        |        '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = '' THEN '/'
+        |      ELSE regexp_replace(url,
+        |        '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END AS path
+        |  FROM urls),
+        |m AS (
+        |  SELECT u.doc_id, u.url, r.prefix, r.rule, length(r.prefix) AS plen
+        |  FROM up u LEFT JOIN rules r
+        |    ON u.host = r.host AND starts_with(u.path, r.prefix)),
+        |best AS (
+        |  SELECT doc_id, url,
+        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+        |      END) AS b
+        |  FROM m GROUP BY doc_id, url)
+        |SELECT doc_id, url,
+        |  coalesce(b.is_allow, true) AS allowed,
+        |  coalesce(b.prefix, '') AS matched_prefix
+        |FROM best ORDER BY doc_id""".stripMargin),
 
     // Both branches re-derived from TEXT only (the mm_png_roundtrip
     // pixel/bit derivation for the image branch, md5/octet_length for

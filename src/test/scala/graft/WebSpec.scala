@@ -354,6 +354,64 @@ class WebSpec extends AnyFunSuite {
     assert(pages.length == got.length, "canonical URLs must be unique rows")
   }
 
+  test("robots.txt: RFC 9309 group semantics — consecutive User-agent " +
+      "lines share a group, only *-groups apply, longest prefix wins, " +
+      "allow wins length ties, empty Disallow and wildcard rules drop, " +
+      "hosts without a *-group (or without robots) are allow-all") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
+        "\nUser-agent: evilbot\nDisallow: /"),
+      ("b.com", "# welcome\nUser-agent: *\nDisallow:\nDisallow: /*.gif"),
+      ("c.com", "User-agent: googlebot\nUser-agent: *\nDisallow: /p\n" +
+        "Allow: /p"), // length TIE on /p → allow wins
+      ("d.com", "User-agent: otherbot\nDisallow: /"))).toDF("host", "body")
+    val rules = Web.parseRobots(robots)
+    val got = rules.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a.com", "disallow", "/private/"), ("a.com", "allow", "/private/ok"),
+      ("c.com", "disallow", "/p"), ("c.com", "allow", "/p")),
+      s"rules: $got")
+    val urls = spark.createDataFrame(Seq(
+      (1L, "https://a.com/private/x"), (2L, "https://a.com/private/okay"),
+      (3L, "https://a.com/public"), (4L, "https://a.com"),
+      (5L, "https://b.com/anything.gif"), (6L, "https://c.com/page"),
+      (7L, "https://d.com/secret"), (8L, "https://nobots.com/x")))
+      .toDF("id", "url")
+    val verdicts = Web.robotsFilter(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"), r.getAs[String]("matched_prefix")))
+      .toMap
+    assert(verdicts == Map(
+      1L -> (false, "/private/"), // disallow prefix
+      2L -> (true, "/private/ok"), // longer allow beats shorter disallow
+      3L -> (true, ""), 4L -> (true, ""), // no match; bare host path = "/"
+      5L -> (true, ""), // wildcard rule dropped, empty Disallow dropped
+      6L -> (true, "/p"), // tie on /p → allow wins
+      7L -> (true, ""), // no *-group → generic crawler unrestricted
+      8L -> (true, "")), s"verdicts: $verdicts") // no robots at all
+  }
+
+  test("plan: robotsFilter is MAP-ONLY over the URL table — the rule " +
+      "join is broadcast and no exchange partitions the crawl side") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/"))).toDF("host", "body")
+    val urls = spark.createDataFrame(
+      (0 until 100).map(i => (i.toLong, s"https://a.com/p/$i")))
+      .toDF("id", "url")
+    val df = Web.robotsFilter(urls, "url", Web.parseRobots(robots))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    // the URL side must not be exchanged: the only exchanges allowed
+    // are on the (tiny) rule side feeding the broadcast
+    val urlSideExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(id"))
+    assert(urlSideExchanges == 0, s"URL side shuffled:\n$plan")
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
