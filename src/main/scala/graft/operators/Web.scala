@@ -167,6 +167,43 @@ object Web {
     when(tail === "", lit("/")).otherwise(tail)
   }
 
+  /** The five XML predefined entities, decoded with the same
+    * non-rescanning discipline as [[htmlText]] (`&amp;` last, one
+    * left-to-right pass — `&amp;amp;` yields the literal `&amp;`).
+    * Sitemap `<loc>` URLs arrive XML-escaped; feeding the raw text to
+    * [[canonicalUrl]] would leave `&amp;` debris between query params. */
+  def xmlUnescape(s: Column): Column = {
+    val base = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'")
+    replace(base.foldLeft(s) { case (c, (e, v)) =>
+      replace(c, lit(e), lit(v))
+    }, lit("&amp;"), lit("&"))
+  }
+
+  /** The crawl-DISCOVERY front door: extract a sitemap XML payload's
+    * `<url>` entries as an array of `(loc, lastmod)` structs — pure
+    * regex column math (the sitemap protocol's elements are flat and
+    * order-fixed enough for the Java∩RE2 dialect; a `<sitemapindex>`
+    * payload yields an empty array and its child sitemap locs come from
+    * [[sitemapIndexLocs]]). Values are whitespace-trimmed but still
+    * XML-escaped — route `loc` through [[xmlUnescape]] before
+    * [[canonicalUrl]]. */
+  def sitemapUrls(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<url>(.*?)</url>"), lit(1)),
+      u => struct(
+        regexp_extract(u, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1).as("loc"),
+        regexp_extract(u, "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+          .as("lastmod")))
+
+  /** Child sitemap locations of a `<sitemapindex>` payload — the
+    * recursion edge a crawler follows (fetch is external; this is the
+    * parse). */
+  def sitemapIndexLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)),
+      s => regexp_extract(s, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
+
   /** Parse per-host robots.txt bodies into the `(host, rule, prefix)`
     * relation [[robotsFilter]] consumes — the crawl-compliance front
     * door (a training-data pipeline that ignores robots.txt ships

@@ -50,6 +50,47 @@ object ParsingPack extends QueryPack {
       "Disallow: /tmp/\nDisallow: /p\nAllow: /page/\nDisallow: /*.gif"),
     ("site3.com", "User-agent: otherbot\nDisallow: /"))
 
+  /** The [[FixRobots]] → `rules(host, rule, prefix)` CTE chain
+    * (Web.parseRobots re-derived: line positions, comment strip, group
+    * ids via lag + running sum, *-group selection, wildcard drop) —
+    * shared by the tx_robots_filter and tx_url_frontier oracles. */
+  private def robotsRulesCtes: String =
+    s"""robots(host, body) AS (VALUES
+       |  ${FixRobots.map { case (h, b) =>
+            s"(${sqlLit(h)}, ${sqlLit(b)})" }.mkString(",\n  ")}),
+       |""".stripMargin +
+    """lines0 AS (
+      |  SELECT host, u.i AS pos,
+      |    trim(regexp_replace(parts[CAST(u.i + 1 AS INTEGER)], '#.*', ''))
+      |      AS line
+      |  FROM (SELECT host, string_split(body, chr(10)) AS parts
+      |        FROM robots),
+      |    LATERAL unnest(range(0, len(parts))) u(i)),
+      |kept AS (
+      |  SELECT host, pos,
+      |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+      |    trim(regexp_replace(line, '^[^:]+:', '')) AS value
+      |  FROM lines0 WHERE line <> ''),
+      |ua AS (
+      |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua
+      |  FROM kept WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |marked AS (
+      |  SELECT *, CASE WHEN is_ua = 1 AND coalesce(lag(is_ua)
+      |      OVER (PARTITION BY host ORDER BY pos), 0) = 0
+      |    THEN 1 ELSE 0 END AS new_group
+      |  FROM ua),
+      |grp AS (
+      |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY pos
+      |    ROWS UNBOUNDED PRECEDING) AS group_id
+      |  FROM marked),
+      |star AS (SELECT DISTINCT host, group_id FROM grp
+      |         WHERE key = 'user-agent' AND value = '*'),
+      |rules AS (
+      |  SELECT g.host, g.key AS rule, g.value AS prefix
+      |  FROM grp g JOIN star USING (host, group_id)
+      |  WHERE g.key <> 'user-agent' AND g.value <> ''
+      |    AND g.value NOT LIKE '%*%' AND g.value NOT LIKE '%$%')""".stripMargin
+
   /** The [[Web.htmlText]] pipeline as a DuckDB scalar expression over
     * `inner` — GENERATED from the same pattern constants and entity
     * table the Spark column folds over, so the two engines cannot
@@ -305,6 +346,56 @@ object ParsingPack extends QueryPack {
         .select(col("doc_id"), col("url"), col("allowed"),
           col("matched_prefix"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL-FRONTIER discovery funnel composed end to end: per-host
+    // sitemap XMLs are BUILT (ordered group-concat of <url> entries —
+    // XML-escaped &amp; in the query string, whitespace-padded <loc>
+    // values), then parsed back (Web.sitemapUrls), XML-unescaped,
+    // canonicalized, robots-filtered (the FixRobots hosts — site0's
+    // /private/ and site2's /p rules really bite), and collapsed
+    // keep-first by canonical URL (re-discoveries of one page differ in
+    // doc_id-varying utm params; first_lastmod = earliest sighting).
+    // The oracle re-derives the final rows from documents directly
+    // (from-text twin — it never sees XML), so a parse/unescape/
+    // canonicalize/robots bug anywhere breaks the hash. Scale shape:
+    // sitemap build is one host-keyed group over tiny per-host entry
+    // sets; parse/unescape/canonicalize are map-only; robots is the
+    // broadcast array filter; one final keep-first group.
+    "tx_url_frontier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(4))
+      val pathDir = element_at(array(lit("/item/"), lit("/private/")),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(2)).cast("int")
+          + 1)
+      val entry = concat(
+        lit("<url><loc> HTTPS://WWW.Site"), h.cast("string"),
+        lit(".COM:443"), pathDir,
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        lit("?utm_source=map"), col("doc_id").cast("string"),
+        lit("&amp;ref=sm#f </loc><lastmod>2026-0"),
+        (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+        lit("-01</lastmod></url>"))
+      val sitemaps = docs
+        .select(h.as("h"), col("doc_id"), entry.as("e"))
+        .groupBy(col("h"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          x => x.getField("e"))).as("body"))
+        .select(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          col("body"), lit("</urlset>")).as("xml"))
+      val parsed = sitemaps
+        .select(explode(Web.sitemapUrls(col("xml"))).as("u"))
+        .select(
+          Web.canonicalUrl(Web.xmlUnescape(col("u.loc"))).as("url"),
+          col("u.lastmod").as("lastmod"))
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      Web.robotsFilter(parsed, "url", Web.parseRobots(robots))
+        .filter(col("allowed"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_seen"),
+          min(col("lastmod")).as("first_lastmod"))
+        .orderBy(col("url"))
     }),
 
     // WARC → MEDIA routing (r15 verdict task #6 — the crawl container
@@ -660,42 +751,9 @@ object ParsingPack extends QueryPack {
     // group ids via lag + running sum, *-group selection, wildcard-rule
     // drop, longest-prefix-then-allow priority via struct max.
     "tx_robots_filter" ->
-      (s"""WITH robots(host, body) AS (VALUES
-         |  ${FixRobots.map { case (h, b) =>
-               s"(${sqlLit(h)}, ${sqlLit(b)})" }.mkString(",\n  ")}),
+      (s"""WITH $robotsRulesCtes,
          |""".stripMargin +
-      """lines0 AS (
-        |  SELECT host, u.i AS pos,
-        |    trim(regexp_replace(parts[CAST(u.i + 1 AS INTEGER)], '#.*', ''))
-        |      AS line
-        |  FROM (SELECT host, string_split(body, chr(10)) AS parts
-        |        FROM robots),
-        |    LATERAL unnest(range(0, len(parts))) u(i)),
-        |kept AS (
-        |  SELECT host, pos,
-        |    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
-        |    trim(regexp_replace(line, '^[^:]+:', '')) AS value
-        |  FROM lines0 WHERE line <> ''),
-        |ua AS (
-        |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua
-        |  FROM kept WHERE key IN ('user-agent', 'allow', 'disallow')),
-        |marked AS (
-        |  SELECT *, CASE WHEN is_ua = 1 AND coalesce(lag(is_ua)
-        |      OVER (PARTITION BY host ORDER BY pos), 0) = 0
-        |    THEN 1 ELSE 0 END AS new_group
-        |  FROM ua),
-        |grp AS (
-        |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY pos
-        |    ROWS UNBOUNDED PRECEDING) AS group_id
-        |  FROM marked),
-        |star AS (SELECT DISTINCT host, group_id FROM grp
-        |         WHERE key = 'user-agent' AND value = '*'),
-        |rules AS (
-        |  SELECT g.host, g.key AS rule, g.value AS prefix
-        |  FROM grp g JOIN star USING (host, group_id)
-        |  WHERE g.key <> 'user-agent' AND g.value <> ''
-        |    AND g.value NOT LIKE '%*%' AND g.value NOT LIKE '%$%'),
-        |urls AS (
+      """urls AS (
         |  SELECT doc_id,
         |    'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.com' ||
         |    CASE CAST((doc_id // 4) % 4 AS INTEGER)
@@ -727,6 +785,40 @@ object ParsingPack extends QueryPack {
         |  coalesce(b.is_allow, true) AS allowed,
         |  coalesce(b.prefix, '') AS matched_prefix
         |FROM best ORDER BY doc_id""".stripMargin),
+
+    // The frontier re-derived from documents directly (never sees the
+    // XML): canonical URL + path by construction, the shared robots
+    // rule CTEs, longest-prefix-then-allow, allowed-only keep-first.
+    "tx_url_frontier" ->
+      (s"""WITH $robotsRulesCtes,
+         |""".stripMargin +
+      """docs AS (
+        |  SELECT doc_id, doc_id % 4 AS h,
+        |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
+        |       THEN '/item/' ELSE '/private/' END)
+        |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq,
+        |    '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
+        |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |    pathq AS path, lastmod
+        |  FROM docs),
+        |m AS (
+        |  SELECT c.doc_id, c.url, c.lastmod, r.prefix, r.rule,
+        |    length(r.prefix) AS plen
+        |  FROM canon c LEFT JOIN rules r
+        |    ON c.host = r.host AND starts_with(c.path, r.prefix)),
+        |best AS (
+        |  SELECT doc_id, url, lastmod,
+        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+        |      END) AS b
+        |  FROM m GROUP BY doc_id, url, lastmod)
+        |SELECT url, count(*) AS n_seen, min(lastmod) AS first_lastmod
+        |FROM best WHERE coalesce(b.is_allow, true)
+        |GROUP BY url ORDER BY url""".stripMargin),
 
     // Both branches re-derived from TEXT only (the mm_png_roundtrip
     // pixel/bit derivation for the image branch, md5/octet_length for

@@ -412,6 +412,55 @@ class WebSpec extends AnyFunSuite {
     assert(urlSideExchanges == 0, s"URL side shuffled:\n$plan")
   }
 
+  test("sitemap parse: <url> entries extract (loc, lastmod) with " +
+      "whitespace trim and XML-unescape; lastmod-less entries read " +
+      "empty; <sitemapindex> payloads yield child locs via the index " +
+      "parser and no <url> entries; &amp;amp; stays literal") {
+    import graft.operators.Web
+    val xml = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>\n https://a.com/x?p=1&amp;q=2 \n</loc>" +
+      "<lastmod>2026-01-02</lastmod></url>" +
+      "<url><loc>https://a.com/y</loc></url></urlset>"
+    val df = spark.createDataFrame(Seq(Tuple1(xml))).toDF("x")
+    val got = df.select(explode(Web.sitemapUrls(col("x"))).as("u"))
+      .select(Web.xmlUnescape(col("u.loc")).as("loc"), col("u.lastmod"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("https://a.com/x?p=1&q=2", "2026-01-02"),
+      ("https://a.com/y", "")), s"got $got")
+    val index = "<sitemapindex><sitemap><loc> https://a.com/s1.xml " +
+      "</loc></sitemap><sitemap><loc>https://a.com/s2.xml</loc>" +
+      "</sitemap></sitemapindex>"
+    val idf = spark.createDataFrame(Seq(Tuple1(index))).toDF("x")
+    assert(idf.select(size(Web.sitemapUrls(col("x")))).collect()(0)
+      .getInt(0) == 0)
+    val locs = idf.select(Web.sitemapIndexLocs(col("x")).as("l"))
+      .collect()(0).getSeq[String](0)
+    assert(locs == Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))
+    // double-escape discipline matches htmlText's: one pass, no rescan
+    assert(one("&amp;amp; and &amp;lt;", Web.xmlUnescape) ==
+      "&amp; and &lt;")
+  }
+
+  test("tx_url_frontier funnel: robots rules really block (no /private/ " +
+      "site0 URLs survive), re-discoveries really collapse (n_seen > 1), " +
+      "first_lastmod is the minimum sighting") {
+    val got = SparkEntry.queries("tx_url_frontier")(spark, TestSpark.sfDir)
+      .collect()
+    assert(got.nonEmpty)
+    val urls = got.map(_.getString(0))
+    assert(urls.forall(_.startsWith("https://site")))
+    // site0's Disallow /private/ and site2's Disallow /p bit
+    assert(!urls.exists(u => u.startsWith("https://site0.com/private/")),
+      "robots-disallowed site0 /private/ URL survived")
+    assert(!urls.exists(u => u.startsWith("https://site2.com/private/")),
+      "robots-disallowed site2 /p URL survived")
+    // allowed families present: site1 private (no rules), site0 item
+    assert(urls.exists(_.startsWith("https://site1.com/private/")))
+    assert(urls.exists(_.startsWith("https://site0.com/item/")))
+    assert(got.exists(_.getLong(1) > 1), "no page collapsed re-discoveries")
+    assert(got.forall(_.getString(2).matches("2026-0[1-9]-01")))
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
