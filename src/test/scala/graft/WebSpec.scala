@@ -393,6 +393,84 @@ class WebSpec extends AnyFunSuite {
       8L -> (true, "")), s"verdicts: $verdicts") // no robots at all
   }
 
+  test("property (seeded): parseRobots + robotsFilter match a direct " +
+      "per-host reference evaluation over 40 random robots bodies × " +
+      "200 random URLs — group parsing, *-selection, wildcard drop, " +
+      "longest-prefix/allow-ties all pinned") {
+    import graft.operators.Web
+    val rnd = new scala.util.Random(8161700L)
+    val prefixes = Seq("/", "/a", "/a/", "/a/b", "/ab", "/b/", "/priv",
+      "/priv/x", "/*.gif", "/c$")
+    def body(): String = {
+      val groups = 1 + rnd.nextInt(3)
+      (0 until groups).flatMap { _ =>
+        val agents = (0 to rnd.nextInt(2)).map(_ =>
+          "User-agent: " + (if (rnd.nextBoolean()) "*" else "otherbot"))
+        val rules = (0 to rnd.nextInt(4)).map { _ =>
+          val kind = if (rnd.nextBoolean()) "Allow" else "Disallow"
+          val p = if (rnd.nextInt(5) == 0) ""
+            else prefixes(rnd.nextInt(prefixes.length))
+          s"$kind: $p" + (if (rnd.nextInt(4) == 0) " # c" else "")
+        }
+        agents ++ rules
+      }.mkString("\n")
+    }
+    val robots = (0 until 40).map(i => (s"h$i.com", body()))
+    // reference: sequential group parse, *-groups' non-empty
+    // non-wildcard rules, longest prefix wins, allow wins ties
+    def refRules(b: String): Seq[(String, String)] = {
+      var out = List.empty[(String, String)]
+      var agents = List.empty[String]
+      var inUa = false
+      b.split("\n").map(_.replaceAll("#.*", "").trim).filter(_.nonEmpty)
+        .foreach { line =>
+          val i = line.indexOf(':')
+          val key = line.substring(0, i).trim.toLowerCase
+          val v = line.substring(i + 1).trim
+          if (key == "user-agent") {
+            if (!inUa) agents = Nil
+            inUa = true; agents ::= v
+          } else if (key == "allow" || key == "disallow") {
+            inUa = false
+            if (agents.contains("*") && v.nonEmpty &&
+              !v.contains("*") && !v.contains("$")) out ::= (key, v)
+          }
+        }
+      out.reverse
+    }
+    def refVerdict(rules: Seq[(String, String)],
+        path: String): (Boolean, String) = {
+      val hits = rules.filter { case (_, p) => path.startsWith(p) }
+      if (hits.isEmpty) (true, "")
+      else {
+        val best = hits.maxBy { case (k, p) => (p.length, k == "allow", p) }
+        (best._1 == "allow", best._2)
+      }
+    }
+    val urls = (0 until 200).map { i =>
+      val h = s"h${rnd.nextInt(40)}.com"
+      val p = prefixes(rnd.nextInt(prefixes.length - 2)) +
+        (if (rnd.nextBoolean()) s"x$i" else "")
+      (i.toLong, s"https://$h$p")
+    }
+    val robotsDf = spark.createDataFrame(robots).toDF("host", "body")
+    val urlsDf = spark.createDataFrame(urls).toDF("id", "url")
+    val got = Web.robotsFilter(urlsDf, "url", Web.parseRobots(robotsDf))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"), r.getAs[String]("matched_prefix")))
+      .toMap
+    val byHost = robots.toMap
+    urls.foreach { case (id, u) =>
+      val host = u.stripPrefix("https://").takeWhile(_ != '/')
+      val path = u.stripPrefix("https://" + host) match {
+        case "" => "/"; case p => p
+      }
+      val want = refVerdict(refRules(byHost(host)), path)
+      assert(got(id) == want,
+        s"url $u (robots:\n${byHost(host)}\n): got ${got(id)}, want $want")
+    }
+  }
+
   test("plan: robotsFilter is MAP-ONLY over the URL table — the rule " +
       "join is broadcast and no exchange partitions the crawl side") {
     import graft.operators.Web
