@@ -118,6 +118,7 @@ object Bench {
     "tx_url_domain_psl" -> "fixture: literal-host PSL resolve (broadcast semi-join + tiny longest-match agg)",
     "tx_robots_filter" -> "map-only: broadcast per-host rule arrays + higher-order prefix-match projection over the URL table, no shuffle beyond the final orderBy",
     "tx_url_frontier" -> "composition: sitemap build/parse/unescape/canonicalize projections + the tx_robots_filter broadcast filter + one keep-first group (tx_web_corpus family)",
+    "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_media" -> "map-only: partition-local WARC parse + Content-Type route + PNG decode (codec-bound); payloads never leave the iterator, no shuffle beyond the final orderBy",
     "tx_web_corpus" -> "composition: codegen regex projections + one keep-first group (dd_exact/q1_agg families) over the tx_html_extract/tx_url_canonical fixtures",

@@ -91,6 +91,41 @@ object ParsingPack extends QueryPack {
       |  WHERE g.key <> 'user-agent' AND g.value <> ''
       |    AND g.value NOT LIKE '%*%' AND g.value NOT LIKE '%$%')""".stripMargin
 
+  /** The tx_url_frontier / stream_url_frontier shared oracle: the
+    * frontier re-derived from documents directly (never sees XML or a
+    * stream) — canonical URL + path by construction, the shared robots
+    * rule CTEs, longest-prefix-then-allow, allowed-only keep-first. */
+  private def frontierOracle: String =
+    (s"""WITH $robotsRulesCtes,
+       |""".stripMargin +
+    """docs AS (
+      |  SELECT doc_id, doc_id % 4 AS h,
+      |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
+      |       THEN '/item/' ELSE '/private/' END)
+      |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq,
+      |    '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
+      |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
+      |    pathq AS path, lastmod
+      |  FROM docs),
+      |m AS (
+      |  SELECT c.doc_id, c.url, c.lastmod, r.prefix, r.rule,
+      |    length(r.prefix) AS plen
+      |  FROM canon c LEFT JOIN rules r
+      |    ON c.host = r.host AND starts_with(c.path, r.prefix)),
+      |best AS (
+      |  SELECT doc_id, url, lastmod,
+      |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+      |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+      |      END) AS b
+      |  FROM m GROUP BY doc_id, url, lastmod)
+      |SELECT url, count(*) AS n_seen, min(lastmod) AS first_lastmod
+      |FROM best WHERE coalesce(b.is_allow, true)
+      |GROUP BY url ORDER BY url""".stripMargin)
+
   /** The [[Web.htmlText]] pipeline as a DuckDB scalar expression over
     * `inner` — GENERATED from the same pattern constants and entity
     * table the Spark column folds over, so the two engines cannot
@@ -396,6 +431,42 @@ object ParsingPack extends QueryPack {
         .agg(count(lit(1)).as("n_seen"),
           min(col("lastmod")).as("first_lastmod"))
         .orderBy(col("url"))
+    }),
+
+    // STREAMING URL frontier (15th oracle-gated state kind): the same
+    // discovered-URL relation (already XML-unescaped — the codec is the
+    // batch twin's job) arrives as a 4-micro-batch file stream; each
+    // trigger canonicalizes, robots-filters, and merges a per-URL
+    // (sum, min-lastmod) increment into the frontier state. The fold is
+    // a keyed commutative monoid, so the fixed point equals the batch
+    // funnel exactly and SHARES tx_url_frontier's oracle verbatim —
+    // the continuous-discovery form of the same crawl loop.
+    "stream_url_frontier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(4))
+      val pathDir = element_at(array(lit("/item/"), lit("/private/")),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(2)).cast("int")
+          + 1)
+      val raw = docs.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.Site"), h.cast("string"),
+          lit(".COM:443"), pathDir,
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          lit("?utm_source=map"), col("doc_id").cast("string"),
+          lit("&ref=sm#f")).as("loc"),
+        concat(lit("2026-0"),
+          (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+          lit("-01")).as("lastmod"))
+      val tmp = graft.Graft.scratchDir("graft_stream_frontier")
+      raw.repartitionByRange(4, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      val rules = Web.parseRobots(
+        s.createDataFrame(FixRobots).toDF("host", "body"))
+        .localCheckpoint(true)
+      try graft.streaming.EventStream
+        .ingestUrlFrontier(s, tmp,
+          raw.select(col("loc"), col("lastmod")).schema, rules)
+        .orderBy(col("url"))
+      finally graft.streaming.EventStream.deleteDir(tmp)
     }),
 
     // WARC → MEDIA routing (r15 verdict task #6 — the crawl container
@@ -789,36 +860,12 @@ object ParsingPack extends QueryPack {
     // The frontier re-derived from documents directly (never sees the
     // XML): canonical URL + path by construction, the shared robots
     // rule CTEs, longest-prefix-then-allow, allowed-only keep-first.
-    "tx_url_frontier" ->
-      (s"""WITH $robotsRulesCtes,
-         |""".stripMargin +
-      """docs AS (
-        |  SELECT doc_id, doc_id % 4 AS h,
-        |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
-        |       THEN '/item/' ELSE '/private/' END)
-        |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq,
-        |    '2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod
-        |  FROM documents),
-        |canon AS (
-        |  SELECT doc_id,
-        |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
-        |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
-        |    pathq AS path, lastmod
-        |  FROM docs),
-        |m AS (
-        |  SELECT c.doc_id, c.url, c.lastmod, r.prefix, r.rule,
-        |    length(r.prefix) AS plen
-        |  FROM canon c LEFT JOIN rules r
-        |    ON c.host = r.host AND starts_with(c.path, r.prefix)),
-        |best AS (
-        |  SELECT doc_id, url, lastmod,
-        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
-        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
-        |      END) AS b
-        |  FROM m GROUP BY doc_id, url, lastmod)
-        |SELECT url, count(*) AS n_seen, min(lastmod) AS first_lastmod
-        |FROM best WHERE coalesce(b.is_allow, true)
-        |GROUP BY url ORDER BY url""".stripMargin),
+    "tx_url_frontier" -> frontierOracle,
+
+    // The streamed fold's fixed point IS the batch funnel (keyed
+    // commutative monoid — split-independent), so the oracle is shared
+    // verbatim.
+    "stream_url_frontier" -> frontierOracle,
 
     // Both branches re-derived from TEXT only (the mm_png_roundtrip
     // pixel/bit derivation for the image branch, md5/octet_length for

@@ -311,6 +311,39 @@ object EventStream {
     state
   }
 
+  /** Streaming URL-FRONTIER maintenance (driver query
+    * `stream_url_frontier` — the 15th oracle-gated state kind): a crawl
+    * discovers URLs continuously, so the frontier — canonical URL →
+    * (times seen, earliest sighting) — is a live fold, not a batch job.
+    * Each micro-batch of raw discovered `(loc, lastmod)` entries is
+    * canonicalized, robots-filtered (the broadcast rule relation — a
+    * disallowed URL never even enters state), reduced to a per-URL
+    * increment, and merged into the frontier by a (sum, min) keyed
+    * monoid — associative+commutative, so the fixed point is
+    * micro-batch-split-independent and the BATCH funnel's oracle
+    * (`tx_url_frontier`) gates the streamed path verbatim. State is one
+    * row per live frontier URL; per-trigger work ∝ batch. */
+  def ingestUrlFrontier(spark: org.apache.spark.sql.SparkSession,
+      srcDir: String, schema: org.apache.spark.sql.types.StructType,
+      rules: DataFrame, onBatch: Long => Unit = _ => ()): DataFrame = {
+    import graft.operators.Web
+    def fold(state: Option[DataFrame], batch: DataFrame): DataFrame = {
+      val canon = batch.select(
+        Web.canonicalUrl(col("loc")).as("url"), col("lastmod"))
+      val kept = Web.robotsFilter(canon, "url", rules)
+        .filter(col("allowed"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_seen"),
+          min(col("lastmod")).as("first_lastmod"))
+      state.fold(kept)(st => st.unionByName(kept)
+        .groupBy(col("url"))
+        .agg(sum(col("n_seen")).as("n_seen"),
+          min(col("first_lastmod")).as("first_lastmod")))
+    }
+    streamFoldExact(spark, srcDir, schema, None, fold, onBatch)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Per-query bounded top-k fold state for [[streamTopKExact]]: rows
     * scored so far and the current top-k, ids/sims parallel. */
   case class TopKFold(seen: Long, ids: Seq[Long], sims: Seq[Double])

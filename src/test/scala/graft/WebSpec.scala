@@ -539,6 +539,48 @@ class WebSpec extends AnyFunSuite {
     assert(got.forall(_.getString(2).matches("2026-0[1-9]-01")))
   }
 
+  test("stream_url_frontier: the fold really runs across >= 4 " +
+      "micro-batches, robots-disallowed URLs never enter state, and the " +
+      "streamed fixed point equals the one-shot batch fold row-for-row") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/"))).toDF("host", "body")
+    val rules = Web.parseRobots(robots).localCheckpoint(true)
+    val raw = spark.createDataFrame((0 until 80).map { i =>
+      (i.toLong,
+        s"HTTPS://a.com${if (i % 3 == 0) "/private/" else "/p/"}${i % 10}" +
+          s"?utm_source=s$i",
+        f"2026-01-${i % 9 + 1}%02d")
+    }).toDF("doc_id", "loc", "lastmod")
+    val tmp = java.nio.file.Files.createTempDirectory("stream_frontier")
+      .toString
+    raw.repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    var batches = 0L
+    val got = try graft.streaming.EventStream
+      .ingestUrlFrontier(spark, tmp,
+        raw.select(col("loc"), col("lastmod")).schema, rules,
+        onBatch = _ => batches += 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    finally graft.streaming.EventStream.deleteDir(tmp)
+    assert(batches >= 4, s"only $batches micro-batches")
+    assert(got.nonEmpty && !got.exists(_._1.contains("/private/")),
+      s"disallowed URL in frontier state: $got")
+    // one-shot fold over the whole relation = the same fixed point
+    val oneShot = Web.robotsFilter(
+        raw.select(Web.canonicalUrl(col("loc")).as("url"), col("lastmod")),
+        "url", rules)
+      .filter(col("allowed"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_seen"), min(col("lastmod")).as("first"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(got == oneShot)
+    // the collapse really happened: 80 discoveries, few canonical pages
+    assert(got.size < 20 && got.exists(_._2 > 1))
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
