@@ -161,10 +161,14 @@ object Web {
     regexp_extract(url, "^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
 
   /** Path+query of an (already canonical) URL — the string robots.txt
-    * rules match against ("/" when the URL has no path). */
+    * rules match against ("/" when the URL has no path; a query-only
+    * URL like `https://a.com?q=1` reads `/?q=1`, so a `Disallow: /`
+    * rule matches it the way every robots evaluator expects). */
   def urlPath(url: Column): Column = {
     val tail = regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/?#]*", "")
-    when(tail === "", lit("/")).otherwise(tail)
+    when(tail === "", lit("/"))
+      .when(tail.startsWith("?"), concat(lit("/"), tail))
+      .otherwise(tail)
   }
 
   /** The five XML predefined entities, decoded with the same

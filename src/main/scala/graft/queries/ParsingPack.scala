@@ -837,11 +837,12 @@ object ParsingPack extends QueryPack {
         |  SELECT doc_id, url,
         |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
         |      AS host,
-        |    CASE WHEN regexp_replace(url,
-        |        '^[a-z][a-z0-9+.-]*://[^/?#]*', '') = '' THEN '/'
-        |      ELSE regexp_replace(url,
-        |        '^[a-z][a-z0-9+.-]*://[^/?#]*', '') END AS path
-        |  FROM urls),
+        |    CASE WHEN tail = '' THEN '/'
+        |      WHEN starts_with(tail, '?') THEN '/' || tail
+        |      ELSE tail END AS path
+        |  FROM (SELECT doc_id, url, regexp_replace(url,
+        |          '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS tail
+        |        FROM urls)),
         |m AS (
         |  SELECT u.doc_id, u.url, r.prefix, r.rule, length(r.prefix) AS plen
         |  FROM up u LEFT JOIN rules r

@@ -377,7 +377,8 @@ class WebSpec extends AnyFunSuite {
       (1L, "https://a.com/private/x"), (2L, "https://a.com/private/okay"),
       (3L, "https://a.com/public"), (4L, "https://a.com"),
       (5L, "https://b.com/anything.gif"), (6L, "https://c.com/page"),
-      (7L, "https://d.com/secret"), (8L, "https://nobots.com/x")))
+      (7L, "https://d.com/secret"), (8L, "https://nobots.com/x"),
+      (9L, "https://a.com?page=private"))) // query-only: path reads /?…
       .toDF("id", "url")
     val verdicts = Web.robotsFilter(urls, "url", rules)
       .collect().map(r => r.getAs[Long]("id") ->
@@ -390,7 +391,10 @@ class WebSpec extends AnyFunSuite {
       5L -> (true, ""), // wildcard rule dropped, empty Disallow dropped
       6L -> (true, "/p"), // tie on /p → allow wins
       7L -> (true, ""), // no *-group → generic crawler unrestricted
-      8L -> (true, "")), s"verdicts: $verdicts") // no robots at all
+      8L -> (true, ""), // no robots at all
+      // query-only URL evaluates as /?page=… — NOT as the bare query
+      // string, which no /-anchored rule could ever match
+      9L -> (true, "")), s"verdicts: $verdicts")
   }
 
   test("property (seeded): parseRobots + robotsFilter match a direct " +
