@@ -250,6 +250,22 @@ object MediaCodecs {
       reader.setInput(iis)
       val n = reader.getNumImages(true)
       require(n > 0, "no frames in GIF payload")
+      // the reference rectangle is the LOGICAL SCREEN from the stream
+      // metadata — comparing frames against frame 0 would wave through
+      // a GIF whose every frame is the same sub-rectangle crop of a
+      // larger screen (all at offset 0,0); fall back to frame 0's size
+      // only when the descriptor is absent
+      val screen = Option(reader.getStreamMetadata).flatMap { md =>
+        val tree = md.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val ls = tree.getElementsByTagName("LogicalScreenDescriptor")
+        if (ls.getLength == 0) None
+        else {
+          val e = ls.item(0).asInstanceOf[org.w3c.dom.Element]
+          Some((e.getAttribute("logicalScreenWidth").toInt,
+            e.getAttribute("logicalScreenHeight").toInt))
+        }
+      }.getOrElse((reader.getWidth(0), reader.getHeight(0)))
       (0 until n).map { i =>
         val desc = reader.getImageMetadata(i)
           .getAsTree("javax_imageio_gif_image_1.0")
@@ -262,11 +278,10 @@ object MediaCodecs {
           s"partial-update GIF frame $i at ($left,$top) — only " +
             "full-frame GIFs are supported (no compositing)")
         val img = reader.read(i)
-        require(img.getWidth == reader.getWidth(0) &&
-            img.getHeight == reader.getHeight(0),
-          s"GIF frame $i is ${img.getWidth}x${img.getHeight}, screen is " +
-            s"${reader.getWidth(0)}x${reader.getHeight(0)} — only " +
-            "full-frame GIFs are supported (no compositing)")
+        require(img.getWidth == screen._1 && img.getHeight == screen._2,
+          s"GIF frame $i is ${img.getWidth}x${img.getHeight}, logical " +
+            s"screen is ${screen._1}x${screen._2} — only full-frame " +
+            "GIFs are supported (no compositing)")
         img
       }
     } finally { reader.dispose(); iis.close() }

@@ -94,7 +94,12 @@ object Multimodal {
       .option("pathGlobFilter", glob).load(dir)
       .select(
         xxhash64(col("path")).as("media_id"),
+        // NUL separator between the hashed fields: without one,
+        // ("img1", 23) and ("img", 123) both hash "img123" — a
+        // concatenation-ambiguity collision in the very column meant
+        // to be collision-resistant (paths cannot contain NUL)
         md5(concat(encode(col("path"), "UTF-8"),
+          lit(Array[Byte](0)),
           encode(col("length").cast("string"), "UTF-8"))).as("media_uid"),
         when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), lit("image"))
           .when(ext.isin("wav"), lit("audio"))

@@ -375,15 +375,19 @@ object ScaleProbe {
       s"probe list drifted from probeNames: ${probes.map(_._1)}")
     // OFF-GATE spot runs (r15 verdict task #7): SPARK_GRAFT_SCALE_ONLY
     // limits the probe set and SPARK_GRAFT_SCALE_OUT redirects the
-    // artifact, so a 100x curvature check on the highest-10x-ratio
-    // probes doesn't overwrite the 18-probe gate artifact the
-    // ReportedCountsSpec pins. Asserted bounds scale with factor/10
-    // (they are calibrated at the gate's factor 10); the gate run
-    // itself — no ONLY filter, factor 10, default out — is unchanged.
+    // artifact. GROWTH bounds scale with factor/10 (they are
+    // calibrated at the gate's factor 10; never scaled DOWN — a
+    // factor-1 debug run must not false-fail a linear probe), while
+    // CONSTANT-HEADROOM bounds (work independent of corpus size:
+    // index_delete_tomb) never scale — scaling them would loosen
+    // exactly the assertion a superlinear regression in the delete
+    // path would need to hide behind. The gate run itself — no ONLY
+    // filter, factor 10, default out — is unchanged.
     val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").toSet)
     val probesRun = onlyProbes.fold(probes)(f => probes.filter(p => f(p._1)))
-    val boundScale = factor / 10.0
+    val constantBound = Set("index_delete_tomb")
+    val boundScale = math.max(1.0, factor / 10.0)
 
     // min-of-N per point: this box shows intermittent multi-second
     // scheduler stalls (the bench adjudicates them away with bracketing
@@ -400,7 +404,7 @@ object ScaleProbe {
       best(docs1.groupBy(col("lang")).count().count(): Unit)
     val canaryPre = canary()
     val results = probesRun.map { case (name, fixture, f, bound0) =>
-      val bound = bound0 * boundScale
+      val bound = if (constantBound(name)) bound0 else bound0 * boundScale
       val (base, scaled) = fixture match {
         case "emb" => (emb1, embX)
         case "docsw" => (docsW1, docsWX)
@@ -426,9 +430,15 @@ object ScaleProbe {
       if (p == null) java.nio.file.Paths.get(sys.props("user.dir"))
       else if (java.nio.file.Files.exists(p.resolve("build.sbt"))) p
       else repoRoot(p.getParent)
+    // a SUBSET run must never clobber the 18-probe gate artifact the
+    // ReportedCountsSpec pins — with ONLY set and no explicit OUT, the
+    // default output diverts to a scratch-named file
+    val defaultOut =
+      if (onlyProbes.isDefined) "scale_probe_subset.json"
+      else "scale_probe.json"
     val path = repoRoot(java.nio.file.Paths.get(sys.props("user.dir"))
       .toAbsolutePath).resolve(
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_probe.json"))
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", defaultOut))
     java.nio.file.Files.write(path, (out + "\n").getBytes("UTF-8"))
     System.err.println(s"[scale-probe] wrote $path")
     val breaches = results.filterNot(_._2)

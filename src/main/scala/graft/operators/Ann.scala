@@ -49,7 +49,10 @@ object Ann {
   def deleteFromIvf(ivf: Ivf, ids: DataFrame,
       idCol: String = "vec_id"): Ivf = {
     val t = ids.select(col(idCol)).distinct()
-    ivf.copy(tombs = Some(ivf.tombs.fold(t)(_.unionByName(t))))
+    // distinct across CALLS too: re-deleting the same ids must not
+    // inflate ivfTombstoneFraction and fire spurious compactions
+    ivf.copy(tombs =
+      Some(ivf.tombs.fold(t)(_.unionByName(t).distinct())))
   }
 
   /** The live (tombstones-applied) assignments view every search reads. */

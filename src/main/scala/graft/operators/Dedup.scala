@@ -1080,7 +1080,13 @@ object Dedup {
     val t = deleted
       .select(col(idCol).as("id_d"), col(textCol).as("text_d"))
       .distinct()
-    index.copy(tombs = Some(index.tombs.fold(t)(_.unionByName(t))))
+    // distinct across CALLS too — this one is correctness, not just
+    // bookkeeping: the live view nets text multiplicities by COUNTING
+    // tombstone rows, so a re-issued delete of the same (id, text)
+    // would subtract a shared text twice and kill it while a surviving
+    // owner still holds it
+    index.copy(tombs =
+      Some(index.tombs.fold(t)(_.unionByName(t).distinct())))
   }
 
   /** The live (tombstones-applied) view of an index — what every probe

@@ -106,7 +106,12 @@ object Retrieval {
   def deleteFromBm25Index(index: Bm25Index, ids: DataFrame,
       idCol: String = "doc_id"): Bm25Index = {
     val t = ids.select(col(idCol)).distinct()
-    index.copy(tombs = Some(index.tombs.fold(t)(_.unionByName(t))))
+    // distinct across CALLS too: an idempotent re-crawl pipeline may
+    // delete the same ids twice, and duplicated tombstones would
+    // inflate bm25TombstoneFraction (even past 1.0) and fire spurious
+    // compactions
+    index.copy(tombs =
+      Some(index.tombs.fold(t)(_.unionByName(t).distinct())))
   }
 
   /** The live (tombstones-applied) views every query reads. The

@@ -171,17 +171,22 @@ object Web {
       .otherwise(tail)
   }
 
-  /** The five XML predefined entities, decoded with the same
-    * non-rescanning discipline as [[htmlText]] (`&amp;` last, one
-    * left-to-right pass — `&amp;amp;` yields the literal `&amp;`).
-    * Sitemap `<loc>` URLs arrive XML-escaped; feeding the raw text to
-    * [[canonicalUrl]] would leave `&amp;` debris between query params. */
+  /** The five XML predefined entities plus their numeric/hex character
+    * references (generated sitemaps commonly numeric-escape), decoded
+    * with the same non-rescanning discipline as [[htmlText]]:
+    * ampersand forms LAST in one left-to-right regex pass, so
+    * `&amp;amp;` / `&#38;amp;` yield the literal `&amp;`. Sitemap
+    * `<loc>` URLs arrive XML-escaped; feeding the raw text to
+    * [[canonicalUrl]] would leave entity debris between query params. */
   def xmlUnescape(s: Column): Column = {
-    val base = Seq("&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&apos;" -> "'")
-    replace(base.foldLeft(s) { case (c, (e, v)) =>
+    val base = Seq(
+      "&lt;" -> "<", "&#60;" -> "<", "&#x3c;" -> "<", "&#x3C;" -> "<",
+      "&gt;" -> ">", "&#62;" -> ">", "&#x3e;" -> ">", "&#x3E;" -> ">",
+      "&quot;" -> "\"", "&#34;" -> "\"", "&#x22;" -> "\"",
+      "&apos;" -> "'", "&#39;" -> "'", "&#x27;" -> "'")
+    regexp_replace(base.foldLeft(s) { case (c, (e, v)) =>
       replace(c, lit(e), lit(v))
-    }, lit("&amp;"), lit("&"))
+    }, AmpEntityPattern, "&")
   }
 
   /** The crawl-DISCOVERY front door: extract a sitemap XML payload's
@@ -228,9 +233,12 @@ object Web {
       hostCol: String = "host",
       bodyCol: String = "body"): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // split on \r?\n: real robots.txt is overwhelmingly CRLF, and a
+    // trailing \r would make "*" never match and corrupt every prefix —
+    // silently turning the compliance filter into allow-all
     val lines = robots
       .select(col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\n")).as(Seq("pos", "raw")))
+        posexplode(split(col(bodyCol), "\r?\n")).as(Seq("pos", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
       .filter(col("line") =!= "")
       .withColumn("key",
@@ -269,16 +277,26 @@ object Web {
   def robotsFilter(urls: org.apache.spark.sql.DataFrame, urlCol: String,
       rules: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // the URL relation is a crawl table with its own columns — a bare
+    // `host` there is NORMAL, so the rules side joins under reserved
+    // names and the added outputs are collision-checked loudly rather
+    // than silently overwritten
+    val reserved = Seq("_rb_host", "_rb_rules", "allowed", "matched_prefix")
+    val clash = urls.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"robotsFilter reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
     val byHost = rules.groupBy(col("host"))
       .agg(collect_list(struct(
         length(col("prefix")).as("plen"),
         (col("rule") === "allow").as("is_allow"),
-        col("prefix").as("prefix"))).as("_rules"))
+        col("prefix").as("prefix"))).as("_rb_rules"))
+      .select(col("host").as("_rb_host"), col("_rb_rules"))
     val joined = urls
-      .withColumn("_host", urlHost(col(urlCol)))
-      .join(broadcast(byHost), col("_host") === col("host"), "left")
+      .join(broadcast(byHost), urlHost(col(urlCol)) === col("_rb_host"),
+        "left")
     val path = urlPath(col(urlCol))
-    val matched = filter(col("_rules"),
+    val matched = filter(col("_rb_rules"),
       r => startswith(path, r.getField("prefix")))
     val best = array_max(transform(matched,
       r => struct(r.getField("plen").as("plen"),
@@ -289,7 +307,7 @@ object Web {
         coalesce(best.getField("is_allow"), lit(true)))
       .withColumn("matched_prefix",
         coalesce(best.getField("prefix"), lit("")))
-      .drop("_host", "host", "_rules")
+      .drop("_rb_host", "_rb_rules")
   }
 
   /** Registrable-domain approximation: the last two dot-labels of the

@@ -41,13 +41,15 @@ object ParsingPack extends QueryPack {
     * a host whose only group names another product — the generic
     * crawler must treat it as allow-all (site3). site2 also carries a
     * wildcard rule that must be DROPPED (documented prefix-only
-    * boundary). */
+    * boundary) and uses CRLF line endings — the overwhelmingly common
+    * real-world robots.txt shape, which a \n-only split would corrupt
+    * into allow-all (r16 review finding). */
   private val FixRobots: Seq[(String, String)] = Seq(
     ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
       "\nUser-agent: evilbot\nDisallow: /"),
     ("site1.com", "# all welcome\nUser-agent: *\nDisallow:"),
-    ("site2.com", "User-agent: googlebot\nUser-agent: *\n" +
-      "Disallow: /tmp/\nDisallow: /p\nAllow: /page/\nDisallow: /*.gif"),
+    ("site2.com", "User-agent: googlebot\r\nUser-agent: *\r\n" +
+      "Disallow: /tmp/\r\nDisallow: /p\r\nAllow: /page/\r\nDisallow: /*.gif"),
     ("site3.com", "User-agent: otherbot\nDisallow: /"))
 
   /** The [[FixRobots]] → `rules(host, rule, prefix)` CTE chain
@@ -63,7 +65,7 @@ object ParsingPack extends QueryPack {
       |  SELECT host, u.i AS pos,
       |    trim(regexp_replace(parts[CAST(u.i + 1 AS INTEGER)], '#.*', ''))
       |      AS line
-      |  FROM (SELECT host, string_split(body, chr(10)) AS parts
+      |  FROM (SELECT host, string_split_regex(body, '\r?\n') AS parts
       |        FROM robots),
       |    LATERAL unnest(range(0, len(parts))) u(i)),
       |kept AS (

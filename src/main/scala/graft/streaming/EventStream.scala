@@ -341,7 +341,18 @@ object EventStream {
           min(col("first_lastmod")).as("first_lastmod")))
     }
     streamFoldExact(spark, srcDir, schema, None, fold, onBatch)
-      .getOrElse(spark.emptyDataFrame)
+      .getOrElse {
+        // zero-batch source (a crawl that discovered nothing yet): an
+        // EMPTY frontier, not a schemaless one — callers reference the
+        // (url, n_seen, first_lastmod) columns
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("url", StringType, nullable = true),
+            StructField("n_seen", LongType, nullable = true),
+            StructField("first_lastmod", StringType, nullable = true))))
+      }
   }
 
   /** Per-query bounded top-k fold state for [[streamTopKExact]]: rows

@@ -154,6 +154,27 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(hs(0) != hs(5) || hs(5) != hs(10)) // content really varies
   }
 
+  test("optimized-GIF guard (r16 review): frames smaller than the " +
+      "LOGICAL SCREEN fail loudly even at offset (0,0) — they are crops, " +
+      "not the screen, and comparing against frame 0 would wave them " +
+      "through") {
+    val rows = Multimodal.PhashGridRows
+    val cols = Multimodal.PhashGridCols
+    val grid = Array.tabulate(rows * cols)(i => (i * 7) % 256)
+    val gif = MediaCodecs.encodeGifFrames(cols, rows, Seq(grid, grid))
+    // GIF89a header: logical screen width/height are little-endian
+    // uint16 at offsets 6..9 — patch the screen LARGER than the frames
+    val patched = gif.clone()
+    patched(6) = (cols * 2 & 0xff).toByte; patched(7) = 0
+    patched(8) = (rows * 2 & 0xff).toByte; patched(9) = 0
+    val e = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeGifFrames(patched)
+    }
+    assert(e.getMessage.contains("full-frame"), e.getMessage)
+    // the unpatched GIF still round-trips
+    assert(MediaCodecs.decodeGifFrames(gif).length == 2)
+  }
+
   test("mm_gif_keyframes on the fixture dir: frame counts match metadata " +
       "and every intra-scene row is hamming-0 non-key") {
     val got = SparkEntry.queries("mm_gif_keyframes")(spark, TestSpark.sfDir)

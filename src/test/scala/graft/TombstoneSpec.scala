@@ -62,6 +62,13 @@ class TombstoneSpec extends AnyFunSuite {
     val rebuilt = Dedup.buildCorpusIndex(
       corpus.filter(col("doc_id") === 3), "doc_id", "text")
     assert(got == run(rebuilt, batch))
+    // IDEMPOTENT re-delete (r16 review — correctness here, not just
+    // bookkeeping): re-deleting doc 2 must not net the shared 1/2 text
+    // twice and kill it while doc 1 still owns it
+    val del2Again = Dedup.deleteFromCorpusIndex(del2,
+      corpus.filter(col("doc_id") === 2), "doc_id", "text")
+    assert(del2Again.tombs.get.count() == 1)
+    assert(run(del2Again, batch) == Set(12L)) // 10 still an exact dup
   }
 
   test("corpus index: delete cost is tombstone-recording only (base " +
@@ -204,6 +211,12 @@ class TombstoneSpec extends AnyFunSuite {
     assert(deleted.docLens eq full.docLens)
     assert(Retrieval.bm25TombstoneFraction(full) == 0.0 &&
       Retrieval.bm25TombstoneFraction(deleted) > 0.15)
+    // IDEMPOTENT re-delete (r16 review): issuing the same delete twice
+    // must not inflate the tombstone relation or the fraction
+    val twice = Retrieval.deleteFromBm25Index(deleted, delIds)
+    assert(twice.tombs.get.count() == deleted.tombs.get.count())
+    assert(Retrieval.bm25TombstoneFraction(twice) ==
+      Retrieval.bm25TombstoneFraction(deleted))
     // compaction folds the debt, same scores
     val compacted = Retrieval.compactBm25Index(deleted)
     assert(compacted.tombs.isEmpty && got(compacted) == want)

@@ -475,6 +475,48 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("robots.txt hardening (r16 review): CRLF bodies parse clean (a " +
+      "\\n-only split leaves \\r on every value and silently turns the " +
+      "filter allow-all); a URL relation carrying its own host column " +
+      "works; reserved output names clash loudly; empty dirs of " +
+      "discovered URLs yield a TYPED empty frontier") {
+    import graft.operators.Web
+    val crlf = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\r\nDisallow: /private/\r\nAllow: /ok\r\n")))
+      .toDF("host", "body")
+    val rules = Web.parseRobots(crlf)
+    val got = rules.collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("disallow", "/private/"), ("allow", "/ok")),
+      s"CRLF body parsed as: $got")
+    // URL table with its own host column (the normal crawl shape)
+    val urls = spark.createDataFrame(Seq(
+      (1L, "https://a.com/private/x", "a.com"),
+      (2L, "https://a.com/ok", "a.com"))).toDF("id", "url", "host")
+    val v = Web.robotsFilter(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed"))
+      .toMap
+    assert(v == Map(1L -> false, 2L -> true))
+    // reserved outputs must not be silently overwritten
+    intercept[IllegalArgumentException] {
+      Web.robotsFilter(urls.withColumn("allowed",
+        org.apache.spark.sql.functions.lit(true)), "url", rules)
+    }
+    // zero-batch stream → typed empty frontier (orderBy must resolve)
+    val emptyDir = java.nio.file.Files.createTempDirectory("frontier_empty")
+      .toString
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("loc",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lastmod",
+        org.apache.spark.sql.types.StringType)))
+    try {
+      val f = graft.streaming.EventStream.ingestUrlFrontier(spark,
+        emptyDir, srcSchema, rules)
+      assert(f.orderBy(col("url")).count() == 0)
+    } finally graft.streaming.EventStream.deleteDir(emptyDir)
+  }
+
   test("plan: robotsFilter is MAP-ONLY over the URL table — the rule " +
       "join is broadcast and no exchange partitions the crawl side") {
     import graft.operators.Web
@@ -521,6 +563,12 @@ class WebSpec extends AnyFunSuite {
     // double-escape discipline matches htmlText's: one pass, no rescan
     assert(one("&amp;amp; and &amp;lt;", Web.xmlUnescape) ==
       "&amp; and &lt;")
+    // numeric/hex character references (generated sitemaps commonly
+    // numeric-escape) decode too, with the same one-pass amp rule
+    assert(one("a?p=1&#38;q=2 &#x26;r &#60;x&#x3e; &#39;", Web.xmlUnescape)
+      == "a?p=1&q=2 &r <x> '")
+    assert(one("&#38;amp; stays literal", Web.xmlUnescape) ==
+      "&amp; stays literal")
   }
 
   test("tx_url_frontier funnel: robots rules really block (no /private/ " +
