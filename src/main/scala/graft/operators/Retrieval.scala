@@ -132,12 +132,18 @@ object Retrieval {
     Bm25Index(livePostings(index), liveDocLens(index), None)
 
   /** Pending-tombstone fraction — the compaction trigger (two counts;
-    * compact when it crosses the deployment's threshold, ~0.1). */
+    * compact when it crosses the deployment's threshold, ~0.1). Only
+    * tombstones that actually HIT the index count (semi-join against
+    * docLens — the rows the query-time anti-joins pay for): deletes of
+    * absent ids are free debt and must not fire compaction, and an
+    * empty index reads 0.0, not 1.0 (r16 ADVICE). */
   def bm25TombstoneFraction(index: Bm25Index): Double = index.tombs match {
     case None => 0.0
     case Some(t) =>
       val total = index.docLens.count()
-      if (total == 0) 1.0 else t.count().toDouble / total
+      if (total == 0) 0.0
+      else t.join(index.docLens, t.columns.toSeq, "left_semi")
+        .count().toDouble / total
   }
 
   /** Persist ONLY the tombstones — the delete path's write (load →

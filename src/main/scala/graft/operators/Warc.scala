@@ -32,11 +32,16 @@ object Warc {
     * externally-produced WARCs vary header-name case freely. */
   final case class Record(headers: Map[String, String], body: Array[Byte]) {
     /** Case-insensitive header lookup (exact-case match wins when both
-      * exist). */
+      * exist). The fallback is DETERMINISTIC: among case-variant
+      * spellings it takes the lexicographically smallest key — a forged
+      * record carrying both `Content-Type` and `content-type` resolves
+      * the same way on every run (a collectFirst over the unordered Map
+      * did not). */
     def header(name: String): Option[String] =
-      headers.get(name).orElse(headers.collectFirst {
-        case (k, v) if k.equalsIgnoreCase(name) => v
-      })
+      headers.get(name).orElse {
+        val variants = headers.filter(_._1.equalsIgnoreCase(name))
+        if (variants.isEmpty) None else Some(variants.minBy(_._1)._2)
+      }
   }
 
   private val Crlf = "\r\n"

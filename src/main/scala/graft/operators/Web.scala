@@ -28,8 +28,15 @@ object Web {
     * legal HTML and common in prettified markup — a literal-space
     * pattern missed `<a\nhref=…>` anchors, r15 verdict #1), and a bare
     * `>` otherwise — so `<scriptfoo>`/`<a-widget>` custom tags never
-    * match as script/anchor starts. */
-  private val TagAttrs = "(?:[ \t\r\n][^>]*)?>"
+    * match as script/anchor starts. QUOTE-AWARE like [[TagPattern]]
+    * (r16 ADVICE): the attribute walk alternates plain chars with
+    * complete quoted strings, so a literal `>` inside a quoted value
+    * (`<a href="x>y">`) does not end the open tag early and leak
+    * attribute debris into anchor text; an unterminated quote fails
+    * the match (the malformed tag stays visible, never swallowing the
+    * document). */
+  private val TagAttrs =
+    "(?:[ \t\r\n][^>\"']*(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*)?>"
 
   /** The bounded entity-decode table (order matters; applied first to
     * last): the common NAMED set plus the numeric/hex references for the

@@ -217,6 +217,17 @@ class TombstoneSpec extends AnyFunSuite {
     assert(twice.tombs.get.count() == deleted.tombs.get.count())
     assert(Retrieval.bm25TombstoneFraction(twice) ==
       Retrieval.bm25TombstoneFraction(deleted))
+    // PHANTOM deletes (r16 ADVICE): tombstoning ids absent from the
+    // index is free debt — the compaction trigger counts only
+    // tombstones the query-time anti-joins actually pay for
+    val phantom = Retrieval.deleteFromBm25Index(deleted,
+      spark.range(9000000L, 9000500L).select(col("id").as("doc_id")))
+    assert(Retrieval.bm25TombstoneFraction(phantom) ==
+      Retrieval.bm25TombstoneFraction(deleted))
+    // and an EMPTY index with tombstones reads 0.0, never 1.0
+    val empty = Retrieval.buildBm25Index(d.filter(lit(false)))
+    assert(Retrieval.bm25TombstoneFraction(
+      Retrieval.deleteFromBm25Index(empty, delIds)) == 0.0)
     // compaction folds the debt, same scores
     val compacted = Retrieval.compactBm25Index(deleted)
     assert(compacted.tombs.isEmpty && got(compacted) == want)

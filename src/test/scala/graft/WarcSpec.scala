@@ -164,6 +164,21 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("header() fallback is DETERMINISTIC on forged case-variant " +
+      "duplicates: two spellings of one header that survive the " +
+      "exact-name collapse resolve to the lexicographically smallest " +
+      "key, same answer every run (r16 ADVICE)") {
+    val rec = Warc.Record(Map(
+      "Content-Type" -> "a", "content-type" -> "b", "CONTENT-TYPE" -> "c",
+      "WARC-Target-URI" -> "u"), Array[Byte]())
+    // exact-case wins outright when present
+    assert(rec.header("Content-Type") == Some("a"))
+    // no exact match: minimum key among the case variants —
+    // "CONTENT-TYPE" < "Content-Type" < "content-type"
+    assert(rec.header("CoNtEnT-tYpE") == Some("c"))
+    assert((1 to 20).map(_ => rec.header("CoNtEnT-tYpE")).distinct.size == 1)
+  }
+
   test("tx_warc_media routes on the Content-Type header and never " +
       "shuffles payload bytes: every 5th doc decodes as a real PNG " +
       "(dims from the decoded image), the rest hash as text; the only " +

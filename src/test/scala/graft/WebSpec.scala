@@ -304,6 +304,29 @@ class WebSpec extends AnyFunSuite {
     assert(got.contains("rest of doc"), s"text swallowed: '$got'")
   }
 
+  test("anchor/script OPEN tags are quote-aware too (r16 ADVICE): a '>' " +
+      "inside a quoted attribute value neither truncates the anchor " +
+      "text capture nor leaks script content") {
+    // the naive open-tag walk captured 'y\">text' here
+    val anchors = spark.createDataFrame(Seq(Tuple1(
+        "<a href=\"x>y\">text</a><a title='5 > 3'\nhref=\"/z\">two</a>")))
+      .toDF("u")
+      .select(Web.anchorTexts(col("u")).as("a")).collect()(0)
+      .getSeq[String](0)
+    assert(anchors == Seq("text", "two"), s"anchors: $anchors")
+    // script subtree with a quoted '>' in its attributes still strips
+    val got = one("<script data-x=\"a>b\">var secret = 1;</script>" +
+      "<p>keep</p>", Web.htmlText)
+    assert(got == "keep", s"script leaked: '$got'")
+    // bare and whitespace-attribute forms unchanged
+    assert(one("<a>plain</a>", Web.htmlText) == "plain")
+    val ld = spark.createDataFrame(Seq(Tuple1(
+        "<a href=\"x>y\">text</a><p>prose prose prose</p>"))).toDF("u")
+      .select(Web.linkDensityBp(col("u")).as("b")).collect()(0).getInt(0)
+    // numerator is 'text' (4 chars), not attribute debris
+    assert(ld > 0 && ld < 3000, s"link density $ld")
+  }
+
   test("htmlText entity decode: numeric (&#39;) and hex (&#x27;) " +
       "references and the common named set decode; double-escaped " +
       "forms (&amp;#39;, &#38;amp;) stay literal entity TEXT") {
