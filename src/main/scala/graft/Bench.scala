@@ -116,7 +116,9 @@ object Bench {
     "tx_html_extract" -> "map-only: codegen regex strip/decode projection, no shuffle beyond the final orderBy",
     "tx_url_canonical" -> "map-only: codegen regex normalization projection, no shuffle beyond the final orderBy",
     "tx_url_domain_psl" -> "fixture: literal-host PSL resolve (broadcast semi-join + tiny longest-match agg)",
-    "tx_robots_filter" -> "map-only: broadcast per-host rule arrays + higher-order prefix-match projection over the URL table, no shuffle beyond the final orderBy",
+    "tx_robots_filter" -> "map-only: broadcast per-host rule arrays + higher-order regex-match projection over the URL table, no shuffle beyond the final orderBy",
+    "tx_robots_agent" -> "family: tx_robots_filter's plan under a different user-agent group selection (same broadcast rule-array filter)",
+    "tx_robots_meta" -> "fixture: per-host directive extraction over the 4-host robots VALUES relation, no data-scale surface",
     "tx_url_frontier" -> "composition: sitemap build/parse/unescape/canonicalize projections + the tx_robots_filter broadcast filter + one keep-first group (tx_web_corpus family)",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",

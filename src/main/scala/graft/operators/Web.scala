@@ -196,6 +196,37 @@ object Web {
     }, AmpEntityPattern, "&")
   }
 
+  /** Sitemap `lastmod` (W3C datetime) → epoch SECONDS, as engine-neutral
+    * integer math: `min` over the raw STRINGS is not chronological when
+    * precisions/offsets mix — `2026-03-01` sorts before
+    * `2026-03-01T00:15:00+09:00`, but the latter is 2026-02-28T15:15Z,
+    * almost nine hours EARLIER. Handles the W3C profile shapes a
+    * crawler meets: `YYYY-MM-DD`, `…Thh:mm:ss` (optional fraction,
+    * truncated — sitemap freshness never needs sub-second), and a `Z`
+    * or `±hh:mm` offset. Null for anything without a leading date.
+    * Built from date-days + time-seconds − offset-seconds so the DuckDB
+    * oracle reproduces it bit-for-bit with no session-timezone
+    * dependence. */
+  def w3cEpoch(lastmod: Column): Column = {
+    val datePart = regexp_extract(lastmod, "^(\\d{4}-\\d{2}-\\d{2})", 1)
+    val days = unix_date(to_date(datePart, "yyyy-MM-dd"))
+    val timePat = "^\\d{4}-\\d{2}-\\d{2}[Tt](\\d{2}):(\\d{2}):(\\d{2})"
+    val hh = regexp_extract(lastmod, timePat, 1)
+    val timeSec = when(hh === "", lit(0L)).otherwise(
+      hh.cast("long") * 3600L +
+        regexp_extract(lastmod, timePat, 2).cast("long") * 60L +
+        regexp_extract(lastmod, timePat, 3).cast("long"))
+    // an offset can only follow a time (date-only strings carry no
+    // colons, so the colon-anchored tail never false-matches a date)
+    val offPat = "([+-])(\\d{2}):(\\d{2})$"
+    val offSign = regexp_extract(lastmod, offPat, 1)
+    val offSec = when(offSign === "", lit(0L)).otherwise(
+      (regexp_extract(lastmod, offPat, 2).cast("long") * 3600L +
+        regexp_extract(lastmod, offPat, 3).cast("long") * 60L) *
+        when(offSign === "-", lit(-1L)).otherwise(lit(1L)))
+    when(datePart =!= "", days.cast("long") * 86400L + timeSec - offSec)
+  }
+
   /** The crawl-DISCOVERY front door: extract a sitemap XML payload's
     * `<url>` entries as an array of `(loc, lastmod)` structs — pure
     * regex column math (the sitemap protocol's elements are flat and
@@ -220,30 +251,16 @@ object Web {
       regexp_extract_all(xml, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)),
       s => regexp_extract(s, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
 
-  /** Parse per-host robots.txt bodies into the `(host, rule, prefix)`
-    * relation [[robotsFilter]] consumes — the crawl-compliance front
-    * door (a training-data pipeline that ignores robots.txt ships
-    * content it was asked not to take). Follows RFC 9309 group
-    * semantics: consecutive `User-agent` lines open a group whose
-    * rules run until the next group; only groups naming `*` apply
-    * (a per-product override group is deliberately IGNORED here — this
-    * engine evaluates the generic crawler's view); comments (`#…`)
-    * strip; keys are case-insensitive; empty-prefix rules (the
-    * "Disallow:" allow-all idiom) drop. PREFIX rules only — RFC 9309
-    * `*`/`$` wildcards are out of scope and such rules are dropped
-    * (conservative for `$`, permissive for `*`; documented boundary).
-    *
-    * Scale shape: one `posexplode` over the (tiny — one row per host)
-    * robots relation and one host-keyed window for the running group
-    * id; output is rules-sized, meant to be broadcast. */
-  def parseRobots(robots: org.apache.spark.sql.DataFrame,
-      hostCol: String = "host",
-      bodyCol: String = "body"): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // split on \r?\n: real robots.txt is overwhelmingly CRLF, and a
-    // trailing \r would make "*" never match and corrupt every prefix —
-    // silently turning the compliance filter into allow-all
-    val lines = robots
+  /** All non-empty robots.txt lines of every host, parsed to
+    * `(host, pos, key, value)` — comments stripped, keys lowercased,
+    * EVERY directive kind kept (rules, user-agent, crawl-delay,
+    * sitemap, unknown). Split on `\r?\n`: real robots.txt is
+    * overwhelmingly CRLF, and a trailing `\r` would make `*` never
+    * match and corrupt every prefix — silently turning the compliance
+    * filter into allow-all. */
+  private def robotsLines(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, bodyCol: String): org.apache.spark.sql.DataFrame =
+    robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\r?\n")).as(Seq("pos", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
@@ -252,38 +269,167 @@ object Web {
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
       .withColumn("value",
         trim(regexp_replace(col("line"), "^[^:]+:", "")))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+
+  /** The GROUP directives (`user-agent`, `allow`, `disallow`,
+    * `crawl-delay`) with their running `group_id`: consecutive
+    * `User-agent` lines open a group whose directives run until the
+    * next group (RFC 9309 §2.1). Non-group lines (`sitemap`, unknown
+    * keys) are excluded BEFORE the window, so they neither join a
+    * group nor split a User-agent run. */
+  private def robotsGrouped(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, bodyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robotsLines(robots, hostCol, bodyCol)
+      .filter(col("key").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     val w = Window.partitionBy(col("host")).orderBy(col("pos"))
-    val grouped = lines
+    lines
       .withColumn("is_ua", (col("key") === "user-agent").cast("int"))
       .withColumn("new_group",
         (col("is_ua") === 1 &&
           lag(col("is_ua"), 1, 0).over(w) === 0).cast("int"))
       .withColumn("group_id", sum(col("new_group")).over(w))
-    val starGroups = grouped
-      .filter(col("key") === "user-agent" && col("value") === "*")
-      .select(col("host"), col("group_id")).distinct()
-    grouped
-      .join(starGroups, Seq("host", "group_id"), "left_semi")
-      .filter(col("key") =!= "user-agent" && col("value") =!= "")
-      .filter(!col("value").contains("*") && !col("value").contains("$"))
-      .select(col("host"), col("key").as("rule"), col("value").as("prefix"))
   }
 
-  /** Filter a URL relation by [[parseRobots]] rules — RFC 9309 §2.2
-    * evaluation: among the rules whose prefix matches the URL path, the
-    * LONGEST prefix wins; on a length tie `allow` wins; no matching
-    * rule (or no robots.txt for the host) means allowed.
+  /** The `(host, group_id)` set the crawler `agent` must obey, per RFC
+    * 9309 §2.2.1: groups naming the agent's product token
+    * (case-insensitive) when the host has any, else the host's `*`
+    * groups. `agent = "*"` is the generic crawler's view (exactly the
+    * `*` groups). */
+  private def selectedGroups(grouped: org.apache.spark.sql.DataFrame,
+      agent: String): org.apache.spark.sql.DataFrame = {
+    val ua = grouped.filter(col("key") === "user-agent")
+    val star = ua.filter(col("value") === "*")
+      .select(col("host"), col("group_id")).distinct()
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    if (agentLc == "*") star
+    else {
+      val exact = ua.filter(lower(col("value")) === lit(agentLc))
+        .select(col("host"), col("group_id")).distinct()
+      exact.unionByName(
+        star.join(exact.select(col("host")).distinct(),
+          Seq("host"), "left_anti"))
+    }
+  }
+
+  /** Translate a robots.txt rule value into the anchored Java∩RE2
+    * regex its RFC 9309 §2.2.3 semantics demand: literal segments are
+    * metachar-escaped, `*` matches any char run, and a TRAILING `$`
+    * anchors the end of the path. Pure column math, shared verbatim
+    * (modulo replacement-backreference spelling) by the DuckDB
+    * oracles. */
+  def robotsRuleRegex(value: Column): Column = {
+    val endAnchor = value.endsWith("$")
+    val core = when(endAnchor, value.substr(lit(1), length(value) - 1))
+      .otherwise(value)
+    // escape every regex metachar EXCEPT `*` (robots.txt has no escape
+    // syntax — a `*` is always the wildcard), then widen `*` to `.*`
+    val escaped = regexp_replace(core, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val starred = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), starred, when(endAnchor, lit("$")).otherwise(lit("")))
+  }
+
+  /** Parse per-host robots.txt bodies into the
+    * `(host, rule, prefix, regex)` relation [[robotsFilter]] consumes —
+    * the crawl-compliance front door (a training-data pipeline that
+    * ignores robots.txt ships content it was asked not to take).
+    * RFC 9309 semantics: consecutive `User-agent` lines open a group
+    * whose rules run until the next group; the groups obeyed are the
+    * most specific match for `agent` (§2.2.1 — the agent's own token
+    * groups when the host has any, else the `*` groups; the default
+    * `agent = "*"` evaluates the generic crawler's view); comments
+    * (`#…`) strip; keys are case-insensitive; empty-prefix rules (the
+    * "Disallow:" allow-all idiom) drop. `*`/`$` special characters are
+    * SUPPORTED (§2.2.3): each rule carries its anchored regex
+    * ([[robotsRuleRegex]]) and its raw text rides in `prefix` (the
+    * match-length priority key and [[robotsFilter]]'s
+    * `matched_prefix`).
     *
-    * Scale shape: rules collapse to ONE array row per host (tiny) and
-    * broadcast-join the URL relation; the per-URL evaluation is a
-    * higher-order `filter`/`transform`/`array_max` over that array —
-    * MAP-ONLY over the crawl table, zero shuffle at 100 TB (struct
-    * ordering gives longest-prefix-then-allow priority for free).
+    * Scale shape: one `posexplode` over the (tiny — one row per host)
+    * robots relation and one host-keyed window for the running group
+    * id; output is rules-sized. */
+  def parseRobots(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body",
+      agent: String = "*"): org.apache.spark.sql.DataFrame = {
+    val grouped = robotsGrouped(robots, hostCol, bodyCol)
+    grouped
+      .join(selectedGroups(grouped, agent), Seq("host", "group_id"),
+        "left_semi")
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), col("key").as("rule"), col("value").as("prefix"),
+        robotsRuleRegex(col("value")).as("regex"))
+  }
+
+  /** Per-host robots.txt METADATA beyond the allow/disallow rules —
+    * the directives a crawl scheduler consumes: `Crawl-delay` (non-RFC
+    * but ubiquitous; group-scoped, so it follows the same §2.2.1 agent
+    * selection as [[parseRobots]] — the MINIMUM of the selected
+    * groups' parseable values, null when absent) and `Sitemap:` URLs
+    * (RFC 9309 §2.3-adjacent; host-global per the sitemaps protocol,
+    * independent of any group — collected, deduplicated, sorted). One
+    * row per input host: `(host, crawl_delay, sitemaps)`. This is the
+    * discovery seed that lets a frontier find sitemaps from robots.txt
+    * instead of being handed them. */
+  def robotsMeta(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String = "host",
+      bodyCol: String = "body",
+      agent: String = "*"): org.apache.spark.sql.DataFrame = {
+    val grouped = robotsGrouped(robots, hostCol, bodyCol)
+    val delays = grouped
+      .join(selectedGroups(grouped, agent), Seq("host", "group_id"),
+        "left_semi")
+      .filter(col("key") === "crawl-delay")
+      .groupBy(col("host"))
+      // regex-gated cast (ANSI-safe, oracle-identical): a non-numeric
+      // delay value reads null and drops out of the min
+      .agg(min(when(col("value").rlike("^[0-9]+(\\.[0-9]+)?$"),
+        col("value").cast("double"))).as("crawl_delay"))
+    val sitemaps = robotsLines(robots, hostCol, bodyCol)
+      .filter(col("key") === "sitemap" && col("value") =!= "")
+      .groupBy(col("host"))
+      .agg(array_sort(collect_set(col("value"))).as("sitemaps"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(delays, Seq("host"), "left")
+      .join(sitemaps, Seq("host"), "left")
+      .select(col("host"), col("crawl_delay"),
+        coalesce(col("sitemaps"), array().cast("array<string>"))
+          .as("sitemaps"))
+  }
+
+  /** Rule-relation row count above which `"auto"` stops broadcasting
+    * [[robotsFilter]]'s per-host rule arrays: a web-scale crawl has
+    * 10⁷–10⁸ hosts with rules, and an unconditional broadcast of a
+    * hosts-sized relation is a driver-OOM/broadcast-limit hard failure
+    * at exactly the scale the operator exists for (r16 verdict #2).
+    * ~2M rule rows ≈ low hundreds of MB arrayed — inside the default
+    * broadcast comfort zone with headroom. */
+  val RobotsBroadcastMaxRules: Long = 2000000L
+
+  /** Filter a URL relation by [[parseRobots]] rules — RFC 9309 §2.2
+    * evaluation: among the rules whose regex matches the URL path, the
+    * MOST SPECIFIC (longest rule text — for pure prefix rules, the
+    * longest matching prefix) wins; on a length tie `allow` wins; no
+    * matching rule (or no robots.txt for the host) means allowed.
+    *
+    * Scale shape: rules collapse to ONE array row per host and the
+    * per-URL evaluation is a higher-order `filter`/`transform`/
+    * `array_max` over that array (struct ordering gives
+    * longest-rule-then-allow priority for free). The rule side is
+    * SIZE-ROUTED (the [[Dedup.jaccardPairs]] `"auto"` convention):
+    * `"broadcast"` keeps the crawl table map-only (zero shuffle at
+    * 100 TB — the normal regime, rule sets are small); `"shuffle"`
+    * hash-partitions both sides on host (a shuffled-hash join — the
+    * crawl table shuffles once but never sorts) for rule relations too
+    * big to broadcast; `"auto"` (default) counts the rules and routes
+    * against [[RobotsBroadcastMaxRules]].
     * Returns the input plus `(allowed: boolean, matched_prefix)`. */
   def robotsFilter(urls: org.apache.spark.sql.DataFrame, urlCol: String,
-      rules: org.apache.spark.sql.DataFrame)
+      rules: org.apache.spark.sql.DataFrame,
+      strategy: String = "auto")
       : org.apache.spark.sql.DataFrame = {
+    require(Seq("auto", "broadcast", "shuffle").contains(strategy),
+      s"robotsFilter strategy must be auto|broadcast|shuffle, got $strategy")
     // the URL relation is a crawl table with its own columns — a bare
     // `host` there is NORMAL, so the rules side joins under reserved
     // names and the added outputs are collision-checked loudly rather
@@ -293,18 +439,28 @@ object Web {
     require(clash.isEmpty,
       s"robotsFilter reserves columns ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")}")
+    val doBroadcast = strategy match {
+      case "broadcast" => true
+      case "shuffle" => false
+      case _ => rules.count() <= RobotsBroadcastMaxRules
+    }
     val byHost = rules.groupBy(col("host"))
       .agg(collect_list(struct(
         length(col("prefix")).as("plen"),
         (col("rule") === "allow").as("is_allow"),
-        col("prefix").as("prefix"))).as("_rb_rules"))
+        col("prefix").as("prefix"),
+        col("regex").as("regex"))).as("_rb_rules"))
       .select(col("host").as("_rb_host"), col("_rb_rules"))
-    val joined = urls
-      .join(broadcast(byHost), urlHost(col(urlCol)) === col("_rb_host"),
-        "left")
+    val joined =
+      if (doBroadcast)
+        urls.join(broadcast(byHost),
+          urlHost(col(urlCol)) === col("_rb_host"), "left")
+      else
+        urls.join(byHost.hint("shuffle_hash"),
+          urlHost(col(urlCol)) === col("_rb_host"), "left")
     val path = urlPath(col(urlCol))
     val matched = filter(col("_rb_rules"),
-      r => startswith(path, r.getField("prefix")))
+      r => regexp_like(path, r.getField("regex")))
     val best = array_max(transform(matched,
       r => struct(r.getField("plen").as("plen"),
         r.getField("is_allow").as("is_allow"),

@@ -35,28 +35,42 @@ object ParsingPack extends QueryPack {
 
   /** robots.txt fixture bodies, shared verbatim by both engines (real
     * newlines inside the SQL literal): a disallow/allow overlap where
-    * the longest prefix must win (site0), the "Disallow:" allow-all
-    * idiom + comments (site1), a multi-user-agent group where `*` rides
-    * second plus an allow-beats-disallow length tie region (site2), and
-    * a host whose only group names another product — the generic
-    * crawler must treat it as allow-all (site3). site2 also carries a
-    * wildcard rule that must be DROPPED (documented prefix-only
-    * boundary) and uses CRLF line endings — the overwhelmingly common
-    * real-world robots.txt shape, which a \n-only split would corrupt
-    * into allow-all (r16 review finding). */
+    * the longest prefix must win plus a `$`-anchored rule (site0), the
+    * "Disallow:" allow-all idiom + comments + a Crawl-delay and an
+    * announced sitemap (site1), a multi-user-agent group where `*`
+    * rides second plus an allow-beats-disallow length tie region AND a
+    * `Disallow: &#47;*.gif` wildcard rule that really bites (site2,
+    * RFC 9309 §2.2.3),
+    * and a host whose only group names another product — the generic
+    * crawler must treat it as allow-all while an `otherbot` crawl is
+    * fully blocked (site3; its Crawl-delay is likewise visible only to
+    * otherbot). site2 uses CRLF line endings — the overwhelmingly
+    * common real-world robots.txt shape, which a \n-only split would
+    * corrupt into allow-all (r16 review finding). site0 announces TWO
+    * sitemaps; site3 announces none. */
   private val FixRobots: Seq[(String, String)] = Seq(
     ("site0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
-      "\nUser-agent: evilbot\nDisallow: /"),
-    ("site1.com", "# all welcome\nUser-agent: *\nDisallow:"),
+      "Disallow: /exact$\n" +
+      "\nUser-agent: evilbot\nDisallow: /\n" +
+      "Sitemap: https://site0.com/sitemap.xml.gz\n" +
+      "Sitemap: https://site0.com/sitemap-news.xml.gz"),
+    ("site1.com", "# all welcome\nUser-agent: *\nDisallow:\n" +
+      "Crawl-delay: 2\nSitemap: https://site1.com/sitemap.xml.gz"),
     ("site2.com", "User-agent: googlebot\r\nUser-agent: *\r\n" +
-      "Disallow: /tmp/\r\nDisallow: /p\r\nAllow: /page/\r\nDisallow: /*.gif"),
-    ("site3.com", "User-agent: otherbot\nDisallow: /"))
+      "Disallow: /tmp/\r\nDisallow: /p\r\nAllow: /page/\r\n" +
+      "Disallow: /*.gif\r\nCrawl-delay: 1.5\r\n" +
+      "Sitemap: https://site2.com/sitemap.xml.gz"),
+    ("site3.com", "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9"))
 
-  /** The [[FixRobots]] → `rules(host, rule, prefix)` CTE chain
+  /** The [[FixRobots]] VALUES rows + the line/group CTE chain
     * (Web.parseRobots re-derived: line positions, comment strip, group
-    * ids via lag + running sum, *-group selection, wildcard drop) —
-    * shared by the tx_robots_filter and tx_url_frontier oracles. */
-  private def robotsRulesCtes: String =
+    * ids via lag + running sum over the GROUP directives — user-agent /
+    * allow / disallow / crawl-delay; sitemap lines stay out of the
+    * window, RFC 9309 §2.1) up to `selg`, the (host, group_id) set the
+    * given agent must obey (§2.2.1: the agent's own token groups when
+    * the host has any, else the `*` groups — for agent '*' the two
+    * branches coincide, so ONE uniform SQL serves every agent). */
+  private def robotsGroupCtes(agent: String): String =
     s"""robots(host, body) AS (VALUES
        |  ${FixRobots.map { case (h, b) =>
             s"(${sqlLit(h)}, ${sqlLit(b)})" }.mkString(",\n  ")}),
@@ -75,7 +89,8 @@ object ParsingPack extends QueryPack {
       |  FROM lines0 WHERE line <> ''),
       |ua AS (
       |  SELECT *, CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END AS is_ua
-      |  FROM kept WHERE key IN ('user-agent', 'allow', 'disallow')),
+      |  FROM kept
+      |  WHERE key IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
       |marked AS (
       |  SELECT *, CASE WHEN is_ua = 1 AND coalesce(lag(is_ua)
       |      OVER (PARTITION BY host ORDER BY pos), 0) = 0
@@ -85,20 +100,86 @@ object ParsingPack extends QueryPack {
       |  SELECT *, sum(new_group) OVER (PARTITION BY host ORDER BY pos
       |    ROWS UNBOUNDED PRECEDING) AS group_id
       |  FROM marked),
-      |star AS (SELECT DISTINCT host, group_id FROM grp
-      |         WHERE key = 'user-agent' AND value = '*'),
-      |rules AS (
-      |  SELECT g.host, g.key AS rule, g.value AS prefix
-      |  FROM grp g JOIN star USING (host, group_id)
-      |  WHERE g.key <> 'user-agent' AND g.value <> ''
-      |    AND g.value NOT LIKE '%*%' AND g.value NOT LIKE '%$%')""".stripMargin
+      |""".stripMargin +
+    s"""exactg AS (SELECT DISTINCT host, group_id FROM grp
+       |  WHERE key = 'user-agent' AND lower(value) = ${sqlLit(
+            agent.toLowerCase(java.util.Locale.ROOT))}),
+       |star AS (SELECT DISTINCT host, group_id FROM grp
+       |         WHERE key = 'user-agent' AND value = '*'),
+       |selg AS (SELECT * FROM exactg UNION
+       |  SELECT * FROM star s
+       |  WHERE s.host NOT IN (SELECT host FROM exactg))""".stripMargin
+
+  /** [[robotsGroupCtes]] + the `rules(host, rule, prefix, regex)` CTE:
+    * the selected groups' non-empty allow/disallow rules with their
+    * RFC 9309 §2.2.3 regex translation (Web.robotsRuleRegex
+    * re-derived: trailing `$` → end anchor, metachars escaped, `*` →
+    * `.*`) — shared by the tx_robots_filter / tx_robots_agent /
+    * tx_url_frontier / tx_frontier_discover oracles. */
+  private def robotsRulesCtes(agent: String = "*"): String =
+    robotsGroupCtes(agent) + ",\n" +
+    """rules AS (
+      |  SELECT host, key AS rule, value AS prefix,
+      |    '^' || regexp_replace(regexp_replace(
+      |      CASE WHEN value LIKE '%$' THEN substr(value, 1, length(value) - 1)
+      |           ELSE value END,
+      |      '([.\[\]{}()+?^$|\\])', '\\\1', 'g'),
+      |      '\*', '.*', 'g') ||
+      |      CASE WHEN value LIKE '%$' THEN '$' ELSE '' END AS regex
+      |  FROM grp g JOIN selg USING (host, group_id)
+      |  WHERE g.key IN ('allow', 'disallow') AND g.value <> '')""".stripMargin
+
+  /** The tx_robots_filter / tx_robots_agent shared oracle body — the
+    * same doc_id-derived URL fixture (6 path families: bare host,
+    * /page/, /private/, /private/ok, a .gif family for the §2.2.3
+    * wildcard rule, and /exact|/exactly for the `$` anchor) evaluated
+    * under the given agent's rule view. */
+  private def robotsFilterOracle(agent: String): String =
+    (s"""WITH ${robotsRulesCtes(agent)},
+       |""".stripMargin +
+    """urls AS (
+      |  SELECT doc_id,
+      |    'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.com' ||
+      |    CASE CAST((doc_id // 4) % 6 AS INTEGER)
+      |      WHEN 0 THEN ''
+      |      WHEN 1 THEN '/page/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN '/private/' || CAST(doc_id AS VARCHAR)
+      |      WHEN 3 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+      |      WHEN 4 THEN '/img/' || CAST(doc_id AS VARCHAR) || '.gif'
+      |      ELSE '/exact' || CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'ly' END
+      |      END AS url
+      |  FROM documents),
+      |up AS (
+      |  SELECT doc_id, url,
+      |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+      |      AS host,
+      |    CASE WHEN tail = '' THEN '/'
+      |      WHEN starts_with(tail, '?') THEN '/' || tail
+      |      ELSE tail END AS path
+      |  FROM (SELECT doc_id, url, regexp_replace(url,
+      |          '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS tail
+      |        FROM urls)),
+      |m AS (
+      |  SELECT u.doc_id, u.url, r.prefix, r.rule, length(r.prefix) AS plen
+      |  FROM up u LEFT JOIN rules r
+      |    ON u.host = r.host AND regexp_matches(u.path, r.regex)),
+      |best AS (
+      |  SELECT doc_id, url,
+      |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+      |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+      |      END) AS b
+      |  FROM m GROUP BY doc_id, url)
+      |SELECT doc_id, url,
+      |  coalesce(b.is_allow, true) AS allowed,
+      |  coalesce(b.prefix, '') AS matched_prefix
+      |FROM best ORDER BY doc_id""".stripMargin)
 
   /** The tx_url_frontier / stream_url_frontier shared oracle: the
     * frontier re-derived from documents directly (never sees XML or a
     * stream) — canonical URL + path by construction, the shared robots
     * rule CTEs, longest-prefix-then-allow, allowed-only keep-first. */
   private def frontierOracle: String =
-    (s"""WITH $robotsRulesCtes,
+    (s"""WITH ${robotsRulesCtes()},
        |""".stripMargin +
     """docs AS (
       |  SELECT doc_id, doc_id % 4 AS h,
@@ -117,7 +198,7 @@ object ParsingPack extends QueryPack {
       |  SELECT c.doc_id, c.url, c.lastmod, r.prefix, r.rule,
       |    length(r.prefix) AS plen
       |  FROM canon c LEFT JOIN rules r
-      |    ON c.host = r.host AND starts_with(c.path, r.prefix)),
+      |    ON c.host = r.host AND regexp_matches(c.path, r.regex)),
       |best AS (
       |  SELECT doc_id, url, lastmod,
       |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
@@ -358,21 +439,28 @@ object ParsingPack extends QueryPack {
     // robots.txt COMPLIANCE filtering (the crawl-politeness front door a
     // training-data pipeline legally needs): per-host robots bodies are
     // parsed under RFC 9309 group semantics (consecutive User-agent
-    // lines open a group; only *-groups apply; comments strip;
-    // "Disallow:" empty = allow-all; wildcard rules dropped — prefix
-    // boundary documented), then a doc_id-derived URL table is filtered
-    // by longest-prefix-wins / allow-wins-ties. Scale shape: rules
-    // collapse to ONE array row per host and broadcast; the per-URL
+    // lines open a group; only *-groups apply for the generic crawler;
+    // comments strip; "Disallow:" empty = allow-all; `*`/`$` special
+    // characters translate to anchored regexes per §2.2.3 — site2's
+    // /*.gif and site0's /exact$ really bite), then a doc_id-derived
+    // URL table is filtered by longest-rule-wins / allow-wins-ties.
+    // Scale shape: rules collapse to ONE array row per host and
+    // broadcast (size-routed past RobotsBroadcastMaxRules); the per-URL
     // verdict is a higher-order filter/array_max — MAP-ONLY over the
     // crawl table, zero shuffle. The oracle re-derives group parsing
-    // (window lag + running sum) and the RFC priority in DuckDB.
+    // (window lag + running sum), the regex translation, and the RFC
+    // priority in DuckDB.
     "tx_robots_filter" -> ((s, dir) => {
       val robots = s.createDataFrame(FixRobots).toDF("host", "body")
       val path = element_at(array(lit(""),
         concat(lit("/page/"), col("doc_id").cast("string")),
         concat(lit("/private/"), col("doc_id").cast("string")),
-        concat(lit("/private/ok"), col("doc_id").cast("string"))),
-        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(4)).cast("int")
+        concat(lit("/private/ok"), col("doc_id").cast("string")),
+        concat(lit("/img/"), col("doc_id").cast("string"), lit(".gif")),
+        concat(lit("/exact"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(""))
+            .otherwise(lit("ly")))),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(6)).cast("int")
           + 1)
       val urls = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -383,6 +471,55 @@ object ParsingPack extends QueryPack {
         .select(col("doc_id"), col("url"), col("allowed"),
           col("matched_prefix"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-agent robots evaluation (RFC 9309 §2.2.1): the SAME URL
+    // relation filtered as crawler "otherbot" — site3's
+    // otherbot-only group (allow-all to the generic crawler) flips the
+    // whole host to disallow, while hosts without an otherbot group
+    // fall back to their *-groups (identical verdicts to
+    // tx_robots_filter there). Case-insensitive token match; oracle
+    // re-derives the group selection (exact-token groups shadow the
+    // *-groups per host).
+    "tx_robots_agent" -> ((s, dir) => {
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      val path = element_at(array(lit(""),
+        concat(lit("/page/"), col("doc_id").cast("string")),
+        concat(lit("/private/"), col("doc_id").cast("string")),
+        concat(lit("/private/ok"), col("doc_id").cast("string")),
+        concat(lit("/img/"), col("doc_id").cast("string"), lit(".gif")),
+        concat(lit("/exact"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(""))
+            .otherwise(lit("ly")))),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(6)).cast("int")
+          + 1)
+      val urls = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("https://site"),
+            pmod(col("doc_id"), lit(4)).cast("string"),
+            lit(".com"), path).as("url"))
+      Web.robotsFilter(urls, "url",
+          Web.parseRobots(robots, agent = "OtherBot"))
+        .select(col("doc_id"), col("url"), col("allowed"),
+          col("matched_prefix"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robots.txt METADATA (the crawl-scheduler directives beyond
+    // allow/disallow): group-scoped Crawl-delay (agent selection
+    // applies — site3's delay lives in an otherbot group and is
+    // invisible to the generic crawler; non-numeric values read null →
+    // -1 sentinel) and host-global Sitemap announcements (deduped,
+    // sorted, joined) — the discovery seed tx_frontier_discover
+    // consumes. Oracle re-derives both from the same VALUES bodies.
+    "tx_robots_meta" -> ((s, dir) => {
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      Web.robotsMeta(robots)
+        .select(col("host"),
+          coalesce(col("crawl_delay"), lit(-1.0)).as("crawl_delay"),
+          coalesce(array_join(col("sitemaps"), "|"), lit(""))
+            .as("sitemaps"))
+        .orderBy(col("host"))
     }),
 
     // URL-FRONTIER discovery funnel composed end to end: per-host
@@ -821,44 +958,37 @@ object ParsingPack extends QueryPack {
         |ORDER BY host""".stripMargin,
 
     // RFC 9309 re-derived: line split with positions, comment strip,
-    // group ids via lag + running sum, *-group selection, wildcard-rule
-    // drop, longest-prefix-then-allow priority via struct max.
-    "tx_robots_filter" ->
-      (s"""WITH $robotsRulesCtes,
+    // group ids via lag + running sum, *-group selection, §2.2.3
+    // regex translation, longest-rule-then-allow priority via struct
+    // max.
+    "tx_robots_filter" -> robotsFilterOracle("*"),
+
+    // Same derivation with the exact-token group selection for
+    // 'otherbot' (case-insensitive) shadowing the *-groups per host.
+    "tx_robots_agent" -> robotsFilterOracle("OtherBot"),
+
+    // Crawl-delay: selected-group min of numeric values (regex-gated
+    // cast — non-numeric reads null → -1); Sitemap: host-global
+    // distinct-sorted join. Both from the same VALUES bodies.
+    "tx_robots_meta" ->
+      (s"""WITH ${robotsGroupCtes("*")},
          |""".stripMargin +
-      """urls AS (
-        |  SELECT doc_id,
-        |    'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.com' ||
-        |    CASE CAST((doc_id // 4) % 4 AS INTEGER)
-        |      WHEN 0 THEN ''
-        |      WHEN 1 THEN '/page/' || CAST(doc_id AS VARCHAR)
-        |      WHEN 2 THEN '/private/' || CAST(doc_id AS VARCHAR)
-        |      ELSE '/private/ok' || CAST(doc_id AS VARCHAR) END AS url
-        |  FROM documents),
-        |up AS (
-        |  SELECT doc_id, url,
-        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
-        |      AS host,
-        |    CASE WHEN tail = '' THEN '/'
-        |      WHEN starts_with(tail, '?') THEN '/' || tail
-        |      ELSE tail END AS path
-        |  FROM (SELECT doc_id, url, regexp_replace(url,
-        |          '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS tail
-        |        FROM urls)),
-        |m AS (
-        |  SELECT u.doc_id, u.url, r.prefix, r.rule, length(r.prefix) AS plen
-        |  FROM up u LEFT JOIN rules r
-        |    ON u.host = r.host AND starts_with(u.path, r.prefix)),
-        |best AS (
-        |  SELECT doc_id, url,
-        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
-        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
-        |      END) AS b
-        |  FROM m GROUP BY doc_id, url)
-        |SELECT doc_id, url,
-        |  coalesce(b.is_allow, true) AS allowed,
-        |  coalesce(b.prefix, '') AS matched_prefix
-        |FROM best ORDER BY doc_id""".stripMargin),
+      raw"""delays AS (
+        |  SELECT host, min(CASE WHEN regexp_matches(g.value,
+        |      '^[0-9]+(\.[0-9]+)?$$') THEN CAST(g.value AS DOUBLE) END)
+        |    AS crawl_delay
+        |  FROM grp g JOIN selg USING (host, group_id)
+        |  WHERE g.key = 'crawl-delay' GROUP BY host),
+        |sm AS (
+        |  SELECT host, array_to_string(list_sort(list_distinct(
+        |    list(value))), '|') AS sitemaps
+        |  FROM kept WHERE key = 'sitemap' AND value <> '' GROUP BY host)
+        |SELECT r.host, coalesce(d.crawl_delay, -1.0) AS crawl_delay,
+        |  coalesce(s.sitemaps, '') AS sitemaps
+        |FROM (SELECT DISTINCT host FROM robots) r
+        |LEFT JOIN delays d ON r.host = d.host
+        |LEFT JOIN sm s ON r.host = s.host
+        |ORDER BY r.host""".stripMargin),
 
     // The frontier re-derived from documents directly (never sees the
     // XML): canonical URL + path by construction, the shared robots

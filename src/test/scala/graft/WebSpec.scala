@@ -378,9 +378,10 @@ class WebSpec extends AnyFunSuite {
   }
 
   test("robots.txt: RFC 9309 group semantics — consecutive User-agent " +
-      "lines share a group, only *-groups apply, longest prefix wins, " +
-      "allow wins length ties, empty Disallow and wildcard rules drop, " +
-      "hosts without a *-group (or without robots) are allow-all") {
+      "lines share a group, only *-groups apply, longest rule wins, " +
+      "allow wins length ties, empty Disallow drops, wildcard rules " +
+      "MATCH (§2.2.3), hosts without a *-group (or without robots) are " +
+      "allow-all") {
     import graft.operators.Web
     val robots = spark.createDataFrame(Seq(
       ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n" +
@@ -394,6 +395,7 @@ class WebSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(got == Set(
       ("a.com", "disallow", "/private/"), ("a.com", "allow", "/private/ok"),
+      ("b.com", "disallow", "/*.gif"),
       ("c.com", "disallow", "/p"), ("c.com", "allow", "/p")),
       s"rules: $got")
     val urls = spark.createDataFrame(Seq(
@@ -401,7 +403,8 @@ class WebSpec extends AnyFunSuite {
       (3L, "https://a.com/public"), (4L, "https://a.com"),
       (5L, "https://b.com/anything.gif"), (6L, "https://c.com/page"),
       (7L, "https://d.com/secret"), (8L, "https://nobots.com/x"),
-      (9L, "https://a.com?page=private"))) // query-only: path reads /?…
+      (9L, "https://a.com?page=private"), // query-only: path reads /?…
+      (10L, "https://b.com/a.gift"))) // *.gif has no end anchor: matches
       .toDF("id", "url")
     val verdicts = Web.robotsFilter(urls, "url", rules)
       .collect().map(r => r.getAs[Long]("id") ->
@@ -411,23 +414,183 @@ class WebSpec extends AnyFunSuite {
       1L -> (false, "/private/"), // disallow prefix
       2L -> (true, "/private/ok"), // longer allow beats shorter disallow
       3L -> (true, ""), 4L -> (true, ""), // no match; bare host path = "/"
-      5L -> (true, ""), // wildcard rule dropped, empty Disallow dropped
+      5L -> (false, "/*.gif"), // §2.2.3: the wildcard rule really bites
       6L -> (true, "/p"), // tie on /p → allow wins
       7L -> (true, ""), // no *-group → generic crawler unrestricted
       8L -> (true, ""), // no robots at all
       // query-only URL evaluates as /?page=… — NOT as the bare query
       // string, which no /-anchored rule could ever match
-      9L -> (true, "")), s"verdicts: $verdicts")
+      9L -> (true, ""),
+      10L -> (false, "/*.gif")), s"verdicts: $verdicts")
+  }
+
+  test("robots wildcard/$ translation (RFC 9309 §2.2.3): '*' spans any " +
+      "run, trailing '$' anchors the path end, embedded regex " +
+      "metachars stay literal, and rule-length priority arbitrates " +
+      "wildcard vs prefix matches") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /*.php\nAllow: /shared/*.php\n" +
+        "Disallow: /tmp$\nDisallow: /a.b\nDisallow: /x*y$")))
+      .toDF("host", "body")
+    val rules = Web.parseRobots(robots)
+    val urls = spark.createDataFrame(Seq(
+      (1L, "https://a.com/index.php"), // /*.php
+      (2L, "https://a.com/shared/lib.php"), // longer allow wins
+      (3L, "https://a.com/tmp"), // $-anchored: exact end
+      (4L, "https://a.com/tmpfile"), // NOT anchored-match
+      (5L, "https://a.com/a.b"), // literal dot
+      (6L, "https://a.com/aXb"), // dot must NOT match as regex-any
+      (7L, "https://a.com/x123y"), // * then $
+      (8L, "https://a.com/x123yz"))) // $ rejects the tail
+      .toDF("id", "url")
+    val verdicts = Web.robotsFilter(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"), r.getAs[String]("matched_prefix")))
+      .toMap
+    assert(verdicts == Map(
+      1L -> (false, "/*.php"),
+      2L -> (true, "/shared/*.php"),
+      3L -> (false, "/tmp$"),
+      4L -> (true, ""),
+      5L -> (false, "/a.b"),
+      6L -> (true, ""),
+      7L -> (false, "/x*y$"),
+      8L -> (true, "")), s"verdicts: $verdicts")
+  }
+
+  test("robots per-agent group selection (RFC 9309 §2.2.1): the agent's " +
+      "own token groups win when the host has any (case-insensitive), " +
+      "else the *-groups apply; a host whose ONLY group names the agent " +
+      "flips from allow-all to restricted") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\n" +
+        "\nUser-agent: otherbot\nDisallow: /ob/"),
+      ("d.com", "User-agent: otherbot\nDisallow: /"))).toDF("host", "body")
+    val urls = spark.createDataFrame(Seq(
+      (1L, "https://a.com/private/x"), (2L, "https://a.com/ob/x"),
+      (3L, "https://d.com/anything"))).toDF("id", "url")
+    def verdicts(agent: String) =
+      Web.robotsFilter(urls, "url", Web.parseRobots(robots, agent = agent))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed"))
+        .toMap
+    // generic crawler: a.com's * group; d.com unrestricted
+    assert(verdicts("*") == Map(1L -> false, 2L -> true, 3L -> true))
+    // otherbot: its own groups REPLACE the * group on a.com (RFC: the
+    // most specific matching group, not the union), d.com now bites
+    assert(verdicts("otherbot") == Map(1L -> true, 2L -> false, 3L -> false))
+    assert(verdicts("OtherBot") == verdicts("otherbot"))
+    // an agent with no groups anywhere falls back to * everywhere
+    assert(verdicts("newbot") == verdicts("*"))
+  }
+
+  test("robotsMeta: Crawl-delay is group-scoped (agent selection " +
+      "applies, min of parseable values, non-numeric reads null), " +
+      "Sitemap is host-global (collected from anywhere, deduped, " +
+      "sorted), hosts with neither still get a row") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2.5\nDisallow: /p\n" +
+        "Sitemap: https://a.com/s2.xml\n" +
+        "User-agent: bot2\nCrawl-delay: 1\n" +
+        "Sitemap: https://a.com/s1.xml\nSitemap: https://a.com/s2.xml"),
+      ("b.com", "User-agent: *\nCrawl-delay: soon\nDisallow: /x"),
+      ("c.com", "User-agent: otherbot\nCrawl-delay: 9\nDisallow: /"),
+      ("d.com", "User-agent: *\nDisallow: /q"))).toDF("host", "body")
+    def meta(agent: String) =
+      Web.robotsMeta(robots, agent = agent).collect()
+        .map(r => r.getString(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Double]),
+            r.getSeq[String](2).toList))).toMap
+    val m = meta("*")
+    assert(m("a.com") == ((Some(2.5),
+      List("https://a.com/s1.xml", "https://a.com/s2.xml"))))
+    assert(m("b.com") == ((None, Nil))) // non-numeric delay → null
+    // c.com's delay sits in an otherbot group — invisible to *
+    assert(m("c.com") == ((None, Nil)))
+    assert(m("d.com") == ((None, Nil)))
+    assert(m.size == 4)
+    // agent selection flips which delay applies
+    assert(meta("bot2")("a.com")._1 == Some(1.0))
+    assert(meta("otherbot")("c.com")._1 == Some(9.0))
+  }
+
+  test("robotsFilter size-routing: the shuffle route returns the same " +
+      "verdicts as broadcast, its plan is a ShuffledHashJoin (never a " +
+      "sort of the crawl table), and the broadcast route stays " +
+      "BroadcastHashJoin") {
+    import graft.operators.Web
+    val robots = spark.createDataFrame(Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok"),
+      ("b.com", "User-agent: *\nDisallow: /*.gif"))).toDF("host", "body")
+    val rules = Web.parseRobots(robots).localCheckpoint(true)
+    val urls = spark.createDataFrame((0 until 200).map { i =>
+      val host = if (i % 2 == 0) "a.com" else "b.com"
+      val path = i % 4 match {
+        case 0 => s"/private/$i"
+        case 1 => s"/img/$i.gif"
+        case 2 => s"/private/ok$i"
+        case _ => s"/page/$i"
+      }
+      (i.toLong, s"https://$host$path")
+    }).toDF("id", "url")
+    def run(strategy: String) =
+      Web.robotsFilter(urls, "url", rules, strategy = strategy)
+    val want = run("broadcast").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_prefix"))))
+      .toMap
+    val gotShuffle = run("shuffle").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[String]("matched_prefix"))))
+      .toMap
+    assert(want.exists(!_._2._1) && gotShuffle == want)
+    val bPlan = run("broadcast").queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin") &&
+      !bPlan.contains("SortMergeJoin"), s"broadcast route:\n$bPlan")
+    val sPlan = run("shuffle").queryExecution.executedPlan.toString
+    assert(sPlan.contains("ShuffledHashJoin") &&
+      !sPlan.contains("SortMergeJoin") &&
+      !sPlan.contains("BroadcastHashJoin"), s"shuffle route:\n$sPlan")
+    // auto on a tiny rule set routes to broadcast
+    val aPlan = run("auto").queryExecution.executedPlan.toString
+    assert(aPlan.contains("BroadcastHashJoin"), s"auto route:\n$aPlan")
+  }
+
+  test("w3cEpoch: date-only, full datetimes, Z and ±hh:mm offsets all " +
+      "reduce to the same epoch axis (string min is NOT chronological " +
+      "min across these); garbage reads null") {
+    import graft.operators.Web
+    val cases = Seq(
+      "2026-03-01" -> Some(1772323200L), // 2026-03-01T00:00:00Z
+      "2026-03-01T06:30:00Z" -> Some(1772346600L),
+      "2026-03-01T06:30:00.123Z" -> Some(1772346600L), // fraction truncates
+      "2026-03-01T00:15:00+09:00" -> Some(1772291700L), // = 02-28T15:15Z
+      "2026-03-01T12:00:00-05:00" -> Some(1772384400L), // = 03-01T17:00Z
+      "" -> None, "soon" -> None)
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("lm")
+    val got = df.select(col("lm"), Web.w3cEpoch(col("lm")).as("e"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"for '$in': got ${got(in)}, want $want")
+    }
+    // the divergence that motivates the typed parse: the +09:00 form is
+    // chronologically EARLIEST but sorts lexicographically in the middle
+    val strs = cases.take(5).map(_._1)
+    assert(strs.min == "2026-03-01")
+    assert(cases.take(5).minBy(_._2.get)._1 == "2026-03-01T00:15:00+09:00")
   }
 
   test("property (seeded): parseRobots + robotsFilter match a direct " +
       "per-host reference evaluation over 40 random robots bodies × " +
-      "200 random URLs — group parsing, *-selection, wildcard drop, " +
-      "longest-prefix/allow-ties all pinned") {
+      "200 random URLs — group parsing, *-selection, wildcard/$ " +
+      "translation, longest-rule/allow-ties all pinned") {
     import graft.operators.Web
     val rnd = new scala.util.Random(8161700L)
     val prefixes = Seq("/", "/a", "/a/", "/a/b", "/ab", "/b/", "/priv",
-      "/priv/x", "/*.gif", "/c$")
+      "/priv/x", "/*.gif", "/c$", "/a*b/", "/priv*x$")
     def body(): String = {
       val groups = 1 + rnd.nextInt(3)
       (0 until groups).flatMap { _ =>
@@ -443,8 +606,9 @@ class WebSpec extends AnyFunSuite {
       }.mkString("\n")
     }
     val robots = (0 until 40).map(i => (s"h$i.com", body()))
-    // reference: sequential group parse, *-groups' non-empty
-    // non-wildcard rules, longest prefix wins, allow wins ties
+    // reference: sequential group parse, *-groups' non-empty rules,
+    // RFC §2.2.3 rule-to-regex semantics, longest rule wins, allow
+    // wins ties
     def refRules(b: String): Seq[(String, String)] = {
       var out = List.empty[(String, String)]
       var agents = List.empty[String]
@@ -459,15 +623,23 @@ class WebSpec extends AnyFunSuite {
             inUa = true; agents ::= v
           } else if (key == "allow" || key == "disallow") {
             inUa = false
-            if (agents.contains("*") && v.nonEmpty &&
-              !v.contains("*") && !v.contains("$")) out ::= (key, v)
+            if (agents.contains("*") && v.nonEmpty) out ::= (key, v)
           }
         }
       out.reverse
     }
+    def ruleMatches(rule: String, path: String): Boolean = {
+      val endAnchor = rule.endsWith("$")
+      val core = if (endAnchor) rule.dropRight(1) else rule
+      val regex = core.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*")
+      java.util.regex.Pattern
+        .compile("^" + regex + (if (endAnchor) "$" else ""))
+        .matcher(path).find()
+    }
     def refVerdict(rules: Seq[(String, String)],
         path: String): (Boolean, String) = {
-      val hits = rules.filter { case (_, p) => path.startsWith(p) }
+      val hits = rules.filter { case (_, p) => ruleMatches(p, path) }
       if (hits.isEmpty) (true, "")
       else {
         val best = hits.maxBy { case (k, p) => (p.length, k == "allow", p) }
@@ -476,8 +648,12 @@ class WebSpec extends AnyFunSuite {
     }
     val urls = (0 until 200).map { i =>
       val h = s"h${rnd.nextInt(40)}.com"
-      val p = prefixes(rnd.nextInt(prefixes.length - 2)) +
-        (if (rnd.nextBoolean()) s"x$i" else "")
+      val p = prefixes(rnd.nextInt(8)) + (rnd.nextInt(4) match {
+        case 0 => s"x$i"
+        case 1 => s"x$i.gif" // exercises /*.gif
+        case 2 => "" // bare prefix — exercises $-anchored exact hits
+        case _ => s"b/q$i"
+      })
       (i.toLong, s"https://$h$p")
     }
     val robotsDf = spark.createDataFrame(robots).toDF("host", "body")
