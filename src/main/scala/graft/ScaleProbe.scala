@@ -33,7 +33,8 @@ object ScaleProbe {
     "tx_chunk_retrieve", "q54_fuzzy_pairs", "dd_winnow_overlap",
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
-    "layout_write_bucketed", "mm_media_decode", "index_delete_tomb")
+    "layout_write_bucketed", "mm_media_decode", "stream_frontier_fold",
+    "index_delete_tomb")
 
   private def time[A](f: => A): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -174,6 +175,17 @@ object ScaleProbe {
     val deleteVecIds = emb1
       .filter(pmod(col("vec_id"), lit(97)) === 5)
       .select(col("vec_id")).localCheckpoint(true)
+    // FIXED frontier increment batch (~1% of base doc ids, url space
+    // shared with the probe's state projection — copy 0 rides unchanged
+    // in the exploded fixture, so every batch URL hits state at both
+    // scale points): the stream_frontier_fold probe folds THIS batch
+    // into a 1× and a factor× frontier
+    val frontierBatch = docs
+      .filter(pmod(col("doc_id"), lit(97)) === 5)
+      .select(concat(lit("https://h"), pmod(col("doc_id"), lit(997L)),
+        lit(".com/p/"), col("doc_id")).as("url"),
+        lit(1L).as("n_seen"), lit("2025-12-31").as("first_lastmod"))
+      .localCheckpoint(true)
     // (name, fixture, op, maxRatio): maxRatio is the ASSERTED bound on
     // scaled/base wall at this `factor` — the gate that makes a scale
     // regression fail loudly like a correctness failure (r10 verdict
@@ -346,6 +358,23 @@ object ScaleProbe {
         Multimodal.phash(media, new MediaCodecs.ImageIoPixelDecoder)
           .count(): Unit
       }, 15.0),
+      // the streaming-frontier MERGE step (r16 verdict #1): a FIXED
+      // ~1%-of-base batch folded into a frontier state that grows with
+      // the fixture — per-trigger SHUFFLE volume is pinned ∝ batch by
+      // the mergeFrontier plan/metrics spec; this probe pins that the
+      // per-trigger WALL grows only with the unavoidable map-side
+      // pass-through scan of state (a near-flat constant at these
+      // sizes), never with a state re-shuffle — the old
+      // state∪batch→groupBy shape re-aggregated the ENTIRE frontier
+      // every trigger
+      ("stream_frontier_fold", "docs", (d: DataFrame) => {
+        val state = d.select(
+          concat(lit("https://h"), pmod(col("doc_id"), lit(997L)),
+            lit(".com/p/"), col("doc_id")).as("url"),
+          lit(1L).as("n_seen"), lit("2026-01-01").as("first_lastmod"))
+        graft.streaming.EventStream
+          .mergeFrontier(state, frontierBatch).count(): Unit
+      }, 4.0),
       // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
       // base-fixture doc/vector set out of a PRE-BUILT corpus index +
       // IVF index and persisting the tombstone relations. The indexes

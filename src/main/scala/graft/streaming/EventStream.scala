@@ -311,6 +311,31 @@ object EventStream {
     state
   }
 
+  /** Merge a batch's per-URL `(n_seen, first_lastmod)` increments into
+    * the frontier state — the (sum, min) keyed monoid step, in the
+    * [[graft.operators.Cdc.foldChanges]] pass-through shape (r16
+    * verdict #1): the batch's URL keys broadcast, UNTOUCHED state rows
+    * stream through a map-side `BroadcastHashJoin LeftAnti` with no
+    * exchange, and only the touched sliver (state rows the batch
+    * re-discovered, batch-sized) unions with the increments for the
+    * keyed merge. Per-trigger SHUFFLE volume is therefore ∝ batch —
+    * state-sized only in the unavoidable map-side pass-through scan —
+    * where the previous `state ∪ batch → groupBy` re-shuffled the
+    * ENTIRE frontier every trigger (∝ 10B rows at a 10B-URL frontier).
+    * `kept` must be per-URL distinct (it is the batch's own groupBy
+    * output). Spec-pinned: plan shape, shuffle-row metrics, and
+    * fold ≡ one-shot. */
+  def mergeFrontier(state: DataFrame, kept: DataFrame): DataFrame = {
+    val keys = broadcast(kept.select(col("url")))
+    state.join(keys, Seq("url"), "left_anti")
+      .unionByName(
+        state.join(keys, Seq("url"), "left_semi")
+          .unionByName(kept)
+          .groupBy(col("url"))
+          .agg(sum(col("n_seen")).as("n_seen"),
+            min(col("first_lastmod")).as("first_lastmod")))
+  }
+
   /** Streaming URL-FRONTIER maintenance (driver query
     * `stream_url_frontier` — the 15th oracle-gated state kind): a crawl
     * discovers URLs continuously, so the frontier — canonical URL →
@@ -318,11 +343,13 @@ object EventStream {
     * Each micro-batch of raw discovered `(loc, lastmod)` entries is
     * canonicalized, robots-filtered (the broadcast rule relation — a
     * disallowed URL never even enters state), reduced to a per-URL
-    * increment, and merged into the frontier by a (sum, min) keyed
-    * monoid — associative+commutative, so the fixed point is
-    * micro-batch-split-independent and the BATCH funnel's oracle
-    * (`tx_url_frontier`) gates the streamed path verbatim. State is one
-    * row per live frontier URL; per-trigger work ∝ batch. */
+    * increment, and merged into the frontier via [[mergeFrontier]] —
+    * a (sum, min) keyed monoid, associative+commutative, so the fixed
+    * point is micro-batch-split-independent and the BATCH funnel's
+    * oracle (`tx_url_frontier`) gates the streamed path verbatim.
+    * State is one row per live frontier URL; per-trigger SHUFFLED work
+    * ∝ batch (untouched state passes through map-side — the r16
+    * verdict #1 fix). */
   def ingestUrlFrontier(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
       rules: DataFrame, onBatch: Long => Unit = _ => ()): DataFrame = {
@@ -335,10 +362,7 @@ object EventStream {
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_seen"),
           min(col("lastmod")).as("first_lastmod"))
-      state.fold(kept)(st => st.unionByName(kept)
-        .groupBy(col("url"))
-        .agg(sum(col("n_seen")).as("n_seen"),
-          min(col("first_lastmod")).as("first_lastmod")))
+      state.fold(kept)(mergeFrontier(_, kept))
     }
     streamFoldExact(spark, srcDir, schema, None, fold, onBatch)
       .getOrElse {

@@ -832,6 +832,64 @@ class WebSpec extends AnyFunSuite {
     assert(got.size < 20 && got.exists(_._2 > 1))
   }
 
+  test("mergeFrontier (r16 verdict #1): untouched state passes through " +
+      "a map-side broadcast anti join — the only hash shuffle carries " +
+      "touched ∪ batch rows (∝ batch, NEVER the frontier), and the " +
+      "fold equals a full re-aggregation row-for-row") {
+    import graft.streaming.EventStream
+    // isolated session: AQE off so the physical tree and its shuffle
+    // metrics are directly inspectable without QueryStage wrappers
+    // (session-scoped conf — the shared TestSpark session is untouched)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val stateN = 100000L
+    val state = s2.range(stateN).select(
+      concat(lit("https://h"), pmod(col("id"), lit(977)),
+        lit(".com/p/"), col("id")).as("url"),
+      (pmod(col("id"), lit(5)) + 1L).as("n_seen"),
+      lit("2026-01-05").as("first_lastmod")).localCheckpoint(true)
+    val touched = state.orderBy(col("url")).limit(100)
+      .select(col("url"), lit(1L).as("n_seen"),
+        lit("2025-12-31").as("first_lastmod"))
+    val fresh = s2.range(100).select(
+      concat(lit("https://new.com/"), col("id")).as("url"),
+      lit(1L).as("n_seen"), lit("2026-02-01").as("first_lastmod"))
+    val kept = touched.unionByName(fresh).localCheckpoint(true)
+    val merged = EventStream.mergeFrontier(state, kept)
+    val planStr = merged.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") &&
+      planStr.contains("LeftAnti") && planStr.contains("LeftSemi") &&
+      !planStr.contains("SortMergeJoin"), s"plan:\n$planStr")
+    val hashExchanges = planStr.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly one hash shuffle (the touched∪batch merge), " +
+        s"found $hashExchanges:\n$planStr")
+    // execute and read the shuffle's OWN metrics: rows written must be
+    // batch-scale, not frontier-scale (the old state∪batch re-agg wrote
+    // the whole frontier through this exchange every trigger)
+    val outRows = merged.queryExecution.toRdd.count()
+    assert(outRows == stateN + 100, s"merged rows $outRows")
+    org.apache.spark.graftutil.BusDrain.waitUntilEmpty(
+      s2.sparkContext, 30000)
+    val shuffleRows = merged.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.metrics("shuffleRecordsWritten").value
+    }.sum
+    assert(shuffleRows > 0 && shuffleRows <= 1000,
+      s"shuffled $shuffleRows rows for a 200-row batch over a " +
+        s"$stateN-row frontier — state is being re-shuffled")
+    // fold ≡ full re-aggregation (the monoid the oracle re-derives)
+    val want = state.unionByName(kept).groupBy(col("url"))
+      .agg(sum(col("n_seen")).as("n_seen"),
+        min(col("first_lastmod")).as("first_lastmod"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val got = merged.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
