@@ -572,6 +572,85 @@ object ParsingPack extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // ROBOTS-DRIVEN frontier discovery, the gz/typed edition (r16
+    // verdict tasks #5/#8 composed): sitemaps are not handed to the
+    // crawler — robotsMeta's per-host Sitemap announcements decide
+    // which payloads are fetched at all (site3 announces none, so its
+    // URLs never enter this frontier; site0 announces TWO, and both
+    // serve the host's urlset, so its discoveries double). Payloads
+    // travel as REAL gzip bytes (Warc.gzip on the serve side,
+    // Warc.gunzip ahead of the parse — the .xml.gz convention), and
+    // lastmod carries MIXED W3C datetime precisions/offsets whose min
+    // is taken over w3cEpoch values: the +09:00 form is
+    // chronologically earliest in its group while a raw string-min
+    // would pick the date-only form (the r16 "min over strings is not
+    // chronological" gap, now load-bearing in the oracle hash). The
+    // oracle re-derives announcements, rule regexes, and epochs from
+    // the VALUES bodies + documents — it never sees XML or gzip.
+    "tx_frontier_discover" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = Tables.load(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(4))
+      val pathDir = element_at(array(lit("/item/"), lit("/private/")),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(2)).cast("int")
+          + 1)
+      // form index doc_id%3 varies WITHIN a canonical-URL group
+      // (members differ by 400; 400 % 3 = 1) while the month
+      // (doc_id%100%9+1) is group-constant — so the typed min really
+      // diverges from a string min inside real groups
+      val month =
+        (pmod(pmod(col("doc_id"), lit(100)), lit(9)) + 1).cast("string")
+      val lastmod = concat(lit("2026-0"), month, lit("-01"),
+        element_at(array(lit(""), lit("T00:15:00+09:00"),
+          lit("T06:30:00.500Z")), pmod(col("doc_id"), lit(3)).cast("int")
+          + 1))
+      val entry = concat(
+        lit("<url><loc> HTTPS://WWW.Site"), h.cast("string"),
+        lit(".COM:443"), pathDir,
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        lit("?utm_source=map"), col("doc_id").cast("string"),
+        lit("&amp;ref=sm#f </loc><lastmod>"), lastmod,
+        lit("</lastmod></url>"))
+      val sitemaps = docs
+        .select(h.as("h"), col("doc_id"), entry.as("e"))
+        .groupBy(col("h"))
+        .agg(concat_ws("", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          x => x.getField("e"))).as("body"))
+        .select(col("h"),
+          concat(lit("<?xml version=\"1.0\"?><urlset>"), col("body"),
+            lit("</urlset>")).as("xml"))
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      val announced = Web.robotsMeta(robots)
+        .select(regexp_extract(col("host"), "^site([0-9])\\.com$", 1)
+          .cast("long").as("h"), explode(col("sitemaps")).as("sm_url"))
+      val fetched = announced.join(sitemaps, Seq("h"))
+      // the gz hop: the serve side gzips; everything BELOW this map
+      // reads only the gzip payload
+      val gzSchema = StructType(Seq(
+        StructField("xml", StringType, nullable = true)))
+      val rdd = fetched.select(col("xml")).rdd.mapPartitions { it =>
+        import graft.operators.Warc
+        it.map { r =>
+          val gz = Warc.gzip(r.getString(0)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          org.apache.spark.sql.Row(new String(Warc.gunzip(gz),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      val xmls = s.createDataFrame(rdd, gzSchema)
+      val parsed = xmls
+        .select(explode(Web.sitemapUrls(col("xml"))).as("u"))
+        .select(Web.canonicalUrl(Web.xmlUnescape(col("u.loc"))).as("url"),
+          col("u.lastmod").as("lastmod"))
+      Web.robotsFilter(parsed, "url", Web.parseRobots(robots))
+        .filter(col("allowed"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_seen"),
+          min(Web.w3cEpoch(col("lastmod"))).as("first_epoch"))
+        .orderBy(col("url"))
+    }),
+
     // STREAMING URL frontier (15th oracle-gated state kind): the same
     // discovered-URL relation (already XML-unescaped — the codec is the
     // batch twin's job) arrives as a 4-micro-batch file stream; each
@@ -999,6 +1078,56 @@ object ParsingPack extends QueryPack {
     // commutative monoid — split-independent), so the oracle is shared
     // verbatim.
     "stream_url_frontier" -> frontierOracle,
+
+    // Re-derived from the VALUES bodies + documents alone (never sees
+    // XML or gzip): per-host announced-sitemap counts multiply the
+    // group sizes, rule regexes gate, and each lastmod form reduces to
+    // its epoch by integer math (date-days·86400 + time − offset).
+    "tx_frontier_discover" ->
+      (s"""WITH ${robotsRulesCtes()},
+         |""".stripMargin +
+      """smn AS (
+        |  SELECT host, count(DISTINCT value) AS n_sm FROM kept
+        |  WHERE key = 'sitemap' AND value <> '' GROUP BY host),
+        |docs2 AS (
+        |  SELECT doc_id, doc_id % 4 AS h,
+        |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
+        |       THEN '/item/' ELSE '/private/' END)
+        |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq,
+        |    doc_id % 100 % 9 + 1 AS mth,
+        |    doc_id % 3 AS f
+        |  FROM documents),
+        |epochs AS (
+        |  SELECT doc_id, h, pathq,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(strptime('2026-0' || CAST(mth AS VARCHAR) || '-01',
+        |        '%Y-%m-%d') AS DATE)) AS BIGINT) * 86400
+        |    + CASE CAST(f AS INTEGER) WHEN 0 THEN 0
+        |        WHEN 1 THEN 900 - 32400 ELSE 23400 END AS ep
+        |  FROM docs2),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
+        |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |    pathq AS path, ep
+        |  FROM epochs),
+        |m AS (
+        |  SELECT c.doc_id, c.url, c.host, c.path, c.ep,
+        |    r.prefix, r.rule, length(r.prefix) AS plen
+        |  FROM canon c LEFT JOIN rules r
+        |    ON c.host = r.host AND regexp_matches(c.path, r.regex)),
+        |best AS (
+        |  SELECT doc_id, url, host, ep,
+        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+        |      END) AS b
+        |  FROM m GROUP BY doc_id, url, host, ep)
+        |SELECT t.url, count(*) * s.n_sm AS n_seen,
+        |  min(t.ep) AS first_epoch
+        |FROM best t JOIN smn s ON t.host = s.host
+        |WHERE coalesce(t.b.is_allow, true)
+        |GROUP BY t.url, s.n_sm
+        |ORDER BY t.url""".stripMargin),
 
     // Both branches re-derived from TEXT only (the mm_png_roundtrip
     // pixel/bit derivation for the image branch, md5/octet_length for

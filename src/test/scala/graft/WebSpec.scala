@@ -832,6 +832,39 @@ class WebSpec extends AnyFunSuite {
     assert(got.size < 20 && got.exists(_._2 > 1))
   }
 
+  test("tx_frontier_discover: only robots-ANNOUNCED sitemaps are fetched " +
+      "(site3 never enters the frontier), site0's double announcement " +
+      "doubles its n_seen, robots rules still gate, and first_epoch is " +
+      "the TYPED chronological min — the +09:00 form wins groups where " +
+      "a string-min would pick the date-only member") {
+    val got = SparkEntry.queries("tx_frontier_discover")(
+      spark, TestSpark.sfDir).collect()
+    assert(got.nonEmpty)
+    val urls = got.map(_.getString(0))
+    assert(!urls.exists(_.startsWith("https://site3.com/")),
+      "site3 announces no sitemap — its URLs must never be discovered")
+    assert(!urls.exists(_.startsWith("https://site0.com/private/")) &&
+      !urls.exists(_.startsWith("https://site2.com/private/")),
+      "robots-disallowed URLs leaked into the discovered frontier")
+    assert(urls.exists(_.startsWith("https://site0.com/item/")) &&
+      urls.exists(_.startsWith("https://site1.com/")))
+    val bySite = got.groupBy(_.getString(0).stripPrefix("https://")
+      .takeWhile(_ != '.'))
+    // site0 announces TWO sitemaps, both serving its urlset: every
+    // count doubles; site1 announces one: singleton groups stay 1
+    assert(bySite("site0").forall(r => r.getLong(1) % 2 == 0 &&
+      r.getLong(1) >= 2), "site0 discoveries must double")
+    // site1 announces ONE sitemap: its odd-sized re-discovery groups
+    // keep odd counts (site0's doubling makes odd counts impossible)
+    assert(bySite("site1").exists(_.getLong(1) % 2 == 1))
+    // typed min: a group whose min epoch lands at 86400-31500=54900
+    // seconds past midnight took the +09:00 form (previous-day
+    // 15:15Z) — exactly where min over the raw STRINGS would have
+    // picked the lexicographically-smaller date-only member instead
+    assert(got.exists(r => ((r.getLong(2) % 86400) + 86400) % 86400 ==
+      54900), "no group's chronological min is the +09:00 form")
+  }
+
   test("mergeFrontier (r16 verdict #1): untouched state passes through " +
       "a map-side broadcast anti join — the only hash shuffle carries " +
       "touched ∪ batch rows (∝ batch, NEVER the frontier), and the " +
