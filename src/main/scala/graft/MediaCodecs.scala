@@ -230,19 +230,26 @@ object MediaCodecs {
     bos.toByteArray
   }
 
-  /** Decode every frame of a (possibly animated) GIF payload. Frames come
-    * back palettized (TYPE_BYTE_INDEXED); [[grayGrid]]'s getRGB+luma path
-    * recovers gray values exactly (luma(v,v,v) = v).
+  /** Decode every frame of a (possibly animated) GIF payload as LOGICAL
+    * SCREENS. Full-frame GIFs (every frame covers the screen at 0,0 —
+    * the [[encodeGifFrames]]/oracle path) return the reader's frames
+    * untouched (palettized TYPE_BYTE_INDEXED; [[grayGrid]]'s getRGB+luma
+    * path recovers gray values exactly, luma(v,v,v) = v).
     *
-    * FULL-FRAME GIFs only: optimized animations encode partial-update
-    * frames (sub-rectangles at an offset, composited under a disposal
-    * method) — returning those raw would silently hand keyframe/hamming
-    * analysis a crop instead of the logical screen. Rather than
-    * implement GIF compositing, such payloads fail LOUDLY here (each
-    * frame must cover the whole logical screen at offset 0,0); the
-    * tolerant `*Safe` pipelines then drop the row. Self-encoded
-    * [[encodeGifFrames]] output — the oracle path — is always
-    * full-frame. */
+    * OPTIMIZED animations — partial-update frames (sub-rectangles at an
+    * image-descriptor offset, under a GIF89a disposal method) — are
+    * COMPOSITED (r16 verdict #7; previously loud-rejected): each frame
+    * draws onto a persistent ARGB canvas at its offset (transparent
+    * pixels leave the canvas through — the reader's IndexColorModel
+    * carries the transparent index), the displayed screen is snapshot,
+    * and the frame's rect is then disposed per its method —
+    * `none`/`doNotDispose` keep it, `restoreToBackgroundColor` clears
+    * the rect to transparent (the convention modern decoders follow;
+    * cleared pixels read luma 0 downstream), `restoreToPrevious`
+    * reverts the canvas to its pre-frame state. What stays loudly
+    * rejected: frame rects escaping the logical screen and the spec's
+    * undefined disposal values — silently guessing either would hand
+    * keyframe/hamming analysis a wrong screen. */
   def decodeGifFrames(payload: Array[Byte]): IndexedSeq[BufferedImage] = {
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
@@ -251,11 +258,11 @@ object MediaCodecs {
       val n = reader.getNumImages(true)
       require(n > 0, "no frames in GIF payload")
       // the reference rectangle is the LOGICAL SCREEN from the stream
-      // metadata — comparing frames against frame 0 would wave through
-      // a GIF whose every frame is the same sub-rectangle crop of a
-      // larger screen (all at offset 0,0); fall back to frame 0's size
-      // only when the descriptor is absent
-      val screen = Option(reader.getStreamMetadata).flatMap { md =>
+      // metadata — comparing frames against frame 0 would treat a GIF
+      // whose every frame is the same sub-rectangle crop of a larger
+      // screen (all at offset 0,0) as full-frame; fall back to frame
+      // 0's size only when the descriptor is absent
+      val (sw, sh) = Option(reader.getStreamMetadata).flatMap { md =>
         val tree = md.getAsTree("javax_imageio_gif_stream_1.0")
           .asInstanceOf[org.w3c.dom.Element]
         val ls = tree.getElementsByTagName("LogicalScreenDescriptor")
@@ -266,23 +273,67 @@ object MediaCodecs {
             e.getAttribute("logicalScreenHeight").toInt))
         }
       }.getOrElse((reader.getWidth(0), reader.getHeight(0)))
-      (0 until n).map { i =>
-        val desc = reader.getImageMetadata(i)
+      val metas = (0 until n).map { i =>
+        val root = reader.getImageMetadata(i)
           .getAsTree("javax_imageio_gif_image_1.0")
           .asInstanceOf[org.w3c.dom.Element]
-          .getElementsByTagName("ImageDescriptor").item(0)
+        val d = root.getElementsByTagName("ImageDescriptor").item(0)
           .asInstanceOf[org.w3c.dom.Element]
-        val left = desc.getAttribute("imageLeftPosition").toInt
-        val top = desc.getAttribute("imageTopPosition").toInt
-        require(left == 0 && top == 0,
-          s"partial-update GIF frame $i at ($left,$top) — only " +
-            "full-frame GIFs are supported (no compositing)")
-        val img = reader.read(i)
-        require(img.getWidth == screen._1 && img.getHeight == screen._2,
-          s"GIF frame $i is ${img.getWidth}x${img.getHeight}, logical " +
-            s"screen is ${screen._1}x${screen._2} — only full-frame " +
-            "GIFs are supported (no compositing)")
-        img
+        val gce = root.getElementsByTagName("GraphicControlExtension")
+        val disposal =
+          if (gce.getLength == 0) "none"
+          else gce.item(0).asInstanceOf[org.w3c.dom.Element]
+            .getAttribute("disposalMethod") match {
+            case "" => "none"
+            case s => s
+          }
+        (d.getAttribute("imageLeftPosition").toInt,
+          d.getAttribute("imageTopPosition").toInt, disposal)
+      }
+      val frames = (0 until n).map(reader.read)
+      val fullFrame = metas.forall(m => m._1 == 0 && m._2 == 0) &&
+        frames.forall(f => f.getWidth == sw && f.getHeight == sh)
+      if (fullFrame) frames
+      else {
+        frames.zip(metas).zipWithIndex.foreach { case ((f, m), i) =>
+          require(m._1 >= 0 && m._2 >= 0 && m._1 + f.getWidth <= sw &&
+            m._2 + f.getHeight <= sh,
+            s"GIF frame $i rect (${m._1},${m._2})+" +
+              s"${f.getWidth}x${f.getHeight} escapes the ${sw}x$sh " +
+              "logical screen")
+          require(Set("none", "doNotDispose", "restoreToBackgroundColor",
+            "restoreToPrevious")(m._3),
+            s"GIF frame $i has unsupported disposal method '${m._3}'")
+        }
+        def snapshot(img: BufferedImage): BufferedImage = {
+          val c = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+          val g = c.createGraphics()
+          g.setComposite(java.awt.AlphaComposite.Src)
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          c
+        }
+        var canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
+        val out = IndexedSeq.newBuilder[BufferedImage]
+        frames.zip(metas).foreach { case (f, (left, top, disposal)) =>
+          val before =
+            if (disposal == "restoreToPrevious") Some(snapshot(canvas))
+            else None
+          val g = canvas.createGraphics()
+          g.drawImage(f, left, top, null)
+          g.dispose()
+          out += snapshot(canvas)
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              val g2 = canvas.createGraphics()
+              g2.setComposite(java.awt.AlphaComposite.Clear)
+              g2.fillRect(left, top, f.getWidth, f.getHeight)
+              g2.dispose()
+            case "restoreToPrevious" => canvas = before.get
+            case _ => ()
+          }
+        }
+        out.result()
       }
     } finally { reader.dispose(); iis.close() }
   }
