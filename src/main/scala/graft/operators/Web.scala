@@ -203,13 +203,16 @@ object Web {
     * almost nine hours EARLIER. Handles the W3C profile shapes a
     * crawler meets: `YYYY-MM-DD`, `…Thh:mm:ss` (optional fraction,
     * truncated — sitemap freshness never needs sub-second), and a `Z`
-    * or `±hh:mm` offset. Null for anything without a leading date.
+    * or `±hh:mm` offset. Null for anything without a leading date AND
+    * for calendar-invalid dates (`2026-02-31` — `try_to_date`, never
+    * the ANSI throw: one garbage lastmod must not kill a crawl job).
     * Built from date-days + time-seconds − offset-seconds so the DuckDB
     * oracle reproduces it bit-for-bit with no session-timezone
     * dependence. */
   def w3cEpoch(lastmod: Column): Column = {
     val datePart = regexp_extract(lastmod, "^(\\d{4}-\\d{2}-\\d{2})", 1)
-    val days = unix_date(to_date(datePart, "yyyy-MM-dd"))
+    val days = unix_date(
+      call_function("try_to_date", datePart, lit("yyyy-MM-dd")))
     val timePat = "^\\d{4}-\\d{2}-\\d{2}[Tt](\\d{2}):(\\d{2}):(\\d{2})"
     val hh = regexp_extract(lastmod, timePat, 1)
     val timeSec = when(hh === "", lit(0L)).otherwise(
@@ -257,12 +260,16 @@ object Web {
     * sitemap, unknown). Split on `\r?\n`: real robots.txt is
     * overwhelmingly CRLF, and a trailing `\r` would make `*` never
     * match and corrupt every prefix — silently turning the compliance
-    * filter into allow-all. */
+    * filter into allow-all. A leading UTF-8 BOM is stripped for the
+    * same reason (same failure class, spec-pinned): servers emit it,
+    * and a BOM-prefixed `User-agent` would parse as an unknown key,
+    * deselect every group, and allow-all the host. */
   private def robotsLines(robots: org.apache.spark.sql.DataFrame,
       hostCol: String, bodyCol: String): org.apache.spark.sql.DataFrame =
     robots
       .select(col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\r?\n")).as(Seq("pos", "raw")))
+        posexplode(split(regexp_replace(col(bodyCol), "^\uFEFF", ""),
+          "\r?\n")).as(Seq("pos", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
       .filter(col("line") =!= "")
       .withColumn("key",

@@ -352,12 +352,18 @@ object EventStream {
     * verdict #1 fix). */
   def ingestUrlFrontier(spark: org.apache.spark.sql.SparkSession,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
-      rules: DataFrame, onBatch: Long => Unit = _ => ()): DataFrame = {
+      rules: DataFrame, onBatch: Long => Unit = _ => (),
+      rulesStrategy: String = "broadcast"): DataFrame = {
+    // rulesStrategy default is "broadcast", not "auto": auto COUNTS the
+    // rule relation per call, and here that would be an extra Spark job
+    // EVERY trigger for a relation the caller already sized when it
+    // parsed/checkpointed the rules; pass "shuffle" (or "auto") for a
+    // frontier obeying a web-scale rule set
     import graft.operators.Web
     def fold(state: Option[DataFrame], batch: DataFrame): DataFrame = {
       val canon = batch.select(
         Web.canonicalUrl(col("loc")).as("url"), col("lastmod"))
-      val kept = Web.robotsFilter(canon, "url", rules)
+      val kept = Web.robotsFilter(canon, "url", rules, rulesStrategy)
         .filter(col("allowed"))
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_seen"),

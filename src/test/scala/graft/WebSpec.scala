@@ -568,7 +568,10 @@ class WebSpec extends AnyFunSuite {
       "2026-03-01T06:30:00.123Z" -> Some(1772346600L), // fraction truncates
       "2026-03-01T00:15:00+09:00" -> Some(1772291700L), // = 02-28T15:15Z
       "2026-03-01T12:00:00-05:00" -> Some(1772384400L), // = 03-01T17:00Z
-      "" -> None, "soon" -> None)
+      "" -> None, "soon" -> None,
+      // calendar-invalid: null, never the ANSI throw (one garbage
+      // lastmod must not kill the crawl job)
+      "2026-02-31" -> None, "2026-13-05T06:30:00Z" -> None)
     val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("lm")
     val got = df.select(col("lm"), Web.w3cEpoch(col("lm")).as("e"))
       .collect().map(r => r.getString(0) ->
@@ -676,12 +679,15 @@ class WebSpec extends AnyFunSuite {
 
   test("robots.txt hardening (r16 review): CRLF bodies parse clean (a " +
       "\\n-only split leaves \\r on every value and silently turns the " +
-      "filter allow-all); a URL relation carrying its own host column " +
-      "works; reserved output names clash loudly; empty dirs of " +
-      "discovered URLs yield a TYPED empty frontier") {
+      "filter allow-all); a leading UTF-8 BOM is stripped (same failure " +
+      "class — \\uFEFFUser-agent deselects every group); a URL relation " +
+      "carrying its own host column works; reserved output names clash " +
+      "loudly; empty dirs of discovered URLs yield a TYPED empty " +
+      "frontier") {
     import graft.operators.Web
     val crlf = spark.createDataFrame(Seq(
-      ("a.com", "User-agent: *\r\nDisallow: /private/\r\nAllow: /ok\r\n")))
+      ("a.com",
+        "\uFEFFUser-agent: *\r\nDisallow: /private/\r\nAllow: /ok\r\n")))
       .toDF("host", "body")
     val rules = Web.parseRobots(crlf)
     val got = rules.collect()
