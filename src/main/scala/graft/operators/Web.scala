@@ -480,6 +480,49 @@ object Web {
       .drop("_rb_host", "_rb_rules")
   }
 
+  /** POLITENESS-schedule a frontier: assign every URL a per-host fetch
+    * slot honoring the host's `Crawl-delay` — the scheduling step that
+    * turns a deduplicated frontier ([[robotsFilter]] + keep-first) into
+    * an executable crawl plan, completing the loop discovery →
+    * compliance → dedup → SCHEDULE. Within a host, more-referenced
+    * pages fetch first (`n_seen` DESC, URL ASC tiebreak — a total
+    * order); `rank` is the 0-based slot and `fetch_offset_ds` its
+    * start offset in DECI-seconds (`rank × round(delay·10)` — integer
+    * end to end, so both engines agree bit-for-bit where a
+    * double-seconds column would hash-drift). Hosts without a
+    * parseable delay (or absent from `meta`) take `defaultDelaySec`.
+    *
+    * Scale shape: one broadcast join against the (hosts-sized, tiny
+    * after [[robotsMeta]]) delay relation and ONE window partitioned
+    * by host — per-host sequential slots are inherently serial (that
+    * is what politeness means), so the per-host window is the
+    * semantically minimal shuffle; a mega-host's partition is bounded
+    * by its own frontier size, the same bound its crawl queue has.
+    * Output: input columns + `(host, rank, fetch_offset_ds)`. */
+  def scheduleFrontier(frontier: org.apache.spark.sql.DataFrame,
+      urlCol: String, meta: org.apache.spark.sql.DataFrame,
+      defaultDelaySec: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("_cd_host", "_cd_delay", "host", "rank",
+      "fetch_offset_ds")
+    val clash = frontier.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"scheduleFrontier reserves columns ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")}")
+    val delays = meta.select(col("host").as("_cd_host"),
+      coalesce(col("crawl_delay"), lit(defaultDelaySec)).as("_cd_delay"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_seen").desc, col(urlCol))
+    frontier
+      .withColumn("host", urlHost(col(urlCol)))
+      .join(broadcast(delays), col("host") === col("_cd_host"), "left")
+      .withColumn("rank", row_number().over(w) - 1)
+      .withColumn("fetch_offset_ds", col("rank") *
+        round(coalesce(col("_cd_delay"), lit(defaultDelaySec)) * 10)
+          .cast("long"))
+      .drop("_cd_host", "_cd_delay")
+  }
+
   /** Registrable-domain approximation: the last two dot-labels of the
     * host — the standard fallback when the public-suffix list is
     * unavailable (exact for .com/.org-style hosts). For the exact form

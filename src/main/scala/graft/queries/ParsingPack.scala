@@ -651,6 +651,41 @@ object ParsingPack extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // POLITENESS SCHEDULING (the step after discovery → compliance →
+    // dedup: an executable crawl plan): the robots-filtered keep-first
+    // frontier gets per-host fetch slots honoring each host's
+    // Crawl-delay from robotsMeta — more-referenced pages first
+    // (n_seen DESC, url ASC), slot offsets in integer deci-seconds
+    // (rank × round(delay·10)) so both engines agree bit-for-bit.
+    // site1 spaces at 2.0s, site2 at 1.5s, site0/site3 take the 1.0s
+    // default (site3's delay hides in an otherbot group — invisible
+    // to the generic crawler). Scale shape: broadcast delay join +
+    // ONE window partitioned by host (per-host slots are inherently
+    // serial — politeness — so that is the minimal shuffle).
+    "tx_frontier_schedule" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(4))
+      val pathDir = element_at(array(lit("/item/"), lit("/private/")),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(2)).cast("int")
+          + 1)
+      val raw = docs.select(
+        concat(lit("HTTPS://WWW.Site"), h.cast("string"),
+          lit(".COM:443"), pathDir,
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          lit("?utm_source=map"), col("doc_id").cast("string"),
+          lit("&ref=sm#f")).as("loc"))
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      val frontier = Web.robotsFilter(
+          raw.select(Web.canonicalUrl(col("loc")).as("url")), "url",
+          Web.parseRobots(robots))
+        .filter(col("allowed"))
+        .groupBy(col("url")).agg(count(lit(1)).as("n_seen"))
+      Web.scheduleFrontier(frontier, "url", Web.robotsMeta(robots))
+        .select(col("url"), col("host"), col("n_seen"), col("rank"),
+          col("fetch_offset_ds"))
+        .orderBy(col("url"))
+    }),
+
     // STREAMING URL frontier (15th oracle-gated state kind): the same
     // discovered-URL relation (already XML-unescaped — the codec is the
     // batch twin's job) arrives as a 4-micro-batch file stream; each
@@ -1078,6 +1113,54 @@ object ParsingPack extends QueryPack {
     // commutative monoid — split-independent), so the oracle is shared
     // verbatim.
     "stream_url_frontier" -> frontierOracle,
+
+    // The schedule re-derived: same canonical-URL frontier + rule
+    // regexes, the meta oracle's delay CTE (agent '*'), per-host
+    // row_number over (n_seen DESC, url), integer deci-second offsets.
+    "tx_frontier_schedule" ->
+      (s"""WITH ${robotsRulesCtes()},
+         |""".stripMargin +
+      raw"""delays AS (
+        |  SELECT host, min(CASE WHEN regexp_matches(g.value,
+        |      '^[0-9]+(\.[0-9]+)?$$') THEN CAST(g.value AS DOUBLE) END)
+        |    AS crawl_delay
+        |  FROM grp g JOIN selg USING (host, group_id)
+        |  WHERE g.key = 'crawl-delay' GROUP BY host),
+        |docs2 AS (
+        |  SELECT doc_id, doc_id % 4 AS h,
+        |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
+        |       THEN '/item/' ELSE '/private/' END)
+        |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
+        |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |    pathq AS path
+        |  FROM docs2),
+        |m AS (
+        |  SELECT c.doc_id, c.url, c.host, c.path,
+        |    r.prefix, r.rule, length(r.prefix) AS plen
+        |  FROM canon c LEFT JOIN rules r
+        |    ON c.host = r.host AND regexp_matches(c.path, r.regex)),
+        |best AS (
+        |  SELECT doc_id, url, host,
+        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+        |      END) AS b
+        |  FROM m GROUP BY doc_id, url, host),
+        |fr AS (
+        |  SELECT url, host, count(*) AS n_seen
+        |  FROM best WHERE coalesce(b.is_allow, true) GROUP BY url, host),
+        |sched AS (
+        |  SELECT f.url, f.host, f.n_seen,
+        |    CAST(row_number() OVER (PARTITION BY f.host
+        |      ORDER BY f.n_seen DESC, f.url) - 1 AS INTEGER) AS rank,
+        |    coalesce(d.crawl_delay, 1.0) AS delay
+        |  FROM fr f LEFT JOIN delays d ON f.host = d.host)
+        |SELECT url, host, n_seen, rank,
+        |  rank * CAST(round(delay * 10) AS BIGINT) AS fetch_offset_ds
+        |FROM sched ORDER BY url""".stripMargin),
 
     // Re-derived from the VALUES bodies + documents alone (never sees
     // XML or gzip): per-host announced-sitemap counts multiply the

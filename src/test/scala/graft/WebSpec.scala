@@ -838,6 +838,42 @@ class WebSpec extends AnyFunSuite {
     assert(got.size < 20 && got.exists(_._2 > 1))
   }
 
+  test("scheduleFrontier: per-host fetch slots honor Crawl-delay " +
+      "(deci-second integer offsets), more-referenced pages fetch " +
+      "first with URL tiebreak, hosts without meta take the default, " +
+      "and the only exchange is the per-host window") {
+    import graft.operators.Web
+    val frontier = spark.createDataFrame(Seq(
+      ("https://a.com/p1", 3L), ("https://a.com/p2", 7L),
+      ("https://a.com/p3", 3L), ("https://b.com/x", 1L),
+      ("https://nobots.com/y", 2L), ("https://nobots.com/z", 2L)))
+      .toDF("url", "n_seen")
+    val meta = spark.createDataFrame(Seq(
+      ("a.com", Some(1.5), Seq.empty[String]),
+      ("b.com", None, Seq.empty[String])))
+      .toDF("host", "crawl_delay", "sitemaps")
+    val got = Web.scheduleFrontier(frontier, "url", meta)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("rank"), r.getAs[Long]("fetch_offset_ds")))).toMap
+    assert(got == Map(
+      // a.com at 1.5s: p2 (n_seen 7) first, then p1/p3 by URL
+      "https://a.com/p2" -> ((0, 0L)),
+      "https://a.com/p1" -> ((1, 15L)),
+      "https://a.com/p3" -> ((2, 30L)),
+      // b.com has meta but a null delay → default 1.0s
+      "https://b.com/x" -> ((0, 0L)),
+      // nobots.com absent from meta entirely → default too
+      "https://nobots.com/y" -> ((0, 0L)),
+      "https://nobots.com/z" -> ((1, 10L))), s"schedule: $got")
+    val plan = Web.scheduleFrontier(frontier, "url", meta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), s"delay join must broadcast:\n$plan")
+    intercept[IllegalArgumentException] {
+      Web.scheduleFrontier(frontier.withColumn("rank", lit(1)), "url", meta)
+    }
+  }
+
   test("tx_frontier_discover: only robots-ANNOUNCED sitemaps are fetched " +
       "(site3 never enters the frontier), site0's double announcement " +
       "doubles its n_seen, robots rules still gate, and first_epoch is " +
