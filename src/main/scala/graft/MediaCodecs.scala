@@ -338,6 +338,210 @@ object MediaCodecs {
     } finally { reader.dispose(); iis.close() }
   }
 
+  // ---- MPEG audio (MP3) frame-header metadata probe ----------------------
+
+  /** MP3 container metadata: what a crawl ROUTES and FILTERS on before
+    * ever paying a decode — sample rate, frame count, total bitrate
+    * mass (for the average), VBR-ness, and the exact sample-derived
+    * duration. */
+  final case class Mp3Meta(sampleRate: Int, nFrames: Int, sumKbps: Long,
+      vbr: Boolean) {
+    /** Layer III MPEG-1 frames carry 1152 samples; duration in integer
+      * milliseconds (floor), engine-exact. */
+    def durationMs: Long = 1152L * nFrames * 1000L / sampleRate
+  }
+
+  /** MPEG-1 Layer III bitrate table (kbps; index 0 = "free format",
+    * index 15 = invalid — both loud-rejected by the parser). */
+  val Mp3BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sample-rate table (index 3 = reserved). */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  /** Synthesize a REAL MPEG-1 Layer III frame stream (valid sync +
+    * header fields + correctly-sized zero payloads — byte-level per the
+    * public header layout), optionally prefixed by an ID3v2 tag with a
+    * syncsafe size. Not playable audio (payloads are silence-less
+    * zeros), but every field a header parser reads is real — the
+    * fixture contract [[parseMp3Meta]] is oracle-gated against. */
+  def encodeMp3Frames(sampleRateIdx: Int, bitrateIdxs: Seq[Int],
+      id3Bytes: Int = 0): Array[Byte] = {
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, "bad sample rate idx")
+    require(bitrateIdxs.nonEmpty &&
+      bitrateIdxs.forall(i => i >= 1 && i <= 14), "bitrate idx out of 1..14")
+    val out = new ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      require(id3Bytes < (1 << 28), "ID3 tag too large for syncsafe size")
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0) // version 2.4.0
+      out.write(0) // flags
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      out.write(new Array[Byte](id3Bytes))
+    }
+    val sr = Mp3SampleRates(sampleRateIdx)
+    bitrateIdxs.foreach { bi =>
+      val kbps = Mp3BitrateKbps(bi)
+      val frameLen = 144 * kbps * 1000 / sr // padding bit 0
+      out.write(0xff)
+      out.write(0xfb) // 111 (sync tail) | 11 (MPEG1) | 01 (Layer III) | 1 (no CRC)
+      out.write((bi << 4) | (sampleRateIdx << 2)) // bitrate | sr | pad 0 | priv 0
+      out.write(0xc0) // mono, no mode ext, not copyrighted... flags byte
+      out.write(new Array[Byte](frameLen - 4))
+    }
+    out.toByteArray
+  }
+
+  /** Parse an MPEG-1 Layer III stream's frame headers into [[Mp3Meta]]
+    * — LENGTH-driven like the WARC walker (each header's bitrate/rate
+    * fields size its own frame; payload bytes are never scanned for
+    * sync, so payload bytes that LOOK like sync words cannot split a
+    * frame). A leading ID3v2 tag is skipped via its syncsafe size.
+    * Loud rejects (a crawl must route malformed audio to quarantine,
+    * not mis-measure it): bad sync, reserved version/layer (only
+    * MPEG-1 Layer III in scope — documented boundary), free-format or
+    * invalid bitrate, reserved sample rate, a mid-stream sample-rate
+    * change, and truncated final frames. */
+  def parseMp3Meta(payload: Array[Byte]): Mp3Meta = {
+    var pos = 0
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      pos = 10 + size
+      require(pos <= payload.length, "ID3v2 tag runs past the payload")
+    }
+    var nFrames = 0
+    var sumKbps = 0L
+    var minKbps = Int.MaxValue
+    var maxKbps = 0
+    var sampleRate = -1
+    while (pos + 4 <= payload.length) {
+      val b1 = payload(pos) & 0xff; val b2 = payload(pos + 1) & 0xff
+      val b3 = payload(pos + 2) & 0xff
+      require(b1 == 0xff && (b2 & 0xe0) == 0xe0,
+        f"bad MP3 sync at offset $pos: $b1%02x $b2%02x")
+      require(((b2 >> 3) & 3) == 3 && ((b2 >> 1) & 3) == 1,
+        s"only MPEG-1 Layer III is in scope (header byte $b2 at $pos)")
+      val bi = (b3 >> 4) & 0xf
+      require(bi >= 1 && bi <= 14,
+        s"free-format/invalid bitrate index $bi at offset $pos")
+      val sri = (b3 >> 2) & 3
+      require(sri != 3, s"reserved sample-rate index at offset $pos")
+      val sr = Mp3SampleRates(sri)
+      require(sampleRate < 0 || sampleRate == sr,
+        s"sample rate changed mid-stream at offset $pos")
+      sampleRate = sr
+      val kbps = Mp3BitrateKbps(bi)
+      val frameLen = 144 * kbps * 1000 / sr + ((b3 >> 1) & 1)
+      require(pos + frameLen <= payload.length,
+        s"truncated MP3 frame at offset $pos (need $frameLen)")
+      nFrames += 1; sumKbps += kbps
+      if (kbps < minKbps) minKbps = kbps
+      if (kbps > maxKbps) maxKbps = kbps
+      pos += frameLen
+    }
+    require(nFrames > 0, "no MP3 frames in payload")
+    Mp3Meta(sampleRate, nFrames, sumKbps, minKbps != maxKbps)
+  }
+
+  // ---- MP4 (ISO BMFF) box-tree metadata probe ----------------------------
+
+  /** MP4 container metadata from the box tree alone: brand, movie-header
+    * timescale/duration, track count. */
+  final case class Mp4Meta(majorBrand: String, timescale: Long,
+      duration: Long, nTracks: Int) {
+    def durationMs: Long = duration * 1000L / timescale
+  }
+
+  /** Synthesize a minimal REAL ISO BMFF skeleton: `ftyp` (major brand +
+    * minor version), `moov` containing a spec-shaped version-0 `mvhd`
+    * (full 108-byte layout) and `nTracks` empty `trak` stubs, plus a
+    * `free` box so parsers must skip unknown siblings. No media data —
+    * the box STRUCTURE is what [[parseMp4Meta]] reads, exactly the part
+    * of the format that is public structure rather than codec. */
+  def encodeMp4Skeleton(majorBrand: String, timescale: Int, duration: Long,
+      nTracks: Int): Array[Byte] = {
+    require(majorBrand.length == 4, "major brand must be 4 chars")
+    require(timescale > 0 && duration >= 0 && nTracks >= 0)
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 108 + nTracks * 8)
+    bb.putInt(16); bb.put("ftyp".getBytes(StandardCharsets.US_ASCII))
+    bb.put(majorBrand.getBytes(StandardCharsets.US_ASCII)); bb.putInt(0)
+    bb.putInt(8); bb.put("free".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(8 + 108 + nTracks * 8)
+    bb.put("moov".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(108); bb.put("mvhd".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(0) // version 0 + flags
+    bb.putInt(0); bb.putInt(0) // creation, modification
+    bb.putInt(timescale); bb.putInt(duration.toInt)
+    bb.putInt(0x00010000) // rate 1.0
+    bb.putShort(0x0100.toShort); bb.putShort(0) // volume, reserved
+    bb.putLong(0) // reserved
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(bb.putInt) // unity matrix
+    (0 until 6).foreach(_ => bb.putInt(0)) // pre_defined
+    bb.putInt(nTracks + 1) // next_track_ID
+    (0 until nTracks).foreach { _ =>
+      bb.putInt(8); bb.put("trak".getBytes(StandardCharsets.US_ASCII))
+    }
+    bb.array()
+  }
+
+  /** Walk an ISO BMFF payload's box tree for [[Mp4Meta]]: top-level
+    * boxes (32-bit size, `size == 1` → 64-bit largesize, `size == 0` →
+    * to end-of-file), `ftyp`'s major brand, and inside `moov` the
+    * `mvhd` (version 0 AND 1 layouts) plus the `trak` count. Unknown
+    * boxes skip by their declared size. Loud rejects: sizes < header,
+    * boxes running past the payload, missing ftyp/moov/mvhd. */
+  def parseMp4Meta(payload: Array[Byte]): Mp4Meta = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    def boxesIn(start: Long, end: Long): Seq[(String, Long, Long)] = {
+      val out = Seq.newBuilder[(String, Long, Long)]
+      var pos = start
+      while (pos < end) {
+        require(pos + 8 <= end, s"truncated box header at $pos")
+        val size32 = bb.getInt(pos.toInt).toLong & 0xffffffffL
+        val typ = new String(payload, pos.toInt + 4, 4,
+          StandardCharsets.US_ASCII)
+        val (size, hdr) =
+          if (size32 == 1) {
+            require(pos + 16 <= end, s"truncated largesize box at $pos")
+            (bb.getLong(pos.toInt + 8), 16L)
+          } else if (size32 == 0) (end - pos, 8L)
+          else (size32, 8L)
+        require(size >= hdr, s"box '$typ' at $pos declares size $size")
+        require(pos + size <= end,
+          s"box '$typ' at $pos runs past the payload")
+        out += ((typ, pos + hdr, pos + size))
+        pos += size
+      }
+      out.result()
+    }
+    val top = boxesIn(0L, payload.length.toLong)
+    val brand = top.collectFirst { case ("ftyp", s, e) =>
+      require(e - s >= 4, "ftyp too short")
+      new String(payload, s.toInt, 4, StandardCharsets.US_ASCII)
+    }
+    require(brand.nonEmpty, "no ftyp box")
+    val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
+    require(moov.nonEmpty, "no moov box")
+    val kids = boxesIn(moov.get._1, moov.get._2)
+    val mvhd = kids.collectFirst { case ("mvhd", s, e) => (s, e) }
+    require(mvhd.nonEmpty, "no mvhd box in moov")
+    val s = mvhd.get._1.toInt
+    val version = payload(s) & 0xff
+    val (timescale, duration) =
+      if (version == 1)
+        (bb.getInt(s + 20).toLong & 0xffffffffL, bb.getLong(s + 24))
+      else
+        (bb.getInt(s + 12).toLong & 0xffffffffL,
+          bb.getInt(s + 16).toLong & 0xffffffffL)
+    require(timescale > 0, "mvhd timescale is 0")
+    Mp4Meta(brand.get, timescale, duration,
+      kids.count(_._1 == "trak"))
+  }
+
   // ---- audio (RIFF/WAVE PCM-16) ----------------------------------------
 
   /** Decoded PCM payload: rate, channel count, interleaved 16-bit samples. */

@@ -212,6 +212,77 @@ object MultimodalPack extends QueryPack {
       s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
     }),
 
+    // MP3 metadata probe (the route/filter step a crawl pays BEFORE any
+    // audio decode): per doc a REAL MPEG-1 Layer III frame stream is
+    // synthesized (valid sync/header fields, correctly-sized payloads,
+    // an ID3v2 tag with a syncsafe size in front) and parsed back by
+    // walking frame HEADERS only — sample rate, frame count, bitrate
+    // mass, VBR-ness, sample-exact duration. Even ids are CBR, odd ids
+    // vary bitrate per frame (VBR); the oracle re-derives everything
+    // from doc_id arithmetic + the public bitrate table, so the hash
+    // gates the synth AND the parse. Partition-local, payloads never
+    // shuffle. Decode stays out of scope (no JDK MP3 codec) — this is
+    // the container-structure half, same split as WARC.
+    "mm_mp3_meta" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 3)
+        .select(col("doc_id").as("media_id"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("n_frames", IntegerType, nullable = false),
+        StructField("sum_kbps", LongType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false),
+        StructField("is_vbr", BooleanType, nullable = false)))
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (id % 9 + 2).toInt
+          val idxs = (0 until n).map(f =>
+            (1 + (id + (if (id % 2 == 0) 0 else f)) % 14).toInt)
+          val mp3 = MediaCodecs.encodeMp3Frames((id % 3).toInt, idxs,
+            id3Bytes = (id % 7).toInt * 3)
+          // ---- real parse: everything below reads the MP3, not `idxs`
+          val m = MediaCodecs.parseMp3Meta(mp3)
+          Row(id, m.sampleRate, m.nFrames, m.sumKbps, m.durationMs, m.vbr)
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
+    }),
+
+    // MP4 metadata probe (the ISO BMFF half of the same split): per doc
+    // a REAL box skeleton — ftyp brand, a free box parsers must skip,
+    // moov with a spec-shaped version-0 mvhd and N trak stubs — parsed
+    // back by walking the box TREE: brand, timescale, duration, track
+    // count, integer-ms duration. Oracle re-derives from doc_id
+    // arithmetic; hash gates synth + box walk together.
+    "mm_mp4_meta" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select(col("doc_id").as("media_id"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("major_brand", StringType, nullable = false),
+        StructField("timescale", LongType, nullable = false),
+        StructField("duration", LongType, nullable = false),
+        StructField("n_tracks", IntegerType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false)))
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mp4 = MediaCodecs.encodeMp4Skeleton(
+            if (id % 2 == 0) "isom" else "mp42",
+            (600 + (id % 5) * 300).toInt, (id % 997 + 1) * 37L,
+            (id % 4 + 1).toInt)
+          // ---- real parse: everything below walks the box tree
+          val m = MediaCodecs.parseMp4Meta(mp4)
+          Row(id, m.majorBrand, m.timescale, m.duration, m.nTracks,
+            m.durationMs)
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
+    }),
+
     // REAL-container video round trip: mm_keyframes' shot-boundary pass,
     // now through an actual animated GIF. Render n_frames gray frames
     // (frame content = the tagged md5-cell grid, varying per 5-frame
@@ -495,6 +566,44 @@ object MultimodalPack extends QueryPack {
         |  CAST(sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END) AS INTEGER)
         |    AS zero_cross
         |FROM lagged GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Re-derived from doc_id arithmetic + the PUBLIC MPEG-1 Layer III
+    // bitrate table (never sees the byte stream); the engine's path to
+    // the same integers runs through frame synth → ID3 skip →
+    // header-walk parse.
+    "mm_mp3_meta" ->
+      """WITH base AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 9 + 2 AS INTEGER) AS n,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |kb AS (
+        |  SELECT media_id, n, sr,
+        |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])[
+        |      CAST((media_id + CASE WHEN media_id % 2 = 0 THEN 0
+        |        ELSE u.f END) % 14 AS INTEGER) + 1] AS kbps
+        |  FROM base, LATERAL unnest(range(0, n)) u(f))
+        |SELECT media_id,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  n AS n_frames,
+        |  CAST(sum(kbps) AS BIGINT) AS sum_kbps,
+        |  CAST(1152 * n * 1000 // sr AS BIGINT) AS duration_ms,
+        |  (min(kbps) <> max(kbps)) AS is_vbr
+        |FROM kb GROUP BY media_id, sr, n ORDER BY media_id""".stripMargin,
+
+    // Pure doc_id arithmetic — the engine's path to the same values
+    // runs through box-tree synth → ftyp/moov/mvhd/trak walk.
+    "mm_mp4_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+        |    AS major_brand,
+        |  CAST(600 + (doc_id % 5) * 300 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 997 + 1) * 37 AS BIGINT) AS duration,
+        |  CAST(doc_id % 4 + 1 AS INTEGER) AS n_tracks,
+        |  CAST((doc_id % 997 + 1) * 37 * 1000
+        |    // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 4 = 2 ORDER BY media_id""".stripMargin,
 
     // mm_keyframes' derivation with the TAGGED grid (pixel = first md5
     // byte of slice || '#' || scene — text sliced once, so boundaries are

@@ -292,6 +292,94 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeGifFrames(gif).length == 2)
   }
 
+  test("MP3 header walk: meta round-trips through real frame bytes, the " +
+      "ID3v2 syncsafe skip works, a padded frame sizes itself, and " +
+      "malformed streams fail loudly (truncation, free bitrate, " +
+      "non-Layer-III, mid-stream rate change)") {
+    val mp3 = MediaCodecs.encodeMp3Frames(1, Seq(9, 9, 9), id3Bytes = 17)
+    val m = MediaCodecs.parseMp3Meta(mp3)
+    assert(m == MediaCodecs.Mp3Meta(48000, 3, 3 * 128L, vbr = false))
+    assert(m.durationMs == 1152L * 3 * 1000 / 48000)
+    val vbr = MediaCodecs.parseMp3Meta(
+      MediaCodecs.encodeMp3Frames(0, Seq(1, 14, 5)))
+    assert(vbr == MediaCodecs.Mp3Meta(44100, 3, 32L + 320L + 64L,
+      vbr = true))
+    // padding bit: frame declares one extra byte — flip it and append
+    val one = MediaCodecs.encodeMp3Frames(2, Seq(4))
+    val padded = one.clone()
+    padded(2) = (padded(2) | 0x02).toByte
+    assert(MediaCodecs.parseMp3Meta(padded :+ 0.toByte).nFrames == 1)
+    // truncation: the unpadded frame now misses its declared final byte
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseMp3Meta(padded)
+    }
+    // free-format bitrate (index 0) is a loud reject, not a guess
+    val free = one.clone(); free(2) = (free(2) & 0x0f).toByte
+    intercept[IllegalArgumentException] { MediaCodecs.parseMp3Meta(free) }
+    // Layer II header (layer bits 10) is out of scope — loudly
+    val l2 = one.clone(); l2(1) = 0xfd.toByte
+    intercept[IllegalArgumentException] { MediaCodecs.parseMp3Meta(l2) }
+    // a sample-rate change mid-stream is corruption, not a feature
+    val a = MediaCodecs.encodeMp3Frames(0, Seq(5))
+    val b = MediaCodecs.encodeMp3Frames(1, Seq(5))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseMp3Meta(a ++ b)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseMp3Meta(Array[Byte]())
+    }
+  }
+
+  test("MP4 box walk: skeleton meta round-trips (unknown boxes skipped, " +
+      "trak stubs counted), version-1 mvhd and largesize/to-EOF box " +
+      "sizes parse, and missing moov / lying sizes fail loudly") {
+    val mp4 = MediaCodecs.encodeMp4Skeleton("mp42", 1000, 61_500L, 3)
+    val m = MediaCodecs.parseMp4Meta(mp4)
+    assert(m == MediaCodecs.Mp4Meta("mp42", 1000L, 61500L, 3))
+    assert(m.durationMs == 61500L)
+    // version-1 mvhd (64-bit times) hand-built: moov > mvhd(v1) + trak
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length)
+      bb.put(typ.getBytes("US-ASCII")); bb.put(body); bb.array()
+    }
+    val mvhd1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.putInt(0x01000000) // version 1, flags 0
+      bb.putLong(0L); bb.putLong(0L) // creation, modification (64-bit)
+      bb.putInt(90000) // timescale
+      bb.putLong(450000L) // duration (64-bit)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom    ".getBytes("US-ASCII"))
+    val moov = box("moov", box("mvhd", mvhd1) ++ box("trak", Array[Byte]()))
+    val v1 = MediaCodecs.parseMp4Meta(ftyp ++ moov)
+    assert(v1 == MediaCodecs.Mp4Meta("isom", 90000L, 450000L, 1))
+    assert(v1.durationMs == 5000L)
+    // largesize (size==1 + 64-bit size) and size==0 (to EOF) boxes
+    val largeMoov = {
+      val inner = box("mvhd", mvhd1)
+      val bb = java.nio.ByteBuffer.allocate(16 + inner.length)
+      bb.putInt(1); bb.put("moov".getBytes("US-ASCII"))
+      bb.putLong(16L + inner.length); bb.put(inner); bb.array()
+    }
+    val tailFree = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.putInt(0); bb.put("free".getBytes("US-ASCII"))
+      bb.putInt(0xdead) // trailing junk the size-0 box absorbs
+      bb.array()
+    }
+    assert(MediaCodecs.parseMp4Meta(ftyp ++ largeMoov ++ tailFree) ==
+      MediaCodecs.Mp4Meta("isom", 90000L, 450000L, 0))
+    // missing moov and a size lying past the payload both fail loudly
+    intercept[IllegalArgumentException] { MediaCodecs.parseMp4Meta(ftyp) }
+    val lying = mp4.clone()
+    lying(3) = 127 // ftyp size claims 127 bytes the payload doesn't hold
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseMp4Meta(lying.take(20))
+    }
+  }
+
   test("mm_gif_keyframes on the fixture dir: frame counts match metadata " +
       "and every intra-scene row is hamming-0 non-key") {
     val got = SparkEntry.queries("mm_gif_keyframes")(spark, TestSpark.sfDir)
