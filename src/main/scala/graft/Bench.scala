@@ -109,6 +109,7 @@ object Bench {
     "mm_png_roundtrip" -> "map-only: JDK PNG encode→decode per row (codec-bound, not engine work); the hash/band plumbing downstream is benched as mm_phash_pairs",
     "mm_wav_features" -> "map-only: RIFF/WAV container round trip per row (codec-bound); no shuffle beyond the final orderBy",
     "mm_mp3_meta" -> "map-only: MP3 frame-header synth+walk per row (codec-bound); no shuffle beyond the final orderBy",
+    "mm_flac_meta" -> "map-only: FLAC STREAMINFO synth+walk per row (codec-bound); no shuffle beyond the final orderBy",
     "mm_mp4_meta" -> "map-only: ISO BMFF box-tree synth+walk per row (codec-bound); no shuffle beyond the final orderBy",
     "mm_gif_keyframes" -> "map-only: JDK animated-GIF encode→decode per row (codec-bound); frame comparisons are container-local, the shuffled twin is benched as mm_keyframes",
     "stream_media_phash" -> "harness: micro-batch loop; per-trigger work is batch-sized map-only codec decode + a hash-keyed fold (the batch twin's machinery is benched as mm_phash_pairs)",

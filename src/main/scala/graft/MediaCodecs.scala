@@ -542,6 +542,87 @@ object MediaCodecs {
       kids.count(_._1 == "trak"))
   }
 
+  // ---- FLAC STREAMINFO metadata probe ------------------------------------
+
+  /** FLAC stream metadata from the mandatory STREAMINFO block: the
+    * fields a crawl routes/filters audio on without touching a single
+    * compressed frame. */
+  final case class FlacMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, totalSamples: Long) {
+    def durationMs: Long = totalSamples * 1000L / sampleRate
+  }
+
+  /** Synthesize a REAL FLAC header: `fLaC` magic + a spec-shaped
+    * STREAMINFO metadata block (34 bytes, bit-packed per the public
+    * format: 16+16 block sizes, 24+24 frame sizes, 20-bit sample rate,
+    * 3-bit channels−1, 5-bit bps−1, 36-bit total samples, 16-byte MD5
+    * zeroed) followed by a PADDING block marked last. No audio frames —
+    * [[parseFlacMeta]] reads exactly the structure synthesized here. */
+  def encodeFlacHeader(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, padBytes: Int = 4): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    require(channels >= 1 && channels <= 8, "channels out of 1..8")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, "bps out of 4..32")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "samples > 36b")
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + padBytes)
+    bb.put("fLaC".getBytes(StandardCharsets.US_ASCII))
+    bb.put(0.toByte) // STREAMINFO (type 0), not last
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(34.toByte) // 24-bit length
+    bb.putShort(4096.toShort); bb.putShort(4096.toShort) // block sizes
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // min frame size
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // max frame size
+    // 64 bits: rate(20) | channels-1(3) | bps-1(5) | totalSamples(36)
+    val packed = (sampleRate.toLong << 44) |
+      ((channels - 1).toLong << 41) | ((bitsPerSample - 1).toLong << 36) |
+      totalSamples
+    bb.putLong(packed)
+    bb.put(new Array[Byte](16)) // MD5 of unencoded audio (zeroed)
+    bb.put(0x81.toByte) // PADDING (type 1), LAST-block flag set
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(padBytes.toByte)
+    bb.put(new Array[Byte](padBytes))
+    bb.array()
+  }
+
+  /** Parse a FLAC payload's STREAMINFO into [[FlacMeta]] — magic check,
+    * metadata-block walk by declared 24-bit lengths (unknown block
+    * types skip; the walk stops at the last-block flag), the packed
+    * 64-bit rate/channels/bps/samples field unpacked per the spec.
+    * Loud rejects: missing magic, STREAMINFO absent or mis-sized,
+    * blocks running past the payload, a zero sample rate. */
+  def parseFlacMeta(payload: Array[Byte]): FlacMeta = {
+    require(payload.length >= 4 &&
+      new String(payload, 0, 4, StandardCharsets.US_ASCII) == "fLaC",
+      "not a FLAC payload (no fLaC magic)")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    var pos = 4
+    var meta: Option[FlacMeta] = None
+    var last = false
+    while (!last) {
+      require(pos + 4 <= payload.length,
+        s"truncated FLAC metadata-block header at $pos")
+      val flags = payload(pos) & 0xff
+      last = (flags & 0x80) != 0
+      val typ = flags & 0x7f
+      val len = ((payload(pos + 1) & 0xff) << 16) |
+        ((payload(pos + 2) & 0xff) << 8) | (payload(pos + 3) & 0xff)
+      require(pos + 4 + len <= payload.length,
+        s"FLAC metadata block at $pos runs past the payload")
+      if (typ == 0) {
+        require(len == 34, s"STREAMINFO must be 34 bytes, got $len")
+        val packed = bb.getLong(pos + 4 + 10)
+        val rate = (packed >>> 44).toInt
+        require(rate > 0, "STREAMINFO sample rate is 0")
+        meta = Some(FlacMeta(rate,
+          ((packed >>> 41) & 0x7).toInt + 1,
+          ((packed >>> 36) & 0x1f).toInt + 1,
+          packed & ((1L << 36) - 1)))
+      }
+      pos += 4 + len
+    }
+    require(meta.nonEmpty, "no STREAMINFO block before the last-block flag")
+    meta.get
+  }
+
   // ---- audio (RIFF/WAVE PCM-16) ----------------------------------------
 
   /** Decoded PCM payload: rate, channel count, interleaved 16-bit samples. */

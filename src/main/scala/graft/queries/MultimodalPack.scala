@@ -250,6 +250,39 @@ object MultimodalPack extends QueryPack {
       s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
     }),
 
+    // FLAC metadata probe (the third member of the named codec
+    // boundary, structure half): per doc a REAL FLAC header — fLaC
+    // magic, bit-packed 34-byte STREAMINFO, a PADDING block carrying
+    // the last-block flag — parsed back by the metadata-block walk:
+    // sample rate, channels, bits/sample, 36-bit total samples,
+    // integer-ms duration. Oracle is doc_id arithmetic.
+    "mm_flac_meta" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select(col("doc_id").as("media_id"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("sample_rate", IntegerType, nullable = false),
+        StructField("channels", IntegerType, nullable = false),
+        StructField("bits_per_sample", IntegerType, nullable = false),
+        StructField("total_samples", LongType, nullable = false),
+        StructField("duration_ms", LongType, nullable = false)))
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val flac = MediaCodecs.encodeFlacHeader(
+            rates((id % 5).toInt), (id % 2 + 1).toInt, 16,
+            (id % 89 + 1) * 1000L, padBytes = (id % 6 + 1).toInt)
+          // ---- real parse: everything below walks the FLAC blocks
+          val m = MediaCodecs.parseFlacMeta(flac)
+          Row(id, m.sampleRate, m.channels, m.bitsPerSample,
+            m.totalSamples, m.durationMs)
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("media_id"))
+    }),
+
     // MP4 metadata probe (the ISO BMFF half of the same split): per doc
     // a REAL box skeleton — ftyp brand, a free box parsers must skip,
     // moov with a spec-shaped version-0 mvhd and N trak stubs — parsed
@@ -591,6 +624,22 @@ object MultimodalPack extends QueryPack {
         |  CAST(1152 * n * 1000 // sr AS BIGINT) AS duration_ms,
         |  (min(kbps) <> max(kbps)) AS is_vbr
         |FROM kb GROUP BY media_id, sr, n ORDER BY media_id""".stripMargin,
+
+    // Pure doc_id arithmetic — the engine's path to the same values
+    // runs through FLAC header synth → metadata-block walk → bit unpack.
+    "mm_flac_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 8000
+        |    WHEN 1 THEN 16000 WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |    ELSE 48000 END AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  16 AS bits_per_sample,
+        |  CAST((doc_id % 89 + 1) * 1000 AS BIGINT) AS total_samples,
+        |  CAST((doc_id % 89 + 1) * 1000 * 1000
+        |    // (CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 8000
+        |       WHEN 1 THEN 16000 WHEN 2 THEN 22050 WHEN 3 THEN 44100
+        |       ELSE 48000 END) AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 4 = 1 ORDER BY media_id""".stripMargin,
 
     // Pure doc_id arithmetic — the engine's path to the same values
     // runs through box-tree synth → ftyp/moov/mvhd/trak walk.

@@ -330,6 +330,39 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC STREAMINFO walk: bit-packed fields round-trip (20-bit rate, " +
+      "3-bit channels, 5-bit bps, 36-bit samples), unknown metadata " +
+      "blocks skip, and missing magic / absent STREAMINFO / mis-sized " +
+      "blocks fail loudly") {
+    val flac = MediaCodecs.encodeFlacHeader(44100, 2, 16, 123456789L)
+    val m = MediaCodecs.parseFlacMeta(flac)
+    assert(m == MediaCodecs.FlacMeta(44100, 2, 16, 123456789L))
+    assert(m.durationMs == 123456789L * 1000 / 44100)
+    // extremes of each packed field
+    assert(MediaCodecs.parseFlacMeta(MediaCodecs.encodeFlacHeader(
+      8000, 8, 32, (1L << 36) - 1)) ==
+      MediaCodecs.FlacMeta(8000, 8, 32, (1L << 36) - 1))
+    // an unknown metadata block BEFORE streaminfo skips by length:
+    // splice an APPLICATION (type 2) block right after the magic
+    val app = Array[Byte](2, 0, 0, 5) ++ Array.fill(5)(0x7f.toByte)
+    val spliced = flac.take(4) ++ app ++ flac.drop(4)
+    assert(MediaCodecs.parseFlacMeta(spliced) == m)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseFlacMeta("flaC".getBytes("US-ASCII") ++ flac.drop(4))
+    }
+    // STREAMINFO length lying (35) — loud, not a shifted read
+    val bad = flac.clone(); bad(7) = 35
+    intercept[IllegalArgumentException] { MediaCodecs.parseFlacMeta(bad) }
+    // no STREAMINFO at all: magic + a last-flagged padding block only
+    val pad = Array[Byte]("fLaC".getBytes("US-ASCII"): _*) ++
+      Array[Byte](0x81.toByte, 0, 0, 2, 0, 0)
+    intercept[IllegalArgumentException] { MediaCodecs.parseFlacMeta(pad) }
+    // block running past the payload
+    intercept[IllegalArgumentException] {
+      MediaCodecs.parseFlacMeta(flac.take(20))
+    }
+  }
+
   test("MP4 box walk: skeleton meta round-trips (unknown boxes skipped, " +
       "trak stubs counted), version-1 mvhd and largesize/to-EOF box " +
       "sizes parse, and missing moov / lying sizes fail loudly") {
