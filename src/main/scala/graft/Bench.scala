@@ -125,6 +125,7 @@ object Bench {
     "tx_url_frontier" -> "composition: sitemap build/parse/unescape/canonicalize projections + the tx_robots_filter broadcast filter + one keep-first group (tx_web_corpus family)",
     "tx_frontier_discover" -> "composition: tx_url_frontier's funnel with robots-announced fetch (tiny per-host join), a gzip codec hop (codec-bound, partition-local), and the w3cEpoch projection",
     "tx_frontier_schedule" -> "family: per-host politeness window (row_number per key — q5/q17 window family) over the tx_url_frontier funnel + a broadcast delay join",
+    "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_media" -> "map-only: partition-local WARC parse + Content-Type route + PNG decode (codec-bound); payloads never leave the iterator, no shuffle beyond the final orderBy",

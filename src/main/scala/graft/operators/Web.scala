@@ -480,6 +480,92 @@ object Web {
       .drop("_rb_host", "_rb_rules")
   }
 
+  /** The anchor-with-attributes pattern whose FULL match feeds
+    * [[anchorLinks]] (same tag-boundary/quote discipline as
+    * [[AnchorPattern]]). */
+  val AnchorFullPattern: String = AnchorPattern
+
+  /** href attribute extraction from one full anchor match, by quoting
+    * style: double-quoted, single-quoted, then bare (first hit wins in
+    * that order — the order a quoted value would otherwise be
+    * shadowed by a bare-pattern prefix of itself). */
+  private val HrefDq =
+    "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*\"([^\"]*)\""
+  private val HrefSq = "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*'([^']*)'"
+  private val HrefBare =
+    "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*([^ \t\r\n>\"'][^ \t\r\n>]*)"
+
+  /** Every `<a …>…</a>`'s `(href, text)` pair in document order — the
+    * LINK-GRAPH extraction primitive (anchor text per outgoing edge is
+    * the classic retrieval-training signal; the href feeds
+    * [[resolveUrl]] → [[canonicalUrl]] → the edge list). hrefs are
+    * XML-unescaped (`&amp;` is endemic in real markup); texts run
+    * through the full [[htmlText]] cleanup (nested markup stripped,
+    * entities decoded, whitespace collapsed). Anchors without an href
+    * surface with `href = ''` — filter them at the call site. */
+  def anchorLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit(AnchorFullPattern), lit(0)),
+      a => struct(
+        xmlUnescape(
+          when(regexp_extract(a, HrefDq, 1) =!= "",
+            regexp_extract(a, HrefDq, 1))
+          .when(regexp_extract(a, HrefSq, 1) =!= "",
+            regexp_extract(a, HrefSq, 1))
+          .otherwise(regexp_extract(a, HrefBare, 1))).as("href"),
+        htmlText(regexp_extract(a, AnchorPattern, 1)).as("text")))
+
+  /** RFC 3986 §5.2.4 dot-segment removal as BOUNDED column math: per
+    * iteration, excess leading `..` drops at the root, `/./` and a
+    * trailing `/.` collapse, and one `segment/..` pair folds per
+    * non-overlapping match; 8 iterations resolve any real-world
+    * nesting (a path needing more keeps its residue — deterministic,
+    * and adversarial-depth paths still canonicalize stably). Shared
+    * verbatim by the oracle side where needed; the ALGORITHM is
+    * property-tested against a direct RFC reference implementation. */
+  def removeDotSegments(path: Column): Column =
+    (1 to 8).foldLeft(path) { (p, _) =>
+      val noRootDots = regexp_replace(p, "^/\\.\\.(/|$)", "/")
+      val noDot = regexp_replace(
+        regexp_replace(noRootDots, "/\\./", "/"), "/\\.$", "/")
+      // the folded segment must be a REAL segment — never "." or ".."
+      // (a leftover "/./" from an overlapping-match pass would
+      // otherwise be consumed as the segment and shield the one
+      // before it; caught by the seeded RFC property test)
+      regexp_replace(noDot,
+        "/(?:[^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)/\\.\\.(/|$)", "/")
+    }
+
+  /** Resolve an href against its page's (absolute) base URL — RFC 3986
+    * §5.2 reference resolution in column math, the primitive between
+    * [[anchorLinks]] and [[canonicalUrl]] (crawled hrefs are
+    * overwhelmingly relative; a link graph built from raw hrefs is
+    * garbage). Handles: absolute hrefs (returned as-is —
+    * [[canonicalUrl]] normalizes downstream), protocol-relative
+    * (`//host/…` adopts the base scheme), rooted (`/…`), query-only
+    * (`?…`), fragment-only (`#…`), empty (the base itself), and
+    * relative paths merged against the base path's directory with
+    * [[removeDotSegments]]. */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val tail = regexp_replace(base,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val pathQuery = regexp_replace(tail, "#.*", "")
+    val pathOnly = regexp_replace(pathQuery, "[?].*", "")
+    val dir = when(pathOnly.contains("/"),
+      regexp_extract(pathOnly, "^(.*/)", 1)).otherwise(lit("/"))
+    when(h === "", base)
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"), concat(origin, removeDotSegments(h)))
+      .when(h.startsWith("?"), concat(origin, pathOnly, h))
+      .when(h.startsWith("#"), concat(origin, pathQuery, h))
+      .otherwise(concat(origin, removeDotSegments(concat(dir, h))))
+  }
+
   /** POLITENESS-schedule a frontier: assign every URL a per-host fetch
     * slot honoring the host's `Crawl-delay` — the scheduling step that
     * turns a deduplicated frontier ([[robotsFilter]] + keep-first) into

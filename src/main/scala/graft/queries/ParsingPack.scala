@@ -651,6 +651,45 @@ object ParsingPack extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // LINK-GRAPH EXTRACTION (the edge-list primitive between a crawl
+    // and every graph signal — PageRank, anchor-text corpora, hub
+    // detection): each doc's HTML carries anchors in every real href
+    // shape — absolute with an XML-escaped query, protocol-relative,
+    // rooted (BARE-quoted attribute), dot-relative, query-only, plus
+    // an href-less <a name> that must drop — extracted by anchorLinks,
+    // RFC 3986-resolved against the page URL, canonicalized into
+    // (src doc, dst url, anchor text) edges. The oracle re-derives
+    // every resolved target arithmetically (it never runs a resolver),
+    // so the hash gates extraction + resolution + canonicalization
+    // together; the resolution ALGORITHM itself is property-tested
+    // against a direct RFC reference. Map-only over the crawl table.
+    "tx_link_edges" -> ((s, dir) => {
+      val h = pmod(col("doc_id"), lit(4)).cast("string")
+      val a = pmod(col("doc_id"), lit(3)).cast("string")
+      val b = pmod(col("doc_id"), lit(2)).cast("string")
+      val p = pmod(col("doc_id"), lit(50)).cast("string")
+      val page = concat(lit("https://site"), h, lit(".com/sec"), a,
+        lit("/sub"), b, lit("/page"), p)
+      val html = concat(
+        lit("<html><body><a href=\"https://ext"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".com/x?a=1&amp;b=2\">ext &amp; link</a>"),
+        lit("<a\nhref='//cdn.site"), h, lit(".com/lib'>cdn lib</a>"),
+        lit("<a href=/top/item"), p, lit(">rooted</a>"),
+        lit("<a href=\"../up"), p, lit("\">up &#38; away</a>"),
+        lit("<a href=\"?page=2\">next page</a>"),
+        lit("<a name=\"x\">dead</a></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"),
+          explode(Web.anchorLinks(html)).as("l"))
+        .filter(col("l.href") =!= "")
+        .select(col("doc_id"),
+          Web.canonicalUrl(Web.resolveUrl(col("page"), col("l.href")))
+            .as("dst"),
+          col("l.text").as("anchor"))
+        .orderBy(col("doc_id"), col("dst"))
+    }),
+
     // POLITENESS SCHEDULING (the step after discovery → compliance →
     // dedup: an executable crawl plan): the robots-filtered keep-first
     // frontier gets per-host fetch slots honoring each host's
@@ -1113,6 +1152,37 @@ object ParsingPack extends QueryPack {
     // commutative monoid — split-independent), so the oracle is shared
     // verbatim.
     "stream_url_frontier" -> frontierOracle,
+
+    // Every resolved target re-derived ARITHMETICALLY (no resolver in
+    // SQL — the from-text-twin convention): the engine's path to the
+    // same strings runs through anchor extraction → RFC resolution →
+    // canonicalization.
+    "tx_link_edges" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 AS VARCHAR) AS h,
+        |    CAST(doc_id % 3 AS VARCHAR) AS a,
+        |    CAST(doc_id % 2 AS VARCHAR) AS b,
+        |    CAST(doc_id % 50 AS VARCHAR) AS p,
+        |    CAST(doc_id % 7 AS VARCHAR) AS k
+        |  FROM documents),
+        |edges AS (
+        |  SELECT doc_id,
+        |    'https://ext' || k || '.com/x?a=1&b=2' AS dst,
+        |    'ext & link' AS anchor FROM d
+        |  UNION ALL SELECT doc_id,
+        |    'https://cdn.site' || h || '.com/lib', 'cdn lib' FROM d
+        |  UNION ALL SELECT doc_id,
+        |    'https://site' || h || '.com/top/item' || p, 'rooted' FROM d
+        |  UNION ALL SELECT doc_id,
+        |    'https://site' || h || '.com/sec' || a || '/up' || p,
+        |    'up & away' FROM d
+        |  UNION ALL SELECT doc_id,
+        |    'https://site' || h || '.com/sec' || a || '/sub' || b ||
+        |      '/page' || p || '?page=2',
+        |    'next page' FROM d)
+        |SELECT doc_id, dst, anchor FROM edges
+        |ORDER BY doc_id, dst""".stripMargin,
 
     // The schedule re-derived: same canonical-URL frontier + rule
     // regexes, the meta oracle's delay CTE (agent '*'), per-host

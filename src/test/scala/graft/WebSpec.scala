@@ -838,6 +838,172 @@ class WebSpec extends AnyFunSuite {
     assert(got.size < 20 && got.exists(_._2 > 1))
   }
 
+  test("anchorLinks: (href, text) pairs extract across quoting styles " +
+      "(double, single, bare), hrefs XML-unescape, texts run the full " +
+      "htmlText cleanup, href-less anchors read empty") {
+    import graft.operators.Web
+    val html = "<a href=\"/a?x=1&amp;y=2\">one &amp; only</a>" +
+      "<a\nclass='k'\nhref='../b'><b>two</b> bold</a>" +
+      "<a href=page3>three</a><a name=\"anchor\">no link</a>"
+    val got = spark.createDataFrame(Seq(Tuple1(html))).toDF("h")
+      .select(explode(Web.anchorLinks(col("h"))).as("l"))
+      .select(col("l.href"), col("l.text"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(
+      ("/a?x=1&y=2", "one & only"),
+      ("../b", "two bold"),
+      ("page3", "three"),
+      ("", "no link")), s"links: $got")
+  }
+
+  test("resolveUrl: absolute, protocol-relative, rooted, query-only, " +
+      "fragment-only, empty, and dot-segment relative hrefs all land " +
+      "on the RFC 3986 targets") {
+    import graft.operators.Web
+    val base = "https://site.com/sec/sub/page?q=1#frag"
+    val cases = Seq(
+      "https://other.com/x" -> "https://other.com/x",
+      "//cdn.com/lib" -> "https://cdn.com/lib",
+      "/rooted/r" -> "https://site.com/rooted/r",
+      "?page=2" -> "https://site.com/sec/sub/page?page=2",
+      "#top" -> "https://site.com/sec/sub/page?q=1#top",
+      "" -> base,
+      "item" -> "https://site.com/sec/sub/item",
+      "./item" -> "https://site.com/sec/sub/item",
+      "../up" -> "https://site.com/sec/up",
+      "../../top" -> "https://site.com/top",
+      "../../../over" -> "https://site.com/over", // excess .. drops
+      "a/../b/./c" -> "https://site.com/sec/sub/b/c",
+      "mailto:x@y.z" -> "mailto:x@y.z")
+    val df = spark.createDataFrame(cases.map(c => (base, c._1)))
+      .toDF("base", "href")
+    val got = df.select(col("href"),
+        Web.resolveUrl(col("base"), col("href")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"href '$h': got ${got(h)}, want $want")
+    }
+  }
+
+  test("property (seeded): resolveUrl matches a direct RFC 3986 §5.2 " +
+      "reference resolution over 400 random (base, href) assemblies — " +
+      "merge, dot-segment removal, and every href shape pinned") {
+    import graft.operators.Web
+    // reference: RFC 5.2.4 remove_dot_segments as the spec's buffer loop
+    def refDots(p: String): String = {
+      var in = p
+      val out = new StringBuilder
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../") || in == "/..") {
+          in = if (in == "/..") "/" else "/" + in.substring(4)
+          val i = out.lastIndexOf("/")
+          out.setLength(if (i >= 0) i else 0)
+        } else if (in == "." || in == "..") in = ""
+        else {
+          val start = if (in.startsWith("/")) 1 else 0
+          val i = in.indexOf('/', start)
+          val seg = if (i >= 0) in.substring(0, i) else in
+          out.append(seg); in = if (i >= 0) in.substring(i) else ""
+        }
+      }
+      out.toString
+    }
+    def refResolve(base: String, href: String): String = {
+      val scheme = base.takeWhile(_ != ':')
+      val origin = base.substring(0,
+        base.indexOf('/', scheme.length + 3) match {
+          case -1 => base.length; case i => i
+        })
+      val tail = base.substring(origin.length)
+      val pathQuery = tail.takeWhile(_ != '#')
+      val pathOnly = pathQuery.takeWhile(_ != '?')
+      val dir =
+        if (pathOnly.contains("/")) pathOnly.take(pathOnly.lastIndexOf('/') + 1)
+        else "/"
+      if (href.isEmpty) base
+      else if (href.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) href
+      else if (href.startsWith("//")) scheme + ":" + href
+      else if (href.startsWith("/")) origin + refDots(href)
+      else if (href.startsWith("?")) origin + pathOnly + href
+      else if (href.startsWith("#")) origin + pathQuery + href
+      else origin + refDots(dir + href)
+    }
+    val rnd = new scala.util.Random(8171200L)
+    val pairs = (0 until 400).map { i =>
+      val depth = rnd.nextInt(4)
+      val base = s"https://h$i.com" +
+        (0 until depth).map(d => s"/d$d").mkString +
+        s"/pg$i" + (if (rnd.nextBoolean()) s"?q=$i" else "") +
+        (if (rnd.nextInt(3) == 0) "#f" else "")
+      val href = rnd.nextInt(8) match {
+        case 0 => s"https://abs$i.org/p"
+        case 1 => s"//cdn$i.net/x"
+        case 2 => s"/r$i/s"
+        case 3 => s"?n=$i"
+        case 4 => "#sec"
+        case 5 => ""
+        case _ =>
+          (0 until rnd.nextInt(4)).map(_ =>
+            if (rnd.nextBoolean()) "../" else "./").mkString +
+            (if (rnd.nextBoolean()) s"a$i/b" else s"c$i")
+      }
+      (base, href)
+    }
+    val df = spark.createDataFrame(pairs).toDF("base", "href")
+    val got = df.select(col("base"), col("href"),
+        Web.resolveUrl(col("base"), col("href")).as("r"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .toMap
+    pairs.foreach { case (b, h) =>
+      val want = refResolve(b, h)
+      assert(got((b, h)) == want,
+        s"base $b href '$h': got ${got((b, h))}, want $want")
+    }
+  }
+
+  test("link graph composes end to end: anchorLinks → resolveUrl → " +
+      "canonicalUrl edges feed Graph.pagerank identically to the " +
+      "hand-built edge list (HTML in, ranked pages out)") {
+    import graft.operators.{Graph, Web}
+    // 4 pages; page i links to (i+1)%4 twice (relative + rooted) and
+    // to page 0 once — page0 must out-rank the rest
+    val pages = (0 until 4).map { i =>
+      val url = s"https://g.com/dir/p$i"
+      val html = s"""<a href="p${(i + 1) % 4}">next</a>""" +
+        s"""<a href="/dir/p${(i + 1) % 4}?utm_source=x">next2</a>""" +
+        """<a href="../dir/p0">home</a>"""
+      (url, html)
+    }
+    val df = spark.createDataFrame(pages).toDF("page", "html")
+    val edges = df
+      .select(col("page"), explode(Web.anchorLinks(col("html"))).as("l"))
+      .filter(col("l.href") =!= "")
+      .select(Web.canonicalUrl(col("page")).as("src"),
+        Web.canonicalUrl(Web.resolveUrl(col("page"), col("l.href")))
+          .as("dst"))
+    val want = spark.createDataFrame(
+      (0 until 4).flatMap { i =>
+        Seq((s"https://g.com/dir/p$i", s"https://g.com/dir/p${(i + 1) % 4}"),
+          (s"https://g.com/dir/p$i", s"https://g.com/dir/p${(i + 1) % 4}"),
+          (s"https://g.com/dir/p$i", "https://g.com/dir/p0"))
+      }).toDF("src", "dst")
+    val gotEdges = edges.collect().map(r =>
+      (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(gotEdges ==
+      want.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq)
+    val gotRank = Graph.pagerank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantRank = Graph.pagerank(want, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotRank == wantRank)
+    assert(gotRank("https://g.com/dir/p0") == gotRank.values.max,
+      s"home page must out-rank: $gotRank")
+  }
+
   test("scheduleFrontier: per-host fetch slots honor Crawl-delay " +
       "(deci-second integer offsets), more-referenced pages fetch " +
       "first with URL tiebreak, hosts without meta take the default, " +
