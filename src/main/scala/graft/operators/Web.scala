@@ -299,10 +299,15 @@ object Web {
   }
 
   /** The `(host, group_id)` set the crawler `agent` must obey, per RFC
-    * 9309 §2.2.1: groups naming the agent's product token
-    * (case-insensitive) when the host has any, else the host's `*`
-    * groups. `agent = "*"` is the generic crawler's view (exactly the
-    * `*` groups). */
+    * 9309 §2.2.1: the MOST SPECIFIC matching groups — a group matches
+    * when its product token is a case-insensitive PREFIX of the
+    * agent's token (`Googlebot-News` obeys a `Googlebot` group — the
+    * RFC's own example semantics, which an exact-token match missed),
+    * the longest matching token per host wins (ties: all its groups),
+    * and hosts with no matching token fall back to their `*` groups.
+    * `agent = "*"` is the generic crawler's view (exactly the `*`
+    * groups — string prefix, never glob, so a `*` token only matches
+    * the `*` agent). */
   private def selectedGroups(grouped: org.apache.spark.sql.DataFrame,
       agent: String): org.apache.spark.sql.DataFrame = {
     val ua = grouped.filter(col("key") === "user-agent")
@@ -311,10 +316,19 @@ object Web {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     if (agentLc == "*") star
     else {
-      val exact = ua.filter(lower(col("value")) === lit(agentLc))
+      val cand = ua
+        .filter(col("value") =!= "*" &&
+          lit(agentLc).startsWith(lower(col("value"))))
+        .select(col("host"), col("group_id"),
+          length(col("value")).as("_tok_len"))
+      val best = cand.groupBy(col("host"))
+        .agg(max(col("_tok_len")).as("_best_len"))
+      val matched = cand
+        .join(best, Seq("host"))
+        .filter(col("_tok_len") === col("_best_len"))
         .select(col("host"), col("group_id")).distinct()
-      exact.unionByName(
-        star.join(exact.select(col("host")).distinct(),
+      matched.unionByName(
+        star.join(matched.select(col("host")).distinct(),
           Seq("host"), "left_anti"))
     }
   }
@@ -342,8 +356,10 @@ object Web {
     * ignores robots.txt ships content it was asked not to take).
     * RFC 9309 semantics: consecutive `User-agent` lines open a group
     * whose rules run until the next group; the groups obeyed are the
-    * most specific match for `agent` (§2.2.1 — the agent's own token
-    * groups when the host has any, else the `*` groups; the default
+    * most specific match for `agent` (§2.2.1 — the longest group token
+    * that case-insensitively PREFIXES the agent's product token, so
+    * `Googlebot-News` obeys a `Googlebot` group; hosts with no
+    * matching token fall back to their `*` groups; the default
     * `agent = "*"` evaluates the generic crawler's view); comments
     * (`#…`) strip; keys are case-insensitive; empty-prefix rules (the
     * "Disallow:" allow-all idiom) drop. `*`/`$` special characters are

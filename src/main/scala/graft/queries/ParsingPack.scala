@@ -101,9 +101,13 @@ object ParsingPack extends QueryPack {
       |    ROWS UNBOUNDED PRECEDING) AS group_id
       |  FROM marked),
       |""".stripMargin +
-    s"""exactg AS (SELECT DISTINCT host, group_id FROM grp
-       |  WHERE key = 'user-agent' AND lower(value) = ${sqlLit(
-            agent.toLowerCase(java.util.Locale.ROOT))}),
+    s"""cand AS (SELECT host, group_id, length(value) AS l FROM grp
+       |  WHERE key = 'user-agent' AND value <> '*'
+       |    AND starts_with(${sqlLit(
+            agent.toLowerCase(java.util.Locale.ROOT))}, lower(value))),
+       |bestl AS (SELECT host, max(l) AS ml FROM cand GROUP BY host),
+       |exactg AS (SELECT DISTINCT c.host, c.group_id
+       |  FROM cand c JOIN bestl b ON c.host = b.host AND c.l = b.ml),
        |star AS (SELECT DISTINCT host, group_id FROM grp
        |         WHERE key = 'user-agent' AND value = '*'),
        |selg AS (SELECT * FROM exactg UNION

@@ -459,28 +459,47 @@ class WebSpec extends AnyFunSuite {
       8L -> (true, "")), s"verdicts: $verdicts")
   }
 
-  test("robots per-agent group selection (RFC 9309 §2.2.1): the agent's " +
-      "own token groups win when the host has any (case-insensitive), " +
-      "else the *-groups apply; a host whose ONLY group names the agent " +
-      "flips from allow-all to restricted") {
+  test("robots per-agent group selection (RFC 9309 §2.2.1): a group " +
+      "matches when its token is a case-insensitive PREFIX of the " +
+      "agent token (Googlebot-News obeys a Googlebot group), the " +
+      "longest matching token wins per host, else the *-groups apply; " +
+      "a host whose ONLY group names the agent flips from allow-all " +
+      "to restricted") {
     import graft.operators.Web
     val robots = spark.createDataFrame(Seq(
       ("a.com", "User-agent: *\nDisallow: /private/\n" +
         "\nUser-agent: otherbot\nDisallow: /ob/"),
-      ("d.com", "User-agent: otherbot\nDisallow: /"))).toDF("host", "body")
+      ("d.com", "User-agent: otherbot\nDisallow: /"),
+      // two prefix candidates — the LONGEST token's group must win
+      ("e.com", "User-agent: other\nDisallow: /o/\n" +
+        "\nUser-agent: otherbot\nDisallow: /ob2/"))).toDF("host", "body")
     val urls = spark.createDataFrame(Seq(
       (1L, "https://a.com/private/x"), (2L, "https://a.com/ob/x"),
-      (3L, "https://d.com/anything"))).toDF("id", "url")
+      (3L, "https://d.com/anything"),
+      (4L, "https://e.com/o/x"), (5L, "https://e.com/ob2/x")))
+      .toDF("id", "url")
     def verdicts(agent: String) =
       Web.robotsFilter(urls, "url", Web.parseRobots(robots, agent = agent))
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("allowed"))
         .toMap
-    // generic crawler: a.com's * group; d.com unrestricted
-    assert(verdicts("*") == Map(1L -> false, 2L -> true, 3L -> true))
+    // generic crawler: a.com's * group; d.com/e.com unrestricted
+    // (a '*' token is a literal string, never a glob — no prefix match)
+    assert(verdicts("*") == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true))
     // otherbot: its own groups REPLACE the * group on a.com (RFC: the
-    // most specific matching group, not the union), d.com now bites
-    assert(verdicts("otherbot") == Map(1L -> true, 2L -> false, 3L -> false))
+    // most specific matching group, not the union), d.com now bites,
+    // and on e.com the LONGEST prefix token ("otherbot" > "other")
+    // selects /ob2/ only
+    assert(verdicts("otherbot") == Map(1L -> true, 2L -> false,
+      3L -> false, 4L -> true, 5L -> false))
     assert(verdicts("OtherBot") == verdicts("otherbot"))
+    // a PRODUCT-SUFFIXED agent matches by token prefix — the RFC's
+    // Googlebot-News example shape
+    assert(verdicts("otherbot-news") == verdicts("otherbot"))
+    // an agent that only the SHORTER token prefixes: e.com picks /o/
+    // (a.com has no matching token → its *-group still applies)
+    assert(verdicts("otherx") == Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
     // an agent with no groups anywhere falls back to * everywhere
     assert(verdicts("newbot") == verdicts("*"))
   }
