@@ -231,10 +231,14 @@ object MediaCodecs {
   }
 
   /** Decode every frame of a (possibly animated) GIF payload as LOGICAL
-    * SCREENS. Full-frame GIFs (every frame covers the screen at 0,0 —
-    * the [[encodeGifFrames]]/oracle path) return the reader's frames
+    * SCREENS. Full-frame OPAQUE GIFs (every frame covers the screen at
+    * 0,0, no frame is transparent, disposal keeps — the
+    * [[encodeGifFrames]]/oracle path) return the reader's frames
     * untouched (palettized TYPE_BYTE_INDEXED; [[grayGrid]]'s getRGB+luma
-    * path recovers gray values exactly, luma(v,v,v) = v).
+    * path recovers gray values exactly, luma(v,v,v) = v). A full-size
+    * frame carrying a transparent index delta-encodes against the
+    * previous screen (r17 ADVICE #1) and routes to compositing like any
+    * partial-update frame.
     *
     * OPTIMIZED animations — partial-update frames (sub-rectangles at an
     * image-descriptor offset, under a GIF89a disposal method) — are
@@ -280,18 +284,29 @@ object MediaCodecs {
         val d = root.getElementsByTagName("ImageDescriptor").item(0)
           .asInstanceOf[org.w3c.dom.Element]
         val gce = root.getElementsByTagName("GraphicControlExtension")
-        val disposal =
-          if (gce.getLength == 0) "none"
-          else gce.item(0).asInstanceOf[org.w3c.dom.Element]
-            .getAttribute("disposalMethod") match {
-            case "" => "none"
-            case s => s
+        val (disposal, transparent) =
+          if (gce.getLength == 0) ("none", false)
+          else {
+            val e = gce.item(0).asInstanceOf[org.w3c.dom.Element]
+            (e.getAttribute("disposalMethod") match {
+              case "" => "none"
+              case s => s
+            }, e.getAttribute("transparentColorFlag")
+              .equalsIgnoreCase("TRUE"))
           }
         (d.getAttribute("imageLeftPosition").toInt,
-          d.getAttribute("imageTopPosition").toInt, disposal)
+          d.getAttribute("imageTopPosition").toInt, disposal, transparent)
       }
       val frames = (0 until n).map(reader.read)
-      val fullFrame = metas.forall(m => m._1 == 0 && m._2 == 0) &&
+      // the fast path requires every frame to FULLY REPAINT the screen:
+      // screen-sized at (0,0), OPAQUE (r17 ADVICE #1: optimized GIFs
+      // commonly emit full-size frames that delta-encode via the
+      // transparent index — returning those raw hands downstream luma
+      // the transparent index's palette RGB instead of the composited
+      // screen), and a keep disposal (a restore disposal implies the
+      // NEXT frame reveals canvas the current one doesn't own)
+      val fullFrame = metas.forall(m => m._1 == 0 && m._2 == 0 &&
+          !m._4 && (m._3 == "none" || m._3 == "doNotDispose")) &&
         frames.forall(f => f.getWidth == sw && f.getHeight == sh)
       if (fullFrame) frames
       else {
@@ -315,7 +330,7 @@ object MediaCodecs {
         }
         var canvas = new BufferedImage(sw, sh, BufferedImage.TYPE_INT_ARGB)
         val out = IndexedSeq.newBuilder[BufferedImage]
-        frames.zip(metas).foreach { case (f, (left, top, disposal)) =>
+        frames.zip(metas).foreach { case (f, (left, top, disposal, _)) =>
           val before =
             if (disposal == "restoreToPrevious") Some(snapshot(canvas))
             else None

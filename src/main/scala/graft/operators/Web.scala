@@ -66,11 +66,29 @@ object Web {
     * (see [[entityTable]]). */
   val AmpEntityPattern: String = "&(amp|#38|#x26);"
 
+  /** Lenient open-tag fallback for SCRIPT/STYLE only (r17 ADVICE #4):
+    * the quote-aware [[TagAttrs]] walk deliberately fails on an
+    * unterminated quote so a malformed ANCHOR stays visible instead of
+    * swallowing the document — but for `<script data-x="a>…` that
+    * policy leaked the entire script BODY into extracted text, and
+    * leaking JavaScript/CSS into a training corpus is strictly worse
+    * than over-stripping markup. The fallback keeps the tag-boundary
+    * discipline (attributes only after whitespace, so `<scriptfoo>`
+    * still never matches) but ends the open tag at the first `>`
+    * regardless of quoting. Tried SECOND — well-formed tags (including
+    * quoted `>`s) still take the quote-aware branch, and Java regex
+    * and RE2 share leftmost-first alternation semantics, so the
+    * oracle-embedded pattern behaves identically. */
+  private val LenientAttrs = "(?:[ \t\r\n][^>]*)?>"
+
   /** The script/style subtree-strip patterns — public so the DuckDB
     * oracle generators embed the IDENTICAL pattern text (the r15 regex
-    * fix must move both engines in lockstep, by construction). */
-  val ScriptPattern: String = s"(?is)<script$TagAttrs.*?</script>"
-  val StylePattern: String = s"(?is)<style$TagAttrs.*?</style>"
+    * fix must move both engines in lockstep, by construction).
+    * Quote-aware first, [[LenientAttrs]] second (see there). */
+  val ScriptPattern: String =
+    s"(?is)<script(?:$TagAttrs|$LenientAttrs).*?</script>"
+  val StylePattern: String =
+    s"(?is)<style(?:$TagAttrs|$LenientAttrs).*?</style>"
 
   /** The generic tag-strip pattern, QUOTE-AWARE: a literal `>` inside a
     * quoted attribute value (`<div data-x="a>b">`) must not terminate
@@ -208,22 +226,30 @@ object Web {
     * the ANSI throw: one garbage lastmod must not kill a crawl job).
     * Built from date-days + time-seconds − offset-seconds so the DuckDB
     * oracle reproduces it bit-for-bit with no session-timezone
-    * dependence. */
+    * dependence. The W3C profile's MINUTE-precision form
+    * (`…Thh:mm±hh:mm`, seconds omitted) parses fully — seconds are
+    * optional in the time pattern — and the offset is applied ONLY
+    * when a time actually matched (r17 ADVICE #2: a ±hh:mm-looking
+    * tail after an unparseable time used to shift midnight by up to
+    * 14 h in the wrong direction; now such strings truncate to their
+    * date, the documented degradation). */
   def w3cEpoch(lastmod: Column): Column = {
     val datePart = regexp_extract(lastmod, "^(\\d{4}-\\d{2}-\\d{2})", 1)
     val days = unix_date(
       call_function("try_to_date", datePart, lit("yyyy-MM-dd")))
-    val timePat = "^\\d{4}-\\d{2}-\\d{2}[Tt](\\d{2}):(\\d{2}):(\\d{2})"
+    val timePat = "^\\d{4}-\\d{2}-\\d{2}[Tt](\\d{2}):(\\d{2})(?::(\\d{2}))?"
     val hh = regexp_extract(lastmod, timePat, 1)
+    val ss = regexp_extract(lastmod, timePat, 3)
     val timeSec = when(hh === "", lit(0L)).otherwise(
       hh.cast("long") * 3600L +
         regexp_extract(lastmod, timePat, 2).cast("long") * 60L +
-        regexp_extract(lastmod, timePat, 3).cast("long"))
-    // an offset can only follow a time (date-only strings carry no
-    // colons, so the colon-anchored tail never false-matches a date)
+        when(ss === "", lit(0L)).otherwise(ss.cast("long")))
+    // an offset is only meaningful when a TIME matched: date-only (or
+    // garbled-time) strings with a trailing ±hh:mm shape keep epoch =
+    // midnight of their date rather than a spurious shift
     val offPat = "([+-])(\\d{2}):(\\d{2})$"
     val offSign = regexp_extract(lastmod, offPat, 1)
-    val offSec = when(offSign === "", lit(0L)).otherwise(
+    val offSec = when(offSign === "" || hh === "", lit(0L)).otherwise(
       (regexp_extract(lastmod, offPat, 2).cast("long") * 3600L +
         regexp_extract(lastmod, offPat, 3).cast("long") * 60L) *
         when(offSign === "-", lit(-1L)).otherwise(lit(1L)))
@@ -501,35 +527,118 @@ object Web {
     * [[AnchorPattern]]). */
   val AnchorFullPattern: String = AnchorPattern
 
-  /** href attribute extraction from one full anchor match, by quoting
-    * style: double-quoted, single-quoted, then bare (first hit wins in
-    * that order — the order a quoted value would otherwise be
-    * shadowed by a bare-pattern prefix of itself). */
-  private val HrefDq =
-    "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*\"([^\"]*)\""
-  private val HrefSq = "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*'([^']*)'"
-  private val HrefBare =
-    "(?is)[ \t\r\n]href[ \t\r\n]*=[ \t\r\n]*([^ \t\r\n>\"'][^ \t\r\n>]*)"
+  /** One attribute token of an open tag: a name, optionally `= value`
+    * with a double-quoted, single-quoted, or bare value. Applied
+    * LEFT-TO-RIGHT over the tag's attribute region, non-overlapping
+    * matches consume complete name[=value] units in document order —
+    * the same quote-aware discipline as [[TagAttrs]] — so an
+    * ` href="fake"` substring INSIDE another attribute's quoted value
+    * is swallowed by that attribute's own token and can never shadow
+    * the real attribute (r17 ADVICE #3: the old whole-match search
+    * found the first quoted href ANYWHERE in the tag). */
+  private val AttrToken =
+    "[a-zA-Z][^ \t\r\n=>\"'/]*" +
+      "(?:[ \t\r\n]*=[ \t\r\n]*(?:\"[^\"]*\"|'[^']*'|[^ \t\r\n\"'>]*))?"
 
-  /** Every `<a …>…</a>`'s `(href, text)` pair in document order — the
-    * LINK-GRAPH extraction primitive (anchor text per outgoing edge is
-    * the classic retrieval-training signal; the href feeds
-    * [[resolveUrl]] → [[canonicalUrl]] → the edge list). hrefs are
-    * XML-unescaped (`&amp;` is endemic in real markup); texts run
+  /** The quote-aware attribute-region capture of tag `name`'s open tag
+    * (the [[TagAttrs]] walk with the closing `>` outside the group). */
+  private def openAttrsPattern(name: String): String =
+    s"(?is)^<$name((?:[ \t\r\n][^>\"']*" +
+      "(?:(?:\"[^\"]*\"|'[^']*')[^>\"']*)*)?)>"
+
+  /** Unquoted value of attribute `attr` (case-insensitive, FIRST
+    * occurrence wins) in a full `tag` string whose tag name is
+    * `tagName` — sequential [[AttrToken]] walk. Missing or valueless
+    * attributes read ''. */
+  private def tagAttrValue(tag: Column, tagName: String,
+      attr: String): Column = {
+    val attrs = regexp_extract(tag, openAttrsPattern(tagName), 1)
+    // try_element_at: a tag without the attribute filters to an EMPTY
+    // array, which must read null (ANSI element_at throws)
+    val tok = try_element_at(
+      filter(regexp_extract_all(attrs, lit(AttrToken), lit(0)),
+        t => lower(t).rlike(s"^$attr([ \t\r\n=]|$$)")), lit(1))
+    // the token grammar makes the value shape decidable from the first
+    // char after `=`: quoted values strip their quotes, bare values
+    // pass through, a valueless attribute (no `=`) reads ''
+    val eq = regexp_replace(tok, "(?s)^[^=]*=[ \t\r\n]*", "")
+    when(tok.isNull || !tok.contains("="), lit("")).otherwise(
+      when(eq.startsWith("\""), regexp_extract(eq, "(?s)^\"([^\"]*)\"", 1))
+        .when(eq.startsWith("'"), regexp_extract(eq, "(?s)^'([^']*)'", 1))
+        .otherwise(eq))
+  }
+
+  /** True when a space/comma-separated token list (an anchor `rel` or a
+    * robots-meta `content`) contains token `tok` — whole-token match,
+    * so `rel="nofollower"` never reads as nofollow. */
+  private def hasToken(list: Column, tok: String): Column =
+    lower(list).rlike(s"(^|[ \t\r\n,])$tok([ \t\r\n,]|$$)")
+
+  /** Every `<a …>…</a>`'s `(href, text, nofollow)` struct in document
+    * order — the LINK-GRAPH extraction primitive (anchor text per
+    * outgoing edge is the classic retrieval-training signal; the href
+    * feeds [[resolveUrl]] → [[canonicalUrl]] → the edge list). hrefs
+    * are XML-unescaped (`&amp;` is endemic in real markup); texts run
     * through the full [[htmlText]] cleanup (nested markup stripped,
-    * entities decoded, whitespace collapsed). Anchors without an href
-    * surface with `href = ''` — filter them at the call site. */
+    * entities decoded, whitespace collapsed); `nofollow` is the
+    * page-author's per-edge opt-out (`rel="nofollow"`, whole-token,
+    * case-insensitive — r17 verdict task #4: a compliant link graph
+    * drops these edges before PageRank). Anchors without an href
+    * surface with `href = ''` — filter them at the call site.
+    * Attribute extraction walks name=value tokens sequentially
+    * ([[AttrToken]]), so quoted decoys inside other attributes never
+    * shadow the real href/rel. */
   def anchorLinks(html: Column): Column =
     transform(
       regexp_extract_all(html, lit(AnchorFullPattern), lit(0)),
       a => struct(
-        xmlUnescape(
-          when(regexp_extract(a, HrefDq, 1) =!= "",
-            regexp_extract(a, HrefDq, 1))
-          .when(regexp_extract(a, HrefSq, 1) =!= "",
-            regexp_extract(a, HrefSq, 1))
-          .otherwise(regexp_extract(a, HrefBare, 1))).as("href"),
-        htmlText(regexp_extract(a, AnchorPattern, 1)).as("text")))
+        xmlUnescape(tagAttrValue(a, "a", "href")).as("href"),
+        htmlText(regexp_extract(a, AnchorPattern, 1)).as("text"),
+        hasToken(tagAttrValue(a, "a", "rel"), "nofollow").as("nofollow")))
+
+  /** The `<base>` open-tag pattern ([[TagAttrs]] boundary discipline —
+    * `<basefont>` never matches). */
+  val BaseTagPattern: String = s"(?is)<base$TagAttrs"
+
+  /** The document's `<base href>` value — the FIRST `<base>` element
+    * wins (HTML §4.2.3; later bases are ignored), XML-unescaped, ''
+    * when absent. A page carrying a base resolves its relative hrefs
+    * against it, NOT the page URL (r17 missing #2: ignoring it
+    * produced systematically wrong link-graph edges on base-carrying
+    * pages). */
+  def baseHref(html: Column): Column =
+    xmlUnescape(tagAttrValue(
+      regexp_extract(html, BaseTagPattern, 0), "base", "href"))
+
+  /** The effective RFC 3986 base the page's hrefs resolve against: the
+    * first `<base href>` resolved against the page URL when present
+    * (the base may itself be relative — HTML resolves it against the
+    * document's URL), else the page URL itself ([[resolveUrl]] returns
+    * the base verbatim for an empty href, which is exactly the
+    * no-base case). */
+  def pageBase(pageUrl: Column, html: Column): Column =
+    resolveUrl(pageUrl, baseHref(html))
+
+  /** The `<meta>` open-tag pattern ([[TagAttrs]] boundary discipline). */
+  val MetaTagPattern: String = s"(?is)<meta$TagAttrs"
+
+  /** Per-page robots-meta flags — the IN-PAGE half of the crawl
+    * compliance protocol (robots.txt is the per-host half):
+    * `(noindex, nofollow)` from every `<meta name="robots"
+    * content="…">` in the document. Token match is whole-token over
+    * the comma/space-separated content list; multiple robots metas
+    * union (the most restrictive combination wins — the convention
+    * search engines document). A compliant corpus funnel drops
+    * `noindex` pages; a compliant link graph drops ALL edges of a
+    * `nofollow` page (r17 verdict task #4). */
+  def metaRobots(html: Column): Column = {
+    val robots = filter(
+      regexp_extract_all(html, lit(MetaTagPattern), lit(0)),
+      m => lower(tagAttrValue(m, "meta", "name")) === "robots")
+    def flag(tok: String) = exists(robots,
+      m => hasToken(tagAttrValue(m, "meta", "content"), tok))
+    struct(flag("noindex").as("noindex"), flag("nofollow").as("nofollow"))
+  }
 
   /** RFC 3986 §5.2.4 dot-segment removal as BOUNDED column math: per
     * iteration, excess leading `..` drops at the root, `/./` and a
@@ -582,12 +691,33 @@ object Web {
       .otherwise(concat(origin, removeDotSegments(concat(dir, h))))
   }
 
+  /** Recrawl-priority weight: one additional sighting (`n_seen`) is
+    * worth this many DAYS of lastmod freshness in
+    * [[recrawlPriority]] — a URL whose last modification is more than
+    * `30 × Δn_seen` days fresher outranks a more-referenced one. */
+  val RecrawlDaysPerSeen: Long = 30L
+
+  /** Freshness-aware schedule priority (r17 verdict task #8: ranking by
+    * `n_seen` alone ignores the `first_epoch` recrawl signal the
+    * frontier already tracks): `n_seen · [[RecrawlDaysPerSeen]] +
+    * ⌊first_epoch / 86400⌋` — integer end to end (epoch DAYS, the
+    * granularity lastmod carries), so both engines agree bit-for-bit.
+    * Null epochs (no lastmod ever seen) read as day 0 — the oldest
+    * possible content, which a recrawl-aware scheduler treats as
+    * least fresh. Feed the result to [[scheduleFrontier]] as
+    * `priorityCol`. */
+  def recrawlPriority(nSeen: Column, firstEpoch: Column): Column =
+    nSeen.cast("long") * lit(RecrawlDaysPerSeen) +
+      floor(coalesce(firstEpoch, lit(0L)).cast("double") / lit(86400.0))
+        .cast("long")
+
   /** POLITENESS-schedule a frontier: assign every URL a per-host fetch
     * slot honoring the host's `Crawl-delay` — the scheduling step that
     * turns a deduplicated frontier ([[robotsFilter]] + keep-first) into
     * an executable crawl plan, completing the loop discovery →
-    * compliance → dedup → SCHEDULE. Within a host, more-referenced
-    * pages fetch first (`n_seen` DESC, URL ASC tiebreak — a total
+    * compliance → dedup → SCHEDULE. Within a host, higher-priority
+    * pages fetch first (`priorityCol` DESC — `n_seen` by default, or a
+    * [[recrawlPriority]]-style compound — URL ASC tiebreak, a total
     * order); `rank` is the 0-based slot and `fetch_offset_ds` its
     * start offset in DECI-seconds (`rank × round(delay·10)` — integer
     * end to end, so both engines agree bit-for-bit where a
@@ -595,34 +725,66 @@ object Web {
     * parseable delay (or absent from `meta`) take `defaultDelaySec`.
     *
     * Scale shape: one broadcast join against the (hosts-sized, tiny
-    * after [[robotsMeta]]) delay relation and ONE window partitioned
-    * by host — per-host sequential slots are inherently serial (that
-    * is what politeness means), so the per-host window is the
-    * semantically minimal shuffle; a mega-host's partition is bounded
-    * by its own frontier size, the same bound its crawl queue has.
+    * after [[robotsMeta]]) delay relation — and the per-host rank is
+    * TWO-PASS BUCKETED (r17 verdict task #1; the
+    * [[Scale.rankByGroup]] precedent): only the fetch SCHEDULE is
+    * inherently serial per host, not the rank computation, and a
+    * single `Window.partitionBy(host)` funneled a mega-host's 10⁷⁺
+    * frontier URLs into ONE task's sort. Instead (1) one bounded
+    * `approxQuantile` pass range-buckets the priority (bucket
+    * assignment is value-based, so equal priorities share a bucket
+    * and buckets respect the DESC order), (2) per-(host, bucket)
+    * counts — groups × buckets rows, broadcastable metadata —
+    * prefix-sum into per-bucket rank offsets, (3) `row_number` runs
+    * within (host, bucket) — partitions ~|host frontier|/buckets —
+    * and adds the offset. Bit-identical to the one-window form
+    * (spec-pinned), with no single-host-sized sort anywhere.
     * Output: input columns + `(host, rank, fetch_offset_ds)`. */
   def scheduleFrontier(frontier: org.apache.spark.sql.DataFrame,
       urlCol: String, meta: org.apache.spark.sql.DataFrame,
-      defaultDelaySec: Double = 1.0): org.apache.spark.sql.DataFrame = {
+      defaultDelaySec: Double = 1.0,
+      priorityCol: String = "n_seen",
+      buckets: Int = 64): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = Seq("_cd_host", "_cd_delay", "host", "rank",
-      "fetch_offset_ds")
+    val reserved = Seq("_cd_host", "_cd_delay", "_fs_b", "_fs_cnt",
+      "_fs_off", "_fs_rn", "host", "rank", "fetch_offset_ds")
     val clash = frontier.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"scheduleFrontier reserves columns ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")}")
     val delays = meta.select(col("host").as("_cd_host"),
       coalesce(col("crawl_delay"), lit(defaultDelaySec)).as("_cd_delay"))
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("n_seen").desc, col(urlCol))
-    frontier
+    val withHost = frontier
       .withColumn("host", urlHost(col(urlCol)))
       .join(broadcast(delays), col("host") === col("_cd_host"), "left")
-      .withColumn("rank", row_number().over(w) - 1)
+    // one bounded stats pass; cuts are ≤ buckets−1 doubles on the driver
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts = withHost.stat.approxQuantile(priorityCol, probs, 0.001)
+      .distinct.sorted.toSeq
+    // monotone DESC bucket id: count of cut points strictly ABOVE the
+    // row's priority (codegen'd indicator sum, no UDF) — bucket 0 holds
+    // the highest priorities, ties always share a bucket
+    val bucketId = cuts.foldLeft(lit(0))((acc, c) =>
+      acc + when(col(priorityCol) < lit(c), 1).otherwise(0))
+    val withB = withHost.withColumn("_fs_b", bucketId)
+    val counts = withB.groupBy(col("host"), col("_fs_b"))
+      .agg(count(lit(1)).as("_fs_cnt"))
+    val wOff = Window.partitionBy(col("host")).orderBy(col("_fs_b"))
+    val offsets = counts
+      .withColumn("_fs_off",
+        coalesce(sum(col("_fs_cnt")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_fs_cnt")
+    val wIn = Window.partitionBy(col("host"), col("_fs_b"))
+      .orderBy(col(priorityCol).desc, col(urlCol))
+    withB
+      .withColumn("_fs_rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("host", "_fs_b"))
+      .withColumn("rank", (col("_fs_off") + col("_fs_rn") - 1).cast("int"))
       .withColumn("fetch_offset_ds", col("rank") *
         round(coalesce(col("_cd_delay"), lit(defaultDelaySec)) * 10)
           .cast("long"))
-      .drop("_cd_host", "_cd_delay")
+      .drop("_cd_host", "_cd_delay", "_fs_b", "_fs_off", "_fs_rn")
   }
 
   /** Registrable-domain approximation: the last two dot-labels of the

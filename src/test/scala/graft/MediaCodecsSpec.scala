@@ -162,9 +162,15 @@ class MediaCodecsSpec extends AnyFunSuite {
 
   /** A REAL optimized GIF via the JDK writer: stream metadata pins the
     * logical screen; each frame carries its own image-descriptor offset
-    * and GIF89a disposal method. (pixels, w, h, left, top, disposal) */
+    * and GIF89a disposal method. (pixels, w, h, left, top, disposal).
+    * `transparentIndex(i)` marks that palette index transparent in
+    * frame i's GraphicControlExtension — the delta-encoding device
+    * optimized GIFs use (the gray palette the JDK writer builds maps
+    * index v to gray v, so "pixels of value v" are the transparent
+    * ones). */
   private def writeOptimizedGif(screenW: Int, screenH: Int,
-      frames: Seq[(Array[Int], Int, Int, Int, Int, String)]): Array[Byte] = {
+      frames: Seq[(Array[Int], Int, Int, Int, Int, String)],
+      transparentIndex: Int => Option[Int] = _ => None): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
     import javax.imageio.metadata.IIOMetadataNode
     def mkImg(px: Array[Int], w: Int, h: Int) = {
@@ -196,7 +202,8 @@ class MediaCodecsSpec extends AnyFunSuite {
       lsd.setAttribute("pixelAspectRatio", "0")
       smd.setFromTree(sname, stree)
       writer.prepareWriteSequence(smd)
-      frames.foreach { case (px, w, h, left, top, disposal) =>
+      frames.zipWithIndex.foreach { case ((px, w, h, left, top, disposal),
+          fi) =>
         val img = mkImg(px, w, h)
         val imd = writer.getDefaultImageMetadata(
           ImageTypeSpecifier.createFromRenderedImage(img), null)
@@ -218,9 +225,11 @@ class MediaCodecsSpec extends AnyFunSuite {
         val gce = child("GraphicControlExtension")
         gce.setAttribute("disposalMethod", disposal)
         gce.setAttribute("userInputFlag", "FALSE")
-        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag",
+          if (transparentIndex(fi).isDefined) "TRUE" else "FALSE")
         gce.setAttribute("delayTime", "10")
-        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("transparentColorIndex",
+          transparentIndex(fi).getOrElse(0).toString)
         imd.setFromTree(iname, tree)
         writer.writeToSequence(new IIOImage(img, null, imd), null)
       }
@@ -265,6 +274,51 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.decodeGifFrames(bad)
     }
     assert(e.getMessage.contains("escapes"), e.getMessage)
+  }
+
+  test("full-size TRANSPARENT frames route to compositing, not the " +
+      "fast path (r17 ADVICE #1): a screen-sized frame delta-encoding " +
+      "via the transparent index shows the PREVIOUS screen through its " +
+      "transparent pixels, never the transparent index's palette gray") {
+    val grad = Array.tabulate(16)(i => (i * 5) % 256)
+    // frame 1 is FULL-SIZE at (0,0) — the exact shape the old fast
+    // path waved through raw — but index 37 is transparent: only (0,0)
+    // really changes (to 200); everything else must read frame 0
+    val delta = Array.fill(16)(37); delta(0) = 200
+    val gif = writeOptimizedGif(4, 4, Seq(
+      (grad, 4, 4, 0, 0, "doNotDispose"),
+      (delta, 4, 4, 0, 0, "doNotDispose")),
+      transparentIndex = i => if (i == 1) Some(37) else None)
+    val fs = MediaCodecs.decodeGifFrames(gif)
+    assert(fs.length == 2 &&
+      fs.forall(f => f.getWidth == 4 && f.getHeight == 4))
+    assert(lum(fs(0), 1, 1) == grad(5) && lum(fs(0), 3, 3) == grad(15))
+    // composited: the delta pixel landed, transparent pixels read
+    // through to frame 0's gradient (raw frame 1 would read 37 — the
+    // transparent index's palette gray — everywhere but (0,0))
+    assert(lum(fs(1), 0, 0) == 200, s"delta pixel: ${lum(fs(1), 0, 0)}")
+    assert(lum(fs(1), 1, 1) == grad(5) && lum(fs(1), 3, 3) == grad(15),
+      s"transparent pixels must show the previous screen, got " +
+        s"${lum(fs(1), 1, 1)}/${lum(fs(1), 3, 3)}")
+    // a fully-opaque keep-disposal full-frame GIF still takes the fast
+    // path: reader frames come back palettized (not ARGB screens)
+    val opaque = writeOptimizedGif(4, 4, Seq(
+      (grad, 4, 4, 0, 0, "doNotDispose"),
+      (Array.fill(16)(9), 4, 4, 0, 0, "none")))
+    val fo = MediaCodecs.decodeGifFrames(opaque)
+    assert(fo.forall(_.getType != java.awt.image.BufferedImage.TYPE_INT_ARGB),
+      "opaque full-frame GIF should return reader frames untouched")
+    // a full-size frame under a RESTORE disposal also leaves the fast
+    // path (the next frame reveals canvas the current one cleared)
+    val restore = writeOptimizedGif(4, 4, Seq(
+      (grad, 4, 4, 0, 0, "restoreToBackgroundColor"),
+      (delta, 4, 4, 0, 0, "none")),
+      transparentIndex = i => if (i == 1) Some(37) else None)
+    val fr = MediaCodecs.decodeGifFrames(restore)
+    // frame 0's rect was cleared before frame 1, whose transparent
+    // pixels therefore read the CLEARED canvas (luma 0), not the grad
+    assert(lum(fr(1), 0, 0) == 200 && lum(fr(1), 1, 1) == 0,
+      s"restore disposal: ${lum(fr(1), 0, 0)}/${lum(fr(1), 1, 1)}")
   }
 
   test("optimized-GIF screens larger than their frames composite onto " +

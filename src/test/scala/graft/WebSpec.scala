@@ -1150,6 +1150,210 @@ class WebSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("anchor attribute extraction walks name=value tokens sequentially " +
+      "(r17 ADVICE #3): an ' href=\"fake\"' decoy INSIDE another " +
+      "attribute's quoted value never shadows the real href, uppercase " +
+      "HREF matches, and rel is whole-token (nofollower != nofollow)") {
+    val html =
+      "<a data-x=' href=\"fake\"' href='/real'>one</a>" +
+      "<a HREF=\"/UP\" REL='NoFollow sponsored'>two</a>" +
+      "<a rel=\"ugc nofollower\" href=/keep>three</a>" +
+      "<a rel href=\"/bare-rel\">four</a>"
+    val got = spark.createDataFrame(Seq(Tuple1(html))).toDF("h")
+      .select(explode(Web.anchorLinks(col("h"))).as("l"))
+      .select(col("l.href"), col("l.text"), col("l.nofollow"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == Seq(
+      ("/real", "one", false),       // decoy swallowed by data-x's token
+      ("/UP", "two", true),          // case-insensitive name + rel token
+      ("/keep", "three", false),     // 'nofollower' is NOT nofollow
+      ("/bare-rel", "four", false)), // valueless rel reads ''
+      s"links: $got")
+  }
+
+  test("script/style strip falls back to a lenient open tag on an " +
+      "unterminated quote (r17 ADVICE #4): the script BODY never leaks " +
+      "into extracted text, while tag-boundary discipline still holds " +
+      "(<scriptfoo> is not a script) and quoted '>'s still take the " +
+      "quote-aware branch") {
+    // unterminated quote: quote-aware fails, lenient strips the body
+    val got = one("<script data-x=\"a>var secret = 1;</script>" +
+      "<p>keep me</p>", Web.htmlText)
+    assert(got == "keep me", s"script body leaked: '$got'")
+    val st = one("<style media=\"sc>.hide { display: none }</style>" +
+      "<p>prose</p>", Web.htmlText)
+    assert(st == "prose", s"style body leaked: '$st'")
+    // custom tags never match as script starts (the lenient branch
+    // keeps the whitespace-before-attributes boundary)
+    val custom = one("<scriptfoo>visible words</scriptfoo>" +
+      "<script>var x;</script><p>tail</p>", Web.htmlText)
+    assert(custom == "visible words tail", s"boundary broke: '$custom'")
+    // quoted '>' still quote-aware: body strips, following text stays
+    val quoted = one("<script data-x=\"a>b\">var y;</script>rest",
+      Web.htmlText)
+    assert(quoted == "rest", s"quote-aware branch lost: '$quoted'")
+  }
+
+  test("w3cEpoch minute-precision and offset gating (r17 ADVICE #2): " +
+      "hh:mm forms parse fully with their offset, and a ±hh:mm-looking " +
+      "tail after a date-only (or garbled-time) string is NOT applied") {
+    val cases = Seq(
+      // minute-precision W3C form: 06:30+09:00 = 2026-02-28T21:30Z
+      "2026-03-01T06:30+09:00" ->
+        Some((java.time.LocalDate.of(2026, 2, 28).toEpochDay * 86400L)
+          + 21 * 3600L + 30 * 60L),
+      // full-second forms unchanged
+      "2026-03-01T06:30:00+09:00" ->
+        Some((java.time.LocalDate.of(2026, 2, 28).toEpochDay * 86400L)
+          + 21 * 3600L + 30 * 60L),
+      "2026-03-01T06:30:15Z" ->
+        Some(java.time.LocalDate.of(2026, 3, 1).toEpochDay * 86400L
+          + 6 * 3600L + 30 * 60L + 15),
+      // date-only with an offset-shaped tail: the offset must NOT
+      // shift midnight (the r17 ADVICE failure read 14h off)
+      "2026-03-01junk+09:00" ->
+        Some(java.time.LocalDate.of(2026, 3, 1).toEpochDay * 86400L),
+      "2026-03-01" ->
+        Some(java.time.LocalDate.of(2026, 3, 1).toEpochDay * 86400L),
+      "2026-02-31" -> None, // calendar-invalid
+      "garbage" -> None)
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("lm")
+    val got = df.select(col("lm"), Web.w3cEpoch(col("lm")).as("e"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    cases.foreach { case (lm, want) =>
+      assert(got(lm) == want, s"'$lm': got ${got(lm)}, want $want")
+    }
+  }
+
+  test("baseHref / pageBase: the FIRST <base href> wins, a relative " +
+      "base resolves against the page URL, <basefont> never matches, " +
+      "and base-less pages fall back to the page URL") {
+    val page = "https://s.com/dir/sub/p"
+    val cases = Seq(
+      ("<base href=\"https://cdn.s.com/x/\"><base href=\"/late/\">" +
+        "<a href=\"r\">t</a>", "https://cdn.s.com/x/"),
+      ("<base target=_top href='../up/'>", "https://s.com/dir/up/"),
+      ("<basefont size=3><p>no base</p>", page),
+      ("<p>nothing</p>", page))
+    val df = spark.createDataFrame(cases.map(c => (page, c._1)))
+      .toDF("page", "html")
+    val got = df.select(col("html"),
+        Web.pageBase(col("page"), col("html")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"html '$h': got ${got(h)}, want $want")
+    }
+    // base affects resolution end to end: the relative href lands on
+    // the base's directory, not the page's
+    val edge = df.limit(1)
+      .select(explode(Web.anchorLinks(col("html"))).as("l"),
+        Web.pageBase(col("page"), col("html")).as("b"))
+      .select(Web.resolveUrl(col("b"), col("l.href")).as("dst"))
+      .collect()(0).getString(0)
+    assert(edge == "https://cdn.s.com/x/r", s"edge: $edge")
+  }
+
+  test("metaRobots: name=robots matches case-insensitively, content is " +
+      "whole-token over comma/space lists, multiple robots metas UNION " +
+      "(most restrictive wins), and decoys (name=description, " +
+      "noindexing) never trigger") {
+    val cases = Seq(
+      ("<meta name=\"robots\" content=\"noindex, follow\">",
+        (true, false)),
+      ("<meta NAME='Robots' CONTENT='NOFOLLOW'>", (false, true)),
+      ("<meta name=robots content=\"index, follow\">" +
+        "<meta name=robots content=nofollow>", (false, true)),
+      ("<meta name=\"description\" content=\"noindex nofollow\">",
+        (false, false)),
+      ("<meta name=robots content=\"noindexing,nofollowed\">",
+        (false, false)),
+      ("<meta name=robots content=\"noindex,nofollow\">", (true, true)),
+      ("<p>no meta at all</p>", (false, false)))
+    val df = spark.createDataFrame(cases.map(c => Tuple1(c._1))).toDF("h")
+    val got = df.select(col("h"), Web.metaRobots(col("h")).as("m"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getBoolean(0), r.getStruct(1).getBoolean(1))))
+      .toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"html '$h': got ${got(h)}, want $want")
+    }
+  }
+
+  test("scheduleFrontier rank is TWO-PASS under host skew (r17 verdict " +
+      "#1): the priority-ordered window partitions by (host, bucket), " +
+      "never by host alone, and a 90%-one-host frontier ranks " +
+      "identically to the reference one-window form") {
+    import org.apache.spark.sql.expressions.Window
+    // 2000 URLs, 90% on one mega-host, priorities with heavy ties
+    val rows = (0 until 2000).map { i =>
+      val host = if (i % 10 < 9) "mega.com" else s"h${i % 7}.com"
+      (s"https://$host/p/$i", (i % 13).toLong + 1L)
+    }
+    val frontier = spark.createDataFrame(rows).toDF("url", "n_seen")
+    val meta = spark.createDataFrame(
+        Seq(("mega.com", Some(2.0), Seq.empty[String])))
+      .toDF("host", "crawl_delay", "sitemaps")
+    val sched = Web.scheduleFrontier(frontier, "url", meta, buckets = 16)
+    // reference: the one-window form (what the oracle runs in SQL)
+    val w = Window.partitionBy(Web.urlHost(col("url")))
+      .orderBy(col("n_seen").desc, col("url"))
+    val want = frontier
+      .withColumn("rank", row_number().over(w) - 1)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("rank"))
+      .toMap
+    val got = sched.collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[Int]("rank"), r.getAs[Long]("fetch_offset_ds"))))
+      .toMap
+    assert(got.size == 2000)
+    rows.foreach { case (u, _) =>
+      assert(got(u)._1 == want(u), s"$u: got ${got(u)._1}, want ${want(u)}")
+    }
+    // mega.com at 2.0s: slot offsets are rank * 20 deci-seconds
+    assert(got.filter(_._1.contains("mega.com"))
+      .forall { case (_, (r, o)) => o == r * 20L })
+    // plan pin: every DESC-ordered (data) window carries the bucket
+    // column in its partition spec — no single-host-partition sort
+    val planStr = sched.queryExecution.executedPlan.toString
+    val winLines = planStr.linesIterator
+      .filter(l => l.contains("Window ") && l.contains(" DESC")).toSeq
+    assert(winLines.nonEmpty, s"no DESC window found:\n$planStr")
+    assert(winLines.forall(_.contains("_fs_b")),
+      s"priority window lost its bucket partition:\n${winLines.mkString("\n")}")
+  }
+
+  test("recrawlPriority: a fresher-lastmod URL outranks a more-seen one " +
+      "past the pinned 30-days-per-sighting weight, n_seen still " +
+      "decides at equal freshness, and null epochs read oldest") {
+    val day = 86400L
+    val frontier = spark.createDataFrame(Seq(
+      // seen twice, 60 days fresher -> must outrank the 3-seen URL
+      ("https://a.com/fresh", 2L, Some(20100L * day)),
+      ("https://a.com/stale", 3L, Some(20040L * day)),
+      // equal epoch: the more-seen URL wins
+      ("https://a.com/hot", 5L, Some(20000L * day)),
+      ("https://a.com/cold", 1L, Some(20000L * day)),
+      // null epoch: oldest possible
+      ("https://a.com/nolm", 9L, None)))
+      .toDF("url", "n_seen", "first_epoch")
+      .withColumn("priority",
+        Web.recrawlPriority(col("n_seen"), col("first_epoch")))
+    val meta = spark.createDataFrame(
+        Seq(("a.com", Some(1.0), Seq.empty[String])))
+      .toDF("host", "crawl_delay", "sitemaps")
+    val got = Web.scheduleFrontier(frontier, "url", meta,
+        priorityCol = "priority")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("rank"))
+      .toMap
+    assert(got("https://a.com/fresh") < got("https://a.com/stale"),
+      s"freshness must win: $got")
+    assert(got("https://a.com/hot") < got("https://a.com/cold"),
+      s"n_seen must win at equal freshness: $got")
+    assert(got("https://a.com/nolm") == 4, s"null epoch must rank last: $got")
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
