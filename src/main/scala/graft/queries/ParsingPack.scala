@@ -661,12 +661,17 @@ object ParsingPack extends QueryPack {
     // shape — absolute with an XML-escaped query, protocol-relative,
     // rooted (BARE-quoted attribute), dot-relative, query-only, plus
     // an href-less <a name> that must drop — extracted by anchorLinks,
-    // RFC 3986-resolved against the page URL, canonicalized into
-    // (src doc, dst url, anchor text) edges. The oracle re-derives
-    // every resolved target arithmetically (it never runs a resolver),
-    // so the hash gates extraction + resolution + canonicalization
-    // together; the resolution ALGORITHM itself is property-tested
-    // against a direct RFC reference. Map-only over the crawl table.
+    // RFC 3986-resolved against the page's EFFECTIVE base (every 5th
+    // doc carries a <base href> that redirects its relative/rooted/
+    // query-only hrefs to a different origin — r17 missing #2), with
+    // rel=nofollow edges DROPPED before the edge list (whole-token: a
+    // rel="ugc nofollower" anchor survives — r17 verdict task #4),
+    // canonicalized into (src doc, dst url, anchor text) edges. The
+    // oracle re-derives every resolved target arithmetically (it never
+    // runs a resolver), so the hash gates extraction + base handling +
+    // nofollow compliance + resolution + canonicalization together;
+    // the resolution ALGORITHM itself is property-tested against a
+    // direct RFC reference. Map-only over the crawl table.
     "tx_link_edges" -> ((s, dir) => {
       val h = pmod(col("doc_id"), lit(4)).cast("string")
       val a = pmod(col("doc_id"), lit(3)).cast("string")
@@ -674,21 +679,31 @@ object ParsingPack extends QueryPack {
       val p = pmod(col("doc_id"), lit(50)).cast("string")
       val page = concat(lit("https://site"), h, lit(".com/sec"), a,
         lit("/sub"), b, lit("/page"), p)
+      val baseTag = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("<base href=\"https://bse"), a, lit(".com/bd"), b,
+          lit("/sub/\">"))).otherwise(lit(""))
       val html = concat(
-        lit("<html><body><a href=\"https://ext"),
+        lit("<html><head>"), baseTag,
+        lit("</head><body><a href=\"https://ext"),
         pmod(col("doc_id"), lit(7)).cast("string"),
         lit(".com/x?a=1&amp;b=2\">ext &amp; link</a>"),
         lit("<a\nhref='//cdn.site"), h, lit(".com/lib'>cdn lib</a>"),
         lit("<a href=/top/item"), p, lit(">rooted</a>"),
         lit("<a href=\"../up"), p, lit("\">up &#38; away</a>"),
         lit("<a href=\"?page=2\">next page</a>"),
+        lit("<a rel=\"nofollow\" href=\"/nf/"), p,
+        lit("\">untrusted</a>"),
+        lit("<a rel='ugc nofollower' href=\"/keep"), p,
+        lit("\">kept &amp; safe</a>"),
         lit("<a name=\"x\">dead</a></body></html>"))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), page.as("page"),
-          explode(Web.anchorLinks(html)).as("l"))
-        .filter(col("l.href") =!= "")
+        .select(col("doc_id"), page.as("page"), html.as("html"))
         .select(col("doc_id"),
-          Web.canonicalUrl(Web.resolveUrl(col("page"), col("l.href")))
+          Web.pageBase(col("page"), col("html")).as("eb"),
+          explode(Web.anchorLinks(col("html"))).as("l"))
+        .filter(col("l.href") =!= "" && !col("l.nofollow"))
+        .select(col("doc_id"),
+          Web.canonicalUrl(Web.resolveUrl(col("eb"), col("l.href")))
             .as("dst"),
           col("l.text").as("anchor"))
         .orderBy(col("doc_id"), col("dst"))
@@ -844,8 +859,22 @@ object ParsingPack extends QueryPack {
     // shuffle total (the canonical-URL group); everything upstream is
     // codegen regex projection.
     "tx_web_corpus" -> ((s, dir) => {
+      // robots-meta compliance fixture (r17 verdict task #4): every
+      // 7th doc (±3) is noindex — it must LEAVE the corpus; the ±2
+      // docs carry an index,follow robots meta and the ±1 docs a
+      // name=description DECOY whose content says noindex — both must
+      // SURVIVE (name match + whole-token content discipline)
+      val m7 = pmod(col("doc_id"), lit(7))
+      val metaTag = when(m7 === 3,
+          lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(m7 === 2,
+          lit("<meta name=\"robots\" content=\"index, follow\">"))
+        .when(m7 === 1,
+          lit("<meta name=\"description\" content=\"noindex nofollow\">"))
+        .otherwise(lit(""))
       val html = concat(
-        lit("<html><head><title>D"), col("doc_id").cast("string"),
+        lit("<html><head>"), metaTag,
+        lit("<title>D"), col("doc_id").cast("string"),
         lit("</title><script type=\"text/javascript\">var x = "),
         col("doc_id").cast("string"),
         lit(";</script><style>.c { color: red }</style></head>"),
@@ -863,8 +892,11 @@ object ParsingPack extends QueryPack {
         .select(col("doc_id"),
           Web.canonicalUrl(url).as("canon_url"),
           Web.htmlText(html).as("clean"),
-          Web.linkDensityBp(html).as("ld_bp"))
-        .filter(col("ld_bp") < 800 && length(col("clean")) >= 150)
+          Web.linkDensityBp(html).as("ld_bp"),
+          Web.metaRobots(html).getField("noindex").as("noindex"))
+        .filter(col("ld_bp") < 800 && length(col("clean")) >= 150 &&
+          !col("noindex"))
+        .drop("noindex")
       extracted
         .groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("doc_id"),
@@ -1159,8 +1191,11 @@ object ParsingPack extends QueryPack {
 
     // Every resolved target re-derived ARITHMETICALLY (no resolver in
     // SQL — the from-text-twin convention): the engine's path to the
-    // same strings runs through anchor extraction → RFC resolution →
-    // canonicalization.
+    // same strings runs through anchor extraction → effective-base
+    // selection (<base href> on every 5th doc) → rel=nofollow drop →
+    // RFC resolution → canonicalization. The /nf/ family NEVER appears
+    // here (edges really dropped), and base-carrying docs' relative/
+    // rooted/query-only targets land on the BASE origin/directory.
     "tx_link_edges" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1168,23 +1203,33 @@ object ParsingPack extends QueryPack {
         |    CAST(doc_id % 3 AS VARCHAR) AS a,
         |    CAST(doc_id % 2 AS VARCHAR) AS b,
         |    CAST(doc_id % 50 AS VARCHAR) AS p,
-        |    CAST(doc_id % 7 AS VARCHAR) AS k
+        |    CAST(doc_id % 7 AS VARCHAR) AS k,
+        |    (doc_id % 5 = 0) AS isb
         |  FROM documents),
+        |d2 AS (
+        |  SELECT *,
+        |    CASE WHEN isb THEN 'https://bse' || a || '.com'
+        |         ELSE 'https://site' || h || '.com' END AS org
+        |  FROM d),
         |edges AS (
         |  SELECT doc_id,
         |    'https://ext' || k || '.com/x?a=1&b=2' AS dst,
-        |    'ext & link' AS anchor FROM d
+        |    'ext & link' AS anchor FROM d2
         |  UNION ALL SELECT doc_id,
-        |    'https://cdn.site' || h || '.com/lib', 'cdn lib' FROM d
+        |    'https://cdn.site' || h || '.com/lib', 'cdn lib' FROM d2
         |  UNION ALL SELECT doc_id,
-        |    'https://site' || h || '.com/top/item' || p, 'rooted' FROM d
+        |    org || '/top/item' || p, 'rooted' FROM d2
         |  UNION ALL SELECT doc_id,
-        |    'https://site' || h || '.com/sec' || a || '/up' || p,
-        |    'up & away' FROM d
+        |    org || CASE WHEN isb THEN '/bd' || b ELSE '/sec' || a END
+        |      || '/up' || p,
+        |    'up & away' FROM d2
         |  UNION ALL SELECT doc_id,
-        |    'https://site' || h || '.com/sec' || a || '/sub' || b ||
-        |      '/page' || p || '?page=2',
-        |    'next page' FROM d)
+        |    org || CASE WHEN isb THEN '/bd' || b || '/sub/'
+        |      ELSE '/sec' || a || '/sub' || b || '/page' || p END
+        |      || '?page=2',
+        |    'next page' FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    org || '/keep' || p, 'kept & safe' FROM d2)
         |SELECT doc_id, dst, anchor FROM edges
         |ORDER BY doc_id, dst""".stripMargin,
 
@@ -1334,7 +1379,12 @@ object ParsingPack extends QueryPack {
         |FROM documents ORDER BY uri""".stripMargin,
 
     // The funnel re-derived: same markup/URL fixtures, same regex
-    // extraction pipeline, same gates, same keep-first collapse.
+    // extraction pipeline, same gates, same keep-first collapse. The
+    // robots-meta gate reduces to the ±3 (mod 7) row filter — the
+    // noindex docs the Spark side must drop by PARSING its metas (the
+    // ±2 robots index,follow and ±1 description-decoy docs carry metas
+    // too and must survive; a substring or name-blind matcher would
+    // cut them and hash-mismatch here).
     "tx_web_corpus" ->
       s"""WITH src AS (
          |  SELECT doc_id,
@@ -1370,7 +1420,8 @@ object ParsingPack extends QueryPack {
         |      / greatest(length(clean), 1)) AS INTEGER) AS ld_bp
         |  FROM ext),
         |gated AS (
-        |  SELECT * FROM scored WHERE ld_bp < 800 AND length(clean) >= 150),
+        |  SELECT * FROM scored
+        |  WHERE ld_bp < 800 AND length(clean) >= 150 AND doc_id % 7 <> 3),
         |kept AS (
         |  SELECT canon_url, min(doc_id) AS doc_id, count(*) AS n_crawls
         |  FROM gated GROUP BY canon_url)

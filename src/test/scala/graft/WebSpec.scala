@@ -375,6 +375,14 @@ class WebSpec extends AnyFunSuite {
     }
     val pages = got.map(_.getString(0)).distinct
     assert(pages.length == got.length, "canonical URLs must be unique rows")
+    // robots-meta compliance (r17 task #4): no noindex doc (±3 mod 7)
+    // survives as a kept crawl, while the ±2 (robots index,follow) and
+    // ±1 (description decoy saying noindex) docs are still eligible
+    assert(!got.exists(_.getLong(1) % 7 == 3),
+      "a noindex page leaked into the corpus")
+    assert(got.exists(_.getLong(1) % 7 == 2) &&
+      got.exists(_.getLong(1) % 7 == 1),
+      "meta-carrying docs that are NOT robots-noindex were over-cut")
   }
 
   test("robots.txt: RFC 9309 group semantics — consecutive User-agent " +
@@ -984,31 +992,48 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
-  test("link graph composes end to end: anchorLinks → resolveUrl → " +
-      "canonicalUrl edges feed Graph.pagerank identically to the " +
-      "hand-built edge list (HTML in, ranked pages out)") {
+  test("link graph composes end to end: anchorLinks → pageBase → " +
+      "resolveUrl → canonicalUrl edges (nofollow dropped, <base href> " +
+      "honored) feed Graph.pagerank identically to the hand-built edge " +
+      "list (HTML in, ranked pages out)") {
     import graft.operators.{Graph, Web}
     // 4 pages; page i links to (i+1)%4 twice (relative + rooted) and
-    // to page 0 once — page0 must out-rank the rest
+    // to page 0 once — page0 must out-rank the rest. Page 2 carries a
+    // <base href> into /dir/ from a DIFFERENT directory (its relative
+    // hrefs must still land on /dir/ — base-blind resolution would
+    // aim them at /other/), and every page carries a rel=nofollow
+    // anchor that must never become an edge.
     val pages = (0 until 4).map { i =>
-      val url = s"https://g.com/dir/p$i"
-      val html = s"""<a href="p${(i + 1) % 4}">next</a>""" +
+      val url =
+        if (i == 2) s"https://g.com/other/p$i" else s"https://g.com/dir/p$i"
+      val base =
+        if (i == 2) """<base href="https://g.com/dir/x">""" else ""
+      val html = base +
+        s"""<a href="p${(i + 1) % 4}">next</a>""" +
         s"""<a href="/dir/p${(i + 1) % 4}?utm_source=x">next2</a>""" +
-        """<a href="../dir/p0">home</a>"""
+        """<a href="../dir/p0">home</a>""" +
+        s"""<a rel="nofollow" href="/spam/s$i">paid</a>"""
       (url, html)
     }
     val df = spark.createDataFrame(pages).toDF("page", "html")
     val edges = df
-      .select(col("page"), explode(Web.anchorLinks(col("html"))).as("l"))
-      .filter(col("l.href") =!= "")
+      .select(col("page"),
+        Web.pageBase(col("page"), col("html")).as("eb"),
+        explode(Web.anchorLinks(col("html"))).as("l"))
+      .filter(col("l.href") =!= "" && !col("l.nofollow"))
       .select(Web.canonicalUrl(col("page")).as("src"),
-        Web.canonicalUrl(Web.resolveUrl(col("page"), col("l.href")))
+        Web.canonicalUrl(Web.resolveUrl(col("eb"), col("l.href")))
           .as("dst"))
     val want = spark.createDataFrame(
       (0 until 4).flatMap { i =>
-        Seq((s"https://g.com/dir/p$i", s"https://g.com/dir/p${(i + 1) % 4}"),
-          (s"https://g.com/dir/p$i", s"https://g.com/dir/p${(i + 1) % 4}"),
-          (s"https://g.com/dir/p$i", "https://g.com/dir/p0"))
+        val src = if (i == 2) s"https://g.com/other/p$i"
+          else s"https://g.com/dir/p$i"
+        // page 2's relative hrefs resolve against its BASE (/dir/),
+        // so its dsts are identical to the base-less pages'; the
+        // nofollow /spam/ anchors contribute NO edge
+        Seq((src, s"https://g.com/dir/p${(i + 1) % 4}"),
+          (src, s"https://g.com/dir/p${(i + 1) % 4}"),
+          (src, "https://g.com/dir/p0"))
       }).toDF("src", "dst")
     val gotEdges = edges.collect().map(r =>
       (r.getString(0), r.getString(1))).sorted.toSeq
