@@ -128,6 +128,7 @@ object Bench {
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
+    "tx_warc_charset" -> "map-only: partition-local WARC container + charset-sniffed byte decode per row (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_media" -> "map-only: partition-local WARC parse + Content-Type route + PNG decode (codec-bound); payloads never leave the iterator, no shuffle beyond the final orderBy",
     "tx_web_corpus" -> "composition: codegen regex projections + one keep-first group (dd_exact/q1_agg families) over the tx_html_extract/tx_url_canonical fixtures",
     "q4_dim_broadcast" -> "family: broadcast-dim join inside the benched q3_join_agg family",

@@ -129,6 +129,110 @@ object Warc {
     out.result()
   }
 
+  /** A charset-sniffed body decode: the text, the charset that decoded
+    * it (JVM canonical name, lowercased), and which SIGNAL decided —
+    * `bom` | `header` | `meta` | `default` | `fallback`. */
+  final case class DecodedText(text: String, charset: String,
+      source: String)
+
+  /** The `charset=` parameter of a Content-Type header value
+    * (case-insensitive, optional quotes), None when absent. */
+  def charsetParam(contentType: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:+-]+)\"?")
+      .matcher(contentType)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** How many leading bytes the meta prescan reads — the WHATWG
+    * encoding-sniffing convention (browsers prescan the first KiB for
+    * a `<meta charset>` before committing to a decoder). */
+  val MetaPrescanBytes: Int = 1024
+
+  private def charsetOf(name: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(name.trim))
+    catch { case _: IllegalArgumentException => None }
+
+  private def strictDecode(bytes: Array[Byte], off: Int,
+      cs: java.nio.charset.Charset): Option[String] =
+    try {
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      Some(dec.decode(java.nio.ByteBuffer.wrap(bytes, off,
+        bytes.length - off)).toString)
+    } catch { case _: java.nio.charset.CharacterCodingException => None }
+
+  private val MetaCharsetPattern = java.util.regex.Pattern.compile(
+    "(?i)<meta[ \t\r\n][^>]*charset[ \t\r\n]*=[ \t\r\n]*[\"']?" +
+      "([A-Za-z0-9_.:+-]+)")
+
+  /** Decode a crawl body's BYTES to text with charset sniffing — the
+    * boundary between the binary-safe WARC container and the
+    * string-typed HTML pipeline (r17 missing #1: real crawls are full
+    * of non-UTF-8 and MISLABELED pages; parsing raw bytes as UTF-8
+    * silently corrupts them). Signal precedence, the WHATWG
+    * encoding-sniffing order:
+    *
+    *  1. a BOM wins outright (UTF-8 / UTF-16LE / UTF-16BE; stripped
+    *     from the text),
+    *  2. else the Content-Type header's `charset=` parameter,
+    *  3. else a prescan of the first [[MetaPrescanBytes]] bytes (read
+    *     as Latin-1 — the meta tag itself is ASCII) for a
+    *     `<meta charset=…>` / `http-equiv` declaration,
+    *  4. else strict UTF-8.
+    *
+    * Every DECLARED charset is tried STRICTLY (malformed input
+    * REPORTs, never silently replaces): a declaration the bytes
+    * contradict — the classic mislabeled-latin-1-as-utf-8 page — falls
+    * back to ISO-8859-1, which decodes any byte sequence, and the
+    * result carries `source = "fallback"` so downstream quality gates
+    * can weight it. Unknown charset names are treated as undeclared
+    * (the sniff chain continues). Pure per-row JVM work — runs inside
+    * the same mapPartitions seam as the WARC parse; only decoded
+    * strings leave the partition. */
+  def decodeText(body: Array[Byte],
+      contentType: Option[String] = None): DecodedText = {
+    def label(cs: java.nio.charset.Charset): String =
+      cs.name().toLowerCase(java.util.Locale.ROOT)
+    def latin1 = new String(body, StandardCharsets.ISO_8859_1)
+    def fallback = DecodedText(latin1, "iso-8859-1", "fallback")
+    val n = body.length
+    // 1. BOM
+    val bom =
+      if (n >= 3 && body(0) == 0xEF.toByte && body(1) == 0xBB.toByte &&
+        body(2) == 0xBF.toByte) Some((StandardCharsets.UTF_8, 3))
+      else if (n >= 2 && body(0) == 0xFF.toByte && body(1) == 0xFE.toByte)
+        Some((StandardCharsets.UTF_16LE, 2))
+      else if (n >= 2 && body(0) == 0xFE.toByte && body(1) == 0xFF.toByte)
+        Some((StandardCharsets.UTF_16BE, 2))
+      else None
+    bom match {
+      case Some((cs, off)) =>
+        strictDecode(body, off, cs)
+          .map(t => DecodedText(t, label(cs), "bom")).getOrElse(fallback)
+      case None =>
+        // 2. header, 3. meta prescan — first KNOWN declaration wins
+        val header = contentType.flatMap(charsetParam).flatMap(charsetOf)
+        val declared = header.map((_, "header")).orElse {
+          val win = new String(body, 0, math.min(n, MetaPrescanBytes),
+            StandardCharsets.ISO_8859_1)
+          val m = MetaCharsetPattern.matcher(win)
+          (if (m.find()) charsetOf(m.group(1)) else None).map((_, "meta"))
+        }
+        declared match {
+          case Some((cs, src)) =>
+            strictDecode(body, 0, cs)
+              .map(t => DecodedText(t, label(cs), src)).getOrElse(fallback)
+          case None =>
+            // 4. strict UTF-8, else the latin-1 net
+            strictDecode(body, 0, StandardCharsets.UTF_8)
+              .map(t => DecodedText(t, "utf-8", "default"))
+              .getOrElse(fallback)
+        }
+    }
+  }
+
   /** Real gzip (RFC 1952) via the JDK — one member. */
   def gzip(bytes: Array[Byte]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

@@ -440,6 +440,69 @@ object ParsingPack extends QueryPack {
       s.createDataFrame(rdd, outSchema).orderBy(col("uri"))
     }),
 
+    // The CHARSET boundary between WARC bytes and the string-typed HTML
+    // pipeline (r17 missing #1): six real crawl shapes — undeclared
+    // UTF-8, header-declared latin-1, meta-prescan latin-1, a
+    // MISLABELED charset=utf-8 header over latin-1 bytes (strict decode
+    // must reject and fall back), and UTF-8/UTF-16LE BOMs — containered
+    // into real gzipped WARC records and decoded back by the sniff
+    // chain. The oracle re-derives every decoded string (and its md5)
+    // from doc_id arithmetic alone, so a hash match proves the byte
+    // encode → container → sniff → decode loop reproduced each page's
+    // TEXT exactly, non-ASCII included. Partition-local end to end.
+    "tx_warc_charset" -> ((s, dir) => {
+      import graft.operators.Warc
+      import java.nio.charset.StandardCharsets
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("charset",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("text_md5",
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.grouped(32).flatMap { batch =>
+          val recs = batch.map { r =>
+            val id = r.getLong(0)
+            val txt = s"Doc $id café ±"
+            val latin1 = txt.getBytes(StandardCharsets.ISO_8859_1)
+            val (ct, body) = (id % 6) match {
+              case 0 => (Some("text/html"),
+                txt.getBytes(StandardCharsets.UTF_8))
+              case 1 => (Some("text/html; charset=ISO-8859-1"), latin1)
+              case 2 => (None,
+                ("<meta charset=\"iso-8859-1\">" + txt)
+                  .getBytes(StandardCharsets.ISO_8859_1))
+              case 3 => (Some("text/html; charset=utf-8"), latin1)
+              case 4 => (None, Array[Byte](0xEF.toByte, 0xBB.toByte,
+                0xBF.toByte) ++ txt.getBytes(StandardCharsets.UTF_8))
+              case _ => (None, Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+                txt.getBytes(StandardCharsets.UTF_16LE))
+            }
+            ("https://ex.com/doc/" + id, ct, body)
+          }
+          val gz = Warc.gzip(Warc.writeRecordsTyped(recs))
+          // ---- crawl side: everything below reads only the container
+          Warc.parseRecords(Warc.gunzip(gz)).map { rec =>
+            val uri = rec.header("WARC-Target-URI").get
+            val id = uri.substring(uri.lastIndexOf('/') + 1).toLong
+            val d = Warc.decodeText(rec.body, rec.header("Content-Type"))
+            val md = java.security.MessageDigest.getInstance("MD5")
+            org.apache.spark.sql.Row(id, d.charset, d.source,
+              d.text.length,
+              md.digest(d.text.getBytes(StandardCharsets.UTF_8))
+                .map("%02x".format(_)).mkString)
+          }
+        }
+      }
+      s.createDataFrame(rdd, outSchema).orderBy(col("doc_id"))
+    }),
+
     // robots.txt COMPLIANCE filtering (the crawl-politeness front door a
     // training-data pipeline legally needs): per-host robots bodies are
     // parsed under RFC 9309 group semantics (consecutive User-agent
@@ -1377,6 +1440,35 @@ object ParsingPack extends QueryPack {
         |  md5(text) AS body_md5,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS body_len
         |FROM documents ORDER BY uri""".stripMargin,
+
+    // Every decoded page re-derived from doc_id arithmetic (the oracle
+    // never sees bytes, a container, or a charset): the engine's path
+    // to the same strings runs through per-charset byte ENCODING →
+    // WARC+gzip → parse → BOM/header/meta/strict-UTF-8 sniff → decode.
+    // The md5 matches only if the non-ASCII chars survived each
+    // charset's byte round trip — including the mislabeled case 3,
+    // where trusting the utf-8 header would corrupt é/± into
+    // replacement garbage.
+    "tx_warc_charset" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || ' café ±' AS txt,
+        |    CAST(doc_id % 6 AS INTEGER) AS c
+        |  FROM documents),
+        |shaped AS (
+        |  SELECT doc_id,
+        |    CASE c WHEN 2 THEN '<meta charset="iso-8859-1">' || txt
+        |      ELSE txt END AS text,
+        |    CASE c WHEN 0 THEN 'utf-8' WHEN 4 THEN 'utf-8'
+        |      WHEN 5 THEN 'utf-16le' ELSE 'iso-8859-1' END AS charset,
+        |    CASE c WHEN 0 THEN 'default' WHEN 1 THEN 'header'
+        |      WHEN 2 THEN 'meta' WHEN 3 THEN 'fallback'
+        |      ELSE 'bom' END AS source
+        |  FROM base)
+        |SELECT doc_id, charset, source,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  md5(text) AS text_md5
+        |FROM shaped ORDER BY doc_id""".stripMargin,
 
     // The funnel re-derived: same markup/URL fixtures, same regex
     // extraction pipeline, same gates, same keep-first collapse. The

@@ -221,4 +221,77 @@ class WarcSpec extends AnyFunSuite {
       assert(r.getString(4) == f"$want%016x", s"media ${r.getLong(0)}")
     }
   }
+
+  test("decodeText sniff chain (r17 missing #1): BOM > header > meta > " +
+      "strict UTF-8, declared charsets are tried STRICTLY with a " +
+      "latin-1 fallback on contradicting bytes, unknown charset names " +
+      "fall through, and the BOM is stripped from the text") {
+    import java.nio.charset.StandardCharsets._
+    val txt = "naïve café ±§"
+    // undeclared valid UTF-8 → default
+    val d0 = Warc.decodeText(txt.getBytes(UTF_8), Some("text/html"))
+    assert(d0 == Warc.DecodedText(txt, "utf-8", "default"), s"$d0")
+    // header-declared latin-1 (quoted, mixed case)
+    val d1 = Warc.decodeText(txt.getBytes(ISO_8859_1),
+      Some("text/html; Charset=\"ISO-8859-1\""))
+    assert(d1 == Warc.DecodedText(txt, "iso-8859-1", "header"), s"$d1")
+    // meta prescan (no header)
+    val metaDoc = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head>" + txt
+    val d2 = Warc.decodeText(metaDoc.getBytes(ISO_8859_1), None)
+    assert(d2 == Warc.DecodedText(metaDoc, "iso-8859-1", "meta"), s"$d2")
+    // MISLABELED: header says utf-8, bytes are latin-1 → strict decode
+    // rejects, latin-1 fallback recovers the exact text
+    val d3 = Warc.decodeText(txt.getBytes(ISO_8859_1),
+      Some("text/html; charset=utf-8"))
+    assert(d3 == Warc.DecodedText(txt, "iso-8859-1", "fallback"), s"$d3")
+    // undeclared invalid UTF-8 → fallback too
+    val d3b = Warc.decodeText(txt.getBytes(ISO_8859_1), None)
+    assert(d3b.source == "fallback" && d3b.text == txt, s"$d3b")
+    // BOMs win over a (wrong) header and are stripped
+    val d4 = Warc.decodeText(
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        txt.getBytes(UTF_8), Some("text/html; charset=iso-8859-1"))
+    assert(d4 == Warc.DecodedText(txt, "utf-8", "bom"), s"$d4")
+    val d5 = Warc.decodeText(
+      Array[Byte](0xFF.toByte, 0xFE.toByte) ++ txt.getBytes(UTF_16LE), None)
+    assert(d5 == Warc.DecodedText(txt, "utf-16le", "bom"), s"$d5")
+    val d6 = Warc.decodeText(
+      Array[Byte](0xFE.toByte, 0xFF.toByte) ++ txt.getBytes(UTF_16BE), None)
+    assert(d6 == Warc.DecodedText(txt, "utf-16be", "bom"), s"$d6")
+    // unknown charset name: the chain continues (here to valid UTF-8)
+    val d7 = Warc.decodeText(txt.getBytes(UTF_8),
+      Some("text/html; charset=martian-9"))
+    assert(d7 == Warc.DecodedText(txt, "utf-8", "default"), s"$d7")
+    // meta BEYOND the prescan window is ignored (chain falls through)
+    val far = " " * Warc.MetaPrescanBytes +
+      "<meta charset=\"iso-8859-1\">" + txt
+    val d8 = Warc.decodeText(far.getBytes(ISO_8859_1), None)
+    assert(d8.source == "fallback", s"$d8")
+    // empty body decodes to '' via the default branch
+    assert(Warc.decodeText(Array.emptyByteArray, None) ==
+      Warc.DecodedText("", "utf-8", "default"))
+  }
+
+  test("tx_warc_charset on the fixture dir: all six sniff shapes appear " +
+      "and the mislabeled pages really took the fallback route") {
+    val got = SparkEntry.queries("tx_warc_charset")(
+      TestSpark.spark, TestSpark.sfDir).collect()
+    assert(got.nonEmpty)
+    val bySrc = got.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(Set("default", "header", "meta", "fallback", "bom")
+      .subsetOf(bySrc.keySet), s"sources: $bySrc")
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val want = (id % 6) match {
+        case 0 => ("utf-8", "default")
+        case 1 => ("iso-8859-1", "header")
+        case 2 => ("iso-8859-1", "meta")
+        case 3 => ("iso-8859-1", "fallback")
+        case 4 => ("utf-8", "bom")
+        case _ => ("utf-16le", "bom")
+      }
+      assert((r.getString(1), r.getString(2)) == want, s"doc $id")
+    }
+  }
 }
