@@ -126,6 +126,7 @@ object Bench {
     "tx_frontier_discover" -> "composition: tx_url_frontier's funnel with robots-announced fetch (tiny per-host join), a gzip codec hop (codec-bound, partition-local), and the w3cEpoch projection",
     "tx_frontier_schedule" -> "family: per-host politeness window (row_number per key — q5/q17 window family) over the tx_url_frontier funnel + a broadcast delay join",
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
+    "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew scale probe",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_charset" -> "map-only: partition-local WARC container + charset-sniffed byte decode per row (codec-bound); no shuffle beyond the final orderBy",

@@ -34,7 +34,7 @@ object ScaleProbe {
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
     "layout_write_bucketed", "mm_media_decode", "stream_frontier_fold",
-    "index_delete_tomb")
+    "frontier_schedule_skew", "index_delete_tomb")
 
   /** The source files whose operators the probes exercise (repo-relative)
     * — the freshness domain of `scale_probe.json` (r16 verdict #3: the
@@ -400,6 +400,27 @@ object ScaleProbe {
         graft.streaming.EventStream
           .mergeFrontier(state, frontierBatch).count(): Unit
       }, 4.0),
+      // the POLITENESS-schedule rank under HOST SKEW (r17 verdict #1's
+      // named scale-killer shape): 90% of the frontier on ONE mega-host
+      // — the one-window form funneled that host's whole slice into a
+      // single task's sort; the two-pass bucketed rank (range-bucket
+      // counts → offsets → (host, bucket)-local row_number) must keep
+      // wall ~linear in the data instead
+      ("frontier_schedule_skew", "docs", (d: DataFrame) => {
+        val frontier = d.select(
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(10)) < 9, lit("mega.com"))
+              .otherwise(concat(lit("h"),
+                pmod(col("doc_id"), lit(997L)), lit(".com"))),
+            lit("/p/"), col("doc_id")).as("url"),
+          (pmod(col("doc_id"), lit(13)) + 1).cast("long").as("n_seen"))
+        val meta = spark.createDataFrame(
+            Seq(("mega.com", 1.5, "x"))).toDF("host", "crawl_delay", "sm")
+          .select(col("host"), col("crawl_delay"),
+            array().cast("array<string>").as("sitemaps"))
+        graft.operators.Web.scheduleFrontier(frontier, "url", meta)
+          .count(): Unit
+      }, 9.0),
       // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
       // base-fixture doc/vector set out of a PRE-BUILT corpus index +
       // IVF index and persisting the tombstone relations. The indexes

@@ -807,6 +807,49 @@ object ParsingPack extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // RECRAWL-AWARE SCHEDULING (r17 verdict task #8: rank by n_seen
+    // alone ignores the lastmod freshness the frontier already
+    // tracks): the same robots-gated keep-first frontier, but each
+    // URL carries its typed first_epoch (w3cEpoch of a month-varying
+    // lastmod) and the slot order is recrawlPriority = n_seen·30 +
+    // epoch-days — the pinned 30-days-per-sighting weight, integer
+    // end to end. On this fixture the weight really BITES: months
+    // span ~240 days while n_seen spans 1–2, so fresher once-seen
+    // URLs outrank staler twice-seen ones host by host (spec-pinned).
+    // Same two-pass bucketed rank as tx_frontier_schedule.
+    "tx_frontier_recrawl" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val h = pmod(col("doc_id"), lit(4))
+      val pathDir = element_at(array(lit("/item/"), lit("/private/")),
+        pmod(floor(col("doc_id") / lit(4)).cast("long"), lit(2)).cast("int")
+          + 1)
+      val raw = docs.select(
+        concat(lit("HTTPS://WWW.Site"), h.cast("string"),
+          lit(".COM:443"), pathDir,
+          pmod(col("doc_id"), lit(100)).cast("string"),
+          lit("?utm_source=map"), col("doc_id").cast("string"),
+          lit("&ref=sm#f")).as("loc"),
+        concat(lit("2026-0"),
+          (pmod(pmod(col("doc_id"), lit(100)), lit(9)) + 1).cast("string"),
+          lit("-01")).as("lastmod"))
+      val robots = s.createDataFrame(FixRobots).toDF("host", "body")
+      val frontier = Web.robotsFilter(
+          raw.select(Web.canonicalUrl(col("loc")).as("url"),
+            col("lastmod")), "url", Web.parseRobots(robots))
+        .filter(col("allowed"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_seen"),
+          min(Web.w3cEpoch(col("lastmod"))).as("first_epoch"))
+        .withColumn("priority",
+          Web.recrawlPriority(col("n_seen"), col("first_epoch")))
+      Web.scheduleFrontier(frontier, "url", Web.robotsMeta(robots),
+          priorityCol = "priority")
+        .select(col("url"), col("host"), col("n_seen"),
+          col("first_epoch"), col("priority"), col("rank"),
+          col("fetch_offset_ds"))
+        .orderBy(col("url"))
+    }),
+
     // STREAMING URL frontier (15th oracle-gated state kind): the same
     // discovered-URL relation (already XML-unescaped — the codec is the
     // batch twin's job) arrives as a 4-micro-batch file stream; each
@@ -1341,6 +1384,62 @@ object ParsingPack extends QueryPack {
         |    coalesce(d.crawl_delay, 1.0) AS delay
         |  FROM fr f LEFT JOIN delays d ON f.host = d.host)
         |SELECT url, host, n_seen, rank,
+        |  rank * CAST(round(delay * 10) AS BIGINT) AS fetch_offset_ds
+        |FROM sched ORDER BY url""".stripMargin),
+
+    // The recrawl schedule re-derived: the frontier CTEs with a
+    // date-only epoch (date-days·86400), priority = n_seen·30 +
+    // epoch-days, per-host row_number over (priority DESC, url).
+    "tx_frontier_recrawl" ->
+      (s"""WITH ${robotsRulesCtes()},
+         |""".stripMargin +
+      raw"""delays AS (
+        |  SELECT host, min(CASE WHEN regexp_matches(g.value,
+        |      '^[0-9]+(\.[0-9]+)?$$') THEN CAST(g.value AS DOUBLE) END)
+        |    AS crawl_delay
+        |  FROM grp g JOIN selg USING (host, group_id)
+        |  WHERE g.key = 'crawl-delay' GROUP BY host),
+        |docs2 AS (
+        |  SELECT doc_id, doc_id % 4 AS h,
+        |    (CASE WHEN CAST((doc_id // 4) % 2 AS INTEGER) = 0
+        |       THEN '/item/' ELSE '/private/' END)
+        |      || CAST(doc_id % 100 AS VARCHAR) || '?ref=sm' AS pathq,
+        |    doc_id % 100 % 9 + 1 AS mth
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(h AS VARCHAR) || '.com' || pathq AS url,
+        |    'site' || CAST(h AS VARCHAR) || '.com' AS host,
+        |    pathq AS path,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(strptime('2026-0' || CAST(mth AS VARCHAR) || '-01',
+        |        '%Y-%m-%d') AS DATE)) AS BIGINT) * 86400 AS ep
+        |  FROM docs2),
+        |m AS (
+        |  SELECT c.doc_id, c.url, c.host, c.path, c.ep,
+        |    r.prefix, r.rule, length(r.prefix) AS plen
+        |  FROM canon c LEFT JOIN rules r
+        |    ON c.host = r.host AND regexp_matches(c.path, r.regex)),
+        |best AS (
+        |  SELECT doc_id, url, host, ep,
+        |    max(CASE WHEN prefix IS NOT NULL THEN struct_pack(
+        |      plen := plen, is_allow := (rule = 'allow'), prefix := prefix)
+        |      END) AS b
+        |  FROM m GROUP BY doc_id, url, host, ep),
+        |fr AS (
+        |  SELECT url, host, count(*) AS n_seen, min(ep) AS first_epoch
+        |  FROM best WHERE coalesce(b.is_allow, true) GROUP BY url, host),
+        |pri AS (
+        |  SELECT *, n_seen * 30 +
+        |    CAST(floor(first_epoch / 86400.0) AS BIGINT) AS priority
+        |  FROM fr),
+        |sched AS (
+        |  SELECT p.url, p.host, p.n_seen, p.first_epoch, p.priority,
+        |    CAST(row_number() OVER (PARTITION BY p.host
+        |      ORDER BY p.priority DESC, p.url) - 1 AS INTEGER) AS rank,
+        |    coalesce(d.crawl_delay, 1.0) AS delay
+        |  FROM pri p LEFT JOIN delays d ON p.host = d.host)
+        |SELECT url, host, n_seen, first_epoch, priority, rank,
         |  rank * CAST(round(delay * 10) AS BIGINT) AS fetch_offset_ds
         |FROM sched ORDER BY url""".stripMargin),
 

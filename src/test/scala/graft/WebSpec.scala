@@ -1379,6 +1379,33 @@ class WebSpec extends AnyFunSuite {
     assert(got("https://a.com/nolm") == 4, s"null epoch must rank last: $got")
   }
 
+  test("tx_frontier_recrawl on the fixture dir: the 30-days-per-sighting " +
+      "weight really bites — some host ranks a fresher once-seen URL " +
+      "ABOVE a staler more-seen one, and rank follows (priority DESC, " +
+      "url) exactly") {
+    val got = SparkEntry.queries("tx_frontier_recrawl")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[String]("host"),
+        r.getAs[Long]("n_seen"), r.getAs[Long]("priority"),
+        r.getAs[Int]("rank")))
+    assert(got.nonEmpty)
+    val byHost = got.groupBy(_._2)
+    // rank is the (priority DESC, url ASC) order position per host
+    byHost.foreach { case (host, rows) =>
+      val want = rows.sortBy(r => (-r._4, r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> i }.toMap
+      rows.foreach(r => assert(r._5 == want(r._1), s"$host ${r._1}"))
+    }
+    // the freshness flip exists: within one host, a less-seen URL
+    // outranks a more-seen one (its priority is higher on epoch-days)
+    val flip = byHost.values.exists { rows =>
+      rows.exists(a => rows.exists(b =>
+        a._3 < b._3 && a._5 < b._5))
+    }
+    assert(flip, "no host shows a fresher-less-seen URL outranking a " +
+      "more-seen one — the freshness term never bit")
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
