@@ -739,7 +739,11 @@ object Web {
     * within (host, bucket) — partitions ~|host frontier|/buckets —
     * and adds the offset. Bit-identical to the one-window form
     * (spec-pinned), with no single-host-sized sort anywhere.
-    * Output: input columns + `(host, rank, fetch_offset_ds)`. */
+    * CONTRACT: `priorityCol` is numeric and non-null (both frontier
+    * producers — `count(*)` and [[recrawlPriority]] — guarantee it);
+    * a null priority would bucket as highest instead of the window
+    * form's NULLS LAST. Output: input columns +
+    * `(host, rank, fetch_offset_ds)`. */
   def scheduleFrontier(frontier: org.apache.spark.sql.DataFrame,
       urlCol: String, meta: org.apache.spark.sql.DataFrame,
       defaultDelaySec: Double = 1.0,

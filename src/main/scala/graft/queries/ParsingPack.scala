@@ -745,8 +745,14 @@ object ParsingPack extends QueryPack {
       val baseTag = when(pmod(col("doc_id"), lit(5)) === 0,
         concat(lit("<base href=\"https://bse"), a, lit(".com/bd"), b,
           lit("/sub/\">"))).otherwise(lit(""))
+      // page-level nofollow (meta robots): every 11th doc (±7)
+      // contributes NO edges at all — the in-page half of link-graph
+      // compliance, alongside the per-edge rel=nofollow below
+      val metaNf = when(pmod(col("doc_id"), lit(11)) === 7,
+        lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .otherwise(lit(""))
       val html = concat(
-        lit("<html><head>"), baseTag,
+        lit("<html><head>"), baseTag, metaNf,
         lit("</head><body><a href=\"https://ext"),
         pmod(col("doc_id"), lit(7)).cast("string"),
         lit(".com/x?a=1&amp;b=2\">ext &amp; link</a>"),
@@ -761,6 +767,7 @@ object ParsingPack extends QueryPack {
         lit("<a name=\"x\">dead</a></body></html>"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), page.as("page"), html.as("html"))
+        .filter(!Web.metaRobots(col("html")).getField("nofollow"))
         .select(col("doc_id"),
           Web.pageBase(col("page"), col("html")).as("eb"),
           explode(Web.anchorLinks(col("html"))).as("l"))
@@ -1298,10 +1305,12 @@ object ParsingPack extends QueryPack {
     // Every resolved target re-derived ARITHMETICALLY (no resolver in
     // SQL — the from-text-twin convention): the engine's path to the
     // same strings runs through anchor extraction → effective-base
-    // selection (<base href> on every 5th doc) → rel=nofollow drop →
-    // RFC resolution → canonicalization. The /nf/ family NEVER appears
-    // here (edges really dropped), and base-carrying docs' relative/
-    // rooted/query-only targets land on the BASE origin/directory.
+    // selection (<base href> on every 5th doc) → page-level meta
+    // nofollow drop (±7 mod 11: ALL edges gone) → per-edge
+    // rel=nofollow drop → RFC resolution → canonicalization. The /nf/
+    // family NEVER appears here (edges really dropped), nofollow PAGES
+    // contribute zero rows, and base-carrying docs' relative/rooted/
+    // query-only targets land on the BASE origin/directory.
     "tx_link_edges" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1311,7 +1320,8 @@ object ParsingPack extends QueryPack {
         |    CAST(doc_id % 50 AS VARCHAR) AS p,
         |    CAST(doc_id % 7 AS VARCHAR) AS k,
         |    (doc_id % 5 = 0) AS isb
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE doc_id % 11 <> 7),
         |d2 AS (
         |  SELECT *,
         |    CASE WHEN isb THEN 'https://bse' || a || '.com'

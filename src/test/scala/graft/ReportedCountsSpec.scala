@@ -116,6 +116,31 @@ class ReportedCountsSpec extends AnyFunSuite {
     }
   }
 
+  test("BASELINE.md's sub-second noise-floor convention names every " +
+      "baseline query whose denominator is under 1.0 s (r17 verdict " +
+      "task #7: sub-second driver-artifact ratios were re-litigated " +
+      "per round; the convention is now disclosed and machine-checked)") {
+    val baseline = new String(
+      Files.readAllBytes(repoRoot.resolve("BASELINE.md")), "UTF-8")
+    val section = baseline.indexOf("## Sub-second noise-floor convention")
+    assert(section >= 0,
+      "BASELINE.md must carry the '## Sub-second noise-floor convention' " +
+        "section")
+    val conv = baseline.substring(section)
+    // the round-1 baseline table rows: `| name | sec | notes |`
+    val rows = raw"\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|"
+      .r.findAllMatchIn(baseline)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    assert(rows.nonEmpty, "no baseline table rows parsed from BASELINE.md")
+    val subSecond = rows.filter(_._2 < 1.0).map(_._1)
+    assert(subSecond.nonEmpty, "baseline table lost its sub-second rows?")
+    subSecond.foreach { q =>
+      assert(conv.contains(q),
+        s"baseline query '$q' is sub-second but missing from the " +
+          "noise-floor convention section")
+    }
+  }
+
   test("SURVEY's claimed spec count equals the suite's registered tests") {
     // every spec in this repo registers tests with a line-initial
     // `test(` — count them straight from the sources, the same number
