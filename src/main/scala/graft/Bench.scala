@@ -70,7 +70,11 @@ object Bench {
     // r14: q41's write path as its own timed entry (the co-located join
     // no longer re-pays the build), and the flagship audience served
     // from persisted KMV segment sketches
-    "q41_bucket_build", "rcmn_audience_sketch")
+    "q41_bucket_build", "rcmn_audience_sketch",
+    // r18: redirect-chain resolution — a genuinely new physical shape
+    // (ceil(log2 maxHops) path-doubling self-joins, per-round
+    // materialization), nothing else in the headline set irons it
+    "tx_redirect_resolve")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion
@@ -127,6 +131,7 @@ object Bench {
     "tx_frontier_schedule" -> "family: two-pass bucketed per-host rank (the q59_rank_twopass shape) over the tx_url_frontier funnel + a broadcast delay join; skew behavior gated by the frontier_schedule_skew scale probe",
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
     "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew scale probe",
+    "tx_canonical_collapse" -> "family: tx_web_corpus's codegen-regex-extract + one keep-first hash shuffle, keyed on the rel=canonical consolidation URL instead of the normalized page URL",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_charset" -> "map-only: partition-local WARC container + charset-sniffed byte decode per row (codec-bound); no shuffle beyond the final orderBy",

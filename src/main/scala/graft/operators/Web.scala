@@ -622,6 +622,37 @@ object Web {
   /** The `<meta>` open-tag pattern ([[TagAttrs]] boundary discipline). */
   val MetaTagPattern: String = s"(?is)<meta$TagAttrs"
 
+  /** The `<link>` open-tag pattern ([[TagAttrs]] boundary discipline —
+    * `<linkify>` never matches). */
+  val LinkTagPattern: String = s"(?is)<link$TagAttrs"
+
+  /** The page's `rel=canonical` href — the author-declared canonical
+    * URL of the page content (the consolidation signal a corpus
+    * pipeline collapses mobile/AMP/session-variant pages on, one level
+    * above URL normalization): the FIRST `<link>` whose rel list
+    * contains the `canonical` token (whole-token — `rel="canonicals"`
+    * never matches), XML-unescaped, '' when absent. The value may be
+    * relative — resolve it against [[pageBase]] before use. */
+  def linkCanonical(html: Column): Column =
+    xmlUnescape(tagAttrValue(
+      coalesce(try_element_at(
+        filter(regexp_extract_all(html, lit(LinkTagPattern), lit(0)),
+          l => hasToken(tagAttrValue(l, "link", "rel"), "canonical")),
+        lit(1)), lit("")),
+      "link", "href"))
+
+  /** The page's EFFECTIVE canonical URL: its declared `rel=canonical`
+    * resolved against the page base and normalized, else the
+    * normalized page URL itself — the grouping key of canonical
+    * consolidation ([[canonicalUrl]] alone collapses tracking-param
+    * variants; this additionally collapses author-declared duplicates
+    * like `m.`/AMP hosts onto their canonical page). Map-only. */
+  def effectiveCanonical(pageUrl: Column, html: Column): Column = {
+    val decl = linkCanonical(html)
+    canonicalUrl(when(decl === "", pageUrl)
+      .otherwise(resolveUrl(pageBase(pageUrl, html), decl)))
+  }
+
   /** Per-page robots-meta flags — the IN-PAGE half of the crawl
     * compliance protocol (robots.txt is the per-host half):
     * `(noindex, nofollow)` from every `<meta name="robots"
@@ -789,6 +820,60 @@ object Web {
         round(coalesce(col("_cd_delay"), lit(defaultDelaySec)) * 10)
           .cast("long"))
       .drop("_cd_host", "_cd_delay", "_fs_b", "_fs_off", "_fs_rn")
+  }
+
+  /** Resolve HTTP redirect chains to their FINAL targets by PATH
+    * DOUBLING — the crawl-graph step between fetching (3xx responses
+    * yield a `(src, dst)` redirect relation) and everything keyed on
+    * final URLs (frontier dedup, the link graph, canonical
+    * consolidation). A naive per-hop loop is O(maxHops) shuffles and a
+    * driver-side chase is not distributed at all; doubling follows
+    * 2^k hops after k rounds, so `ceil(log₂ maxHops)` self-joins
+    * resolve any chain up to `maxHops` (64-hop chains in 6 passes —
+    * real redirect chains are ≤ 5, but adversarial crawl data is not).
+    *
+    * Per round, the map `src → cur` (cur = the node 2^k hops along,
+    * with the exact hop count) joins itself: rows whose `cur` is
+    * still a redirect source jump ahead by the partner's hops; rows
+    * whose `cur` left the source set are final and pass through
+    * unchanged. Each round materializes (`localCheckpoint`) so the
+    * plan stays linear instead of doubling (the [[Graph.pagerank]]
+    * iteration discipline). Output: `(src, final_url, hops, status)`
+    * — `status = 'unresolved'` (hops null) marks chains that never
+    * left the source set after `maxHops`: a redirect CYCLE or an
+    * over-long chain, both of which a crawler drops rather than
+    * follows.
+    *
+    * Scale shape: log-many hash joins, each shuffling the
+    * redirect-sized relation once on its join key — no driver-side
+    * state, no per-hop passes, no data-sized collect anywhere. */
+  def resolveRedirects(redirects: org.apache.spark.sql.DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      maxHops: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val rounds =
+      math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt.max(1)
+    val base = redirects
+      .select(col(srcCol).as("src"), col(dstCol).as("cur"),
+        lit(1L).as("hops"))
+    val doubled = (1 to rounds).foldLeft(base) { (f, _) =>
+      val left = f.select(col("src").as("_l_src"), col("cur").as("_l_cur"),
+        col("hops").as("_l_hops"))
+      val right = f.select(col("src").as("_r_src"), col("cur").as("_r_cur"),
+        col("hops").as("_r_hops"))
+      left.join(right, col("_l_cur") === col("_r_src"), "left")
+        .select(col("_l_src").as("src"),
+          coalesce(col("_r_cur"), col("_l_cur")).as("cur"),
+          (col("_l_hops") + when(col("_r_src").isNull, lit(0L))
+            .otherwise(col("_r_hops"))).as("hops"))
+        .localCheckpoint(true)
+    }
+    val srcs = redirects.select(col(srcCol).as("_rr_s")).distinct()
+    doubled.join(srcs, col("cur") === col("_rr_s"), "left")
+      .select(col("src"), col("cur").as("final_url"),
+        when(col("_rr_s").isNull, col("hops")).as("hops"),
+        when(col("_rr_s").isNull, lit("resolved")).otherwise(lit("unresolved"))
+          .as("status"))
   }
 
   /** Registrable-domain approximation: the last two dot-labels of the

@@ -857,6 +857,69 @@ object ParsingPack extends QueryPack {
         .orderBy(col("url"))
     }),
 
+    // REDIRECT-CHAIN RESOLUTION (the crawl-graph step between 3xx
+    // responses and everything keyed on final URLs): each doc
+    // contributes one redirect edge; families of 4 form p0→p1→p2→p3→
+    // final chains, and every 10th family is a 4-CYCLE that must come
+    // back status=unresolved (null hops) instead of spinning. Resolved
+    // by resolveRedirects' path doubling — ceil(log2 64) = 6
+    // self-joins, hop counts exact. The oracle re-derives every final
+    // target and hop count arithmetically (no recursion in SQL).
+    "tx_redirect_resolve" -> ((s, dir) => {
+      val f = floor(col("doc_id") / lit(4)).cast("long")
+      val p = pmod(col("doc_id"), lit(4))
+      val cyc = pmod(f, lit(10)) === 7
+      val fS = f.cast("string")
+      def node(pos: org.apache.spark.sql.Column) =
+        concat(lit("https://r.com/f"), fS, lit("/p"), pos.cast("string"))
+      val edges = Tables.load(s, dir, "documents").select(
+        node(p).as("src"),
+        when(cyc, node(pmod(p + 1, lit(4))))
+          .when(p < 3, node(p + 1))
+          .otherwise(concat(lit("https://final.com/f"), fS)).as("dst"))
+      Web.resolveRedirects(edges).orderBy(col("src"))
+    }),
+
+    // CANONICAL CONSOLIDATION (one level above URL normalization):
+    // every article exists as a main page, an m.-host mobile variant,
+    // and an amp variant with a DIFFERENT path; the variants declare
+    // <link rel="canonical"> — mobile absolute, amp RELATIVE against a
+    // <base href> (both hops of the resolution chain exercised); the
+    // main page declares none (self) but carries a rel="stylesheet"
+    // link that must NOT read as canonical (whole-token rel). All
+    // three collapse onto the main URL; keep-first, count. One hash
+    // shuffle; everything upstream is codegen regex projection.
+    "tx_canonical_collapse" -> ((s, dir) => {
+      val g = pmod(col("doc_id"), lit(40))
+      val gS = g.cast("string")
+      val h = pmod(g, lit(4)).cast("string")
+      val v = pmod(col("doc_id"), lit(3))
+      val mainUrl = concat(lit("https://site"), h, lit(".com/art/"), gS)
+      val url = when(v === 0,
+          concat(mainUrl, lit("?utm_source=x"), col("doc_id").cast("string")))
+        .when(v === 1,
+          concat(lit("https://m.site"), h, lit(".com/art/"), gS, lit("m")))
+        .otherwise(
+          concat(lit("https://amp.site"), h, lit(".com/amp/"), gS))
+      val html = when(v === 0, concat(
+          lit("<html><head><link rel=\"stylesheet\" href=\"/css/m.css\">" +
+            "</head><body>main "), gS, lit("</body></html>")))
+        .when(v === 1, concat(
+          lit("<html><head><link rel='canonical' href=\""), mainUrl,
+          lit("\"></head><body>mobile</body></html>")))
+        .otherwise(concat(
+          lit("<html><head><base href=\"https://site"), h,
+          lit(".com/art/\"><link rel=\"canonical nofollow\" href="), gS,
+          lit("></head><body>amp</body></html>")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          Web.effectiveCanonical(url, html).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          count(lit(1)).as("n_pages"))
+        .orderBy(col("canon_url"))
+    }),
+
     // STREAMING URL frontier (15th oracle-gated state kind): the same
     // discovered-URL relation (already XML-unescaped — the codec is the
     // batch twin's job) arrives as a 4-micro-batch file stream; each
@@ -1301,6 +1364,42 @@ object ParsingPack extends QueryPack {
     // commutative monoid — split-independent), so the oracle is shared
     // verbatim.
     "stream_url_frontier" -> frontierOracle,
+
+    // Every final target and hop count re-derived ARITHMETICALLY (no
+    // recursion in SQL): the engine's path to the same values runs
+    // through 6 path-doubling self-joins; a 4-cycle's cur lands back
+    // on itself after 64 ≡ 0 (mod 4) hops, so the unresolved rows'
+    // final_url is deterministically the source itself.
+    "tx_redirect_resolve" ->
+      """WITH e AS (
+        |  SELECT doc_id, CAST(doc_id // 4 AS BIGINT) AS f,
+        |    doc_id % 4 AS p
+        |  FROM documents)
+        |SELECT
+        |  'https://r.com/f' || CAST(f AS VARCHAR) || '/p'
+        |    || CAST(p AS VARCHAR) AS src,
+        |  CASE WHEN f % 10 = 7
+        |    THEN 'https://r.com/f' || CAST(f AS VARCHAR) || '/p'
+        |      || CAST(p AS VARCHAR)
+        |    ELSE 'https://final.com/f' || CAST(f AS VARCHAR) END
+        |    AS final_url,
+        |  CASE WHEN f % 10 = 7 THEN NULL
+        |    ELSE CAST(4 - p AS BIGINT) END AS hops,
+        |  CASE WHEN f % 10 = 7 THEN 'unresolved' ELSE 'resolved' END
+        |    AS status
+        |FROM e ORDER BY src""".stripMargin,
+
+    // The consolidation re-derived: every (doc_id % 40) article group
+    // collapses onto its main URL regardless of which variant (main /
+    // mobile-absolute-canonical / amp-relative-canonical-under-base)
+    // each member rendered as — the engine must PARSE its way there.
+    "tx_canonical_collapse" ->
+      """SELECT
+        |  'https://site' || CAST(g % 4 AS VARCHAR) || '.com/art/'
+        |    || CAST(g AS VARCHAR) AS canon_url,
+        |  min(doc_id) AS first_doc, count(*) AS n_pages
+        |FROM (SELECT doc_id, doc_id % 40 AS g FROM documents)
+        |GROUP BY g ORDER BY canon_url""".stripMargin,
 
     // Every resolved target re-derived ARITHMETICALLY (no resolver in
     // SQL — the from-text-twin convention): the engine's path to the

@@ -1406,6 +1406,76 @@ class WebSpec extends AnyFunSuite {
       "more-seen one — the freshness term never bit")
   }
 
+  test("resolveRedirects path doubling: exact hop counts along chains, " +
+      "cycles and self-redirects come back unresolved with null hops, " +
+      "over-maxHops chains are unresolved at a small cap and resolved " +
+      "at the default") {
+    import graft.operators.Web
+    // a 5-hop chain a0→…→a5, a 2-cycle, a self-redirect, a 1-hop
+    val edges = spark.createDataFrame(
+      (0 until 5).map(i => (s"https://c.com/a$i", s"https://c.com/a${i + 1}"))
+        ++ Seq(("https://c.com/loopA", "https://c.com/loopB"),
+          ("https://c.com/loopB", "https://c.com/loopA"),
+          ("https://c.com/self", "https://c.com/self"),
+          ("https://c.com/one", "https://c.com/done")))
+      .toDF("src", "dst")
+    val got = Web.resolveRedirects(edges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getString(3)))).toMap
+    assert(got.size == 9)
+    (0 until 5).foreach { i =>
+      assert(got(s"https://c.com/a$i") ==
+        (("https://c.com/a5", 5L - i, "resolved")), s"a$i: ${got(s"https://c.com/a$i")}")
+    }
+    assert(got("https://c.com/one") == (("https://c.com/done", 1L, "resolved")))
+    Seq("loopA", "loopB", "self").foreach { n =>
+      val (_, h, st) = got(s"https://c.com/$n")
+      assert(st == "unresolved" && h == -1L, s"$n: ${got(s"https://c.com/$n")}")
+    }
+    // a cap below the chain length leaves the tail unresolved: at
+    // maxHops=2 (1 doubling round... ceil(log2 2)=1 -> 2 hops) a0 is
+    // 5 hops from terminal and must come back unresolved
+    val capped = Web.resolveRedirects(edges, maxHops = 2).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(capped("https://c.com/a0") == "unresolved" &&
+      capped("https://c.com/a4") == "resolved", s"capped: $capped")
+  }
+
+  test("linkCanonical / effectiveCanonical: whole-token rel (stylesheet " +
+      "and rel=canonicals never match), FIRST canonical wins, relative " +
+      "values resolve against the page base, absent canonical falls " +
+      "back to the normalized page URL") {
+    import graft.operators.Web
+    val page = "https://www.site.com/art/9?utm_source=z"
+    val cases = Seq(
+      // absolute canonical
+      ("<link rel=\"canonical\" href=\"https://site.com/art/9\">",
+        "https://site.com/art/9"),
+      // relative canonical against an explicit base
+      ("<base href=\"https://site.com/art/\">" +
+        "<link rel='canonical nofollow' href=9>",
+        "https://site.com/art/9"),
+      // decoys only: stylesheet rel, and a rel token that merely
+      // PREFIXES canonical — self (page URL, normalized)
+      ("<link rel=\"stylesheet\" href=\"/css\">" +
+        "<link rel=\"canonicals\" href=\"/wrong\">",
+        "https://site.com/art/9"),
+      // first canonical wins
+      ("<link rel=canonical href=\"/first\">" +
+        "<link rel=canonical href=\"/second\">",
+        "https://site.com/first"),
+      ("<p>none at all</p>", "https://site.com/art/9"))
+    val df = spark.createDataFrame(cases.map(c => (page, c._1)))
+      .toDF("page", "html")
+    val got = df.select(col("html"),
+        Web.effectiveCanonical(col("page"), col("html")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"html '$h': got ${got(h)}, want $want")
+    }
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
