@@ -34,7 +34,7 @@ object ScaleProbe {
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
     "layout_write_bucketed", "mm_media_decode", "stream_frontier_fold",
-    "frontier_schedule_skew", "index_delete_tomb")
+    "frontier_schedule_skew", "redirect_resolve", "index_delete_tomb")
 
   /** The source files whose operators the probes exercise (repo-relative)
     * — the freshness domain of `scale_probe.json` (r16 verdict #3: the
@@ -420,6 +420,25 @@ object ScaleProbe {
             array().cast("array<string>").as("sitemaps"))
         graft.operators.Web.scheduleFrontier(frontier, "url", meta)
           .count(): Unit
+      }, 9.0),
+      // redirect-chain resolution at scale: 10x the 4-hop chains (and
+      // 10x the cycles) through the SAME ceil(log2 64) = 6 doubling
+      // joins — per-round work is one redirect-sized hash join, so
+      // wall must track the data, never the hop budget
+      ("redirect_resolve", "docs", (d: DataFrame) => {
+        val f = floor(col("doc_id") / lit(4)).cast("long")
+        val p = pmod(col("doc_id"), lit(4))
+        val cyc = pmod(f, lit(10)) === 7
+        def node(pos: org.apache.spark.sql.Column) =
+          concat(lit("https://r.com/f"), f.cast("string"), lit("/p"),
+            pos.cast("string"))
+        val edges = d.select(
+          node(p).as("src"),
+          when(cyc, node(pmod(p + 1, lit(4))))
+            .when(p < 3, node(p + 1))
+            .otherwise(concat(lit("https://final.com/f"),
+              f.cast("string"))).as("dst"))
+        graft.operators.Web.resolveRedirects(edges).count(): Unit
       }, 9.0),
       // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
       // base-fixture doc/vector set out of a PRE-BUILT corpus index +

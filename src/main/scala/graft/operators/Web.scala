@@ -846,7 +846,12 @@ object Web {
     *
     * Scale shape: log-many hash joins, each shuffling the
     * redirect-sized relation once on its join key — no driver-side
-    * state, no per-hop passes, no data-sized collect anywhere. */
+    * state, no per-hop passes, no data-sized collect anywhere. The
+    * input is NORMALIZED to one row per source first (min dst wins,
+    * deterministically): crawl logs carry re-observed redirects, and
+    * a source appearing k times would otherwise fan out k-fold at
+    * EVERY doubling round — k⁶ rows from one dirty URL, a
+    * multiplicative blowup no bound would catch at 100 TB. */
   def resolveRedirects(redirects: org.apache.spark.sql.DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
       maxHops: Int = 64): org.apache.spark.sql.DataFrame = {
@@ -854,8 +859,9 @@ object Web {
     val rounds =
       math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt.max(1)
     val base = redirects
-      .select(col(srcCol).as("src"), col(dstCol).as("cur"),
-        lit(1L).as("hops"))
+      .groupBy(col(srcCol).as("src"))
+      .agg(min(col(dstCol)).as("cur"))
+      .select(col("src"), col("cur"), lit(1L).as("hops"))
     val doubled = (1 to rounds).foldLeft(base) { (f, _) =>
       val left = f.select(col("src").as("_l_src"), col("cur").as("_l_cur"),
         col("hops").as("_l_hops"))

@@ -1440,6 +1440,20 @@ class WebSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(3)).toMap
     assert(capped("https://c.com/a0") == "unresolved" &&
       capped("https://c.com/a4") == "resolved", s"capped: $capped")
+    // DIRTY input: a source observed redirecting to two targets must
+    // normalize to ONE row (min dst, deterministic) — without the
+    // keep-one, k duplicates fan out k^rounds across the doubling
+    // joins (the 100 TB blowup the scaladoc names)
+    val dirty = spark.createDataFrame(Seq(
+      ("https://c.com/dup", "https://c.com/t2"),
+      ("https://c.com/dup", "https://c.com/t1"),
+      ("https://c.com/t1", "https://c.com/end")))
+      .toDF("src", "dst")
+    val dr = Web.resolveRedirects(dirty).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+    assert(dr.length == 2, s"dup src must collapse to one row: ${dr.toSeq}")
+    assert(dr.toMap.apply("https://c.com/dup") ==
+      (("https://c.com/end", 2L)), s"${dr.toSeq}")
   }
 
   test("linkCanonical / effectiveCanonical: whole-token rel (stylesheet " +
