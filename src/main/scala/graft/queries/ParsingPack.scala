@@ -779,6 +779,61 @@ object ParsingPack extends QueryPack {
         .orderBy(col("doc_id"), col("dst"))
     }),
 
+    // ANCHOR-TEXT CORPUS (the per-TARGET half of the link-graph
+    // signal: how the web describes each page — the classic
+    // retrieval-training label source): the tx_link_edges pipeline
+    // (base href + page/edge nofollow compliance + RFC resolution +
+    // canonicalization) aggregated by destination — in-link count,
+    // distinct referring docs, and the sorted distinct anchor texts.
+    // ONE hash shuffle on dst (partial-aggregable count/collect_set);
+    // everything upstream is codegen regex projection — at 100 TB this
+    // is the standard map-then-group anchor corpus build.
+    "tx_anchor_corpus" -> ((s, dir) => {
+      val h = pmod(col("doc_id"), lit(4)).cast("string")
+      val a = pmod(col("doc_id"), lit(3)).cast("string")
+      val b = pmod(col("doc_id"), lit(2)).cast("string")
+      val p = pmod(col("doc_id"), lit(50)).cast("string")
+      val page = concat(lit("https://site"), h, lit(".com/sec"), a,
+        lit("/sub"), b, lit("/page"), p)
+      val baseTag = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("<base href=\"https://bse"), a, lit(".com/bd"), b,
+          lit("/sub/\">"))).otherwise(lit(""))
+      val metaNf = when(pmod(col("doc_id"), lit(11)) === 7,
+        lit("<meta name=\"robots\" content=\"nofollow\">"))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head>"), baseTag, metaNf,
+        lit("</head><body><a href=\"https://ext"),
+        pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".com/x?a=1&amp;b=2\">ext &amp; link</a>"),
+        lit("<a\nhref='//cdn.site"), h, lit(".com/lib'>cdn lib</a>"),
+        lit("<a href=/top/item"), p, lit(">rooted</a>"),
+        lit("<a href=\"../up"), p, lit("\">up &#38; away</a>"),
+        lit("<a href=\"?page=2\">next page</a>"),
+        lit("<a rel=\"nofollow\" href=\"/nf/"), p,
+        lit("\">untrusted</a>"),
+        lit("<a rel='ugc nofollower' href=\"/keep"), p,
+        lit("\">kept &amp; safe</a>"),
+        lit("<a name=\"x\">dead</a></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), page.as("page"), html.as("html"))
+        .filter(!Web.metaRobots(col("html")).getField("nofollow"))
+        .select(col("doc_id"),
+          Web.pageBase(col("page"), col("html")).as("eb"),
+          explode(Web.anchorLinks(col("html"))).as("l"))
+        .filter(col("l.href") =!= "" && !col("l.nofollow"))
+        .select(col("doc_id"),
+          Web.canonicalUrl(Web.resolveUrl(col("eb"), col("l.href")))
+            .as("dst"),
+          col("l.text").as("anchor"))
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+        .orderBy(col("dst"))
+    }),
+
     // POLITENESS SCHEDULING (the step after discovery → compliance →
     // dedup: an executable crawl plan): the robots-filtered keep-first
     // frontier gets per-host fetch slots honoring each host's
@@ -1447,6 +1502,51 @@ object ParsingPack extends QueryPack {
         |    org || '/keep' || p, 'kept & safe' FROM d2)
         |SELECT doc_id, dst, anchor FROM edges
         |ORDER BY doc_id, dst""".stripMargin,
+
+    // The tx_link_edges arithmetic edge list aggregated by target:
+    // in-link count, distinct referring docs, sorted-distinct anchor
+    // texts (DuckDB list_sort/list_distinct mirror Spark's
+    // array_sort/collect_set string order).
+    "tx_anchor_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 AS VARCHAR) AS h,
+        |    CAST(doc_id % 3 AS VARCHAR) AS a,
+        |    CAST(doc_id % 2 AS VARCHAR) AS b,
+        |    CAST(doc_id % 50 AS VARCHAR) AS p,
+        |    CAST(doc_id % 7 AS VARCHAR) AS k,
+        |    (doc_id % 5 = 0) AS isb
+        |  FROM documents
+        |  WHERE doc_id % 11 <> 7),
+        |d2 AS (
+        |  SELECT *,
+        |    CASE WHEN isb THEN 'https://bse' || a || '.com'
+        |         ELSE 'https://site' || h || '.com' END AS org
+        |  FROM d),
+        |edges AS (
+        |  SELECT doc_id,
+        |    'https://ext' || k || '.com/x?a=1&b=2' AS dst,
+        |    'ext & link' AS anchor FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    'https://cdn.site' || h || '.com/lib', 'cdn lib' FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    org || '/top/item' || p, 'rooted' FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    org || CASE WHEN isb THEN '/bd' || b ELSE '/sec' || a END
+        |      || '/up' || p,
+        |    'up & away' FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    org || CASE WHEN isb THEN '/bd' || b || '/sub/'
+        |      ELSE '/sec' || a || '/sub' || b || '/page' || p END
+        |      || '?page=2',
+        |    'next page' FROM d2
+        |  UNION ALL SELECT doc_id,
+        |    org || '/keep' || p, 'kept & safe' FROM d2)
+        |SELECT dst, count(*) AS n_links,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  array_to_string(list_sort(list_distinct(list(anchor))), '|')
+        |    AS anchors
+        |FROM edges GROUP BY dst ORDER BY dst""".stripMargin,
 
     // The schedule re-derived: same canonical-URL frontier + rule
     // regexes, the meta oracle's delay CTE (agent '*'), per-host

@@ -1490,6 +1490,26 @@ class WebSpec extends AnyFunSuite {
     }
   }
 
+  test("tx_anchor_corpus on the fixture dir: in-links aggregate per " +
+      "target across referring docs, anchors are sorted-distinct, and " +
+      "the nofollow family contributes nothing") {
+    val got = SparkEntry.queries("tx_anchor_corpus")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(got.nonEmpty)
+    // the ext targets are shared across many docs (doc_id % 7): real
+    // aggregation happened, with n_links >= n_docs always
+    val ext = got.filter(_._1.startsWith("https://ext"))
+    assert(ext.nonEmpty && ext.forall(e => e._2 > 1 && e._2 == e._3 &&
+      e._4 == "ext & link"), s"ext rows: ${ext.toSeq}")
+    assert(got.forall(e => e._2 >= e._3))
+    // compliance flowed through: no /nf/ target, and entity-decoded
+    // anchor text aggregated verbatim
+    assert(!got.exists(_._1.contains("/nf/")), "nofollow target leaked")
+    assert(got.exists(_._4.contains("kept & safe")))
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
