@@ -136,10 +136,15 @@ object Warc {
       source: String)
 
   /** The `charset=` parameter of a Content-Type header value
-    * (case-insensitive, optional quotes), None when absent. */
+    * (case-insensitive, optional quotes), None when absent. The
+    * parameter NAME is matched at a parameter boundary (start of
+    * value, `;`, `,`, or whitespace — the same whole-token discipline
+    * as the HTML rel/robots matchers): a `x-charset=shift_jis`
+    * extension parameter or a filename containing `charset=` never
+    * mis-routes the sniff chain. */
   def charsetParam(contentType: String): Option[String] = {
     val m = java.util.regex.Pattern
-      .compile("(?i)charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:+-]+)\"?")
+      .compile("(?i)(?:^|[;,\\s])charset[ \t]*=[ \t]*\"?([A-Za-z0-9_.:+-]+)\"?")
       .matcher(contentType)
     if (m.find()) Some(m.group(1)) else None
   }
@@ -163,9 +168,12 @@ object Warc {
         bytes.length - off)).toString)
     } catch { case _: java.nio.charset.CharacterCodingException => None }
 
+  // the `charset` attribute/param name needs a boundary on its left
+  // (tag whitespace or a quote/semicolon from an http-equiv content
+  // value) so a `data-charset=` attribute never reads as a declaration
   private val MetaCharsetPattern = java.util.regex.Pattern.compile(
-    "(?i)<meta[ \t\r\n][^>]*charset[ \t\r\n]*=[ \t\r\n]*[\"']?" +
-      "([A-Za-z0-9_.:+-]+)")
+    "(?i)<meta[ \t\r\n](?:[^>]*[ \t\r\n\"';])?charset[ \t\r\n]*=" +
+      "[ \t\r\n]*[\"']?([A-Za-z0-9_.:+-]+)")
 
   /** Decode a crawl body's BYTES to text with charset sniffing — the
     * boundary between the binary-safe WARC container and the

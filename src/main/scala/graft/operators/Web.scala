@@ -875,10 +875,15 @@ object Web {
         .localCheckpoint(true)
     }
     val srcs = redirects.select(col(srcCol).as("_rr_s")).distinct()
+    // the doubling rounds follow up to 2^ceil(log2 maxHops) hops — for
+    // a non-power-of-two cap that overshoots, so chains that terminated
+    // only BEYOND maxHops post-filter to unresolved (r18 advice: a
+    // maxHops=5 call must never report a resolved 8-hop chain)
+    val resolved = col("_rr_s").isNull && col("hops") <= lit(maxHops.toLong)
     doubled.join(srcs, col("cur") === col("_rr_s"), "left")
       .select(col("src"), col("cur").as("final_url"),
-        when(col("_rr_s").isNull, col("hops")).as("hops"),
-        when(col("_rr_s").isNull, lit("resolved")).otherwise(lit("unresolved"))
+        when(resolved, col("hops")).as("hops"),
+        when(resolved, lit("resolved")).otherwise(lit("unresolved"))
           .as("status"))
   }
 

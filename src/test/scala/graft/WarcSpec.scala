@@ -263,6 +263,22 @@ class WarcSpec extends AnyFunSuite {
     val d7 = Warc.decodeText(txt.getBytes(UTF_8),
       Some("text/html; charset=martian-9"))
     assert(d7 == Warc.DecodedText(txt, "utf-8", "default"), s"$d7")
+    // parameter-boundary discipline (r18 advice): an x-charset=
+    // extension parameter is NOT a charset declaration — the chain
+    // falls through to the default instead of mis-decoding as SJIS
+    assert(Warc.charsetParam("text/html; x-charset=shift_jis").isEmpty)
+    assert(Warc.charsetParam(
+      "text/plain; name=\"charset=evil.txt\"").isEmpty)
+    assert(Warc.charsetParam("text/html;charset=euc-kr") ==
+      Some("euc-kr"))
+    assert(Warc.charsetParam("Charset=UTF-8") == Some("UTF-8"))
+    val d7b = Warc.decodeText(txt.getBytes(UTF_8),
+      Some("text/html; x-charset=iso-8859-1"))
+    assert(d7b == Warc.DecodedText(txt, "utf-8", "default"), s"$d7b")
+    // same boundary in the meta prescan: data-charset never declares
+    val decoy = "<meta data-charset=\"iso-8859-1\">" + txt
+    val d7c = Warc.decodeText(decoy.getBytes(UTF_8), None)
+    assert(d7c == Warc.DecodedText(decoy, "utf-8", "default"), s"$d7c")
     // meta BEYOND the prescan window is ignored (chain falls through)
     val far = " " * Warc.MetaPrescanBytes +
       "<meta charset=\"iso-8859-1\">" + txt

@@ -1440,6 +1440,26 @@ class WebSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(3)).toMap
     assert(capped("https://c.com/a0") == "unresolved" &&
       capped("https://c.com/a4") == "resolved", s"capped: $capped")
+    // non-power-of-two cap (r18 advice): maxHops=5 runs 3 doubling
+    // rounds that FOLLOW up to 8 hops, but a chain resolving only at
+    // 6–8 hops must still come back unresolved — the post-filter
+    // enforces the documented cap, not the round budget. On an 8-hop
+    // chain b0→…→b8: b3 (5 hops out) resolves, b0–b2 (6–8 hops) do
+    // not; at maxHops=8 the whole chain resolves with exact hops.
+    val bEdges = spark.createDataFrame(
+      (0 until 8).map(i => (s"https://c.com/b$i", s"https://c.com/b${i + 1}")))
+      .toDF("src", "dst")
+    val cap5 = Web.resolveRedirects(bEdges, maxHops = 5).collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))).toMap
+    assert(cap5("https://c.com/b3") == ((5L, "resolved")), s"cap5: $cap5")
+    Seq("b0", "b1", "b2").foreach { n =>
+      assert(cap5(s"https://c.com/$n") == ((-1L, "unresolved")),
+        s"$n must exceed the 5-hop cap: $cap5")
+    }
+    val cap8 = Web.resolveRedirects(bEdges, maxHops = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(cap8("https://c.com/b0") == 8L, s"cap8: $cap8")
     // DIRTY input: a source observed redirecting to two targets must
     // normalize to ONE row (min dst, deterministic) — without the
     // keep-one, k duplicates fan out k^rounds across the doubling
