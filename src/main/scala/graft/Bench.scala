@@ -132,7 +132,7 @@ object Bench {
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
     "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew scale probe",
     "tx_canonical_collapse" -> "family: tx_web_corpus's codegen-regex-extract + one keep-first hash shuffle, keyed on the rel=canonical consolidation URL instead of the normalized page URL",
-    "tx_anchor_corpus" -> "family: the tx_link_edges map-only extraction plus ONE partial-aggregable hash group on dst (tx_web_corpus's shuffle shape)",
+    "tx_anchor_corpus" -> "family: the tx_link_edges map-only extraction plus two partial-aggregable hash groups on dst — (dst, anchor) counts then the bounded-heap top-k (tx_web_corpus's shuffle shape; the hot-dst scale story is the anchor_corpus_hotdst probe)",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",
     "tx_warc_charset" -> "map-only: partition-local WARC container + charset-sniffed byte decode per row (codec-bound); no shuffle beyond the final orderBy",

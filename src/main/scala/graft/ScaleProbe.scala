@@ -34,7 +34,8 @@ object ScaleProbe {
     "emb_bitext_mine", "rank_by_group", "dd_exact_substr",
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
     "layout_write_bucketed", "mm_media_decode", "stream_frontier_fold",
-    "frontier_schedule_skew", "redirect_resolve", "index_delete_tomb")
+    "frontier_schedule_skew", "frontier_schedule_tieskew",
+    "anchor_corpus_hotdst", "redirect_resolve", "index_delete_tomb")
 
   /** The source files whose operators the probes exercise (repo-relative)
     * — the freshness domain of `scale_probe.json` (r16 verdict #3: the
@@ -420,6 +421,46 @@ object ScaleProbe {
             array().cast("array<string>").as("sitemaps"))
         graft.operators.Web.scheduleFrontier(frontier, "url", meta)
           .count(): Unit
+      }, 9.0),
+      // the SAME host-skew shape under priority-TIE skew (r18 verdict
+      // #1: the regime the diverse-priority probe above cannot see) —
+      // 90% of the frontier on one mega-host with CONSTANT priority
+      // (every URL n_seen=1, the realistic never-recrawled frontier;
+      // recrawlPriority with null lastmod maps to the same constant).
+      // The r18 leading-key-only buckets put the whole tie class in
+      // ONE (host, bucket) partition — a single-task mega-host sort;
+      // the composite (priority, url) boundaries must keep wall
+      // ~linear in the data
+      ("frontier_schedule_tieskew", "docs", (d: DataFrame) => {
+        val frontier = d.select(
+          concat(lit("https://"),
+            when(pmod(col("doc_id"), lit(10)) < 9, lit("mega.com"))
+              .otherwise(concat(lit("h"),
+                pmod(col("doc_id"), lit(997L)), lit(".com"))),
+            lit("/p/"), col("doc_id")).as("url"),
+          lit(1L).as("n_seen"))
+        val meta = spark.createDataFrame(
+            Seq(("mega.com", 1.5, "x"))).toDF("host", "crawl_delay", "sm")
+          .select(col("host"), col("crawl_delay"),
+            array().cast("array<string>").as("sitemaps"))
+        graft.operators.Web.scheduleFrontier(frontier, "url", meta)
+          .count(): Unit
+      }, 9.0),
+      // the anchor-corpus build under HOT-DST skew (r18 verdict #2's
+      // state bomb): ~99% of all edges land on ONE destination with
+      // mod-1000 anchor variety — the old collect_set form accumulated
+      // the hot dst's whole distinct-anchor set in one buffer; the
+      // bounded form's per-dst state is O(k) at every stage ((dst,
+      // anchor) counts split the hot key, the top-k heap is 8 pairs),
+      // so wall must track the data
+      ("anchor_corpus_hotdst", "docs", (d: DataFrame) => {
+        val edges = d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(100)) < 99, lit("https://hot.com/x"))
+            .otherwise(concat(lit("https://t"),
+              pmod(col("doc_id"), lit(997L)), lit(".com/p"))).as("dst"),
+          concat(lit("anchor "), pmod(col("doc_id"), lit(1000L)))
+            .as("anchor"))
+        graft.operators.Web.anchorCorpus(edges).count(): Unit
       }, 9.0),
       // redirect-chain resolution at scale: 10x the 4-hop chains (and
       // 10x the cycles) through the SAME ceil(log2 64) = 6 doubling

@@ -182,14 +182,92 @@ object Scale {
       .filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Range-bucket id over a COMPOSITE order key, boundaries sampled
+    * RangePartitioner-style — the tie-skew-proof half of the two-pass
+    * bucketed rank ([[rankByGroup]], `Web.scheduleFrontier`). The r18
+    * leading-key-only form (approxQuantile cuts on the first order
+    * column) was exact but DEGENERATED under priority-tie skew: ties
+    * must share a bucket for value-based exactness, so a frontier that
+    * is 90% `n_seen = 1` put a mega-host's whole dominant tie class in
+    * ONE bucket and the single-task sort returned (r18 verdict #1).
+    * Bucketing on the FULL composite key has no tie problem: the order
+    * is total (callers end the key with a unique column), so ties
+    * exist only between identical keys and every boundary splits.
+    *
+    * Mechanics: one seeded-sample pass collects ~`samplesPerBucket ·
+    * buckets` key tuples (one bounded `count()` sizes the fraction —
+    * two thin column-pruned passes total, bounded driver state of
+    * ≤ buckets−1 boundary tuples after the quantile pick); bucket id =
+    * number of boundary tuples the row sorts strictly AFTER under the
+    * lexicographic (desc-aware) comparison, built as a codegen'd
+    * indicator sum — no UDF, no shuffle.
+    *
+    * EXACTNESS is boundary-independent: assignment is value-based
+    * (equal keys → equal bucket) and monotone along the composite
+    * order (the indicator per boundary is monotone), so `offset +
+    * row_number within bucket` equals the one-window rank for ANY
+    * boundary placement — sampling noise moves work between buckets,
+    * never results. That is what lets a SAMPLED boundary set sit under
+    * a hash-pinned oracle.
+    *
+    * CONTRACT: key columns are non-null and of mutually comparable
+    * per-column runtime types (numeric, string, date/timestamp,
+    * decimal — anything `Comparable` after collection).
+    *
+    * @param keys (column, descending?) pairs, the window's order
+    * @return 0-based bucket id column, monotone along the key order */
+  def compositeBucketId(df: DataFrame, keys: Seq[(String, Boolean)],
+      buckets: Int, samplesPerBucket: Int = 40): Column = {
+    require(keys.nonEmpty && buckets >= 1, "need keys and buckets >= 1")
+    val keyCols = keys.map { case (c, _) => col(c) }
+    val slim = df.select(keyCols: _*)
+    val n = slim.count()
+    if (n == 0L || buckets == 1) return lit(0)
+    val target = buckets.toLong * samplesPerBucket
+    val frac = math.min(1.0, target.toDouble / n)
+    val sampled = slim.sample(withReplacement = false, frac, seed = 42L)
+      .collect().map(r => Seq.tabulate(keys.length)(r.get))
+      .filterNot(_.exists(_ == null))
+    if (sampled.isEmpty) return lit(0)
+    def cmpAny(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val ord = new Ordering[Seq[Any]] {
+      def compare(x: Seq[Any], y: Seq[Any]): Int = {
+        var i = 0
+        while (i < keys.length) {
+          val c = cmpAny(x(i), y(i))
+          if (c != 0) return if (keys(i)._2) -c else c
+          i += 1
+        }
+        0
+      }
+    }
+    val sorted = sampled.sorted(ord)
+    val bounds = (1 until buckets)
+      .map(i => sorted((i.toLong * sorted.length / buckets).toInt
+        .min(sorted.length - 1)))
+      .distinct
+    // strictly-after-boundary indicator, lexicographic and desc-aware:
+    // gt1 || (eq1 && (gt2 || (eq2 && ...)))
+    def after(b: Seq[Any]): Column =
+      keys.zip(b).foldRight(lit(false)) { case (((c, desc), bv), tail) =>
+        val gt = if (desc) col(c) < lit(bv) else col(c) > lit(bv)
+        gt || (col(c) === lit(bv) && tail)
+      }
+    bounds.foldLeft(lit(0))((acc, b) =>
+      acc + when(after(b), 1).otherwise(0))
+  }
+
   /** Scale-safe `rank` / `percent_rank` / `cume_dist` over LOW-CARDINALITY
     * partitions — the two-pass form of the rank-window family. A window
     * `PARTITION BY segment` with 5 segments funnels 20% of the table into
     * ONE task's sort (the q53 shape, an r10 `weak`); this helper instead
     *
-    *  1. range-buckets rows on the leading order column (boundaries from
-    *     one `approxQuantile` pass — bucket assignment is VALUE-based, so
-    *     equal values share a bucket and buckets respect the order),
+    *  1. range-buckets rows on the FULL composite order key (boundary
+    *     tuples sampled by [[compositeBucketId]] — value-based and
+    *     monotone, so exactness is boundary-independent, and a
+    *     constant leading key still splits across buckets on the
+    *     later key columns: the r18 tie-skew fix),
     *  2. counts rows per (group, bucket) — a partial-aggregable hash agg
     *     whose result is groups × buckets rows, broadcastable metadata,
     *  3. prefix-sums those counts into per-bucket rank OFFSETS,
@@ -199,30 +277,28 @@ object Scale {
     * rank arithmetic: `rank = offset + row_number within bucket`,
     * `percent_rank = (rank−1)/(n−1)`, `cume_dist = rank/n` — IEEE
     * ratios of exact longs, bit-identical to the window form
-    * (spec-pinned equal on the customer table).
+    * (spec-pinned equal on the customer table AND on a
+    * constant-leading-key fixture).
     *
     * CONTRACT: `orderCols` must be a TOTAL order within each group (no
     * ties — e.g. end with a unique key), because with a total order
     * every row is its own peer group, which is what makes `cume_dist =
-    * rank/n` and the bucket-local `row_number` exact. The leading order
-    * column must be numeric (it feeds `approxQuantile`).
+    * rank/n` and the bucket-local `row_number` exact; columns follow
+    * [[compositeBucketId]]'s comparability contract. The offsets
+    * relation broadcast is groups × buckets rows — metadata under this
+    * helper's LOW-cardinality-groups contract (the high-cardinality
+    * sibling, `Web.scheduleFrontier`, shuffle-joins its offsets
+    * instead).
     *
-    * @param orderCols order of the rank, leading column numeric
+    * @param orderCols order of the rank (composite bucket key)
     * @param buckets   target range-bucket count; sort parallelism is
     *                  min(buckets·groups, data partitions) */
   def rankByGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[String], buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(orderCols.nonEmpty, "rankByGroup needs an order")
-    val head = orderCols.head
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // one bounded stats pass; cuts are ≤ buckets−1 doubles on the driver
-    val cuts = df.stat.approxQuantile(head, probs, 0.001)
-      .distinct.sorted.toSeq
-    // monotone value-based bucket id: count of cut points strictly below
-    // the row's leading value (codegen'd indicator sum, no UDF)
-    val bucketId = cuts.foldLeft(lit(0))((acc, c) =>
-      acc + when(col(head) > lit(c), 1).otherwise(0))
+    val bucketId = compositeBucketId(df,
+      orderCols.map(c => (c, false)), buckets)
     val withB = df.withColumn("__b", bucketId)
     val gcols = groupCols.map(col)
     val counts = withB.groupBy((gcols :+ col("__b")): _*)

@@ -671,6 +671,50 @@ object Web {
     struct(flag("noindex").as("noindex"), flag("nofollow").as("nofollow"))
   }
 
+  /** Per-TARGET anchor-text corpus over a resolved `(doc, dst, anchor)`
+    * edge list — how the web describes each page, the classic
+    * retrieval-training label source. Counts are exact and
+    * partial-aggregable (`n_links` in-links, `n_docs` distinct
+    * referring docs, `n_anchors` distinct anchor texts); the anchor
+    * LIST is BOUNDED to the `topAnchors` most frequent texts
+    * (frequency desc, text asc — a deterministic total order), joined
+    * with `|`.
+    *
+    * Scale shape (r18 verdict #2): in-link distributions are
+    * power-law, so an unbounded `collect_set(anchor)` per destination
+    * is a hot-key state bomb — the hottest page at 100 TB collects
+    * millions of distinct strings into one aggregation buffer.
+    * Instead (1) one hash agg counts per (dst, anchor) — the hot dst
+    * SPLITS across its anchor texts, and per-key state is one long —
+    * then (2) a bounded-heap top-k aggregate
+    * ([[graft.functions.TopWeightedStringsAggregator]], the
+    * TopKAggregator discipline) selects the k most frequent with
+    * map-side partial aggregation: per-dst state is O(k) pairs at
+    * every stage, never the distinct-anchor set. Selection over the
+    * exact stage-1 counts is exact. */
+  def anchorCorpus(edges: org.apache.spark.sql.DataFrame,
+      docCol: String = "doc_id", dstCol: String = "dst",
+      anchorCol: String = "anchor",
+      topAnchors: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, functions => F}
+    require(topAnchors > 0, s"topAnchors must be positive, got $topAnchors")
+    val counts = edges.groupBy(col(dstCol))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(docCol)).as("n_docs"),
+        countDistinct(col(anchorCol)).as("n_anchors"))
+    val topk = F.udaf(
+      new graft.functions.TopWeightedStringsAggregator(topAnchors),
+      Encoders.product[(String, Long)])
+    val tops = edges.groupBy(col(dstCol), col(anchorCol))
+      .agg(count(lit(1)).as("_ac_cnt"))
+      .groupBy(col(dstCol))
+      .agg(topk(col(anchorCol), col("_ac_cnt")).as("_ac_tops"))
+      .select(col(dstCol),
+        array_join(transform(col("_ac_tops"), t => t.getField("_1")), "|")
+          .as("anchors"))
+    counts.join(tops, Seq(dstCol))
+  }
+
   /** RFC 3986 §5.2.4 dot-segment removal as BOUNDED column math: per
     * iteration, excess leading `..` drops at the root, `/./` and a
     * trailing `/.` collapse, and one `segment/..` pair folds per
@@ -761,15 +805,24 @@ object Web {
     * [[Scale.rankByGroup]] precedent): only the fetch SCHEDULE is
     * inherently serial per host, not the rank computation, and a
     * single `Window.partitionBy(host)` funneled a mega-host's 10⁷⁺
-    * frontier URLs into ONE task's sort. Instead (1) one bounded
-    * `approxQuantile` pass range-buckets the priority (bucket
-    * assignment is value-based, so equal priorities share a bucket
-    * and buckets respect the DESC order), (2) per-(host, bucket)
-    * counts — groups × buckets rows, broadcastable metadata —
+    * frontier URLs into ONE task's sort. Instead (1) one sampled
+    * boundary pass range-buckets the COMPOSITE (priority DESC, url
+    * ASC) order key ([[Scale.compositeBucketId]] — r18 verdict #1:
+    * bucketing the priority alone kept exactness but put a realistic
+    * all-`n_seen=1` frontier's dominant tie class in ONE bucket,
+    * resurrecting the single-task mega-host sort; the composite key
+    * is TOTAL, so ties exist only between identical (priority, url)
+    * pairs and every boundary splits), (2) per-(host, bucket) counts
     * prefix-sum into per-bucket rank offsets, (3) `row_number` runs
     * within (host, bucket) — partitions ~|host frontier|/buckets —
-    * and adds the offset. Bit-identical to the one-window form
-    * (spec-pinned), with no single-host-sized sort anywhere.
+    * and adds the offset. Bit-identical to the one-window form for
+    * ANY boundary placement (assignment is value-based and monotone
+    * along the order — spec-pinned on both diverse and
+    * constant-priority fixtures), with no single-host-sized sort
+    * anywhere. The offsets relation (hosts × buckets rows — NOT
+    * metadata at web scale) joins by SHUFFLE on (host, bucket),
+    * reusing the window's own partitioning, never by broadcast (r18
+    * advice).
     * CONTRACT: `priorityCol` is numeric and non-null (both frontier
     * producers — `count(*)` and [[recrawlPriority]] — guarantee it);
     * a null priority would bucket as highest instead of the window
@@ -792,15 +845,11 @@ object Web {
     val withHost = frontier
       .withColumn("host", urlHost(col(urlCol)))
       .join(broadcast(delays), col("host") === col("_cd_host"), "left")
-    // one bounded stats pass; cuts are ≤ buckets−1 doubles on the driver
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val cuts = withHost.stat.approxQuantile(priorityCol, probs, 0.001)
-      .distinct.sorted.toSeq
-    // monotone DESC bucket id: count of cut points strictly ABOVE the
-    // row's priority (codegen'd indicator sum, no UDF) — bucket 0 holds
-    // the highest priorities, ties always share a bucket
-    val bucketId = cuts.foldLeft(lit(0))((acc, c) =>
-      acc + when(col(priorityCol) < lit(c), 1).otherwise(0))
+    // sampled boundary TUPLES over the composite order key — bucket 0
+    // holds the highest priorities; a constant-priority frontier still
+    // splits on the url half of the key (r18 verdict #1)
+    val bucketId = Scale.compositeBucketId(frontier,
+      Seq((priorityCol, true), (urlCol, false)), buckets)
     val withB = withHost.withColumn("_fs_b", bucketId)
     val counts = withB.groupBy(col("host"), col("_fs_b"))
       .agg(count(lit(1)).as("_fs_cnt"))
@@ -814,7 +863,10 @@ object Web {
       .orderBy(col(priorityCol).desc, col(urlCol))
     withB
       .withColumn("_fs_rn", row_number().over(wIn))
-      .join(broadcast(offsets), Seq("host", "_fs_b"))
+      // hosts × buckets rows — shuffle join on the window's own
+      // (host, bucket) keys, never a broadcast (r18 advice: the host
+      // set is not driver-metadata-sized at web scale)
+      .join(offsets, Seq("host", "_fs_b"))
       .withColumn("rank", (col("_fs_off") + col("_fs_rn") - 1).cast("int"))
       .withColumn("fetch_offset_ds", col("rank") *
         round(coalesce(col("_cd_delay"), lit(defaultDelaySec)) * 10)

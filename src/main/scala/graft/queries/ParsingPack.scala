@@ -783,11 +783,14 @@ object ParsingPack extends QueryPack {
     // signal: how the web describes each page — the classic
     // retrieval-training label source): the tx_link_edges pipeline
     // (base href + page/edge nofollow compliance + RFC resolution +
-    // canonicalization) aggregated by destination — in-link count,
-    // distinct referring docs, and the sorted distinct anchor texts.
-    // ONE hash shuffle on dst (partial-aggregable count/collect_set);
-    // everything upstream is codegen regex projection — at 100 TB this
-    // is the standard map-then-group anchor corpus build.
+    // canonicalization) aggregated by destination via Web.anchorCorpus
+    // — exact in-link / referring-doc / distinct-anchor counts, and
+    // the anchor list BOUNDED to the 8 most frequent texts (freq DESC,
+    // text ASC — r18 verdict #2: an unbounded collect_set per
+    // power-law dst is a hot-key state bomb at 100 TB; the cdn
+    // anchors vary mod 13 here so the cap provably bites). Two hash
+    // aggs — (dst, anchor) counts, then a bounded-heap top-k whose
+    // per-dst state is O(k) — replace the one collect_set shuffle.
     "tx_anchor_corpus" -> ((s, dir) => {
       val h = pmod(col("doc_id"), lit(4)).cast("string")
       val a = pmod(col("doc_id"), lit(3)).cast("string")
@@ -806,7 +809,8 @@ object ParsingPack extends QueryPack {
         lit("</head><body><a href=\"https://ext"),
         pmod(col("doc_id"), lit(7)).cast("string"),
         lit(".com/x?a=1&amp;b=2\">ext &amp; link</a>"),
-        lit("<a\nhref='//cdn.site"), h, lit(".com/lib'>cdn lib</a>"),
+        lit("<a\nhref='//cdn.site"), h, lit(".com/lib'>cdn lib "),
+        pmod(col("doc_id"), lit(13)).cast("string"), lit("</a>"),
         lit("<a href=/top/item"), p, lit(">rooted</a>"),
         lit("<a href=\"../up"), p, lit("\">up &#38; away</a>"),
         lit("<a href=\"?page=2\">next page</a>"),
@@ -815,7 +819,7 @@ object ParsingPack extends QueryPack {
         lit("<a rel='ugc nofollower' href=\"/keep"), p,
         lit("\">kept &amp; safe</a>"),
         lit("<a name=\"x\">dead</a></body></html>"))
-      Tables.load(s, dir, "documents")
+      val edges = Tables.load(s, dir, "documents")
         .select(col("doc_id"), page.as("page"), html.as("html"))
         .filter(!Web.metaRobots(col("html")).getField("nofollow"))
         .select(col("doc_id"),
@@ -826,12 +830,7 @@ object ParsingPack extends QueryPack {
           Web.canonicalUrl(Web.resolveUrl(col("eb"), col("l.href")))
             .as("dst"),
           col("l.text").as("anchor"))
-        .groupBy(col("dst"))
-        .agg(count(lit(1)).as("n_links"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          array_join(array_sort(collect_set(col("anchor"))), "|")
-            .as("anchors"))
-        .orderBy(col("dst"))
+      Web.anchorCorpus(edges, topAnchors = 8).orderBy(col("dst"))
     }),
 
     // POLITENESS SCHEDULING (the step after discovery → compliance →
@@ -1504,9 +1503,10 @@ object ParsingPack extends QueryPack {
         |ORDER BY doc_id, dst""".stripMargin,
 
     // The tx_link_edges arithmetic edge list aggregated by target:
-    // in-link count, distinct referring docs, sorted-distinct anchor
-    // texts (DuckDB list_sort/list_distinct mirror Spark's
-    // array_sort/collect_set string order).
+    // exact in-link / referring-doc / distinct-anchor counts, and the
+    // TOP-8 anchors by (count DESC, anchor ASC) — the bounded form
+    // (r18 verdict #2); DuckDB re-derives the same top-k with the same
+    // deterministic tiebreak via row_number + ordered list().
     "tx_anchor_corpus" ->
       """WITH d AS (
         |  SELECT doc_id,
@@ -1528,7 +1528,8 @@ object ParsingPack extends QueryPack {
         |    'https://ext' || k || '.com/x?a=1&b=2' AS dst,
         |    'ext & link' AS anchor FROM d2
         |  UNION ALL SELECT doc_id,
-        |    'https://cdn.site' || h || '.com/lib', 'cdn lib' FROM d2
+        |    'https://cdn.site' || h || '.com/lib',
+        |    'cdn lib ' || CAST(doc_id % 13 AS VARCHAR) FROM d2
         |  UNION ALL SELECT doc_id,
         |    org || '/top/item' || p, 'rooted' FROM d2
         |  UNION ALL SELECT doc_id,
@@ -1541,12 +1542,26 @@ object ParsingPack extends QueryPack {
         |      || '?page=2',
         |    'next page' FROM d2
         |  UNION ALL SELECT doc_id,
-        |    org || '/keep' || p, 'kept & safe' FROM d2)
-        |SELECT dst, count(*) AS n_links,
-        |  count(DISTINCT doc_id) AS n_docs,
-        |  array_to_string(list_sort(list_distinct(list(anchor))), '|')
-        |    AS anchors
-        |FROM edges GROUP BY dst ORDER BY dst""".stripMargin,
+        |    org || '/keep' || p, 'kept & safe' FROM d2),
+        |counts AS (
+        |  SELECT dst, count(*) AS n_links,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    count(DISTINCT anchor) AS n_anchors
+        |  FROM edges GROUP BY dst),
+        |pa AS (
+        |  SELECT dst, anchor, count(*) AS cnt
+        |  FROM edges GROUP BY dst, anchor),
+        |rk AS (
+        |  SELECT dst, anchor, cnt, row_number() OVER (
+        |    PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+        |  FROM pa),
+        |tops AS (
+        |  SELECT dst, array_to_string(
+        |    list(anchor ORDER BY cnt DESC, anchor), '|') AS anchors
+        |  FROM rk WHERE rn <= 8 GROUP BY dst)
+        |SELECT c.dst, c.n_links, c.n_docs, c.n_anchors, t.anchors
+        |FROM counts c JOIN tops t USING (dst)
+        |ORDER BY c.dst""".stripMargin,
 
     // The schedule re-derived: same canonical-URL frontier + rule
     // regexes, the meta oracle's delay CTE (agent '*'), per-host

@@ -232,6 +232,46 @@ class ScaleSpec extends AnyFunSuite {
       s"rank window not bucket-partitioned:\n$plan")
   }
 
+  test("rankByGroup under priority-TIE skew (r18 verdict #1): a CONSTANT " +
+      "leading order key still equals the window form bit-for-bit AND " +
+      "still splits across range buckets on the later key columns — " +
+      "the composite-key boundaries kill the one-bucket degeneration") {
+    import org.apache.spark.sql.expressions.Window
+    // 3000 rows, ONE dominant group, leading key constant (the real
+    // frontier's n_seen=1 regime) — only the unique tail key orders
+    val rows = (0 until 3000).map { i =>
+      (if (i % 10 < 9) "mega" else s"g${i % 4}", 1L, s"k%05d".format(i))
+    }
+    val df = spark.createDataFrame(rows).toDF("seg", "pri", "key")
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("pri"), col("key"))
+    val want = df.select(col("seg"), col("key"),
+        row_number().over(w).cast("long").as("rank"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val got = Scale.rankByGroup(df, Seq("seg"), Seq("pri", "key"),
+        buckets = 16)
+      .select(col("seg"), col("key"), col("rank"), col("pr"), col("cd"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want && got.size == 3000)
+    // the degeneration pin: with the leading key CONSTANT, bucket
+    // assignment must still fan out on the tail key — the r18
+    // leading-key-only form put all 3000 rows in bucket 0
+    val buckets = df.withColumn("__b",
+        Scale.compositeBucketId(df, Seq(("pri", false), ("key", false)),
+          16))
+      .groupBy(col("__b")).count().collect()
+    assert(buckets.length > 4,
+      s"constant leading key collapsed to ${buckets.length} bucket(s) — " +
+        "composite boundaries are not splitting ties")
+    val maxShare = buckets.map(_.getLong(1)).max.toDouble / 3000
+    assert(maxShare < 0.5,
+      s"one bucket holds ${maxShare * 100}% of a constant-priority " +
+        "fixture — the single-task sort is back")
+  }
+
   test("blockedLengthBandPairs equals the brute-force blocked join " +
       "(every |Δlen| <= band pair, once, id_a < id_b)") {
     import spark.implicits._

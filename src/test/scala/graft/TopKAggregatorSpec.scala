@@ -39,4 +39,35 @@ class TopKAggregatorSpec extends AnyFunSuite {
         assert(math.abs(a - b) < 1e-12) }
     }
   }
+
+  test("TopWeightedStringsAggregator equals the window-form top-k by " +
+      "(weight DESC, value ASC) on a skewed fixture, truncates groups " +
+      "over k, and keeps whole groups under k") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{Encoders, functions => F}
+    // one hot group with 40 distinct values (power-law-ish weights and
+    // deliberate weight TIES), one small group under k
+    val rows = (0 until 40).map(i =>
+        ("hot", f"v$i%02d", (40 - i) / 3 + 1L)) ++
+      Seq(("cold", "x", 5L), ("cold", "y", 5L))
+    val df = spark.createDataFrame(rows).toDF("g", "v", "w")
+    val k = 7
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("w").desc, col("v"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(_.getString(1)).toSeq)
+      .toMap
+    val topk = F.udaf(
+      new graft.functions.TopWeightedStringsAggregator(k),
+      Encoders.product[(String, Long)])
+    val got = df.groupBy(col("g")).agg(topk(col("v"), col("w")).as("t"))
+      .select(col("g"),
+        transform(col("t"), x => x.getField("_1")).as("vs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got("hot").size == k && got("cold").size == 2)
+  }
 }

@@ -1349,6 +1349,45 @@ class WebSpec extends AnyFunSuite {
       s"priority window lost its bucket partition:\n${winLines.mkString("\n")}")
   }
 
+  test("scheduleFrontier under priority-TIE skew (r18 verdict #1): a " +
+      "realistic CONSTANT-priority frontier (every URL n_seen=1, 90% " +
+      "on one mega-host) still ranks identically to the one-window " +
+      "form AND still fans out across buckets on the url half of the " +
+      "composite key — the r18 leading-key-only buckets put the whole " +
+      "mega-host tie class in ONE partition") {
+    import org.apache.spark.sql.expressions.Window
+    val rows = (0 until 2000).map { i =>
+      val host = if (i % 10 < 9) "mega.com" else s"h${i % 7}.com"
+      (s"https://$host/p/${"%05d".format(i)}", 1L)
+    }
+    val frontier = spark.createDataFrame(rows).toDF("url", "n_seen")
+    val meta = spark.createDataFrame(
+        Seq(("mega.com", Some(2.0), Seq.empty[String])))
+      .toDF("host", "crawl_delay", "sitemaps")
+    val sched = Web.scheduleFrontier(frontier, "url", meta, buckets = 16)
+    val w = Window.partitionBy(Web.urlHost(col("url")))
+      .orderBy(col("n_seen").desc, col("url"))
+    val want = frontier.withColumn("rank", row_number().over(w) - 1)
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Int]("rank"))
+      .toMap
+    val got = sched.collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[Int]("rank")).toMap
+    assert(got.size == 2000)
+    rows.foreach { case (u, _) =>
+      assert(got(u) == want(u), s"$u: got ${got(u)}, want ${want(u)}")
+    }
+    // degeneration pin: the composite (priority, url) boundaries must
+    // split the constant-priority tie class across many buckets
+    val buckets = frontier.withColumn("_b",
+        graft.operators.Scale.compositeBucketId(frontier,
+          Seq(("n_seen", true), ("url", false)), 16))
+      .groupBy(col("_b")).count().collect()
+    assert(buckets.length > 4,
+      s"constant priority collapsed to ${buckets.length} bucket(s)")
+    assert(buckets.map(_.getLong(1)).max < 1000L,
+      s"one bucket holds most of the tie class: ${buckets.toSeq}")
+  }
+
   test("recrawlPriority: a fresher-lastmod URL outranks a more-seen one " +
       "past the pinned 30-days-per-sighting weight, n_seen still " +
       "decides at equal freshness, and null epochs read oldest") {
@@ -1511,23 +1550,41 @@ class WebSpec extends AnyFunSuite {
   }
 
   test("tx_anchor_corpus on the fixture dir: in-links aggregate per " +
-      "target across referring docs, anchors are sorted-distinct, and " +
-      "the nofollow family contributes nothing") {
+      "target across referring docs, the anchor list is BOUNDED to the " +
+      "top-8 by (frequency DESC, text ASC) while n_anchors stays the " +
+      "exact distinct count (r18 verdict #2), and the nofollow family " +
+      "contributes nothing") {
     val got = SparkEntry.queries("tx_anchor_corpus")(
       spark, TestSpark.sfDir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getString(3)))
+      .map(r => (r.getAs[String]("dst"), r.getAs[Long]("n_links"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_anchors"),
+        r.getAs[String]("anchors")))
     assert(got.nonEmpty)
     // the ext targets are shared across many docs (doc_id % 7): real
     // aggregation happened, with n_links >= n_docs always
     val ext = got.filter(_._1.startsWith("https://ext"))
     assert(ext.nonEmpty && ext.forall(e => e._2 > 1 && e._2 == e._3 &&
-      e._4 == "ext & link"), s"ext rows: ${ext.toSeq}")
+      e._5 == "ext & link"), s"ext rows: ${ext.toSeq}")
     assert(got.forall(e => e._2 >= e._3))
+    // the cap BITES: the cdn targets carry mod-13 anchor variety,
+    // so some dst has n_anchors > 8 while its list holds exactly 8 —
+    // and every list is bounded
+    assert(got.forall(_._5.split("\\|").length <= 8))
+    val capped = got.filter(e => e._4 > 8)
+    assert(capped.nonEmpty, "no dst exceeded the cap — the fixture " +
+      "no longer exercises the bounded path")
+    capped.foreach { e =>
+      assert(e._5.split("\\|").length == 8, s"capped dst ${e._1} lists " +
+        s"${e._5.split("\\|").length} anchors")
+    }
+    // uncapped targets list ALL their anchors (count == n_anchors)
+    got.filter(_._4 <= 8).foreach { e =>
+      assert(e._5.split("\\|").length == e._4, s"${e._1}: ${e._5}")
+    }
     // compliance flowed through: no /nf/ target, and entity-decoded
     // anchor text aggregated verbatim
     assert(!got.exists(_._1.contains("/nf/")), "nofollow target leaked")
-    assert(got.exists(_._4.contains("kept & safe")))
+    assert(got.exists(_._5.contains("kept & safe")))
   }
 
   test("URL-level dedup composes: canonical variants of one page collapse " +
