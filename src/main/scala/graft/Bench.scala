@@ -74,7 +74,14 @@ object Bench {
     // r18: redirect-chain resolution — a genuinely new physical shape
     // (ceil(log2 maxHops) path-doubling self-joins, per-round
     // materialization), nothing else in the headline set irons it
-    "tx_redirect_resolve")
+    "tx_redirect_resolve",
+    // r19: the full graph-consolidation composition (edge list
+    // hash-joined against BOTH path-doubled closure maps + the
+    // two-stage bounded anchor aggregation) — the end-to-end shape a
+    // crawl graph runs before PageRank, not covered by the parts —
+    // and the WARC→corpus capstone (container + sniff/detect +
+    // compliance + canonical-onto-redirect consolidation in one plan)
+    "tx_graph_consolidate", "tx_crawl_corpus")
 
   /** Every oracle query NOT in [[headline]], each with the one-line
     * reason it is not benched (r11 verdict #4 — makes the exclusion

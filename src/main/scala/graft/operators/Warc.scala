@@ -188,7 +188,10 @@ object Warc {
     *  3. else a prescan of the first [[MetaPrescanBytes]] bytes (read
     *     as Latin-1 — the meta tag itself is ASCII) for a
     *     `<meta charset=…>` / `http-equiv` declaration,
-    *  4. else strict UTF-8.
+    *  4. else strict UTF-8,
+    *  5. else legacy-CJK content detection ([[detectLegacyCjk]] —
+    *     EUC-KR / Shift_JIS scored by native-script density,
+    *     `source = "detected"`).
     *
     * Every DECLARED charset is tried STRICTLY (malformed input
     * REPORTs, never silently replaces): a declaration the bytes
@@ -233,11 +236,49 @@ object Warc {
             strictDecode(body, 0, cs)
               .map(t => DecodedText(t, label(cs), src)).getOrElse(fallback)
           case None =>
-            // 4. strict UTF-8, else the latin-1 net
+            // 4. strict UTF-8, 5. legacy-CJK detection, 6. latin-1 net
             strictDecode(body, 0, StandardCharsets.UTF_8)
               .map(t => DecodedText(t, "utf-8", "default"))
+              .orElse(detectLegacyCjk(body))
               .getOrElse(fallback)
         }
+    }
+  }
+
+  /** Content-heuristic detection for UNDECLARED legacy CJK pages (r18
+    * missing #2: an EUC-KR or Shift_JIS page with no BOM, no header
+    * param, and no meta — common on the exact legacy web the nl-
+    * targeting reference crawls — silently decoded as latin-1
+    * mojibake with only `source="fallback"` to flag it). Runs ONLY
+    * after strict UTF-8 fails (pure-ASCII and modern pages never get
+    * here): each candidate charset must decode the whole body
+    * STRICTLY, and candidates are scored by native-script density —
+    * 2·Hangul-syllables (+ CJK ideographs) for EUC-KR, 2·kana
+    * (+ ideographs) for Shift_JIS, so a hangul page picks EUC-KR even
+    * when its bytes happen to be valid Shift_JIS (the ranges overlap
+    * heavily — validity alone cannot discriminate). Ties and
+    * zero-score decodes are NOT trusted: returns None and the caller
+    * keeps the measurable latin-1 fallback, so the detector can only
+    * upgrade pages it has positive evidence for. `source =
+    * "detected"` lets corpus funnels count the route separately from
+    * declarations. */
+  def detectLegacyCjk(body: Array[Byte]): Option[DecodedText] = {
+    def cjk(t: String): Long =
+      t.count(c => c >= 0x4E00 && c <= 0x9FFF).toLong
+    def cand(name: String, native: Char => Boolean): Option[(DecodedText, Long)] =
+      charsetOf(name).flatMap(cs => strictDecode(body, 0, cs).map { t =>
+        (DecodedText(t, cs.name().toLowerCase(java.util.Locale.ROOT),
+          "detected"), 2L * t.count(native) + cjk(t))
+      })
+    val euc = cand("EUC-KR", c => c >= 0xAC00 && c <= 0xD7A3)
+    val sjis = cand("Shift_JIS", c => c >= 0x3040 && c <= 0x30FF)
+    (euc, sjis) match {
+      case (Some((d, se)), Some((_, ss))) if se > ss && se > 0 => Some(d)
+      case (Some(_), Some((d, ss))) if ss > 0 &&
+        ss > euc.map(_._2).getOrElse(0L) => Some(d)
+      case (Some((d, se)), None) if se > 0 => Some(d)
+      case (None, Some((d, ss))) if ss > 0 => Some(d)
+      case _ => None
     }
   }
 

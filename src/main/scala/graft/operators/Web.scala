@@ -910,10 +910,17 @@ object Web {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val rounds =
       math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt.max(1)
+    // materialize the normalized input ONCE: base is self-joined in
+    // round 1 and re-read for the terminal-set probe below, and a
+    // caller may hand us a relation with an arbitrarily expensive
+    // plan (r19: the canonical-collapse query's effectiveCanonical
+    // expression tree re-codegen'd per derived job — minutes of
+    // Janino work on a 500-row fixture before this pin)
     val base = redirects
       .groupBy(col(srcCol).as("src"))
       .agg(min(col(dstCol)).as("cur"))
       .select(col("src"), col("cur"), lit(1L).as("hops"))
+      .localCheckpoint(true)
     val doubled = (1 to rounds).foldLeft(base) { (f, _) =>
       val left = f.select(col("src").as("_l_src"), col("cur").as("_l_cur"),
         col("hops").as("_l_hops"))
@@ -926,7 +933,9 @@ object Web {
             .otherwise(col("_r_hops"))).as("hops"))
         .localCheckpoint(true)
     }
-    val srcs = redirects.select(col(srcCol).as("_rr_s")).distinct()
+    // base is one row per source, so its src column IS the distinct
+    // source set — derived from the checkpoint, never from the input
+    val srcs = base.select(col("src").as("_rr_s"))
     // the doubling rounds follow up to 2^ceil(log2 maxHops) hops — for
     // a non-power-of-two cap that overshoots, so chains that terminated
     // only BEYOND maxHops post-filter to unresolved (r18 advice: a
@@ -937,6 +946,104 @@ object Web {
         when(resolved, col("hops")).as("hops"),
         when(resolved, lit("resolved")).otherwise(lit("unresolved"))
           .as("status"))
+  }
+
+  /** Resolve `rel=canonical` declarations TRANSITIVELY — the chain
+    * form of canonical consolidation (r18 missing #3: a single
+    * [[effectiveCanonical]] hop leaves m-dot → desktop →
+    * canonical-of-canonical chains half-collapsed). Input: one row per
+    * page, `(urlCol, canonCol)` — the page URL and its DECLARED
+    * effective canonical (both already [[canonicalUrl]]-normalized;
+    * self-canonical pages may appear with `canonCol == urlCol` or not
+    * at all). The non-self declarations form a functional graph that
+    * the [[resolveRedirects]] path doubling follows to its terminals
+    * in `ceil(log₂ maxHops)` self-joins.
+    *
+    * CYCLE-SAFE: a canonical cycle (or an over-`maxHops` chain) marks
+    * `status = 'cycle'` and the page KEEPS ITS OWN URL — a corpus
+    * must not lose pages to author error, so unlike a redirect
+    * (which a crawler drops), an unresolvable canonical falls back to
+    * identity. Output: `(urlCol, canon_url, hops, status)` with
+    * status `self` (no declaration / self-declared, hops 0) |
+    * `resolved` (exact hop count) | `cycle` (hops null, canon_url =
+    * the page itself).
+    *
+    * Scale shape: inherits resolveRedirects' — log-many hash joins
+    * shuffling the declaration-sized relation, input normalized to
+    * one row per source, no driver-side state. */
+  def resolveCanonicals(pages: org.apache.spark.sql.DataFrame,
+      urlCol: String = "url", canonCol: String = "canon_url",
+      maxHops: Int = 8): org.apache.spark.sql.DataFrame = {
+    // one evaluation of the caller's plan (often an expensive
+    // HTML-parsing projection): everything below derives from the
+    // checkpointed slim relation
+    val slim = pages.select(col(urlCol), col(canonCol))
+      .localCheckpoint(true)
+    val edges = slim
+      .filter(col(canonCol) =!= col(urlCol) && col(canonCol).isNotNull)
+      .select(col(urlCol).as("_rc_src"), col(canonCol).as("_rc_dst"))
+    val res = resolveRedirects(edges, "_rc_src", "_rc_dst", maxHops)
+      .select(col("src").as("_rc_u"), col("final_url").as("_rc_f"),
+        col("hops").as("_rc_h"), col("status").as("_rc_st"))
+    slim.select(col(urlCol)).distinct()
+      .join(res, col(urlCol) === col("_rc_u"), "left")
+      .select(col(urlCol),
+        when(col("_rc_st") === "resolved", col("_rc_f"))
+          .otherwise(col(urlCol)).as("canon_url"),
+        when(col("_rc_st") === "resolved", col("_rc_h"))
+          .when(col("_rc_st").isNull, lit(0L)).as("hops"),
+        when(col("_rc_st") === "resolved", lit("resolved"))
+          .when(col("_rc_st").isNull, lit("self"))
+          .otherwise(lit("cycle")).as("status"))
+  }
+
+  /** Consolidate a link-graph edge list onto FINAL canonical targets —
+    * the composition step a real crawl graph always runs before
+    * PageRank / anchor-corpus / frontier aggregation (r18 missing #1:
+    * with raw targets, a link to a 301 source and a link to its final
+    * page count as different nodes, splitting every per-page signal
+    * across duplicate families): each edge's `dstCol` follows its
+    * redirect chain to the final fetchable URL
+    * ([[resolveRedirects]]), then that page's transitive canonical
+    * ([[resolveCanonicals]]). Edges into UNRESOLVED redirect chains
+    * (cycles / over-cap) drop — a crawler never reaches a page there,
+    * so the edge has no target; unresolvable canonicals keep the
+    * fetched URL (identity fallback, per resolveCanonicals).
+    *
+    * `redirects` is the crawl's 3xx log `(src, dst)`; `canonPages`
+    * the per-page declared canonicals (`(url, canon_url)`,
+    * resolveCanonicals' input contract — pass the CRAWLED pages so a
+    * canonical onto a redirect TARGET is keyed correctly: this
+    * operator resolves edge targets through redirects FIRST, so the
+    * canonical map is consulted at final fetch URLs).
+    *
+    * Scale shape: two hash joins of the edge list against
+    * page-metadata-sized relations (shuffle joins on the URL keys —
+    * neither side is driver-metadata at web scale), each closure
+    * itself log-many joins. Output: the input columns with `dstCol`
+    * REPLACED by its consolidated final target. */
+  def consolidateEdges(edges: org.apache.spark.sql.DataFrame,
+      dstCol: String, redirects: org.apache.spark.sql.DataFrame,
+      canonPages: org.apache.spark.sql.DataFrame,
+      maxHops: Int = 64,
+      canonHops: Int = 8): org.apache.spark.sql.DataFrame = {
+    val others = edges.columns.filterNot(_ == dstCol).map(col)
+    val rmap = resolveRedirects(redirects, maxHops = maxHops)
+      .select(col("src").as("_ce_r_src"), col("final_url").as("_ce_r_f"),
+        col("status").as("_ce_r_st"))
+    val cmap = resolveCanonicals(canonPages, maxHops = canonHops)
+      .select(col("url").as("_ce_c_u"), col("canon_url").as("_ce_c_f"))
+    edges
+      .join(rmap, col(dstCol) === col("_ce_r_src"), "left")
+      // not a redirect source → the fetch lands on dst itself;
+      // resolved → the chain's final URL; unresolved → no page, drop
+      .withColumn("_ce_mid",
+        when(col("_ce_r_st").isNull, col(dstCol))
+          .when(col("_ce_r_st") === "resolved", col("_ce_r_f")))
+      .filter(col("_ce_mid").isNotNull)
+      .join(cmap, col("_ce_mid") === col("_ce_c_u"), "left")
+      .select((others :+
+        coalesce(col("_ce_c_f"), col("_ce_mid")).as(dstCol)): _*)
   }
 
   /** Registrable-domain approximation: the last two dot-labels of the

@@ -441,15 +441,18 @@ object ParsingPack extends QueryPack {
     }),
 
     // The CHARSET boundary between WARC bytes and the string-typed HTML
-    // pipeline (r17 missing #1): six real crawl shapes — undeclared
+    // pipeline (r17 missing #1): seven real crawl shapes — undeclared
     // UTF-8, header-declared latin-1, meta-prescan latin-1, a
     // MISLABELED charset=utf-8 header over latin-1 bytes (strict decode
-    // must reject and fall back), and UTF-8/UTF-16LE BOMs — containered
-    // into real gzipped WARC records and decoded back by the sniff
-    // chain. The oracle re-derives every decoded string (and its md5)
-    // from doc_id arithmetic alone, so a hash match proves the byte
-    // encode → container → sniff → decode loop reproduced each page's
-    // TEXT exactly, non-ASCII included. Partition-local end to end.
+    // must reject and fall back), UTF-8/UTF-16LE BOMs, and an
+    // UNDECLARED EUC-KR hangul page (r18 missing #2: no BOM, no
+    // header, no meta — the content-heuristic detector must route it,
+    // source="detected") — containered into real gzipped WARC records
+    // and decoded back by the sniff chain. The oracle re-derives every
+    // decoded string (and its md5) from doc_id arithmetic alone, so a
+    // hash match proves the byte encode → container → sniff → decode
+    // loop reproduced each page's TEXT exactly, non-ASCII included.
+    // Partition-local end to end.
     "tx_warc_charset" -> ((s, dir) => {
       import graft.operators.Warc
       import java.nio.charset.StandardCharsets
@@ -471,7 +474,7 @@ object ParsingPack extends QueryPack {
             val id = r.getLong(0)
             val txt = s"Doc $id café ±"
             val latin1 = txt.getBytes(StandardCharsets.ISO_8859_1)
-            val (ct, body) = (id % 6) match {
+            val (ct, body) = (id % 7) match {
               case 0 => (Some("text/html"),
                 txt.getBytes(StandardCharsets.UTF_8))
               case 1 => (Some("text/html; charset=ISO-8859-1"), latin1)
@@ -481,8 +484,10 @@ object ParsingPack extends QueryPack {
               case 3 => (Some("text/html; charset=utf-8"), latin1)
               case 4 => (None, Array[Byte](0xEF.toByte, 0xBB.toByte,
                 0xBF.toByte) ++ txt.getBytes(StandardCharsets.UTF_8))
-              case _ => (None, Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+              case 5 => (None, Array[Byte](0xFF.toByte, 0xFE.toByte) ++
                 txt.getBytes(StandardCharsets.UTF_16LE))
+              case _ => (None, s"문서 $id 한국어"
+                .getBytes(java.nio.charset.Charset.forName("EUC-KR")))
             }
             ("https://ex.com/doc/" + id, ct, body)
           }
@@ -934,43 +939,247 @@ object ParsingPack extends QueryPack {
       Web.resolveRedirects(edges).orderBy(col("src"))
     }),
 
-    // CANONICAL CONSOLIDATION (one level above URL normalization):
-    // every article exists as a main page, an m.-host mobile variant,
-    // and an amp variant with a DIFFERENT path; the variants declare
-    // <link rel="canonical"> — mobile absolute, amp RELATIVE against a
-    // <base href> (both hops of the resolution chain exercised); the
-    // main page declares none (self) but carries a rel="stylesheet"
-    // link that must NOT read as canonical (whole-token rel). All
-    // three collapse onto the main URL; keep-first, count. One hash
-    // shuffle; everything upstream is codegen regex projection.
+    // CANONICAL CONSOLIDATION (one level above URL normalization),
+    // now TRANSITIVE (r18 missing #3): every article exists as a main
+    // page, an m.-host mobile variant, and an amp variant with a
+    // DIFFERENT path. The declarations form a 2-hop CHAIN — amp
+    // declares its canonical RELATIVE against a <base href> pointing
+    // at the m-dot host (resolving to the MOBILE url), mobile
+    // declares absolute to main, main declares none but carries a
+    // rel="stylesheet" decoy (whole-token rel) — so a single-hop
+    // resolver strands amp on the mobile URL; resolveCanonicals'
+    // path doubling collapses all three onto main. Every 10th group
+    // is a canonical CYCLE (mobile ↔ amp): cycle members keep their
+    // OWN urls (a corpus must not lose pages to author error) while
+    // main stays separate. Keep-first, count. Scale shape: log-many
+    // declaration-sized hash joins + one final hash group.
     "tx_canonical_collapse" -> ((s, dir) => {
       val g = pmod(col("doc_id"), lit(40))
       val gS = g.cast("string")
       val h = pmod(g, lit(4)).cast("string")
       val v = pmod(col("doc_id"), lit(3))
+      val cyc = pmod(g, lit(10)) === 9
       val mainUrl = concat(lit("https://site"), h, lit(".com/art/"), gS)
+      val mobileUrl = concat(lit("https://m.site"), h, lit(".com/art/"),
+        gS, lit("m"))
+      val ampUrl = concat(lit("https://amp.site"), h, lit(".com/amp/"), gS)
       val url = when(v === 0,
           concat(mainUrl, lit("?utm_source=x"), col("doc_id").cast("string")))
-        .when(v === 1,
-          concat(lit("https://m.site"), h, lit(".com/art/"), gS, lit("m")))
-        .otherwise(
-          concat(lit("https://amp.site"), h, lit(".com/amp/"), gS))
+        .when(v === 1, mobileUrl)
+        .otherwise(ampUrl)
       val html = when(v === 0, concat(
           lit("<html><head><link rel=\"stylesheet\" href=\"/css/m.css\">" +
             "</head><body>main "), gS, lit("</body></html>")))
         .when(v === 1, concat(
-          lit("<html><head><link rel='canonical' href=\""), mainUrl,
+          lit("<html><head><link rel='canonical' href=\""),
+          when(cyc, ampUrl).otherwise(mainUrl),
           lit("\"></head><body>mobile</body></html>")))
         .otherwise(concat(
-          lit("<html><head><base href=\"https://site"), h,
+          lit("<html><head><base href=\"https://m.site"), h,
           lit(".com/art/\"><link rel=\"canonical nofollow\" href="), gS,
-          lit("></head><body>amp</body></html>")))
-      Tables.load(s, dir, "documents")
+          lit("m></head><body>amp</body></html>")))
+      // materialize the CONSTRUCTED strings first, then parse: the
+      // resolver expressions reference each argument many times, and
+      // over the 30-node fixture construction trees that multiplied
+      // into a megabyte-scale codegen unit (the r19 lesson — minutes
+      // of Janino work on a 500-row fixture); over plain column refs
+      // the tree stays operator-sized. Then ONE evaluation of the
+      // parse tree — the closure machinery and the final join read
+      // the checkpointed relation, never the tree.
+      val fixture = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), url.as("u0"), html.as("h0"))
+        .localCheckpoint(true)
+      val pages = fixture
         .select(col("doc_id"),
-          Web.effectiveCanonical(url, html).as("canon_url"))
+          Web.canonicalUrl(col("u0")).as("url"),
+          Web.effectiveCanonical(col("u0"), col("h0")).as("decl"))
+        .localCheckpoint(true)
+      val cmap = Web.resolveCanonicals(
+        pages.select(col("url"), col("decl")).distinct(),
+        "url", "decl")
+      pages.join(cmap, Seq("url"))
         .groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("first_doc"),
           count(lit(1)).as("n_pages"))
+        .orderBy(col("canon_url"))
+    }),
+
+    // GRAPH CONSOLIDATION (r18 missing #1: redirects/canonicals
+    // composed into the link graph): every article family has a main
+    // page M plus FOUR duplicate identities — a 1-hop redirect R1→M,
+    // a 2-hop redirect R2→R1→M, an m-dot page D with rel=canonical→M,
+    // and an amp page A whose canonical chains A→D→M — and the docs'
+    // links spread across all five. Raw-dst aggregation would split
+    // the family's in-link mass five ways; consolidateEdges (edge dst
+    // → redirect-final → transitive canonical) concentrates it on M.
+    // Every 10th family's redirects form a CYCLE: links into R1/R2
+    // there reach no page and DROP (a crawler never lands), while the
+    // M/D/A links still consolidate. Aggregated with the bounded
+    // anchorCorpus. Scale shape: the edge list hash-joins two
+    // page-metadata-sized closure maps (each log-many self-joins),
+    // then the two-stage bounded anchor aggregation — no broadcast of
+    // host-scale relations anywhere.
+    "tx_graph_consolidate" -> ((s, dir) => {
+      def variants(kCol: org.apache.spark.sql.Column) = {
+        val kS = kCol.cast("string")
+        val hk = pmod(kCol, lit(4)).cast("string")
+        (concat(lit("https://site"), hk, lit(".com/art/"), kS),
+          concat(lit("https://old"), hk, lit(".com/r/"), kS),
+          concat(lit("https://older.com/rr/"), kS),
+          concat(lit("https://m.site"), hk, lit(".com/art/"), kS,
+            lit("m")),
+          concat(lit("https://amp.site"), hk, lit(".com/amp/"), kS))
+      }
+      val docs = Tables.load(s, dir, "documents")
+      val fam = docs.select(pmod(col("doc_id"), lit(25)).as("k"))
+        .distinct()
+      val (fm, fr1, fr2, fd, fa) = variants(col("k"))
+      val cyc = pmod(col("k"), lit(10)) === 7
+      val redirects = fam.select(explode(array(
+          struct(fr1.as("src"), when(cyc, fr2).otherwise(fm).as("dst")),
+          struct(fr2.as("src"), fr1.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val canonPages = fam.select(explode(array(
+          struct(fd.as("url"), fm.as("canon_url")),
+          struct(fa.as("url"), fd.as("canon_url")))).as("p"))
+        .select(col("p.url").as("url"), col("p.canon_url").as("canon_url"))
+      val (em, er1, er2, ed, ea) = variants(pmod(col("doc_id"), lit(25)))
+      val w = pmod(col("doc_id"), lit(5))
+      val edges = docs.select(col("doc_id"),
+        when(w === 0, em).when(w === 1, er1).when(w === 2, er2)
+          .when(w === 3, ed).otherwise(ea).as("dst"),
+        element_at(array(lit("main link"), lit("old link"),
+          lit("older link"), lit("mobile link"), lit("amp link")),
+          w.cast("int") + 1).as("anchor"))
+      Web.anchorCorpus(
+          Web.consolidateEdges(edges, "dst", redirects, canonPages))
+        .orderBy(col("dst"))
+    }),
+
+    // CRAWL CAPSTONE (r18 verdict #5): WARC bytes → training corpus,
+    // every seam composed in ONE pipeline — real gzipped WARC records
+    // carrying four charset shapes (undeclared UTF-8, header latin-1,
+    // MISLABELED utf-8-over-latin-1 → fallback, undeclared EUC-KR
+    // hangul → detected), 301 REDIRECT records (application/http
+    // bodies with a Location line), noindex pages, and base-href'd
+    // rel=canonical links. Crawl side: gunzip → parse → decodeText
+    // sniff → robots-meta compliance → htmlText → length quality gate
+    // → canonical consolidation where the AMP variant's canonical
+    // lands on a REDIRECT SOURCE (canonical-onto-redirect — the
+    // canonical map's targets are pushed through the redirect
+    // closure), collapsing every family onto its main URL. The funnel
+    // surfaces charset-route counts (n_detected / n_fallback) as
+    // quality columns so mojibake risk is measurable (r18 missing
+    // #2). Oracle: every decoded text, gate, and final URL re-derived
+    // arithmetically — a hash match proves the encode → container →
+    // sniff → parse → consolidate loop end to end. Scale shape:
+    // partition-local container work, map-only extraction, log-many
+    // closure joins, one final hash group.
+    "tx_crawl_corpus" -> ((s, dir) => {
+      import graft.operators.Warc
+      import java.nio.charset.StandardCharsets
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        "kind", "url", "dst", "html", "charset", "source").map(n =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = false)))
+      val rdd = docs.rdd.mapPartitions { rows =>
+        rows.grouped(32).flatMap { batch =>
+          val recs = batch.map { r =>
+            val id = r.getLong(0)
+            val fam = id % 25; val w = id % 4; val c = id % 6
+            val h = fam % 4
+            val mainUrl = s"https://site$h.com/art/$fam"
+            val mobileUrl = s"https://m.site$h.com/art/${fam}m"
+            val ampUrl = s"https://amp.site$h.com/amp/$fam"
+            val oldUrl = s"https://old$h.com/r/$fam"
+            if (w == 3) {
+              (oldUrl, Some("application/http"),
+                ("HTTP/1.1 301 Moved Permanently\r\nLocation: " +
+                  mainUrl + "\r\n\r\n")
+                  .getBytes(StandardCharsets.ISO_8859_1))
+            } else {
+              val flavor =
+                if (c == 1 || c == 4) "café ±"
+                else if (c == 2 || c == 5) "한국어 본문 내용"
+                else "plain"
+              val text = if (id % 13 == 11) "tiny"
+                else s"Article $fam rev $id $flavor body content " +
+                  "for the corpus quality gate"
+              val noidx = if (id % 11 == 5)
+                "<meta name=\"robots\" content=\"noindex\">" else ""
+              val (url, head) = w match {
+                case 0L => (mainUrl + s"?utm_source=w$id", noidx)
+                case 1L => (mobileUrl, noidx +
+                  s"""<link rel="canonical" href="$mainUrl">""")
+                case _ => (ampUrl, noidx +
+                  s"""<base href="https://old$h.com/r/">""" +
+                  s"<link rel=canonical href=$fam>")
+              }
+              val html =
+                s"<html><head>$head</head><body>$text</body></html>"
+              val (ct, bytes) = c match {
+                case 1L => (Some("text/html; charset=iso-8859-1"),
+                  html.getBytes(StandardCharsets.ISO_8859_1))
+                case 4L => (Some("text/html; charset=utf-8"),
+                  html.getBytes(StandardCharsets.ISO_8859_1))
+                case 2L | 5L => (None, html.getBytes(
+                  java.nio.charset.Charset.forName("EUC-KR")))
+                case _ => (None, html.getBytes(StandardCharsets.UTF_8))
+              }
+              (url, ct, bytes)
+            }
+          }
+          val gz = Warc.gzip(Warc.writeRecordsTyped(recs))
+          // ---- crawl side: everything below reads only the container
+          Warc.parseRecords(Warc.gunzip(gz)).map { rec =>
+            val uri = rec.header("WARC-Target-URI").get
+            val ct = rec.header("Content-Type")
+            if (ct.contains("application/http")) {
+              val body = new String(rec.body, StandardCharsets.ISO_8859_1)
+              val loc = "Location:[ \t]*([^\r\n]+)".r
+                .findFirstMatchIn(body).map(_.group(1).trim).getOrElse("")
+              org.apache.spark.sql.Row("redirect", uri, loc, "", "", "")
+            } else {
+              val d = Warc.decodeText(rec.body, ct)
+              org.apache.spark.sql.Row("page", uri, "", d.text,
+                d.charset, d.source)
+            }
+          }
+        }
+      }
+      // the container/decode work runs ONCE; redirect split, the
+      // canonical map, and the final join all read the checkpoint
+      val raw = s.createDataFrame(rdd, schema).localCheckpoint(true)
+      val redirects = raw.filter(col("kind") === "redirect")
+        .select(col("url").as("src"), col("dst"))
+      val pages = raw.filter(col("kind") === "page")
+        .filter(!Web.metaRobots(col("html")).getField("noindex"))
+        .select(Web.canonicalUrl(col("url")).as("url"),
+          Web.effectiveCanonical(col("url"), col("html")).as("decl"),
+          Web.htmlText(col("html")).as("clean"),
+          col("charset"), col("source"))
+        .filter(length(col("clean")) >= 20)
+      val cmap = Web.resolveCanonicals(
+        pages.select(col("url"), col("decl")).distinct(), "url", "decl")
+      val rmap = Web.resolveRedirects(redirects)
+        .select(col("src").as("_t_src"), col("final_url").as("_t_f"),
+          col("status").as("_t_st"))
+      // canonical-onto-redirect: the canonical map's TARGETS go
+      // through the redirect closure before they key the corpus
+      val fmap = cmap.join(rmap, col("canon_url") === col("_t_src"),
+          "left")
+        .select(col("url"),
+          when(col("_t_st") === "resolved", col("_t_f"))
+            .otherwise(col("canon_url")).as("final_url"))
+      pages.join(fmap, Seq("url"))
+        .groupBy(col("final_url"))
+        .agg(count(lit(1)).as("n_crawls"),
+          countDistinct(col("url")).as("n_pages"),
+          count(when(col("source") === "detected", 1)).as("n_detected"),
+          count(when(col("source") === "fallback", 1)).as("n_fallback"),
+          md5(min(col("clean"))).as("text_md5"))
+        .withColumnRenamed("final_url", "canon_url")
         .orderBy(col("canon_url"))
     }),
 
@@ -1444,16 +1653,66 @@ object ParsingPack extends QueryPack {
         |FROM e ORDER BY src""".stripMargin,
 
     // The consolidation re-derived: every (doc_id % 40) article group
-    // collapses onto its main URL regardless of which variant (main /
-    // mobile-absolute-canonical / amp-relative-canonical-under-base)
-    // each member rendered as — the engine must PARSE its way there.
+    // collapses onto its main URL through the amp → mobile → main
+    // 2-hop chain the engine must PARSE and path-double its way
+    // through — except the cycle groups (g % 10 = 9), whose mobile/amp
+    // members keep their own urls while main stays separate.
     "tx_canonical_collapse" ->
-      """SELECT
-        |  'https://site' || CAST(g % 4 AS VARCHAR) || '.com/art/'
-        |    || CAST(g AS VARCHAR) AS canon_url,
-        |  min(doc_id) AS first_doc, count(*) AS n_pages
-        |FROM (SELECT doc_id, doc_id % 40 AS g FROM documents)
-        |GROUP BY g ORDER BY canon_url""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 40 AS g, doc_id % 3 AS v
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g % 10 = 9 AND v = 1 THEN
+        |        'https://m.site' || CAST(g % 4 AS VARCHAR) || '.com/art/'
+        |          || CAST(g AS VARCHAR) || 'm'
+        |      WHEN g % 10 = 9 AND v = 2 THEN
+        |        'https://amp.site' || CAST(g % 4 AS VARCHAR) || '.com/amp/'
+        |          || CAST(g AS VARCHAR)
+        |      ELSE 'https://site' || CAST(g % 4 AS VARCHAR) || '.com/art/'
+        |        || CAST(g AS VARCHAR) END AS canon_url
+        |  FROM d)
+        |SELECT canon_url, min(doc_id) AS first_doc, count(*) AS n_pages
+        |FROM m GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    // Every family's five link identities re-derived onto the ONE main
+    // URL arithmetically (the engine must path-double the redirect AND
+    // canonical chains to get there); cycle families' R1/R2 links
+    // vanish (WHERE NOT), and the bounded anchor top-k mirrors the
+    // anchorCorpus oracle shape.
+    "tx_graph_consolidate" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 25 AS k, doc_id % 5 AS w
+        |  FROM documents
+        |  WHERE NOT ((doc_id % 25) % 10 = 7 AND doc_id % 5 IN (1, 2))),
+        |edges AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(k % 4 AS VARCHAR) || '.com/art/'
+        |      || CAST(k AS VARCHAR) AS dst,
+        |    CASE w WHEN 0 THEN 'main link' WHEN 1 THEN 'old link'
+        |      WHEN 2 THEN 'older link' WHEN 3 THEN 'mobile link'
+        |      ELSE 'amp link' END AS anchor
+        |  FROM d),
+        |counts AS (
+        |  SELECT dst, count(*) AS n_links,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    count(DISTINCT anchor) AS n_anchors
+        |  FROM edges GROUP BY dst),
+        |pa AS (
+        |  SELECT dst, anchor, count(*) AS cnt
+        |  FROM edges GROUP BY dst, anchor),
+        |rk AS (
+        |  SELECT dst, anchor, cnt, row_number() OVER (
+        |    PARTITION BY dst ORDER BY cnt DESC, anchor) AS rn
+        |  FROM pa),
+        |tops AS (
+        |  SELECT dst, array_to_string(
+        |    list(anchor ORDER BY cnt DESC, anchor), '|') AS anchors
+        |  FROM rk WHERE rn <= 8 GROUP BY dst)
+        |SELECT c.dst, c.n_links, c.n_docs, c.n_anchors, t.anchors
+        |FROM counts c JOIN tops t USING (dst)
+        |ORDER BY c.dst""".stripMargin,
 
     // Every resolved target re-derived ARITHMETICALLY (no resolver in
     // SQL — the from-text-twin convention): the engine's path to the
@@ -1562,6 +1821,43 @@ object ParsingPack extends QueryPack {
         |SELECT c.dst, c.n_links, c.n_docs, c.n_anchors, t.anchors
         |FROM counts c JOIN tops t USING (dst)
         |ORDER BY c.dst""".stripMargin,
+
+    // The capstone re-derived arithmetically: the gates reduce to row
+    // filters (w=3 redirect records, %11=5 noindex, %13=11 short), the
+    // decoded text and its charset ROUTE follow from c=doc_id%6 alone
+    // (the engine must sniff/detect its way to the same strings), and
+    // every kept page's final URL is its family's main article — amp
+    // pages only via canonical→redirect composition. min(clean) is a
+    // bytewise string min in both engines (BMP text: UTF-8 byte order
+    // = code-point order = UTF-16 order).
+    "tx_crawl_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 25 AS fam, doc_id % 4 AS w,
+        |    doc_id % 6 AS c
+        |  FROM documents
+        |  WHERE doc_id % 4 <> 3 AND doc_id % 11 <> 5
+        |    AND doc_id % 13 <> 11),
+        |t AS (
+        |  SELECT fam, w,
+        |    'Article ' || CAST(fam AS VARCHAR) || ' rev ' ||
+        |      CAST(doc_id AS VARCHAR) || ' ' ||
+        |      CASE WHEN c IN (1, 4) THEN 'café ±'
+        |           WHEN c IN (2, 5) THEN '한국어 본문 내용'
+        |           ELSE 'plain' END ||
+        |      ' body content for the corpus quality gate' AS clean,
+        |    CASE WHEN c IN (2, 5) THEN 'detected'
+        |         WHEN c = 4 THEN 'fallback'
+        |         WHEN c = 1 THEN 'header' ELSE 'default' END AS source
+        |  FROM d)
+        |SELECT
+        |  'https://site' || CAST(fam % 4 AS VARCHAR) || '.com/art/'
+        |    || CAST(fam AS VARCHAR) AS canon_url,
+        |  count(*) AS n_crawls,
+        |  count(DISTINCT w) AS n_pages,
+        |  count(CASE WHEN source = 'detected' THEN 1 END) AS n_detected,
+        |  count(CASE WHEN source = 'fallback' THEN 1 END) AS n_fallback,
+        |  md5(min(clean)) AS text_md5
+        |FROM t GROUP BY fam ORDER BY canon_url""".stripMargin,
 
     // The schedule re-derived: same canonical-URL frontier + rule
     // regexes, the meta oracle's delay CTE (agent '*'), per-host
@@ -1776,17 +2072,19 @@ object ParsingPack extends QueryPack {
       """WITH base AS (
         |  SELECT doc_id,
         |    'Doc ' || CAST(doc_id AS VARCHAR) || ' café ±' AS txt,
-        |    CAST(doc_id % 6 AS INTEGER) AS c
+        |    CAST(doc_id % 7 AS INTEGER) AS c
         |  FROM documents),
         |shaped AS (
         |  SELECT doc_id,
         |    CASE c WHEN 2 THEN '<meta charset="iso-8859-1">' || txt
+        |      WHEN 6 THEN '문서 ' || CAST(doc_id AS VARCHAR) || ' 한국어'
         |      ELSE txt END AS text,
         |    CASE c WHEN 0 THEN 'utf-8' WHEN 4 THEN 'utf-8'
-        |      WHEN 5 THEN 'utf-16le' ELSE 'iso-8859-1' END AS charset,
+        |      WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'euc-kr'
+        |      ELSE 'iso-8859-1' END AS charset,
         |    CASE c WHEN 0 THEN 'default' WHEN 1 THEN 'header'
         |      WHEN 2 THEN 'meta' WHEN 3 THEN 'fallback'
-        |      ELSE 'bom' END AS source
+        |      WHEN 6 THEN 'detected' ELSE 'bom' END AS source
         |  FROM base)
         |SELECT doc_id, charset, source,
         |  CAST(length(text) AS INTEGER) AS n_chars,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Warc
@@ -289,25 +290,122 @@ class WarcSpec extends AnyFunSuite {
       Warc.DecodedText("", "utf-8", "default"))
   }
 
-  test("tx_warc_charset on the fixture dir: all six sniff shapes appear " +
-      "and the mislabeled pages really took the fallback route") {
+  test("property (seeded): the decode→extract seam round-trips 150 " +
+      "random (charset, declaration, markup) assemblies — decodeText " +
+      "reproduces the exact source string for every declared, " +
+      "detectable, or latin-1-consistent page, and htmlText over the " +
+      "decoded markup equals a driver-side reference extraction " +
+      "(oracle parity is blind to shared-seam defects — r16 lesson)") {
+    import java.nio.charset.{Charset, StandardCharsets}
+    val rnd = new scala.util.Random(4242)
+    val pools = Seq(
+      ("ascii", "the quick brown fox 0123456789"),
+      ("latin", "café naïve déjà"),
+      ("hangul", "가나다라마바사아자차카타파하 한국어 문서 내용"),
+      ("kana", "あいうえお カキクケコ です ます"))
+    def randText(pool: String): String =
+      (1 to (3 + rnd.nextInt(8))).map { _ =>
+        val words = pool.split(" ")
+        words(rnd.nextInt(words.length))
+      }.mkString(" ")
+    val cases = (1 to 150).map { i =>
+      val (kind, pool) = pools(rnd.nextInt(pools.length))
+      val cs = kind match {
+        case "hangul" => if (rnd.nextBoolean()) "UTF-8" else "EUC-KR"
+        case "kana" => if (rnd.nextBoolean()) "UTF-8" else "Shift_JIS"
+        case "latin" => if (rnd.nextBoolean()) "UTF-8" else "ISO-8859-1"
+        case _ => Seq("UTF-8", "ISO-8859-1", "EUC-KR")(rnd.nextInt(3))
+      }
+      val decl = rnd.nextInt(3) // 0 header, 1 meta, 2 none
+      // every latin text carries at least one é-before-space byte pair
+      // (0xE9 0x20) — invalid as an EUC-KR OR Shift_JIS sequence, so an
+      // UNDECLARED latin-1 page can never be mis-detected as CJK (a
+      // body of only 'naïve's is otherwise valid Shift_JIS bytes)
+      val body = randText(pool) +
+        (if (kind == "latin") " café x" else "")
+      val head = if (decl == 1)
+        s"""<meta charset="${cs.toLowerCase}">""" else ""
+      val html = s"<html><head>$head</head><body> $body  </body></html>"
+      val ct = if (decl == 0) Some(s"text/html; charset=$cs")
+        else Some("text/html")
+      (i, html, body, Charset.forName(cs), ct)
+    }
+    cases.foreach { case (i, html, _, cs, ct) =>
+      val bytes = html.getBytes(cs)
+      // every assembly is self-consistent: declared pages decode via
+      // their declaration, undeclared UTF-8/ASCII via the default,
+      // undeclared CJK via the detector, undeclared latin-1 via the
+      // (byte-identical) latin-1 fallback — the TEXT must round-trip
+      // exactly in all of them
+      val d = Warc.decodeText(bytes, ct)
+      assert(d.text == html, s"case $i lost text: $d\nhtml=$html")
+    }
+    // the extract half of the seam, through the real column path
+    val df = TestSpark.spark.createDataFrame(
+        cases.map { case (i, html, _, cs, ct) =>
+          (i, Warc.decodeText(html.getBytes(cs), ct).text)
+        }).toDF("i", "html")
+      .select(col("i"), graft.operators.Web.htmlText(col("html")).as("t"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, _, body, _, _) =>
+      // driver-side reference: tags carry no text here, so the clean
+      // text is the body with whitespace collapsed and trimmed
+      val want = body.replaceAll("\\s+", " ").trim
+      assert(got(i) == want, s"case $i: got '${got(i)}', want '$want'")
+    }
+  }
+
+  test("tx_warc_charset on the fixture dir: all seven sniff shapes " +
+      "appear, the mislabeled pages really took the fallback route, " +
+      "and the undeclared hangul pages took the DETECTED route") {
     val got = SparkEntry.queries("tx_warc_charset")(
       TestSpark.spark, TestSpark.sfDir).collect()
     assert(got.nonEmpty)
     val bySrc = got.groupBy(_.getString(2)).view.mapValues(_.length).toMap
-    assert(Set("default", "header", "meta", "fallback", "bom")
+    assert(Set("default", "header", "meta", "fallback", "bom", "detected")
       .subsetOf(bySrc.keySet), s"sources: $bySrc")
     got.foreach { r =>
       val id = r.getLong(0)
-      val want = (id % 6) match {
+      val want = (id % 7) match {
         case 0 => ("utf-8", "default")
         case 1 => ("iso-8859-1", "header")
         case 2 => ("iso-8859-1", "meta")
         case 3 => ("iso-8859-1", "fallback")
         case 4 => ("utf-8", "bom")
-        case _ => ("utf-16le", "bom")
+        case 5 => ("utf-16le", "bom")
+        case _ => ("euc-kr", "detected")
       }
       assert((r.getString(1), r.getString(2)) == want, s"doc $id")
     }
+  }
+
+  test("detectLegacyCjk (r18 missing #2): an undeclared EUC-KR hangul " +
+      "page decodes correctly with source=detected, an undeclared " +
+      "Shift_JIS kana page picks SJIS, declared charsets still win, " +
+      "zero-evidence bytes keep the latin-1 fallback, and ASCII/UTF-8 " +
+      "never reach the detector") {
+    val kr = "한국어 문서 내용 테스트"
+    val eucKr = java.nio.charset.Charset.forName("EUC-KR")
+    val sjis = java.nio.charset.Charset.forName("Shift_JIS")
+    // undeclared EUC-KR hangul → detected, text reproduced exactly
+    val d1 = Warc.decodeText(kr.getBytes(eucKr), Some("text/html"))
+    assert(d1 == Warc.DecodedText(kr, "euc-kr", "detected"), s"$d1")
+    // undeclared Shift_JIS kana → detected as SJIS (the kana score
+    // discriminates even when the bytes are also valid EUC-KR)
+    val jp = "日本語のテストです、ひらがなとカタカナ"
+    val d2 = Warc.decodeText(jp.getBytes(sjis), None)
+    assert(d2.charset == "shift_jis" && d2.source == "detected" &&
+      d2.text == jp, s"$d2")
+    // a DECLARED charset still wins over detection
+    val d3 = Warc.decodeText(kr.getBytes(eucKr),
+      Some("text/html; charset=euc-kr"))
+    assert(d3 == Warc.DecodedText(kr, "euc-kr", "header"), s"$d3")
+    // latin-1-ish bytes with no CJK evidence keep the fallback
+    val noise = "naïve café ±§"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Warc.decodeText(noise, None).source == "fallback")
+    // valid UTF-8 never reaches the detector
+    val d4 = Warc.decodeText(kr.getBytes("UTF-8"), None)
+    assert(d4 == Warc.DecodedText(kr, "utf-8", "default"), s"$d4")
   }
 }

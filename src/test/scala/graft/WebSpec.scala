@@ -1048,6 +1048,104 @@ class WebSpec extends AnyFunSuite {
       s"home page must out-rank: $gotRank")
   }
 
+  test("resolveCanonicals: transitive chains collapse to the terminal " +
+      "with exact hop counts, cycles mark status=cycle and KEEP the " +
+      "page's own URL, undeclared pages read self, and over-maxHops " +
+      "chains fall back to identity") {
+    import graft.operators.Web
+    val pages = spark.createDataFrame(Seq(
+      // 2-hop chain: amp -> mobile -> main (main self-declared)
+      ("https://s.com/amp", "https://s.com/m"),
+      ("https://s.com/m", "https://s.com/main"),
+      ("https://s.com/main", "https://s.com/main"),
+      // 2-cycle
+      ("https://s.com/cycA", "https://s.com/cycB"),
+      ("https://s.com/cycB", "https://s.com/cycA"),
+      // long chain c0 -> ... -> c5 (5 hops from c0)
+      ("https://s.com/c0", "https://s.com/c1"),
+      ("https://s.com/c1", "https://s.com/c2"),
+      ("https://s.com/c2", "https://s.com/c3"),
+      ("https://s.com/c3", "https://s.com/c4"),
+      ("https://s.com/c4", "https://s.com/c5")))
+      .toDF("url", "canon_url")
+    val got = Web.resolveCanonicals(pages).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))).toMap
+    assert(got.size == 10)
+    assert(got("https://s.com/amp") ==
+      (("https://s.com/main", 2L, "resolved")), s"$got")
+    assert(got("https://s.com/m") ==
+      (("https://s.com/main", 1L, "resolved")))
+    assert(got("https://s.com/main") ==
+      (("https://s.com/main", 0L, "self")))
+    Seq("cycA", "cycB").foreach { n =>
+      assert(got(s"https://s.com/$n") ==
+        ((s"https://s.com/$n", -1L, "cycle")), s"$n: $got")
+    }
+    assert(got("https://s.com/c0") ==
+      (("https://s.com/c5", 5L, "resolved")))
+    // a 3-hop cap strands c0 (5 hops needed): identity fallback
+    val capped = Web.resolveCanonicals(pages, maxHops = 3).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(3))))
+      .toMap
+    assert(capped("https://s.com/c0") ==
+      (("https://s.com/c0", "cycle")), s"capped: $capped")
+    assert(capped("https://s.com/c2") ==
+      (("https://s.com/c5", "resolved")))
+  }
+
+  test("consolidateEdges + pagerank: a duplicate family (redirect " +
+      "variants + m-dot/AMP canonical chain of one article) " +
+      "concentrates its in-link mass on ONE node (r18 missing #1), " +
+      "edges into redirect CYCLES drop, and the consolidated graph's " +
+      "pagerank equals the hand-collapsed reference graph's") {
+    import graft.operators.{Graph, Web}
+    // article M with duplicate identities: R2 -> R1 -> M (redirects),
+    // A -> D -> M (canonical chain); a second article X with a
+    // redirect CYCLE in front (links there must vanish); five source
+    // pages spread their links across the identities
+    val redirects = spark.createDataFrame(Seq(
+      ("https://old.com/r1", "https://s.com/M"),
+      ("https://older.com/r2", "https://old.com/r1"),
+      ("https://x.com/cy1", "https://x.com/cy2"),
+      ("https://x.com/cy2", "https://x.com/cy1")))
+      .toDF("src", "dst")
+    val canonPages = spark.createDataFrame(Seq(
+      ("https://m.s.com/D", "https://s.com/M"),
+      ("https://amp.s.com/A", "https://m.s.com/D")))
+      .toDF("url", "canon_url")
+    val targets = Seq("https://s.com/M", "https://old.com/r1",
+      "https://older.com/r2", "https://m.s.com/D", "https://amp.s.com/A",
+      "https://x.com/cy1")
+    val edges = spark.createDataFrame(
+      targets.zipWithIndex.map { case (t, i) =>
+        (s"https://src.com/p$i", t)
+      }).toDF("src", "dst")
+    val got = Web.consolidateEdges(edges, "dst", redirects, canonPages)
+    val gotRows = got.collect().map(r =>
+      (r.getAs[String]("src"), r.getAs[String]("dst"))).sorted.toSeq
+    // every duplicate-identity link lands on M; the cycle link is GONE
+    val want = (0 until 5).map(i => (s"https://src.com/p$i",
+      "https://s.com/M")).sorted
+    assert(gotRows == want, s"got $gotRows")
+    // in-link mass provably concentrates: pagerank over the
+    // consolidated graph equals the hand-collapsed reference, and M
+    // holds the maximum
+    val ref = spark.createDataFrame(want).toDF("src", "dst")
+    val gotRank = Graph.pagerank(got, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantRank = Graph.pagerank(ref, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotRank == wantRank)
+    assert(gotRank("https://s.com/M") == gotRank.values.max,
+      s"consolidated article must hold the mass: $gotRank")
+    // none of the duplicate identities survive as graph nodes
+    Seq("r1", "r2", "/D", "/A", "cy").foreach { frag =>
+      assert(!gotRank.keys.exists(_.contains(frag)),
+        s"duplicate identity $frag leaked into the graph: $gotRank")
+    }
+  }
+
   test("scheduleFrontier: per-host fetch slots honor Crawl-delay " +
       "(deci-second integer offsets), more-referenced pages fetch " +
       "first with URL tiebreak, hosts without meta take the default, " +
