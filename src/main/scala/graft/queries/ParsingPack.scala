@@ -1153,6 +1153,8 @@ object ParsingPack extends QueryPack {
       val raw = s.createDataFrame(rdd, schema).localCheckpoint(true)
       val redirects = raw.filter(col("kind") === "redirect")
         .select(col("url").as("src"), col("dst"))
+      // the parse/extract projection (one fat codegen unit) runs ONCE;
+      // the canonical map input and the final join read the checkpoint
       val pages = raw.filter(col("kind") === "page")
         .filter(!Web.metaRobots(col("html")).getField("noindex"))
         .select(Web.canonicalUrl(col("url")).as("url"),
@@ -1160,9 +1162,13 @@ object ParsingPack extends QueryPack {
           Web.htmlText(col("html")).as("clean"),
           col("charset"), col("source"))
         .filter(length(col("clean")) >= 20)
+        .localCheckpoint(true)
       val cmap = Web.resolveCanonicals(
         pages.select(col("url"), col("decl")).distinct(), "url", "decl")
-      val rmap = Web.resolveRedirects(redirects)
+      // crawl redirect chains are single-hop here; an 8-hop budget (3
+      // doubling rounds instead of the 64-hop default's 6) halves the
+      // closure's fixed per-round job cost
+      val rmap = Web.resolveRedirects(redirects, maxHops = 8)
         .select(col("src").as("_t_src"), col("final_url").as("_t_f"),
           col("status").as("_t_st"))
       // canonical-onto-redirect: the canonical map's TARGETS go
