@@ -135,10 +135,10 @@ object Bench {
     "tx_robots_meta" -> "fixture: per-host directive extraction over the 4-host robots VALUES relation, no data-scale surface",
     "tx_url_frontier" -> "composition: sitemap build/parse/unescape/canonicalize projections + the tx_robots_filter broadcast filter + one keep-first group (tx_web_corpus family)",
     "tx_frontier_discover" -> "composition: tx_url_frontier's funnel with robots-announced fetch (tiny per-host join), a gzip codec hop (codec-bound, partition-local), and the w3cEpoch projection",
-    "tx_frontier_schedule" -> "family: two-pass bucketed per-host rank (the q59_rank_twopass shape) over the tx_url_frontier funnel + a broadcast delay join; skew behavior gated by the frontier_schedule_skew scale probe",
+    "tx_frontier_schedule" -> "family: two-pass composite-key bucketed per-host rank (the q59_rank_twopass shape) over the tx_url_frontier funnel + a broadcast delay join; skew behavior gated by the frontier_schedule_skew AND frontier_schedule_tieskew scale probes",
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
-    "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew scale probe",
-    "tx_canonical_collapse" -> "family: tx_web_corpus's codegen-regex-extract + one keep-first hash shuffle, keyed on the rel=canonical consolidation URL instead of the normalized page URL",
+    "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew and frontier_schedule_tieskew scale probes",
+    "tx_canonical_collapse" -> "family: tx_web_corpus's codegen-regex-extract + the tx_redirect_resolve path-doubling closure (here over the declaration map — resolveCanonicals) + one keep-first hash shuffle keyed on the TRANSITIVE canonical URL",
     "tx_anchor_corpus" -> "family: the tx_link_edges map-only extraction plus two partial-aggregable hash groups on dst — (dst, anchor) counts then the bounded-heap top-k (tx_web_corpus's shuffle shape; the hot-dst scale story is the anchor_corpus_hotdst probe)",
     "stream_url_frontier" -> "harness: micro-batch loop; per-trigger work is batch-sized canonicalize + broadcast robots filter + a keyed (sum, min) monoid fold, state one row per frontier URL (fixed point shares tx_url_frontier's oracle)",
     "tx_warc_roundtrip" -> "map-only: partition-local WARC+gzip container round trip (codec-bound); no shuffle beyond the final orderBy",

@@ -194,13 +194,15 @@ object Scale {
     * is total (callers end the key with a unique column), so ties
     * exist only between identical keys and every boundary splits.
     *
-    * Mechanics: one seeded-sample pass collects ~`samplesPerBucket ·
-    * buckets` key tuples (one bounded `count()` sizes the fraction —
-    * two thin column-pruned passes total, bounded driver state of
-    * ≤ buckets−1 boundary tuples after the quantile pick); bucket id =
-    * number of boundary tuples the row sorts strictly AFTER under the
-    * lexicographic (desc-aware) comparison, built as a codegen'd
-    * indicator sum — no UDF, no shuffle.
+    * Mechanics: ONE pass (the RangePartitioner sketch shape) — each
+    * partition keeps a seeded reservoir of ≤ cap key tuples plus its
+    * exact row count; boundaries are picked by cumulative WEIGHT
+    * (rows-represented-per-sample), so uneven partitions don't skew
+    * the quantiles. Driver state is ~`samplesPerBucket · buckets`
+    * tuples during the pick and ≤ buckets−1 boundary tuples after;
+    * bucket id = number of boundary tuples the row sorts strictly
+    * AFTER under the lexicographic (desc-aware) comparison, built as
+    * a codegen'd indicator sum — no UDF, no shuffle.
     *
     * EXACTNESS is boundary-independent: assignment is value-based
     * (equal keys → equal bucket) and monotone along the composite
@@ -221,14 +223,38 @@ object Scale {
     require(keys.nonEmpty && buckets >= 1, "need keys and buckets >= 1")
     val keyCols = keys.map { case (c, _) => col(c) }
     val slim = df.select(keyCols: _*)
-    val n = slim.count()
-    if (n == 0L || buckets == 1) return lit(0)
-    val target = buckets.toLong * samplesPerBucket
-    val frac = math.min(1.0, target.toDouble / n)
-    val sampled = slim.sample(withReplacement = false, frac, seed = 42L)
-      .collect().map(r => Seq.tabulate(keys.length)(r.get))
-      .filterNot(_.exists(_ == null))
-    if (sampled.isEmpty) return lit(0)
+    if (buckets == 1) return lit(0)
+    val target = buckets * samplesPerBucket
+    val rdd = slim.rdd
+    val parts = math.max(rdd.getNumPartitions, 1)
+    val cap = math.max(8, target / parts + 1)
+    // one pass: per-partition seeded reservoir + exact count
+    val sketch = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rng = new java.util.Random(0x9e3779b97f4a7c15L ^ pid.toLong)
+      val res = new scala.collection.mutable.ArrayBuffer[Seq[Any]](cap)
+      var n = 0L
+      it.foreach { r =>
+        val key = Seq.tabulate(keys.length)(r.get)
+        if (res.length < cap) res += key
+        else {
+          val j = (rng.nextDouble() * (n + 1)).toLong
+          if (j < cap) res(j.toInt) = key
+        }
+        n += 1
+      }
+      Iterator.single((n, res.toSeq))
+    }.collect()
+    val total = sketch.map(_._1).sum
+    // each sample stands for count/|reservoir| rows of its partition
+    val weighted = sketch.flatMap { case (n, rows) =>
+      val kept = rows.filterNot(_.exists(_ == null))
+      if (kept.isEmpty) Nil
+      else {
+        val w = n.toDouble / rows.length
+        kept.map(k => (k, w))
+      }
+    }
+    if (total == 0L || weighted.isEmpty) return lit(0)
     def cmpAny(a: Any, b: Any): Int =
       a.asInstanceOf[Comparable[Any]].compareTo(b)
     val ord = new Ordering[Seq[Any]] {
@@ -242,11 +268,21 @@ object Scale {
         0
       }
     }
-    val sorted = sampled.sorted(ord)
-    val bounds = (1 until buckets)
-      .map(i => sorted((i.toLong * sorted.length / buckets).toInt
-        .min(sorted.length - 1)))
-      .distinct
+    val sorted = weighted.sortBy(_._1)(ord)
+    // cumulative-weight cuts at total·i/buckets (RangePartitioner's
+    // determineBounds shape)
+    val bs = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    var cum = 0.0
+    var bi = 1
+    sorted.foreach { case (k, w) =>
+      cum += w
+      while (bi < buckets && cum >= total.toDouble * bi / buckets) {
+        bs += k
+        bi += 1
+      }
+    }
+    val bounds = bs.distinct.toSeq
+    if (bounds.isEmpty) return lit(0)
     // strictly-after-boundary indicator, lexicographic and desc-aware:
     // gt1 || (eq1 && (gt2 || (eq2 && ...)))
     def after(b: Seq[Any]): Column =
