@@ -135,6 +135,7 @@ object Bench {
     "tx_robots_meta" -> "fixture: per-host directive extraction over the 4-host robots VALUES relation, no data-scale surface",
     "tx_url_frontier" -> "composition: sitemap build/parse/unescape/canonicalize projections + the tx_robots_filter broadcast filter + one keep-first group (tx_web_corpus family)",
     "tx_frontier_discover" -> "composition: tx_url_frontier's funnel with robots-announced fetch (tiny per-host join), a gzip codec hop (codec-bound, partition-local), and the w3cEpoch projection",
+    "tx_frontier_final" -> "composition: map-only canonicalization + the benched tx_redirect_resolve closure + one keep-first hash group keyed on final URLs (tx_graph_consolidate's benched join shape over the frontier relation)",
     "tx_frontier_schedule" -> "family: two-pass composite-key bucketed per-host rank (the q59_rank_twopass shape) over the tx_url_frontier funnel + a broadcast delay join; skew behavior gated by the frontier_schedule_skew AND frontier_schedule_tieskew scale probes",
     "tx_link_edges" -> "map-only: codegen anchor extraction + RFC resolution + canonicalization projection, no shuffle beyond the final orderBy",
     "tx_frontier_recrawl" -> "family: tx_frontier_schedule's two-pass politeness rank with a freshness-compound priority over the same funnel; skew behavior gated by the frontier_schedule_skew and frontier_schedule_tieskew scale probes",

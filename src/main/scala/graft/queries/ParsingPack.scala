@@ -1056,6 +1056,52 @@ object ParsingPack extends QueryPack {
         .orderBy(col("dst"))
     }),
 
+    // FRONTIER ON FINAL URLS (the last clause of r18 verdict #3): a
+    // discovery stream where every 4th sighting arrives via a 301
+    // SOURCE url (plus case/port/utm junk on the direct sightings) is
+    // keyed on the REDIRECT-RESOLVED final URL before the keep-first
+    // fold — so a page's sightings through old addresses count toward
+    // the same frontier entry instead of splitting n_seen across
+    // duplicate identities. Sightings into redirect CYCLES drop (no
+    // fetchable page). Map-only canonicalization + the log-many
+    // closure joins + one hash group.
+    "tx_frontier_final" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fam = pmod(col("doc_id"), lit(25))
+      val famS = fam.cast("string")
+      val h = pmod(fam, lit(4)).cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val raw = docs.select(
+        when(v === 3, concat(lit("https://old"), h, lit(".com/r/"),
+            famS, lit("?utm_ref=x"), col("doc_id").cast("string")))
+          .otherwise(concat(lit("HTTPS://WWW.Site"), h, lit(".COM:443/art/"),
+            famS, lit("?utm_source=d"), col("doc_id").cast("string")))
+          .as("loc"))
+      val fams = docs.select(fam.as("k")).distinct()
+      val kS = col("k").cast("string")
+      val kh = pmod(col("k"), lit(4)).cast("string")
+      val fm = concat(lit("https://site"), kh, lit(".com/art/"), kS)
+      val fr1 = concat(lit("https://old"), kh, lit(".com/r/"), kS)
+      val fr2 = concat(lit("https://older.com/rr/"), kS)
+      val kcyc = pmod(col("k"), lit(10)) === 7
+      val redirects = fams.select(explode(array(
+          struct(fr1.as("src"), when(kcyc, fr2).otherwise(fm).as("dst")),
+          struct(fr2.as("src"), fr1.as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val rmap = Web.resolveRedirects(redirects, maxHops = 8)
+        .select(col("src").as("_f_src"), col("final_url").as("_f_f"),
+          col("status").as("_f_st"))
+      raw.select(Web.canonicalUrl(col("loc")).as("url"))
+        .join(rmap, col("url") === col("_f_src"), "left")
+        .withColumn("final_url",
+          when(col("_f_st").isNull, col("url"))
+            .when(col("_f_st") === "resolved", col("_f_f")))
+        .filter(col("final_url").isNotNull)
+        .groupBy(col("final_url"))
+        .agg(count(lit(1)).as("n_seen"))
+        .orderBy(col("final_url"))
+    }),
+
     // CRAWL CAPSTONE (r18 verdict #5): WARC bytes → training corpus,
     // every seam composed in ONE pipeline — real gzipped WARC records
     // carrying four charset shapes (undeclared UTF-8, header latin-1,
@@ -1827,6 +1873,21 @@ object ParsingPack extends QueryPack {
         |SELECT c.dst, c.n_links, c.n_docs, c.n_anchors, t.anchors
         |FROM counts c JOIN tops t USING (dst)
         |ORDER BY c.dst""".stripMargin,
+
+    // The consolidated frontier re-derived: direct sightings normalize
+    // onto the main URL by canonicalization alone; the v=3 sightings
+    // must travel the redirect closure to land there (cycle families'
+    // v=3 rows vanish — WHERE NOT).
+    "tx_frontier_final" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 25 AS fam
+        |  FROM documents
+        |  WHERE NOT ((doc_id % 25) % 10 = 7 AND doc_id % 4 = 3))
+        |SELECT
+        |  'https://site' || CAST(fam % 4 AS VARCHAR) || '.com/art/'
+        |    || CAST(fam AS VARCHAR) AS final_url,
+        |  count(*) AS n_seen
+        |FROM d GROUP BY fam ORDER BY final_url""".stripMargin,
 
     // The capstone re-derived arithmetically: the gates reduce to row
     // filters (w=3 redirect records, %11=5 noindex, %13=11 short), the

@@ -1685,6 +1685,35 @@ class WebSpec extends AnyFunSuite {
     assert(got.exists(_._5.contains("kept & safe")))
   }
 
+  test("tx_frontier_final on the fixture dir: sightings through 301 " +
+      "SOURCE urls count toward the SAME frontier entry as direct " +
+      "sightings (n_seen no longer splits across duplicate " +
+      "identities), and cycle families drop exactly their " +
+      "redirect-path sightings") {
+    val got = SparkEntry.queries("tx_frontier_final")(
+      spark, TestSpark.sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 25, s"${got.length} rows")
+    // no redirect-source identity survives as a frontier key
+    assert(got.forall(r => r._1.matches("https://site[0-3]\\.com/art/\\d+")),
+      s"duplicate identity leaked: ${got.filterNot(_._1.contains("/art/"))}")
+    // re-derive per-family expectations from the fixture arithmetic
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val wantBy = docs.groupBy(_ % 25).map { case (fam, ids) =>
+      val kept = if (fam % 10 == 7) ids.count(_ % 4 != 3) else ids.length
+      (s"https://site${fam % 4}.com/art/$fam", kept.toLong)
+    }
+    assert(got.toMap == wantBy, "frontier fold diverged")
+    // the consolidation really bites: redirect-path sightings exist
+    // and land on the main entry (kept > direct-only count) for some
+    // non-cycle family
+    val bites = docs.groupBy(_ % 25).exists { case (fam, ids) =>
+      fam % 10 != 7 && ids.exists(_ % 4 == 3)
+    }
+    assert(bites, "fixture lost its redirect-path sightings")
+  }
+
   test("URL-level dedup composes: canonical variants of one page collapse " +
       "to a single group, distinct resources stay apart") {
     val urls = Seq(
