@@ -18,6 +18,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * so per-group state is O(k · max-string) regardless of how many
   * distinct values the group carries. Feed it EXACT per-(group, value)
   * weights (a prior count aggregation) and the selected top-k is exact.
+  *
+  * CONTRACT: input values are NON-NULL (the tiebreak compares them
+  * with the string ordering, which has no null). `Web.anchorCorpus` —
+  * the operator that feeds this — filters null anchors before its
+  * count agg (r19 ADVICE #2); any new caller must do the same.
   */
 class TopWeightedStringsAggregator(k: Int)
     extends Aggregator[(String, Long), Seq[(String, Long)], Seq[(String, Long)]] {

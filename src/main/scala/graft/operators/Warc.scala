@@ -190,8 +190,8 @@ object Warc {
     *     `<meta charset=…>` / `http-equiv` declaration,
     *  4. else strict UTF-8,
     *  5. else legacy-CJK content detection ([[detectLegacyCjk]] —
-    *     EUC-KR / Shift_JIS scored by native-script density,
-    *     `source = "detected"`).
+    *     EUC-KR / Shift_JIS / GB18030 / Big5, native-script-gated
+    *     and frequency-scored, `source = "detected"`).
     *
     * Every DECLARED charset is tried STRICTLY (malformed input
     * REPORTs, never silently replaces): a declaration the bytes
@@ -245,40 +245,107 @@ object Warc {
     }
   }
 
+  /** The highest-frequency hanzi of running Chinese text — the union
+    * of the standard simplified and traditional frequency lists (the
+    * top of every published zh frequency table; traditional variants
+    * included where the forms differ). The FREQUENCY discriminator
+    * of [[detectLegacyCjk]]'s zh candidates: GB and Big5 byte ranges
+    * overlap so heavily that a page in one usually strict-decodes in
+    * the other — to WRONG ideographs, which hit this set at the
+    * ~1-2% random rate instead of the ~30% running-text rate. */
+  val CommonHanzi: Set[Char] =
+    ("的一是不了人我在有他这中大来上国个到说们为子和你地出道也时年" +
+      "得就那要下以生会自着去之过家学对可她里后小么心多天而能好都然" +
+      "没日于起还发成事只作当想看文无开手十用主行方又如前所本见经头" +
+      "面公同三已老从动两长知民样现分将外但身些与高意进把法此实回二" +
+      "理美点月明其种声全工己话儿者向情部正名定女问力机给等几很业最" +
+      "间新什打便位因重被走电四第门相次东政海口使教西再平真听世气信" +
+      "北少关并内加化由却代军产入先山五太水万市眼体别处总才场师书比" +
+      "住员九笑性通目华报立马命张活难神数件安表原车白应路期叫死常提" +
+      "感金何更反题墨哥器识验讲按像却斯品呢川即指争副周党完间回件形" +
+      "這個們來時為說國學對裡後發沒無於點還經頭長與書東車馬門問間陽" +
+      "雲電話應總體讓觀歡愛戰寫讀語聽").toSet
+
+  /** The highest-frequency hangul syllables of running Korean text
+    * (top of the published syllable-frequency tables) — the same
+    * frequency discriminator for the EUC-KR candidate: GB2312 bytes
+    * are structurally valid EUC-KR and decode to hangul-row
+    * syllables, but random syllables hit this set at the ~2% rate
+    * where real Korean running text hits ~35%. */
+  val CommonHangul: Set[Char] =
+    ("이다의에는가을하고지를은서대로있것들사기어나그자수전적도부국" +
+      "문와인생소정제상시중내용해주위성보요원본과년만동장리러니스한" +
+      "습무엇일걸음식당신래간단말같면좋아오려운모습발했래또거겠네요" +
+      "공간경우치면터레메타트프라마바카파타차").toSet
+      .filter(c => c >= 0xAC00 && c <= 0xD7A3)
+
+  /** Minimum CJK-ideograph count AND maximum body-share below which a
+    * zh candidate is not trusted (r19 ADVICE medium: a cp1252 page
+    * whose only non-ASCII bytes are curly-quote pairs strict-decodes
+    * in GB18030 to a few scattered ideographs — positive-looking
+    * evidence the density gates must reject). */
+  val MinZhIdeographs: Int = 4
+
   /** Content-heuristic detection for UNDECLARED legacy CJK pages (r18
-    * missing #2: an EUC-KR or Shift_JIS page with no BOM, no header
-    * param, and no meta — common on the exact legacy web the nl-
-    * targeting reference crawls — silently decoded as latin-1
-    * mojibake with only `source="fallback"` to flag it). Runs ONLY
-    * after strict UTF-8 fails (pure-ASCII and modern pages never get
-    * here): each candidate charset must decode the whole body
-    * STRICTLY, and candidates are scored by native-script density —
-    * 2·Hangul-syllables (+ CJK ideographs) for EUC-KR, 2·kana
-    * (+ ideographs) for Shift_JIS, so a hangul page picks EUC-KR even
-    * when its bytes happen to be valid Shift_JIS (the ranges overlap
-    * heavily — validity alone cannot discriminate). Ties and
-    * zero-score decodes are NOT trusted: returns None and the caller
-    * keeps the measurable latin-1 fallback, so the detector can only
-    * upgrade pages it has positive evidence for. `source =
-    * "detected"` lets corpus funnels count the route separately from
-    * declarations. */
+    * missing #2; GB18030/Big5 added in r20 — r19 missing #1: legacy
+    * zh pages, a large share of the pre-2010 web, previously always
+    * landed in the latin-1 fallback). Runs ONLY after strict UTF-8
+    * fails (pure-ASCII and modern pages never get here). Each
+    * candidate charset must decode the whole body STRICTLY, and a
+    * candidate is ELIGIBLE only with native-script evidence (r19
+    * ADVICE medium — ideographs alone are NOT evidence, because
+    * cp1252 punctuation pairs like `’t` are valid Shift_JIS/GB18030
+    * ideograph codes: the exact silent-mojibake class the detector
+    * exists to prevent):
+    *
+    *  - EUC-KR: ≥1 Hangul syllable; score `2·hangul + ideographs +
+    *    6·common-syllables` ([[CommonHangul]] — GB2312 bytes decode
+    *    to structurally-valid hangul, so frequency, not validity,
+    *    discriminates),
+    *  - Shift_JIS: ≥1 kana; score `2·kana + ideographs` (kana is
+    *    already distinctive — EUC-KR hangul bytes read as SJIS
+    *    HALFWIDTH katakana, outside the scored fullwidth range),
+    *  - GB18030 / Big5: ≥[[MinZhIdeographs]] ideographs AND ≥5% of
+    *    decoded chars AND ≥1 [[CommonHanzi]] hit; score
+    *    `2·ideographs + 6·common-hanzi` (the two zh encodings
+    *    usually both strict-decode — the wrong one to garbage hanzi
+    *    that miss the frequency table).
+    *
+    * The strictly-highest eligible score wins; ties and zero
+    * eligibility return None and the caller keeps the MEASURABLE
+    * latin-1 fallback, so the detector can only upgrade pages it has
+    * positive evidence for. `source = "detected"` lets corpus
+    * funnels count the route separately from declarations. */
   def detectLegacyCjk(body: Array[Byte]): Option[DecodedText] = {
-    def cjk(t: String): Long =
+    def decoded(name: String): Option[DecodedText] =
+      charsetOf(name).flatMap(cs => strictDecode(body, 0, cs).map(t =>
+        DecodedText(t, cs.name().toLowerCase(java.util.Locale.ROOT),
+          "detected")))
+    def ideo(t: String): Long =
       t.count(c => c >= 0x4E00 && c <= 0x9FFF).toLong
-    def cand(name: String, native: Char => Boolean): Option[(DecodedText, Long)] =
-      charsetOf(name).flatMap(cs => strictDecode(body, 0, cs).map { t =>
-        (DecodedText(t, cs.name().toLowerCase(java.util.Locale.ROOT),
-          "detected"), 2L * t.count(native) + cjk(t))
-      })
-    val euc = cand("EUC-KR", c => c >= 0xAC00 && c <= 0xD7A3)
-    val sjis = cand("Shift_JIS", c => c >= 0x3040 && c <= 0x30FF)
-    (euc, sjis) match {
-      case (Some((d, se)), Some((_, ss))) if se > ss && se > 0 => Some(d)
-      case (Some(_), Some((d, ss))) if ss > 0 &&
-        ss > euc.map(_._2).getOrElse(0L) => Some(d)
-      case (Some((d, se)), None) if se > 0 => Some(d)
-      case (None, Some((d, ss))) if ss > 0 => Some(d)
-      case _ => None
+    val euc = decoded("EUC-KR").flatMap { d =>
+      val hangul = d.text.count(c => c >= 0xAC00 && c <= 0xD7A3).toLong
+      if (hangul == 0) None
+      else Some((d, 2L * hangul + ideo(d.text) +
+        6L * d.text.count(CommonHangul)))
+    }
+    val sjis = decoded("Shift_JIS").flatMap { d =>
+      val kana = d.text.count(c => c >= 0x3040 && c <= 0x30FF).toLong
+      if (kana == 0) None else Some((d, 2L * kana + ideo(d.text)))
+    }
+    def zh(name: String): Option[(DecodedText, Long)] =
+      decoded(name).flatMap { d =>
+        val i = ideo(d.text)
+        val common = d.text.count(CommonHanzi).toLong
+        if (i < MinZhIdeographs || i * 20 < d.text.length || common == 0)
+          None
+        else Some((d, 2L * i + 6L * common))
+      }
+    val cands = Seq(euc, sjis, zh("GB18030"), zh("Big5")).flatten
+    if (cands.isEmpty) None
+    else {
+      val best = cands.maxBy(_._2)
+      if (cands.count(_._2 == best._2) > 1) None else Some(best._1)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-corpus preprocessing as PURE COLUMN MATH — the two front-door
@@ -671,6 +671,62 @@ object Web {
     struct(flag("noindex").as("noindex"), flag("nofollow").as("nofollow"))
   }
 
+  /** The page's FIRST meta-refresh declaration —
+    * `<meta http-equiv="refresh" content="N[;,] url=…">`, the SOFT
+    * redirect form (r19 missing #2: a refresh-redirect page parsed as
+    * a plain page never enters the redirect relation, so
+    * refresh-redirect families keep split link mass in the
+    * consolidated graph). Returns `(delay_sec, url)`: `delay_sec`
+    * null when no meta-refresh (or a garbled delay) exists; `url` ''
+    * for the self-refresh form (`content="300"`), else the declared
+    * target — XML-unescaped, possibly RELATIVE (resolve against
+    * [[pageBase]] before use; [[metaRefreshRedirects]] does).
+    * Attribute extraction rides the same whole-token [[AttrToken]]
+    * machinery as the other meta parsers (http-equiv match is
+    * case-insensitive; quoted/bare `url=` values both parse; a
+    * `name="refresh"` decoy never matches). Map-only column math. */
+  def metaRefresh(html: Column): Column = {
+    val metas = filter(
+      regexp_extract_all(html, lit(MetaTagPattern), lit(0)),
+      m => lower(tagAttrValue(m, "meta", "http-equiv")) === "refresh")
+    val content = tagAttrValue(
+      coalesce(try_element_at(metas, lit(1)), lit("")), "meta", "content")
+    val delay = regexp_extract(content, "^[ \t\r\n]*([0-9]+)", 1)
+    // grammar: seconds, a `;`/`,` separator, an optional
+    // case-insensitive `url=`, an optionally-quoted target
+    val target = regexp_extract(content,
+      "(?i)^[ \t\r\n]*[0-9]+[ \t\r\n]*[;,][ \t\r\n]*" +
+        "(?:url[ \t\r\n]*=[ \t\r\n]*)?['\"]?([^'\"]*)", 1)
+    struct(
+      when(delay === "", lit(null).cast("int"))
+        .otherwise(delay.cast("int")).as("delay_sec"),
+      xmlUnescape(trim(target)).as("url"))
+  }
+
+  /** Instant-ish meta-refresh declarations as a SOFT-REDIRECT relation
+    * `(src, dst)` — one row per page whose first meta-refresh targets
+    * another page with `delay_sec <= maxDelaySec` (the convention
+    * search engines document: a fast refresh is a redirect, a slow one
+    * is a reload widget). Targets resolve against the page base
+    * (relative refresh URLs are common) and both ends canonicalize,
+    * so the output unions directly into [[consolidateEdges]]' /
+    * [[resolveCrawlGraphs]]' redirect input — composing refresh →
+    * 3xx → canonical chains end to end. Self-refreshes and empty
+    * targets drop. Map-only over the page set. */
+  def metaRefreshRedirects(pages: DataFrame, urlCol: String,
+      htmlCol: String, maxDelaySec: Int = 5): DataFrame = {
+    val mr = metaRefresh(col(htmlCol))
+    pages
+      .select(canonicalUrl(col(urlCol)).as("src"),
+        mr.getField("delay_sec").as("_mr_d"),
+        mr.getField("url").as("_mr_u"),
+        canonicalUrl(resolveUrl(pageBase(col(urlCol), col(htmlCol)),
+          mr.getField("url"))).as("dst"))
+      .filter(col("_mr_d").isNotNull && col("_mr_d") <= maxDelaySec &&
+        col("_mr_u") =!= "" && col("dst") =!= col("src"))
+      .select(col("src"), col("dst"))
+  }
+
   /** Per-TARGET anchor-text corpus over a resolved `(doc, dst, anchor)`
     * edge list — how the web describes each page, the classic
     * retrieval-training label source. Counts are exact and
@@ -691,7 +747,16 @@ object Web {
     * TopKAggregator discipline) selects the k most frequent with
     * map-side partial aggregation: per-dst state is O(k) pairs at
     * every stage, never the distinct-anchor set. Selection over the
-    * exact stage-1 counts is exact. */
+    * exact stage-1 counts is exact.
+    *
+    * NULL anchors (an extractor that yielded no text) are REAL
+    * in-links with no describable text: they count toward `n_links` /
+    * `n_docs` but are filtered out of the anchor-text side before the
+    * count agg (r19 ADVICE: the top-k comparator's value tiebreak is
+    * non-null by contract, and `countDistinct` already excluded nulls
+    * from `n_anchors` — this makes the whole anchor column obey the
+    * same convention). A destination whose every anchor is null keeps
+    * its counts row with `anchors = ''`. */
   def anchorCorpus(edges: org.apache.spark.sql.DataFrame,
       docCol: String = "doc_id", dstCol: String = "dst",
       anchorCol: String = "anchor",
@@ -705,14 +770,17 @@ object Web {
     val topk = F.udaf(
       new graft.functions.TopWeightedStringsAggregator(topAnchors),
       Encoders.product[(String, Long)])
-    val tops = edges.groupBy(col(dstCol), col(anchorCol))
+    val tops = edges.filter(col(anchorCol).isNotNull)
+      .groupBy(col(dstCol), col(anchorCol))
       .agg(count(lit(1)).as("_ac_cnt"))
       .groupBy(col(dstCol))
       .agg(topk(col(anchorCol), col("_ac_cnt")).as("_ac_tops"))
       .select(col(dstCol),
         array_join(transform(col("_ac_tops"), t => t.getField("_1")), "|")
           .as("anchors"))
-    counts.join(tops, Seq(dstCol))
+    // left + coalesce: an all-null-anchor destination keeps its counts
+    counts.join(tops, Seq(dstCol), "left")
+      .withColumn("anchors", coalesce(col("anchors"), lit("")))
   }
 
   /** RFC 3986 §5.2.4 dot-segment removal as BOUNDED column math: per
@@ -799,8 +867,13 @@ object Web {
     * double-seconds column would hash-drift). Hosts without a
     * parseable delay (or absent from `meta`) take `defaultDelaySec`.
     *
-    * Scale shape: one broadcast join against the (hosts-sized, tiny
-    * after [[robotsMeta]]) delay relation — and the per-host rank is
+    * Scale shape: NO host-scale broadcast anywhere (r19 verdict #1 —
+    * the delay relation is hosts-sized, and 10⁸ hosts × a double is a
+    * multi-GB broadcast at exactly the scale this operator exists
+    * for): the delay relation SHUFFLE-joins onto the hosts × buckets
+    * OFFSETS relation on `host`, riding the offset window's own host
+    * partitioning — the frontier itself never pays an extra exchange
+    * for it — and the per-host rank is
     * TWO-PASS BUCKETED (r17 verdict task #1; the
     * [[Scale.rankByGroup]] precedent): only the fetch SCHEDULE is
     * inherently serial per host, not the rank computation, and a
@@ -834,17 +907,15 @@ object Web {
       priorityCol: String = "n_seen",
       buckets: Int = 64): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = Seq("_cd_host", "_cd_delay", "_fs_b", "_fs_cnt",
+    val reserved = Seq("_cd_delay", "_fs_b", "_fs_cnt",
       "_fs_off", "_fs_rn", "host", "rank", "fetch_offset_ds")
     val clash = frontier.columns.toSet.intersect(reserved.toSet)
     require(clash.isEmpty,
       s"scheduleFrontier reserves columns ${reserved.mkString(", ")}; " +
         s"input already has ${clash.mkString(", ")}")
-    val delays = meta.select(col("host").as("_cd_host"),
+    val delays = meta.select(col("host"),
       coalesce(col("crawl_delay"), lit(defaultDelaySec)).as("_cd_delay"))
-    val withHost = frontier
-      .withColumn("host", urlHost(col(urlCol)))
-      .join(broadcast(delays), col("host") === col("_cd_host"), "left")
+    val withHost = frontier.withColumn("host", urlHost(col(urlCol)))
     // sampled boundary TUPLES over the composite order key — bucket 0
     // holds the highest priorities; a constant-priority frontier still
     // splits on the url half of the key (r18 verdict #1)
@@ -859,6 +930,12 @@ object Web {
         coalesce(sum(col("_fs_cnt")).over(
           wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("_fs_cnt")
+      // the delay relation is HOSTS-sized — never driver metadata at
+      // web scale (r19 verdict #1: the same argument that killed the
+      // offsets broadcast applies to delays verbatim). Left SHUFFLE
+      // join on host: the offsets side is already hash-partitioned on
+      // host by the window above, so only the delay relation moves.
+      .join(delays.hint("shuffle_hash"), Seq("host"), "left")
     val wIn = Window.partitionBy(col("host"), col("_fs_b"))
       .orderBy(col(priorityCol).desc, col(urlCol))
     withB
@@ -871,7 +948,7 @@ object Web {
       .withColumn("fetch_offset_ds", col("rank") *
         round(coalesce(col("_cd_delay"), lit(defaultDelaySec)) * 10)
           .cast("long"))
-      .drop("_cd_host", "_cd_delay", "_fs_b", "_fs_off", "_fs_rn")
+      .drop("_cd_delay", "_fs_b", "_fs_off", "_fs_rn")
   }
 
   /** Resolve HTTP redirect chains to their FINAL targets by PATH
@@ -903,10 +980,13 @@ object Web {
     * deterministically): crawl logs carry re-observed redirects, and
     * a source appearing k times would otherwise fan out k-fold at
     * EVERY doubling round — k⁶ rows from one dirty URL, a
-    * multiplicative blowup no bound would catch at 100 TB. */
-  def resolveRedirects(redirects: org.apache.spark.sql.DataFrame,
+    * multiplicative blowup no bound would catch at 100 TB. With
+    * `tsCol` (r19 watch #2) the LATEST observation wins instead (max
+    * ts per source, min-dst on an exact-ts tie) — a source that
+    * genuinely re-pointed over time resolves to its newest target. */
+  def resolveRedirects(redirects: DataFrame,
       srcCol: String = "src", dstCol: String = "dst",
-      maxHops: Int = 64): org.apache.spark.sql.DataFrame = {
+      maxHops: Int = 64, tsCol: Option[String] = None): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val rounds =
       math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt.max(1)
@@ -916,23 +996,10 @@ object Web {
     // plan (r19: the canonical-collapse query's effectiveCanonical
     // expression tree re-codegen'd per derived job — minutes of
     // Janino work on a 500-row fixture before this pin)
-    val base = redirects
-      .groupBy(col(srcCol).as("src"))
-      .agg(min(col(dstCol)).as("cur"))
-      .select(col("src"), col("cur"), lit(1L).as("hops"))
+    val base = normalizeObservations(redirects, srcCol, dstCol, tsCol)
+      .select(lit("r").as("g"), col("src"), col("cur"), lit(1L).as("hops"))
       .localCheckpoint(true)
-    val doubled = (1 to rounds).foldLeft(base) { (f, _) =>
-      val left = f.select(col("src").as("_l_src"), col("cur").as("_l_cur"),
-        col("hops").as("_l_hops"))
-      val right = f.select(col("src").as("_r_src"), col("cur").as("_r_cur"),
-        col("hops").as("_r_hops"))
-      left.join(right, col("_l_cur") === col("_r_src"), "left")
-        .select(col("_l_src").as("src"),
-          coalesce(col("_r_cur"), col("_l_cur")).as("cur"),
-          (col("_l_hops") + when(col("_r_src").isNull, lit(0L))
-            .otherwise(col("_r_hops"))).as("hops"))
-        .localCheckpoint(true)
-    }
+    val doubled = doubleTagged(base, rounds)
     // base is one row per source, so its src column IS the distinct
     // source set — derived from the checkpoint, never from the input
     val srcs = base.select(col("src").as("_rr_s"))
@@ -946,6 +1013,142 @@ object Web {
         when(resolved, col("hops")).as("hops"),
         when(resolved, lit("resolved")).otherwise(lit("unresolved"))
           .as("status"))
+  }
+
+  /** Normalize a raw observation relation to ONE row per source — the
+    * fan-out kill every closure requires. Default (`tsCol = None`):
+    * min dst wins, deterministically. With a timestamp column: the
+    * LATEST observation wins (max ts per source; min dst among
+    * exact-ts ties), one extra self-sized shuffle join. CONTRACT:
+    * `tsCol` values are non-null — a null observation time would drop
+    * its source from the map (max ignores nulls). */
+  private def normalizeObservations(rel: DataFrame, srcCol: String,
+      dstCol: String, tsCol: Option[String]): DataFrame = tsCol match {
+    case None =>
+      rel.groupBy(col(srcCol).as("src")).agg(min(col(dstCol)).as("cur"))
+    case Some(ts) =>
+      val slim = rel.select(col(srcCol).as("src"),
+        col(dstCol).as("_no_dst"), col(ts).as("_no_ts"))
+      val latest = slim.groupBy(col("src"))
+        .agg(max(col("_no_ts")).as("_no_mx"))
+      slim.join(latest, Seq("src"))
+        .filter(col("_no_ts") === col("_no_mx"))
+        .groupBy(col("src")).agg(min(col("_no_dst")).as("cur"))
+  }
+
+  /** Shared path-doubling loop over a TAGGED union of functional
+    * graphs (r19 verdict #2): `base` is checkpointed
+    * `(g, src, cur, hops)` — one row per (graph, source), `cur` the
+    * first-hop target, hops = 1 — and each round jumps rows whose
+    * `cur` is still a source of the SAME graph by the partner's hop
+    * count. Running k independent closures (redirect chains +
+    * canonical declarations) through ONE loop costs the log-many
+    * rounds of the LONGEST budget — each round one hash join + one
+    * eager `localCheckpoint` (the [[Graph.pagerank]] discipline:
+    * without it the lazy plan doubles per round) — instead of paying
+    * the fixed per-round job cost once per closure. Extra rounds
+    * beyond a graph's own hop budget are harmless: rows at their
+    * terminal no longer join, and the caller's per-graph
+    * `hops <= cap` post-filter marks over-budget chains unresolved
+    * exactly as a shorter loop would. */
+  private def doubleTagged(base: DataFrame, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(base) { (f, _) =>
+      val left = f.select(col("g").as("_l_g"), col("src").as("_l_src"),
+        col("cur").as("_l_cur"), col("hops").as("_l_hops"))
+      val right = f.select(col("g").as("_r_g"), col("src").as("_r_src"),
+        col("cur").as("_r_cur"), col("hops").as("_r_hops"))
+      left.join(right,
+          col("_l_g") === col("_r_g") && col("_l_cur") === col("_r_src"),
+          "left")
+        .select(col("_l_g").as("g"), col("_l_src").as("src"),
+          coalesce(col("_r_cur"), col("_l_cur")).as("cur"),
+          (col("_l_hops") + when(col("_r_src").isNull, lit(0L))
+            .otherwise(col("_r_hops"))).as("hops"))
+        .localCheckpoint(true)
+    }
+
+  /** The two crawl-graph closure maps [[resolveCrawlGraphs]] returns:
+    * `redirects` = `(src, final_url, hops, status)` per redirect
+    * source ([[resolveRedirects]]' exact contract) and `canonicals` =
+    * `(urlCol, canon_url, hops, status)` per distinct page
+    * ([[resolveCanonicals]]' exact contract). */
+  final case class CrawlGraphMaps(redirects: DataFrame,
+      canonicals: DataFrame)
+
+  /** Both crawl-graph closures — redirect chains AND transitive
+    * canonicals — resolved in ONE shared path-doubling loop (r19
+    * verdict #2: [[consolidateEdges]] ran two independent closures
+    * and the WARC→corpus capstone a third; the closures' cost on
+    * small/medium inputs is DOMINATED by the fixed per-round job
+    * overhead — one hash join + one eager checkpoint per round — so
+    * two closures in one tagged loop roughly halve it, while per-row
+    * work is identical). Semantics are EXACTLY [[resolveRedirects]]
+    * (`maxHops`, min-dst/latest-ts normalization, cycles →
+    * `unresolved`) and [[resolveCanonicals]] (`canonHops`, identity
+    * fallback, `self`/`resolved`/`cycle`): the union loop runs
+    * `ceil(log₂ max(maxHops, canonHops))` rounds and each graph's own
+    * hop budget is enforced by its post-filter, so the graph with the
+    * smaller budget rides the extra rounds unchanged — its terminal
+    * rows no longer join, and over-budget chains post-filter to
+    * unresolved either way.
+    *
+    * `tsCol` applies to the REDIRECT relation only (canonical
+    * declarations are per-page rows, already one observation each).
+    *
+    * Scale shape: inherits the closures' — log-many hash joins
+    * shuffling the UNION of the two page-metadata-sized relations,
+    * inputs normalized to one row per (graph, source), no driver-side
+    * state. */
+  def resolveCrawlGraphs(redirects: DataFrame, canonPages: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      urlCol: String = "url", canonCol: String = "canon_url",
+      maxHops: Int = 64, canonHops: Int = 8,
+      tsCol: Option[String] = None): CrawlGraphMaps = {
+    require(maxHops >= 1 && canonHops >= 1,
+      s"hop budgets must be >= 1, got $maxHops / $canonHops")
+    val rounds = math.ceil(
+      math.log(math.max(maxHops, canonHops).toDouble) / math.log(2.0))
+      .toInt.max(1)
+    // one evaluation of the caller's (often expensive HTML-parsing)
+    // canonical plan: the slim checkpoint feeds the edge set AND the
+    // distinct-url identity join below
+    val slim = canonPages.select(col(urlCol), col(canonCol))
+      .localCheckpoint(true)
+    val rNorm = normalizeObservations(redirects, srcCol, dstCol, tsCol)
+      .select(lit("r").as("g"), col("src"), col("cur"))
+    val cNorm = normalizeObservations(
+      slim.filter(col(canonCol) =!= col(urlCol) && col(canonCol).isNotNull),
+      urlCol, canonCol, None)
+      .select(lit("c").as("g"), col("src"), col("cur"))
+    val base = rNorm.unionByName(cNorm)
+      .select(col("g"), col("src"), col("cur"), lit(1L).as("hops"))
+      .localCheckpoint(true)
+    val doubled = doubleTagged(base, rounds)
+    val srcs = base.select(col("g").as("_tg"), col("src").as("_ts"))
+    val term = doubled.join(srcs,
+      col("g") === col("_tg") && col("cur") === col("_ts"), "left")
+    val rRes = col("_ts").isNull && col("hops") <= lit(maxHops.toLong)
+    val rmap = term.filter(col("g") === "r")
+      .select(col("src"), col("cur").as("final_url"),
+        when(rRes, col("hops")).as("hops"),
+        when(rRes, lit("resolved")).otherwise(lit("unresolved"))
+          .as("status"))
+    val cRes = col("_ts").isNull && col("hops") <= lit(canonHops.toLong)
+    val cres = term.filter(col("g") === "c")
+      .select(col("src").as("_rc_u"), col("cur").as("_rc_f"),
+        when(cRes, col("hops")).as("_rc_h"),
+        when(cRes, lit("resolved")).otherwise(lit("cycle")).as("_rc_st"))
+    val cmap = slim.select(col(urlCol)).distinct()
+      .join(cres, col(urlCol) === col("_rc_u"), "left")
+      .select(col(urlCol),
+        when(col("_rc_st") === "resolved", col("_rc_f"))
+          .otherwise(col(urlCol)).as("canon_url"),
+        when(col("_rc_st") === "resolved", col("_rc_h"))
+          .when(col("_rc_st").isNull, lit(0L)).as("hops"),
+        when(col("_rc_st") === "resolved", lit("resolved"))
+          .when(col("_rc_st").isNull, lit("self"))
+          .otherwise(lit("cycle")).as("status"))
+    CrawlGraphMaps(rmap, cmap)
   }
 
   /** Resolve `rel=canonical` declarations TRANSITIVELY — the chain
@@ -1019,19 +1222,23 @@ object Web {
     *
     * Scale shape: two hash joins of the edge list against
     * page-metadata-sized relations (shuffle joins on the URL keys —
-    * neither side is driver-metadata at web scale), each closure
-    * itself log-many joins. Output: the input columns with `dstCol`
+    * neither side is driver-metadata at web scale); the two closures
+    * run as ONE shared tagged doubling loop ([[resolveCrawlGraphs]],
+    * r19 verdict #2 — half the fixed per-round job cost, identical
+    * results). Output: the input columns with `dstCol`
     * REPLACED by its consolidated final target. */
-  def consolidateEdges(edges: org.apache.spark.sql.DataFrame,
-      dstCol: String, redirects: org.apache.spark.sql.DataFrame,
-      canonPages: org.apache.spark.sql.DataFrame,
+  def consolidateEdges(edges: DataFrame,
+      dstCol: String, redirects: DataFrame,
+      canonPages: DataFrame,
       maxHops: Int = 64,
-      canonHops: Int = 8): org.apache.spark.sql.DataFrame = {
+      canonHops: Int = 8): DataFrame = {
     val others = edges.columns.filterNot(_ == dstCol).map(col)
-    val rmap = resolveRedirects(redirects, maxHops = maxHops)
+    val maps = resolveCrawlGraphs(redirects, canonPages,
+      maxHops = maxHops, canonHops = canonHops)
+    val rmap = maps.redirects
       .select(col("src").as("_ce_r_src"), col("final_url").as("_ce_r_f"),
         col("status").as("_ce_r_st"))
-    val cmap = resolveCanonicals(canonPages, maxHops = canonHops)
+    val cmap = maps.canonicals
       .select(col("url").as("_ce_c_u"), col("canon_url").as("_ce_c_f"))
     edges
       .join(rmap, col(dstCol) === col("_ce_r_src"), "left")

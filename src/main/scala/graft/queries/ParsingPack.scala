@@ -441,13 +441,19 @@ object ParsingPack extends QueryPack {
     }),
 
     // The CHARSET boundary between WARC bytes and the string-typed HTML
-    // pipeline (r17 missing #1): seven real crawl shapes — undeclared
+    // pipeline (r17 missing #1): ten real crawl shapes — undeclared
     // UTF-8, header-declared latin-1, meta-prescan latin-1, a
     // MISLABELED charset=utf-8 header over latin-1 bytes (strict decode
-    // must reject and fall back), UTF-8/UTF-16LE BOMs, and an
+    // must reject and fall back), UTF-8/UTF-16LE BOMs, an
     // UNDECLARED EUC-KR hangul page (r18 missing #2: no BOM, no
     // header, no meta — the content-heuristic detector must route it,
-    // source="detected") — containered into real gzipped WARC records
+    // source="detected"), undeclared GB18030 and Big5 zh pages (r19
+    // missing #1 — frequency-scored, since each usually
+    // strict-decodes in the other zh charset too), and the
+    // r19-ADVICE cp1252 curly-quote TRAP (its 0x92-pair bytes are
+    // VALID Shift_JIS/GB18030 ideograph codes; the native-evidence +
+    // density gates must keep the measurable latin-1 fallback) —
+    // containered into real gzipped WARC records
     // and decoded back by the sniff chain. The oracle re-derives every
     // decoded string (and its md5) from doc_id arithmetic alone, so a
     // hash match proves the byte encode → container → sniff → decode
@@ -474,7 +480,7 @@ object ParsingPack extends QueryPack {
             val id = r.getLong(0)
             val txt = s"Doc $id café ±"
             val latin1 = txt.getBytes(StandardCharsets.ISO_8859_1)
-            val (ct, body) = (id % 7) match {
+            val (ct, body) = (id % 10) match {
               case 0 => (Some("text/html"),
                 txt.getBytes(StandardCharsets.UTF_8))
               case 1 => (Some("text/html; charset=ISO-8859-1"), latin1)
@@ -486,8 +492,17 @@ object ParsingPack extends QueryPack {
                 0xBF.toByte) ++ txt.getBytes(StandardCharsets.UTF_8))
               case 5 => (None, Array[Byte](0xFF.toByte, 0xFE.toByte) ++
                 txt.getBytes(StandardCharsets.UTF_16LE))
-              case _ => (None, s"문서 $id 한국어"
+              case 6 => (None, s"문서 $id 한국어"
                 .getBytes(java.nio.charset.Charset.forName("EUC-KR")))
+              case 7 => (None, s"文档 $id 中文全文内容测试"
+                .getBytes(java.nio.charset.Charset.forName("GB18030")))
+              case 8 => (None, s"文件 $id 中文全文內容測試"
+                .getBytes(java.nio.charset.Charset.forName("Big5")))
+              case _ => (None,
+                (s"Doc $id don’t won’t can’t stop the test page body" +
+                  " with plain ascii filler text to keep density low")
+                  .getBytes(java.nio.charset.Charset
+                    .forName("windows-1252")))
             }
             ("https://ex.com/doc/" + id, ct, body)
           }
@@ -1006,19 +1021,26 @@ object ParsingPack extends QueryPack {
 
     // GRAPH CONSOLIDATION (r18 missing #1: redirects/canonicals
     // composed into the link graph): every article family has a main
-    // page M plus FOUR duplicate identities — a 1-hop redirect R1→M,
+    // page M plus FIVE duplicate identities — a 1-hop redirect R1→M,
     // a 2-hop redirect R2→R1→M, an m-dot page D with rel=canonical→M,
-    // and an amp page A whose canonical chains A→D→M — and the docs'
-    // links spread across all five. Raw-dst aggregation would split
-    // the family's in-link mass five ways; consolidateEdges (edge dst
-    // → redirect-final → transitive canonical) concentrates it on M.
-    // Every 10th family's redirects form a CYCLE: links into R1/R2
-    // there reach no page and DROP (a crawler never lands), while the
-    // M/D/A links still consolidate. Aggregated with the bounded
-    // anchorCorpus. Scale shape: the edge list hash-joins two
-    // page-metadata-sized closure maps (each log-many self-joins),
-    // then the two-stage bounded anchor aggregation — no broadcast of
-    // host-scale relations anywhere.
+    // an amp page A whose canonical chains A→D→M, and (r19 missing
+    // #2) a SOFT-redirect page F whose HTML carries
+    // <meta http-equiv="refresh" content="0; url=R1"> — parsed by
+    // metaRefreshRedirects, never handed over as an edge — so F's
+    // link mass travels refresh → 301 chain → M. The link identity w
+    // varies INDEPENDENTLY of the family k (r19 ADVICE #4: w =
+    // doc_id % 5 was determined by k = doc_id % 25, so each family
+    // carried ONE identity and the cycle-drop paths went untested):
+    // w = (doc_id / 25) % 6, so every family mixes all six
+    // identities. Every 10th family's redirects form a CYCLE: links
+    // into R1/R2 there reach no page and DROP (a crawler never
+    // lands) — and F's refresh edge POINTS INTO the cycle, so its
+    // links drop too — while the M/D/A links still consolidate.
+    // Aggregated with the bounded anchorCorpus. Scale shape: the
+    // edge list hash-joins two page-metadata-sized closure maps (ONE
+    // shared tagged doubling loop), then the two-stage bounded
+    // anchor aggregation — no broadcast of host-scale relations
+    // anywhere.
     "tx_graph_consolidate" -> ((s, dir) => {
       def variants(kCol: org.apache.spark.sql.Column) = {
         val kS = kCol.cast("string")
@@ -1028,31 +1050,44 @@ object ParsingPack extends QueryPack {
           concat(lit("https://older.com/rr/"), kS),
           concat(lit("https://m.site"), hk, lit(".com/art/"), kS,
             lit("m")),
-          concat(lit("https://amp.site"), hk, lit(".com/amp/"), kS))
+          concat(lit("https://amp.site"), hk, lit(".com/amp/"), kS),
+          concat(lit("https://go"), hk, lit(".com/f/"), kS))
       }
       val docs = Tables.load(s, dir, "documents")
       val fam = docs.select(pmod(col("doc_id"), lit(25)).as("k"))
         .distinct()
-      val (fm, fr1, fr2, fd, fa) = variants(col("k"))
+      val (fm, fr1, fr2, fd, fa, ff) = variants(col("k"))
       val cyc = pmod(col("k"), lit(10)) === 7
       val redirects = fam.select(explode(array(
           struct(fr1.as("src"), when(cyc, fr2).otherwise(fm).as("dst")),
           struct(fr2.as("src"), fr1.as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // the refresh pages arrive as HTML — the soft-redirect relation
+      // is PARSED out of the markup, resolved, and unioned into the
+      // 3xx log
+      val refreshPages = fam.select(ff.as("page"),
+        concat(
+          lit("<html><head><meta http-equiv=\"refresh\" " +
+            "content=\"0; url="), fr1,
+          lit("\"></head><body>moved</body></html>")).as("html"))
+      val softRedirects =
+        Web.metaRefreshRedirects(refreshPages, "page", "html")
       val canonPages = fam.select(explode(array(
           struct(fd.as("url"), fm.as("canon_url")),
           struct(fa.as("url"), fd.as("canon_url")))).as("p"))
         .select(col("p.url").as("url"), col("p.canon_url").as("canon_url"))
-      val (em, er1, er2, ed, ea) = variants(pmod(col("doc_id"), lit(25)))
-      val w = pmod(col("doc_id"), lit(5))
+      val (em, er1, er2, ed, ea, ef) = variants(pmod(col("doc_id"), lit(25)))
+      val w = pmod(floor(col("doc_id") / lit(25)).cast("long"), lit(6))
       val edges = docs.select(col("doc_id"),
         when(w === 0, em).when(w === 1, er1).when(w === 2, er2)
-          .when(w === 3, ed).otherwise(ea).as("dst"),
+          .when(w === 3, ed).when(w === 4, ea).otherwise(ef).as("dst"),
         element_at(array(lit("main link"), lit("old link"),
-          lit("older link"), lit("mobile link"), lit("amp link")),
+          lit("older link"), lit("mobile link"), lit("amp link"),
+          lit("refresh link")),
           w.cast("int") + 1).as("anchor"))
       Web.anchorCorpus(
-          Web.consolidateEdges(edges, "dst", redirects, canonPages))
+          Web.consolidateEdges(edges, "dst",
+            redirects.unionByName(softRedirects), canonPages))
         .orderBy(col("dst"))
     }),
 
@@ -1209,12 +1244,15 @@ object ParsingPack extends QueryPack {
           col("charset"), col("source"))
         .filter(length(col("clean")) >= 20)
         .localCheckpoint(true)
-      val cmap = Web.resolveCanonicals(
-        pages.select(col("url"), col("decl")).distinct(), "url", "decl")
-      // crawl redirect chains are single-hop here; an 8-hop budget (3
-      // doubling rounds instead of the 64-hop default's 6) halves the
-      // closure's fixed per-round job cost
-      val rmap = Web.resolveRedirects(redirects, maxHops = 8)
+      // ONE shared doubling loop resolves BOTH closures (r19 verdict
+      // #2: two independent closures paid the fixed per-round job cost
+      // twice); redirect chains are single-hop here and canonical
+      // chains ≤ 2 hops, so an 8-hop budget (3 rounds) serves both
+      val maps = Web.resolveCrawlGraphs(redirects,
+        pages.select(col("url"), col("decl")).distinct(),
+        urlCol = "url", canonCol = "decl", maxHops = 8, canonHops = 8)
+      val cmap = maps.canonicals
+      val rmap = maps.redirects
         .select(col("src").as("_t_src"), col("final_url").as("_t_f"),
           col("status").as("_t_st"))
       // canonical-onto-redirect: the canonical map's TARGETS go
@@ -1728,23 +1766,28 @@ object ParsingPack extends QueryPack {
         |SELECT canon_url, min(doc_id) AS first_doc, count(*) AS n_pages
         |FROM m GROUP BY canon_url ORDER BY canon_url""".stripMargin,
 
-    // Every family's five link identities re-derived onto the ONE main
-    // URL arithmetically (the engine must path-double the redirect AND
-    // canonical chains to get there); cycle families' R1/R2 links
-    // vanish (WHERE NOT), and the bounded anchor top-k mirrors the
-    // anchorCorpus oracle shape.
+    // Every family's six link identities re-derived onto the ONE main
+    // URL arithmetically (the engine must parse the meta-refresh and
+    // path-double the redirect AND canonical chains to get there);
+    // cycle families' R1/R2 links vanish (WHERE NOT) — and so do
+    // their F links, whose refresh edge points INTO the redirect
+    // cycle — and the bounded anchor top-k mirrors the anchorCorpus
+    // oracle shape. The identity w varies per doc-block (doc_id //
+    // 25), independent of the family (r19 ADVICE #4).
     "tx_graph_consolidate" ->
       """WITH d AS (
-        |  SELECT doc_id, doc_id % 25 AS k, doc_id % 5 AS w
+        |  SELECT doc_id, doc_id % 25 AS k, (doc_id // 25) % 6 AS w
         |  FROM documents
-        |  WHERE NOT ((doc_id % 25) % 10 = 7 AND doc_id % 5 IN (1, 2))),
+        |  WHERE NOT ((doc_id % 25) % 10 = 7
+        |    AND (doc_id // 25) % 6 IN (1, 2, 5))),
         |edges AS (
         |  SELECT doc_id,
         |    'https://site' || CAST(k % 4 AS VARCHAR) || '.com/art/'
         |      || CAST(k AS VARCHAR) AS dst,
         |    CASE w WHEN 0 THEN 'main link' WHEN 1 THEN 'old link'
         |      WHEN 2 THEN 'older link' WHEN 3 THEN 'mobile link'
-        |      ELSE 'amp link' END AS anchor
+        |      WHEN 4 THEN 'amp link'
+        |      ELSE 'refresh link' END AS anchor
         |  FROM d),
         |counts AS (
         |  SELECT dst, count(*) AS n_links,
@@ -2139,19 +2182,30 @@ object ParsingPack extends QueryPack {
       """WITH base AS (
         |  SELECT doc_id,
         |    'Doc ' || CAST(doc_id AS VARCHAR) || ' café ±' AS txt,
-        |    CAST(doc_id % 7 AS INTEGER) AS c
+        |    CAST(doc_id % 10 AS INTEGER) AS c
         |  FROM documents),
         |shaped AS (
         |  SELECT doc_id,
         |    CASE c WHEN 2 THEN '<meta charset="iso-8859-1">' || txt
         |      WHEN 6 THEN '문서 ' || CAST(doc_id AS VARCHAR) || ' 한국어'
+        |      WHEN 7 THEN '文档 ' || CAST(doc_id AS VARCHAR)
+        |        || ' 中文全文内容测试'
+        |      WHEN 8 THEN '文件 ' || CAST(doc_id AS VARCHAR)
+        |        || ' 中文全文內容測試'
+        |      WHEN 9 THEN 'Doc ' || CAST(doc_id AS VARCHAR) || ' don'
+        |        || chr(146) || 't won' || chr(146) || 't can'
+        |        || chr(146) || 't stop the test page body with plain'
+        |        || ' ascii filler text to keep density low'
         |      ELSE txt END AS text,
         |    CASE c WHEN 0 THEN 'utf-8' WHEN 4 THEN 'utf-8'
         |      WHEN 5 THEN 'utf-16le' WHEN 6 THEN 'euc-kr'
+        |      WHEN 7 THEN 'gb18030' WHEN 8 THEN 'big5'
         |      ELSE 'iso-8859-1' END AS charset,
         |    CASE c WHEN 0 THEN 'default' WHEN 1 THEN 'header'
         |      WHEN 2 THEN 'meta' WHEN 3 THEN 'fallback'
-        |      WHEN 6 THEN 'detected' ELSE 'bom' END AS source
+        |      WHEN 6 THEN 'detected' WHEN 7 THEN 'detected'
+        |      WHEN 8 THEN 'detected' WHEN 9 THEN 'fallback'
+        |      ELSE 'bom' END AS source
         |  FROM base)
         |SELECT doc_id, charset, source,
         |  CAST(length(text) AS INTEGER) AS n_chars,

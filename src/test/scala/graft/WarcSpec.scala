@@ -355,9 +355,10 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
-  test("tx_warc_charset on the fixture dir: all seven sniff shapes " +
-      "appear, the mislabeled pages really took the fallback route, " +
-      "and the undeclared hangul pages took the DETECTED route") {
+  test("tx_warc_charset on the fixture dir: all ten sniff shapes " +
+      "appear, the mislabeled AND curly-quote-trap pages really took " +
+      "the fallback route, and the undeclared hangul/GB18030/Big5 " +
+      "pages took the DETECTED route under the right charset") {
     val got = SparkEntry.queries("tx_warc_charset")(
       TestSpark.spark, TestSpark.sfDir).collect()
     assert(got.nonEmpty)
@@ -366,14 +367,17 @@ class WarcSpec extends AnyFunSuite {
       .subsetOf(bySrc.keySet), s"sources: $bySrc")
     got.foreach { r =>
       val id = r.getLong(0)
-      val want = (id % 7) match {
+      val want = (id % 10) match {
         case 0 => ("utf-8", "default")
         case 1 => ("iso-8859-1", "header")
         case 2 => ("iso-8859-1", "meta")
         case 3 => ("iso-8859-1", "fallback")
         case 4 => ("utf-8", "bom")
         case 5 => ("utf-16le", "bom")
-        case _ => ("euc-kr", "detected")
+        case 6 => ("euc-kr", "detected")
+        case 7 => ("gb18030", "detected")
+        case 8 => ("big5", "detected")
+        case _ => ("iso-8859-1", "fallback")
       }
       assert((r.getString(1), r.getString(2)) == want, s"doc $id")
     }
@@ -407,5 +411,45 @@ class WarcSpec extends AnyFunSuite {
     // valid UTF-8 never reaches the detector
     val d4 = Warc.decodeText(kr.getBytes("UTF-8"), None)
     assert(d4 == Warc.DecodedText(kr, "utf-8", "default"), s"$d4")
+  }
+
+  test("detectLegacyCjk zh candidates (r19 missing #1): undeclared " +
+      "GB18030 and Big5 pages detect — frequency-scored, since each " +
+      "usually strict-decodes in the OTHER zh charset too — markup- " +
+      "wrapped bodies included, and the r19-ADVICE cp1252 curly-quote " +
+      "trap keeps the measurable fallback (its SJIS/GB18030 decodes " +
+      "are valid but carry no kana and fail the ideograph gates)") {
+    import java.nio.charset.Charset
+    val gb = Charset.forName("GB18030")
+    val b5 = Charset.forName("Big5")
+    val zhS = "文档 42 中文全文内容测试"
+    val d1 = Warc.decodeText(zhS.getBytes(gb), Some("text/html"))
+    assert(d1 == Warc.DecodedText(zhS, "gb18030", "detected"), s"$d1")
+    val zhT = "文件 42 中文全文內容測試"
+    val d2 = Warc.decodeText(zhT.getBytes(b5), None)
+    assert(d2 == Warc.DecodedText(zhT, "big5", "detected"), s"$d2")
+    // markup-wrapped: ASCII tags dilute density — the 5% gate must
+    // still pass a real page shape
+    val page = "<html><head></head><body>Article 3 rev 99 " +
+      "中文全文内容测试的一个是不了 body content for the corpus " +
+      "quality gate</body></html>"
+    val d3 = Warc.decodeText(page.getBytes(gb), None)
+    assert(d3 == Warc.DecodedText(page, "gb18030", "detected"), s"$d3")
+    // the cp1252 trap (r19 ADVICE medium): '’' = 0x92 before 't' is a
+    // VALID Shift_JIS and GB18030 ideograph pair — the old
+    // ideographs-alone score silently upgraded this to mojibake with
+    // source="detected"; the native-evidence + density gates must
+    // keep the measurable latin-1 fallback
+    val trap = "Doc 42 don’t won’t can’t stop the test page body " +
+      "with plain ascii filler text to keep density low"
+    val d4 = Warc.decodeText(
+      trap.getBytes(Charset.forName("windows-1252")), None)
+    assert(d4.source == "fallback" && d4.charset == "iso-8859-1", s"$d4")
+    // undeclared EUC-KR still beats the structurally-valid GB decode
+    // of the same bytes (frequency discriminates, not validity)
+    val krTxt = "한국어 본문 내용"
+    val d5 = Warc.decodeText(
+      krTxt.getBytes(Charset.forName("EUC-KR")), None)
+    assert(d5 == Warc.DecodedText(krTxt, "euc-kr", "detected"), s"$d5")
   }
 }
