@@ -35,7 +35,8 @@ object ScaleProbe {
     "ann_pca_rotation_build", "tx_train_classifier", "dd_incremental",
     "layout_write_bucketed", "mm_media_decode", "stream_frontier_fold",
     "frontier_schedule_skew", "frontier_schedule_tieskew",
-    "anchor_corpus_hotdst", "redirect_resolve", "index_delete_tomb")
+    "anchor_corpus_hotdst", "redirect_resolve", "graph_consolidate",
+    "index_delete_tomb")
 
   /** The source files whose operators the probes exercise (repo-relative)
     * — the freshness domain of `scale_probe.json` (r16 verdict #3: the
@@ -480,6 +481,51 @@ object ScaleProbe {
             .otherwise(concat(lit("https://final.com/f"),
               f.cast("string"))).as("dst"))
         graft.operators.Web.resolveRedirects(edges).count(): Unit
+      }, 9.0),
+      // the FULL crawl-graph consolidation composition
+      // (tx_graph_consolidate's shape, r19 verdict task #8): an
+      // edge list whose families scale WITH the data consolidates
+      // through the fused redirect+canonical tagged closure
+      // (resolveCrawlGraphs under consolidateEdges — one shared
+      // doubling loop, 6 rounds of redirect-sized hash joins) into
+      // the bounded anchor aggregation. The closure round COUNT is
+      // fixed; per-round work and both metadata relations grow
+      // linearly — wall must track the data, never the hop budget
+      ("graph_consolidate", "docs", (d: DataFrame) => {
+        def variants(k: org.apache.spark.sql.Column) = {
+          val kS = k.cast("string")
+          val h = pmod(k, lit(997L)).cast("string")
+          (concat(lit("https://site"), h, lit(".com/art/"), kS),
+            concat(lit("https://old"), h, lit(".com/r/"), kS),
+            concat(lit("https://older.com/rr/"), kS),
+            concat(lit("https://m.site"), h, lit(".com/art/"), kS,
+              lit("m")),
+            concat(lit("https://amp.site"), h, lit(".com/amp/"), kS))
+        }
+        val fam = floor(col("doc_id") / lit(4)).cast("long")
+        val fams = d.select(fam.as("k")).distinct()
+        val (km, kr1, kr2, kd, ka) = variants(col("k"))
+        val kcyc = pmod(col("k"), lit(10)) === 7
+        val redirects = fams.select(explode(array(
+            struct(kr1.as("src"),
+              when(kcyc, kr2).otherwise(km).as("dst")),
+            struct(kr2.as("src"), kr1.as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        val canonPages = fams.select(explode(array(
+            struct(kd.as("url"), km.as("canon_url")),
+            struct(ka.as("url"), kd.as("canon_url")))).as("p"))
+          .select(col("p.url").as("url"),
+            col("p.canon_url").as("canon_url"))
+        val (em, er1, er2, ed, ea) = variants(fam)
+        val w = pmod(col("doc_id"), lit(5))
+        val edges = d.select(col("doc_id"),
+          when(w === 0, em).when(w === 1, er1).when(w === 2, er2)
+            .when(w === 3, ed).otherwise(ea).as("dst"),
+          concat(lit("anchor "), pmod(col("doc_id"), lit(7)))
+            .as("anchor"))
+        graft.operators.Web.anchorCorpus(
+          graft.operators.Web.consolidateEdges(edges, "dst",
+            redirects, canonPages)).count(): Unit
       }, 9.0),
       // the DELETE path (r14 verdict #5): tombstoning a FIXED ~1%-of-
       // base-fixture doc/vector set out of a PRE-BUILT corpus index +

@@ -216,13 +216,25 @@ object Scale {
     * per-column runtime types (numeric, string, date/timestamp,
     * decimal — anything `Comparable` after collection).
     *
+    * TWO-PASS CONTRACT (r19 watch #3): the sampling pass re-evaluates
+    * the CALLER'S plan, column-pruned to the key projection
+    * ([[sampleProjection]] — spec-pinned that a parquet-backed caller
+    * scans ONLY the key columns), so the caller's key columns must be
+    * cheap to recompute: plain attributes or scalar arithmetic (both
+    * producers — `rankByGroup`'s order keys and `recrawlPriority` —
+    * are). A caller whose keys hang off an expensive derived plan
+    * (an HTML parse, a closure join) should `localCheckpoint` BEFORE
+    * calling, exactly as the closure operators pin their own inputs;
+    * this helper deliberately does not checkpoint for them, because
+    * at its call sites the projection is arithmetic and a forced
+    * materialization would cost more than the second evaluation.
+    *
     * @param keys (column, descending?) pairs, the window's order
     * @return 0-based bucket id column, monotone along the key order */
   def compositeBucketId(df: DataFrame, keys: Seq[(String, Boolean)],
       buckets: Int, samplesPerBucket: Int = 40): Column = {
     require(keys.nonEmpty && buckets >= 1, "need keys and buckets >= 1")
-    val keyCols = keys.map { case (c, _) => col(c) }
-    val slim = df.select(keyCols: _*)
+    val slim = sampleProjection(df, keys)
     if (buckets == 1) return lit(0)
     val target = buckets * samplesPerBucket
     val rdd = slim.rdd
@@ -293,6 +305,15 @@ object Scale {
     bounds.foldLeft(lit(0))((acc, b) =>
       acc + when(after(b), 1).otherwise(0))
   }
+
+  /** The slim key projection [[compositeBucketId]]'s sampling pass
+    * evaluates — exposed package-private so the column-pruning half
+    * of the two-pass contract is SPEC-CHECKABLE (ScaleSpec asserts a
+    * parquet-backed caller's sample scan reads only the key columns
+    * in its ReadSchema, never the full row). */
+  private[graft] def sampleProjection(df: DataFrame,
+      keys: Seq[(String, Boolean)]): DataFrame =
+    df.select(keys.map { case (c, _) => col(c) }: _*)
 
   /** Scale-safe `rank` / `percent_rank` / `cume_dist` over LOW-CARDINALITY
     * partitions — the two-pass form of the rank-window family. A window

@@ -326,4 +326,46 @@ class ScaleSpec extends AnyFunSuite {
       hot, "id", "s", lit("blk"), band = 4, maxBucket = 10000).count()
     assert(exact == quadratic)
   }
+
+  test("compositeBucketId two-pass contract (r19 watch #3): the sampling " +
+      "pass is COLUMN-PRUNED — a parquet-backed caller's sample scan " +
+      "reads only the key columns in its ReadSchema, never the wide " +
+      "row — and the bucket ids still reproduce the one-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cbid_prune").toString
+    val wide = spark.range(0, 2000).select(
+      col("id"),
+      (col("id") % 7).as("prio"),
+      concat(lit("https://h"), col("id") % 5, lit(".com/p"), col("id"))
+        .as("url"),
+      // the expensive payload the sample pass must never scan
+      concat_ws("", (0 until 50).map(_ => md5(col("id").cast("string"))): _*)
+        .as("payload"))
+    wide.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val slim = Scale.sampleProjection(stored,
+      Seq(("prio", true), ("url", false)))
+    val plan = slim.queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("prio") && readSchema.contains("url") &&
+      !readSchema.contains("payload"),
+      s"sample pass not column-pruned:\n$plan")
+    // and the two-pass rank over the stored relation stays exact
+    val got = Scale.rankByGroup(
+        stored.withColumn("host", regexp_extract(col("url"),
+          "^https://([^/]+)", 1)),
+        Seq("host"), Seq("prio", "url"), buckets = 8)
+      .select(col("url"), col("rank")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = Window.partitionBy(col("host")).orderBy(col("prio"), col("url"))
+    val want = stored
+      .withColumn("host", regexp_extract(col("url"),
+        "^https://([^/]+)", 1))
+      .withColumn("r", row_number().over(w))
+      .select(col("url"), col("r")).collect()
+      .map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    assert(got == want, "two-pass rank diverged from the window form")
+  }
 }
