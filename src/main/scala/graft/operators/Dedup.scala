@@ -658,16 +658,19 @@ object Dedup {
       val nbMin = sym.join(lab.toDF("nb", "rep").hint("shuffle_hash"),
           Seq("nb"))
         .groupBy(col("id")).agg(min(col("rep")).as("nbrep"))
-      // carry the OLD label through the checkpoint so the convergence
-      // check is a filter-count over the checkpointed rows — the previous
-      // shape re-joined next⋈lab, a whole extra shuffle per round whose
-      // only output was the `changed` counter
+      // the convergence counter rides the checkpoint job as an
+      // `observe` metric (r20; the duplicateClustersAltStar one-job
+      // discipline) — the previous shape paid a separate filter-count
+      // job per round whose only output was `changed`
+      val obs = org.apache.spark.sql.Observation()
       val next = lab.join(nbMin.hint("shuffle_hash"), Seq("id"), "left_outer")
         .select(col("id"),
           least(col("rep"), coalesce(col("nbrep"), col("rep"))).as("rep"),
           col("rep").as("old"))
+        .observe(obs,
+          count(when(col("rep") =!= col("old"), 1)).as("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("rep") =!= col("old")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       lab = next.select(col("id"), col("rep"))
       i += 1
     }

@@ -67,30 +67,30 @@ object Graph {
     // path's union over the cached base is cheaper to recompute for its
     // two consumers (degrees, adjacency) than to materialize again
     val sym = if (distinctDirected) sym0 else sym0.distinct().persist()
-    val adj = try {
-      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .localCheckpoint(true)
-      // adjacency ⋈ degree, partitioned on src once, reused every round
-      val a = sym.join(deg, "src")
-        .repartition(shuffle, col("src")).persist()
-      // the adjacency materialization and the |V| read were SEQUENTIAL
-      // actions — one whole scheduler round trip per query (r13 verdict
-      // #3's last fixed job). Run them as CONCURRENT jobs instead (the
-      // buildIvfPq shape): wall is max(two jobs), compute unchanged —
-      // deg.count() is a local-block scan of the checkpoint, so fusing
-      // it INTO the big action (e.g. count_distinct(src) over the |E|
-      // adjacency) was measured strictly worse than overlapping it.
-      // shared cached action pool (r14 verdict #8) — the global EC +
-      // Await idiom could deadlock under composition
-      val (_, n) = graft.Graft.inParallel(
-        a.count(),
-        deg.count()) // one driver scalar — the graph's |V|
-      (a, deg, n)
-    } finally { sym.unpersist(); base.unpersist() }
-    val (adjacency, deg, n) = adj
-    try {
-      val nodes = deg.select(col("src").as("node"))
-      require(n > 0, "pagerank over an empty graph")
+    // the SEED pin is independent of the adjacency build — overlap it
+    // with the adjacency jobs (r20: it ran sequentially after them, one
+    // checkpoint + one count of pure wall added to every seeded call)
+    val (adj, seedPinned) = graft.Graft.inParallel(
+      try {
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+          .localCheckpoint(true)
+        // adjacency ⋈ degree, partitioned on src once, reused every round
+        val a = sym.join(deg, "src")
+          .repartition(shuffle, col("src")).persist()
+        // the adjacency materialization and the |V| read were SEQUENTIAL
+        // actions — one whole scheduler round trip per query (r13 verdict
+        // #3's last fixed job). Run them as CONCURRENT jobs instead (the
+        // buildIvfPq shape): wall is max(two jobs), compute unchanged —
+        // deg.count() is a local-block scan of the checkpoint, so fusing
+        // it INTO the big action (e.g. count_distinct(src) over the |E|
+        // adjacency) was measured strictly worse than overlapping it.
+        // shared cached action pool (r14 verdict #8) — the global EC +
+        // Await idiom could deadlock under composition
+        val (_, n) = graft.Graft.inParallel(
+          a.count(),
+          deg.count()) // one driver scalar — the graph's |V|
+        (a, deg, n)
+      } finally { sym.unpersist(); base.unpersist() },
       // teleport vector: uniform 1/n, or 1/|seed| on seed nodes. The
       // uniform form is a pure projection over the ALREADY-checkpointed
       // deg — re-deriving it per consumer is a local-block scan, so its
@@ -99,12 +99,16 @@ object Graph {
       // anyway), not the |V|-sized joined vector: each consumer then
       // re-derives reset as deg-checkpoint scan ⋈ broadcast(seed) —
       // shuffle-free — instead of paying a second |V| checkpoint job.
-      val seedPinned = seed.map { s =>
+      seed.map { s =>
         val sd = s.select(col("node")).distinct().localCheckpoint(true)
         val k = sd.count()
         require(k > 0, "personalized pagerank with an empty seed")
         (sd, k)
-      }
+      })
+    val (adjacency, deg, n) = adj
+    try {
+      val nodes = deg.select(col("src").as("node"))
+      require(n > 0, "pagerank over an empty graph")
       val reset: DataFrame = seedPinned match {
         case None =>
           nodes.withColumn("reset", lit(1.0 / n))

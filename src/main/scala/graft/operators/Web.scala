@@ -653,6 +653,27 @@ object Web {
       .otherwise(resolveUrl(pageBase(pageUrl, html), decl)))
   }
 
+  /** [[effectiveCanonical]] through STAGED projections (r20
+    * optimization, the [[metaRefreshRedirects]] rationale):
+    * [[resolveUrl]] references its base ~10× and its href ~8×, and
+    * [[pageBase]] nests a second resolveUrl over [[baseHref]]'s parse
+    * tree — inlined as ONE column expression the duplicated subtrees
+    * cost seconds of per-job driver analysis/codegen. Staging the
+    * declared canonical, the base href, and the resolved base as
+    * named columns keeps every resolver reference an attribute leaf.
+    * Adds `outCol` to `df`; values are bit-identical to the column
+    * form (same expressions, evaluated once per row either way). */
+  def withEffectiveCanonical(df: DataFrame, urlCol: String,
+      htmlCol: String, outCol: String): DataFrame =
+    df
+      .withColumn("_ec_lc", linkCanonical(col(htmlCol)))
+      .withColumn("_ec_bh", baseHref(col(htmlCol)))
+      .withColumn("_ec_b", resolveUrl(col(urlCol), col("_ec_bh")))
+      .withColumn(outCol,
+        canonicalUrl(when(col("_ec_lc") === "", col(urlCol))
+          .otherwise(resolveUrl(col("_ec_b"), col("_ec_lc")))))
+      .drop("_ec_lc", "_ec_bh", "_ec_b")
+
   /** Per-page robots-meta flags — the IN-PAGE half of the crawl
     * compliance protocol (robots.txt is the per-host half):
     * `(noindex, nofollow)` from every `<meta name="robots"
@@ -716,12 +737,26 @@ object Web {
   def metaRefreshRedirects(pages: DataFrame, urlCol: String,
       htmlCol: String, maxDelaySec: Int = 5): DataFrame = {
     val mr = metaRefresh(col(htmlCol))
+    // STAGED projections (r20 optimization): [[resolveUrl]] references
+    // its base ~10× and its href ~8× (and [[pageBase]] nests a second
+    // resolveUrl), so inlining the meta-refresh parse and the base
+    // derivation into one expression multiplied the parse trees into
+    // an analyzer/optimizer/codegen unit that cost SECONDS of driver
+    // time per job (measured 5.3 s to merely analyze, 40-70 s per
+    // tx_graph_consolidate run). Naming the re-referenced pieces as
+    // columns makes them attribute LEAVES of the resolver tree;
+    // CollapseProject keeps non-cheap multi-referenced projections
+    // staged, so the tree stays operator-sized. Values are identical —
+    // the same expressions evaluate once per row either way.
     pages
-      .select(canonicalUrl(col(urlCol)).as("src"),
+      .select(col(urlCol), col(htmlCol),
         mr.getField("delay_sec").as("_mr_d"),
-        mr.getField("url").as("_mr_u"),
-        canonicalUrl(resolveUrl(pageBase(col(urlCol), col(htmlCol)),
-          mr.getField("url"))).as("dst"))
+        mr.getField("url").as("_mr_u"))
+      .withColumn("_mr_bh", baseHref(col(htmlCol)))
+      .withColumn("_mr_b", resolveUrl(col(urlCol), col("_mr_bh")))
+      .select(canonicalUrl(col(urlCol)).as("src"),
+        col("_mr_d"), col("_mr_u"),
+        canonicalUrl(resolveUrl(col("_mr_b"), col("_mr_u"))).as("dst"))
       .filter(col("_mr_d").isNotNull && col("_mr_d") <= maxDelaySec &&
         col("_mr_u") =!= "" && col("dst") =!= col("src"))
       .select(col("src"), col("dst"))
@@ -1050,22 +1085,57 @@ object Web {
     * beyond a graph's own hop budget are harmless: rows at their
     * terminal no longer join, and the caller's per-graph
     * `hops <= cap` post-filter marks over-budget chains unresolved
-    * exactly as a shorter loop would. */
-  private def doubleTagged(base: DataFrame, rounds: Int): DataFrame =
-    (1 to rounds).foldLeft(base) { (f, _) =>
+    * exactly as a shorter loop would.
+    *
+    * EARLY EXIT (r20 optimization): a round in which NO row jumped
+    * (every `cur` had already left its graph's source set) leaves the
+    * relation bit-identical, and jumps are monotone — a row whose
+    * `cur` is terminal stays terminal — so every later round is a
+    * no-op by induction and the loop stops. The budget (`rounds` =
+    * ceil(log₂ maxHops)) is now a CAP, not a cost: real redirect
+    * chains are ≤ 5 hops, so a 64-hop budget converges after ~3
+    * rounds instead of always paying 6 join+checkpoint jobs. The
+    * detection rides the checkpoint job itself as an `observe`
+    * metric (the [[Dedup.duplicateClustersAltStar]] one-job
+    * discipline) — a map-side max folded during materialization, so
+    * probing costs NO extra job and NO extra pass at any scale, and
+    * every round is probed. On a cycle-bearing graph (any real
+    * crawl) cycles jump forever and the loop still runs to its cap —
+    * an unresolved row's `cur` after the FULL budget is declared
+    * output — at exactly the pre-probe cost. Intermediate rounds'
+    * checkpoint blocks are freed eagerly (the input and the returned
+    * round stay pinned). */
+  private def doubleTagged(base: DataFrame, rounds: Int): DataFrame = {
+    var f = base
+    var round = 0
+    var advancing = true
+    while (round < rounds && advancing) {
       val left = f.select(col("g").as("_l_g"), col("src").as("_l_src"),
         col("cur").as("_l_cur"), col("hops").as("_l_hops"))
       val right = f.select(col("g").as("_r_g"), col("src").as("_r_src"),
         col("cur").as("_r_cur"), col("hops").as("_r_hops"))
-      left.join(right,
+      val obs = org.apache.spark.sql.Observation()
+      val joined = left.join(right,
           col("_l_g") === col("_r_g") && col("_l_cur") === col("_r_src"),
           "left")
         .select(col("_l_g").as("g"), col("_l_src").as("src"),
           coalesce(col("_r_cur"), col("_l_cur")).as("cur"),
           (col("_l_hops") + when(col("_r_src").isNull, lit(0L))
-            .otherwise(col("_r_hops"))).as("hops"))
+            .otherwise(col("_r_hops"))).as("hops"),
+          when(col("_r_src").isNull, lit(0)).otherwise(lit(1)).as("_dt_j"))
+        .observe(obs, max(col("_dt_j")).as("j"))
         .localCheckpoint(true)
+      advancing = obs.get.get("j").exists {
+        case null => false
+        case v => v.asInstanceOf[Int] > 0
+      }
+      if (round > 0) // the previous round's blocks are dead now
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(f)
+      f = joined.drop("_dt_j")
+      round += 1
     }
+    f
+  }
 
   /** The two crawl-graph closure maps [[resolveCrawlGraphs]] returns:
     * `redirects` = `(src, final_url, hops, status)` per redirect

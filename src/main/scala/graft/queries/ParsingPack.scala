@@ -1004,10 +1004,12 @@ object ParsingPack extends QueryPack {
       val fixture = Tables.load(s, dir, "documents")
         .select(col("doc_id"), url.as("u0"), html.as("h0"))
         .localCheckpoint(true)
-      val pages = fixture
+      // staged effectiveCanonical (r20): the inlined column form's
+      // duplicated resolver subtrees cost seconds of per-job driver
+      // analysis — see Web.withEffectiveCanonical
+      val pages = Web.withEffectiveCanonical(fixture, "u0", "h0", "decl")
         .select(col("doc_id"),
-          Web.canonicalUrl(col("u0")).as("url"),
-          Web.effectiveCanonical(col("u0"), col("h0")).as("decl"))
+          Web.canonicalUrl(col("u0")).as("url"), col("decl"))
         .localCheckpoint(true)
       val cmap = Web.resolveCanonicals(
         pages.select(col("url"), col("decl")).distinct(),
@@ -1065,13 +1067,27 @@ object ParsingPack extends QueryPack {
       // the refresh pages arrive as HTML — the soft-redirect relation
       // is PARSED out of the markup, resolved, and unioned into the
       // 3xx log
+      // materialize the CONSTRUCTED strings before parsing them (the
+      // r19 lesson pinned at tx_canonical_collapse above, and the r20
+      // regression: metaRefreshRedirects' resolver references its url/
+      // html arguments many times, and over these construction trees
+      // the analyzer/codegen unit multiplied into a 40-70 s PER-RUN
+      // driver cost on a 25-row relation; over plain column refs the
+      // parse tree stays operator-sized)
       val refreshPages = fam.select(ff.as("page"),
         concat(
           lit("<html><head><meta http-equiv=\"refresh\" " +
             "content=\"0; url="), fr1,
           lit("\"></head><body>moved</body></html>")).as("html"))
+        .localCheckpoint(true)
+      // pin the PARSED soft-redirect relation too: its resolver plan
+      // is thousands of expression nodes, and the closure's base
+      // checkpoint re-optimized it per run (measured 6.6 s of pure
+      // driver optimizer time; over the pinned 25-row relation the
+      // same job costs 0.5 s)
       val softRedirects =
         Web.metaRefreshRedirects(refreshPages, "page", "html")
+          .localCheckpoint(true)
       val canonPages = fam.select(explode(array(
           struct(fd.as("url"), fm.as("canon_url")),
           struct(fa.as("url"), fd.as("canon_url")))).as("p"))
@@ -1085,9 +1101,14 @@ object ParsingPack extends QueryPack {
           lit("older link"), lit("mobile link"), lit("amp link"),
           lit("refresh link")),
           w.cast("int") + 1).as("anchor"))
+      // pin the consolidated edge list: anchorCorpus reads it TWICE
+      // (the counts agg and the top-k agg), so unpinned the two
+      // consolidation joins and the fixture projection execute — and
+      // re-optimize — twice per run
       Web.anchorCorpus(
           Web.consolidateEdges(edges, "dst",
-            redirects.unionByName(softRedirects), canonPages))
+            redirects.unionByName(softRedirects), canonPages)
+            .localCheckpoint(true))
         .orderBy(col("dst"))
     }),
 
@@ -1159,7 +1180,20 @@ object ParsingPack extends QueryPack {
     "tx_crawl_corpus" -> ((s, dir) => {
       import graft.operators.Warc
       import java.nio.charset.StandardCharsets
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      // the container+decode map below is the query's heaviest per-row
+      // work, and the documents fixture is ONE parquet row group — the
+      // guide §2.5 one-unsplittable-file case: without a spread the
+      // whole WARC gzip/parse/decode pass runs in a single task.
+      // Repartition the 8-byte id column to the session's parallelism
+      // ONLY when the scan under-parallelizes (at real scale the scan
+      // splits naturally and this is a no-op); per-record output is
+      // partition-invariant (each record round-trips independently —
+      // batching only shapes container boundaries), so the result is
+      // bit-identical.
+      val ids = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val np = s.sparkContext.defaultParallelism
+      val docs = if (ids.rdd.getNumPartitions < np)
+        ids.repartition(np) else ids
       val schema = org.apache.spark.sql.types.StructType(Seq(
         "kind", "url", "dst", "html", "charset", "source").map(n =>
         org.apache.spark.sql.types.StructField(n,
@@ -1236,10 +1270,14 @@ object ParsingPack extends QueryPack {
         .select(col("url").as("src"), col("dst"))
       // the parse/extract projection (one fat codegen unit) runs ONCE;
       // the canonical map input and the final join read the checkpoint
-      val pages = raw.filter(col("kind") === "page")
-        .filter(!Web.metaRobots(col("html")).getField("noindex"))
-        .select(Web.canonicalUrl(col("url")).as("url"),
-          Web.effectiveCanonical(col("url"), col("html")).as("decl"),
+      // staged effectiveCanonical (r20): the inlined column form's
+      // duplicated resolver subtrees cost seconds of per-job driver
+      // analysis — see Web.withEffectiveCanonical
+      val pages = Web.withEffectiveCanonical(
+          raw.filter(col("kind") === "page")
+            .filter(!Web.metaRobots(col("html")).getField("noindex")),
+          "url", "html", "decl")
+        .select(Web.canonicalUrl(col("url")).as("url"), col("decl"),
           Web.htmlText(col("html")).as("clean"),
           col("charset"), col("source"))
         .filter(length(col("clean")) >= 20)
