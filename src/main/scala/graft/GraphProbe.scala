@@ -65,6 +65,25 @@ object GraphProbe {
         graft.operators.Graph.pagerank(pinned, iters = 3,
           distinctDirected = true).count())
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(pinned)
+      // r20: edge-derivation variants — where does its ~1.4 s go?
+      val np = spark.sparkContext.defaultParallelism
+      def lod(n: String) = Tables.load(spark, sfDir, n)
+      time(s"edges spread-lineitem [$i]")(
+        lod("orders").join(
+            lod("lineitem").repartition(np),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct().count())
+      time(s"lineitem scan only [$i]")(
+        lod("lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .agg(count(lit(1))).head())
+      time(s"join no distinct [$i]")(
+        lod("orders").join(lod("lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .agg(count(lit(1))).head())
     }
     spark.stop()
   }

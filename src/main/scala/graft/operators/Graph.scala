@@ -72,11 +72,20 @@ object Graph {
     // checkpoint + one count of pure wall added to every seeded call)
     val (adj, seedPinned) = graft.Graft.inParallel(
       try {
-        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        // ONE |E| exchange serves BOTH graph-side consumers (r20,
+        // guide §2.4 "two operations keyed the same way share one
+        // exchange"): hash-partition the symmetrized list on src
+        // first — the degree agg clusters on that partitioning
+        // without its own exchange, and the adjacency ⋈ degree join
+        // is co-partitioned, so the old post-join
+        // `repartition(shuffle, src)` (a SECOND full |E| exchange)
+        // disappears. Output partitioning is the same
+        // HashPartitioning(src, shuffle) every iteration reuses.
+        val symP = sym.repartition(shuffle, col("src")).persist()
+        val deg = symP.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
           .localCheckpoint(true)
         // adjacency ⋈ degree, partitioned on src once, reused every round
-        val a = sym.join(deg, "src")
-          .repartition(shuffle, col("src")).persist()
+        val a = symP.join(deg, "src").persist()
         // the adjacency materialization and the |V| read were SEQUENTIAL
         // actions — one whole scheduler round trip per query (r13 verdict
         // #3's last fixed job). Run them as CONCURRENT jobs instead (the
@@ -89,6 +98,7 @@ object Graph {
         val (_, n) = graft.Graft.inParallel(
           a.count(),
           deg.count()) // one driver scalar — the graph's |V|
+        symP.unpersist()
         (a, deg, n)
       } finally { sym.unpersist(); base.unpersist() },
       // teleport vector: uniform 1/n, or 1/|seed| on seed nodes. The

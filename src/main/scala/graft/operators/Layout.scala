@@ -115,7 +115,18 @@ object Layout {
       key: String, buckets: Int): DataFrame = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write.bucketBy(buckets, key).sortBy(key)
+    // BUCKET-ALIGNED shuffle before the write (r20, guide §6 file
+    // layout): a bucketed write emits one file per (task × non-empty
+    // bucket) — from a single-split source ONE task wrote (and sorted)
+    // every bucket serially, and a many-split source writes
+    // tasks×buckets fragment files. `repartition(buckets, key)` uses
+    // the same murmur3-pmod placement as the bucket spec, so each
+    // write task holds exactly its own bucket: the write parallelizes
+    // across buckets and the layout comes out one file per bucket —
+    // the file-sizing contract a bucketed table wants at any scale
+    // (bucket count is the caller's data-sized knob).
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
       .option("path", path).mode("overwrite").format("parquet")
       .saveAsTable(name)
     s.table(name)

